@@ -1,0 +1,70 @@
+"""Projection, filter, and null-repair operators (SURVEY.md §2.2, P1-P6).
+
+All declarative: Catalyst pushes these predicates into the parquet scan
+(check with ``.explain`` → ``PushedFilters``) and prunes unread columns
+— the automation of the reference's hand-rolled column lists
+(/root/reference/tasks/visualization/src/visualization.py:54-59).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, cols: Iterable[str]) -> DataFrame:
+    """P1 — explicit column projection (visualization.py:54-59)."""
+    return df.select(*cols)
+
+
+def point_in_interval(
+    df: DataFrame,
+    point: dt.date | dt.datetime | str,
+    start_col: str = "debut",
+    end_col: str = "fin",
+) -> DataFrame:
+    """P2 — rows whose ``[start, end]`` validity interval contains
+    ``point`` (inclusive both ends, visualization.py:97-98).
+
+    At scale: both bounds are independent comparisons against a literal,
+    so each pushes down to parquet min/max row-group pruning.
+    """
+    p = F.lit(point)
+    return df.filter((F.col(start_col) <= p) & (p <= F.col(end_col)))
+
+
+def equality_filter(df: DataFrame, col: str, value) -> DataFrame:
+    """P3 — ``df[df.col == v]`` (visualization.py:170, :185)."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def in_list(df: DataFrame, col: str, values: Iterable) -> DataFrame:
+    """P4 — IN-list membership (visualization.py:146)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def fill_interval_nulls(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    start_default: str = "1900-01-01",
+    end_default: str = "2024-12-31",
+) -> DataFrame:
+    """P5 — close open validity intervals by constant-filling null bounds
+    (visualization.py:43, :45). Null start → epoch-ish floor, null end →
+    horizon cap, so interval predicates (P2) see closed intervals."""
+    return df.na.fill({start_col: start_default, end_col: end_default})
+
+
+def coalesce_after_outer_join(df: DataFrame, col: str, default) -> DataFrame:
+    """P6 — repair nulls introduced by an outer join's unmatched side
+    (``fillna(0)`` on alert level, visualization.py:154)."""
+    return df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+
+
+def where(df: DataFrame, condition: Column) -> DataFrame:
+    """General predicate entry point for composed conditions."""
+    return df.filter(condition)

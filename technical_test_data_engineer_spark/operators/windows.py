@@ -1,0 +1,69 @@
+"""Window operators (SURVEY.md §2.5, W1) — the reference's signature
+pattern, made deterministic.
+
+Reference: ``sort_values('numero_niveau', ascending=False)
+.drop_duplicates(key, keep='first')`` — top-1-per-group by pandas stable
+sort (/root/reference/tasks/visualization/src/visualization.py:103, :130).
+Pandas keeps the first-encountered row on ties; a distributed engine has
+no "encounter order", so the engine REQUIRES an explicit tiebreak column
+list — the semantic rule SURVEY.md §4 calls out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top1_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+) -> DataFrame:
+    """W1 — argmax row per group with deterministic total order.
+
+    ``order_cols`` must define a total order within each group (e.g.
+    ``[F.desc('numero_niveau'), F.asc('id_zone')]``). One shuffle on the
+    group key; ``row_number`` is evaluated streaming within each sorted
+    partition — no per-group materialization.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Top-k generalization (rank ≤ k), same determinism contract."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def with_lag(
+    df: DataFrame, col: str, group_cols: list[str], order_cols: list[Column], alias: str
+) -> DataFrame:
+    """Analytic-window surface (lag) — free in Spark, absent in the
+    reference; used by the streaming/sessionize layer."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(alias, F.lag(col).over(w))
+
+
+def running_sum(
+    df: DataFrame, col: str, group_cols: list[str], order_cols: list[Column], alias: str
+) -> DataFrame:
+    """Cumulative frame-spec window (rowsBetween unboundedPreceding)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(alias, F.sum(col).over(w))

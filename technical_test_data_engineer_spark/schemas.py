@@ -1,0 +1,166 @@
+"""Declared schemas for every table the engine reads.
+
+The reference infers every schema dynamically (``pd.read_csv`` dtype
+inference, ``/root/reference/tasks/scraper/src/utils/utils.py:14-19``;
+``to_sql`` DDL derivation, ``/root/reference/tasks/scraper/src/scraper.py:23-24``).
+At 100 TB, inference is a full extra pass over the data — the engine
+declares StructType schemas up front and treats inference as a
+convenience for exploratory paths only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Driver star schema (/root/testdata/sf*/; see /root/repo/FIXTURES.md §A)
+# ---------------------------------------------------------------------------
+
+REGION = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ]
+)
+
+NATION = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+CUSTOMER = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+SUPPLIER = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.IntegerType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+PART = T.StructType(
+    [
+        T.StructField("p_partkey", T.LongType()),
+        T.StructField("p_name", T.StringType()),
+        T.StructField("p_brand", T.StringType()),
+        T.StructField("p_type", T.StringType()),
+        T.StructField("p_size", T.IntegerType()),
+        T.StructField("p_retailprice", T.DoubleType()),
+    ]
+)
+
+ORDERS = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+LINEITEM = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampType()),
+    ]
+)
+
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+EMBEDDINGS = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+STAR_SCHEMA: dict[str, T.StructType] = {
+    "region": REGION,
+    "nation": NATION,
+    "customer": CUSTOMER,
+    "supplier": SUPPLIER,
+    "part": PART,
+    "orders": ORDERS,
+    "lineitem": LINEITEM,
+    "events": EVENTS,
+    "documents": DOCUMENTS,
+    "embeddings": EMBEDDINGS,
+}
+
+# ---------------------------------------------------------------------------
+# Reference-shaped tables (SURVEY.md §0; columns per
+# /root/reference/tasks/visualization/src/visualization.py:54-57)
+# ---------------------------------------------------------------------------
+
+ZONES = T.StructType(
+    [
+        T.StructField("id_zone", T.LongType()),
+        T.StructField("nom_zone", T.StringType()),
+        T.StructField("code_departement", T.StringType()),
+        T.StructField("nom_departement", T.StringType()),
+        T.StructField("surface_zone", T.DoubleType()),
+        T.StructField("type_zone", T.StringType()),
+    ]
+)
+
+ARRETES = T.StructType(
+    [
+        T.StructField("id_zone", T.LongType()),
+        T.StructField("debut_validite_arrete", T.StringType()),
+        T.StructField("fin_validite_arrete", T.StringType()),
+        T.StructField("numero_niveau", T.IntegerType()),
+        T.StructField("nom_niveau", T.StringType()),
+        T.StructField("statut_arrete", T.StringType()),
+    ]
+)
+
+DEPARTEMENTS = T.StructType(
+    [
+        T.StructField("code", T.StringType()),
+        T.StructField("nom", T.StringType()),
+        T.StructField("geometry", T.StringType()),
+    ]
+)

@@ -1,0 +1,40 @@
+"""Catalog helpers (SURVEY.md S5-S7).
+
+Reference: SQLAlchemy ``MetaData().reflect`` existence check
+(/root/reference/tasks/visualization/src/visualization.py:64-73) and
+driver-side dict/distinct collection for UI legends
+(visualization.py:52, :136, :255).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from technical_test_data_engineer_spark.sources.parquet_source import load_tables
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """``spark.catalog.tableExists`` — the reflection check, one call."""
+    return spark.catalog.tableExists(name)
+
+
+def register_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every star-schema table as a temp view so the SQL surface
+    (``spark.sql``) sees the same names as the DuckDB oracle."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def collect_dict(df: DataFrame, key_col: str, val_col: str) -> dict:
+    """Small-result action: 2-col frame → driver dict (SURVEY.md S6,
+    visualization.py:52). Only valid for driver-bound small results."""
+    return {r[0]: r[1] for r in df.select(key_col, val_col).collect()}
+
+
+def collect_distinct_sorted(df: DataFrame, col: str) -> list:
+    """Sorted distinct values to the driver (SURVEY.md S7,
+    visualization.py:136/:255). Distinct runs distributed; only the
+    (small) result set crosses to the driver."""
+    return [r[0] for r in df.select(col).distinct().orderBy(col).collect()]

@@ -1,0 +1,60 @@
+"""Join surface: J1/J2 reference parity + semi/anti/range/as-of
+extensions."""
+
+from __future__ import annotations
+
+from technical_test_data_engineer_spark.operators import joins as J
+
+
+def test_inner_join_drops_orphans(spark):
+    zones = spark.createDataFrame([(1, "a"), (2, "b")], "id_zone long, nom string")
+    arretes = spark.createDataFrame([(1, 3), (9, 1)], "id_zone long, niveau int")
+    out = J.inner_equi_join(arretes, zones, "id_zone")
+    assert [r.id_zone for r in out.collect()] == [1]
+
+
+def test_left_join_differing_keys(spark):
+    deps = spark.createDataFrame([("75",), ("13",)], "code string")
+    alerts = spark.createDataFrame([("75", 4)], "code_departement string, niveau int")
+    out = J.left_join_differing_keys(deps, alerts, "code", "code_departement")
+    got = {r.code: r.niveau for r in out.collect()}
+    assert got == {"75": 4, "13": None}
+    assert "code_departement" not in out.columns
+
+
+def test_semi_anti(spark):
+    facts = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    dim = spark.createDataFrame([(1,), (3,)], "k long")
+    assert sorted(r.k for r in J.semi_join(facts, dim, "k").collect()) == [1, 3]
+    assert [r.k for r in J.anti_join(facts, dim, "k").collect()] == [2]
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame([(1, 5), (2, 11)], "pid int, x int")
+    intervals = spark.createDataFrame([(10, 0, 9), (20, 10, 19)],
+                                      "iid int, lo int, hi int")
+    out = J.range_join(points, intervals, "x", "lo", "hi")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == {(1, 10), (2, 20)}
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, 100.0), ("A", 7, 101.0), ("B", 2, 50.0)],
+        "sym string, t int, px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 99.0), ("A", 5, 100.5), ("A", 8, 102.0), ("B", 4, 51.0)],
+        "sym string, t int, bid double",
+    )
+    out = J.asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t")
+    got = {(r.sym, r.t): r.bid for r in out.collect()}
+    # A@3 sees quote@1; A@7 sees quote@5; B@2 has no earlier quote
+    assert got == {("A", 3): 99.0, ("A", 7): 100.5, ("B", 2): None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    trades = spark.createDataFrame([("A", 5, 1.0)], "sym string, t int, px double")
+    quotes = spark.createDataFrame([("A", 5, 42.0)], "sym string, t int, bid double")
+    out = J.asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t")
+    assert out.collect()[0].bid == 42.0  # backward as-of is inclusive

@@ -1,0 +1,30 @@
+"""Smoke: every registered query runs at sf0.001 and returns rows with
+stable schemas; entry() satisfies the driver contract."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from technical_test_data_engineer_spark.plans.star_queries import ORACLE, QUERIES
+
+
+def test_all_queries_run(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+        assert df.columns, name
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLE) <= set(QUERIES)
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

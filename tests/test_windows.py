@@ -1,0 +1,45 @@
+"""W1 top-1-per-group determinism — the reference's underspecified
+tie-break (SURVEY.md §2.5), pinned by the engine's explicit total order."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.windows import (
+    top1_per_group,
+    topk_per_group,
+    running_sum,
+)
+
+
+def test_top1_tiebreak_deterministic(spark):
+    # two rows tie on niveau within dept 75 → lowest id_zone must win
+    rows = [("75", 10, 4), ("75", 7, 4), ("75", 99, 2), ("13", 5, 1)]
+    df = spark.createDataFrame(rows, "dept string, id_zone int, niveau int")
+    top = top1_per_group(df, ["dept"], [F.desc("niveau"), F.asc("id_zone")])
+    got = {r.dept: (r.id_zone, r.niveau) for r in top.collect()}
+    assert got == {"75": (7, 4), "13": (5, 1)}
+
+
+def test_top1_repartition_invariant(spark):
+    rows = [(g, i, i % 3) for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id int, lvl int")
+    expect = {("a", 2), ("b", 2)}
+    for nparts in (1, 7):
+        top = top1_per_group(
+            df.repartition(nparts), ["g"], [F.desc("lvl"), F.asc("id")]
+        )
+        assert {(r.g, r.id) for r in top.collect()} == expect
+
+
+def test_topk(spark):
+    df = spark.createDataFrame([("a", i) for i in range(10)], "g string, v int")
+    top3 = topk_per_group(df, ["g"], [F.desc("v")], 3)
+    assert sorted(r.v for r in top3.collect()) == [7, 8, 9]
+
+
+def test_running_sum(spark):
+    df = spark.createDataFrame([("a", 1, 10), ("a", 2, 5), ("a", 3, 1)],
+                               "g string, t int, v int")
+    out = running_sum(df, "v", ["g"], [F.asc("t")], "cum")
+    assert [r.cum for r in out.orderBy("t").collect()] == [10, 15, 16]
