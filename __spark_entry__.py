@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from technical_test_data_engineer_spark.plans.star_queries import (  # noqa: E402
+from technical_test_data_engineer_spark.plans import (  # noqa: E402
     ORACLE,
     QUERIES,
     flagship,

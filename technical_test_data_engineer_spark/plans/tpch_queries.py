@@ -1,0 +1,239 @@
+"""Multi-join / aggregate coverage queries (SURVEY.md §2.3-§2.6) in
+TPC-H shapes over the driver star schema.
+
+Scale notes: dimension chains (region⋈nation⋈customer) broadcast; the
+fact-side joins (orders⋈lineitem) are shuffle hash/sort-merge on the
+key with AQE skew handling; aggregates are partial+final hash aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.functions.scalars import (
+    exact_sum,
+    exact_sum_expr,
+)
+from technical_test_data_engineer_spark.operators.joins import anti_join, semi_join
+from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_decsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → grouped revenue → deterministic
+    top-10 (TakeOrderedAndProject — no full sort at scale)."""
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum_expr("l_extendedprice * (1 - l_discount)", "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    f"""
+    SELECT n_name,
+           {_decsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join. The dim chain
+    region→nation→customer is broadcast; only orders⋈lineitem shuffles."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(exact_sum_expr("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "global_minmax_orders",
+    """
+    SELECT MIN(o_orderdate) AS min_orderdate,
+           MAX(o_orderdate) AS max_orderdate,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+)
+def global_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — global MIN/MAX bounds (slider bounds,
+    visualization.py:237-238). Min/max are order-independent, so raw
+    doubles are safe here (no summation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.min("o_orderdate").alias("min_orderdate"),
+        F.max("o_orderdate").alias("max_orderdate"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "distinct_mktsegments",
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — DISTINCT column values, sorted (UI selector source,
+    visualization.py:136/:255)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@query(
+    "rollup_acctbal",
+    f"""
+    SELECT r_name, n_name,
+           {_decsum('c_acctbal')} AS total_acctbal,
+           COUNT(*) AS nb_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (engine surface beyond the reference,
+    SURVEY.md §2.4 'free extras'): per-nation, per-region subtotal,
+    grand total in one pass."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            exact_sum("c_acctbal", "total_acctbal"),
+            F.count("*").alias("nb_customers"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — the rows an inner join silently drops (the orphan
+    keys SURVEY.md §2.3 notes the reference cannot express)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        anti_join(customer, orders, "c_custkey")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "suppliers_with_shipments",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    ORDER BY s_suppkey
+    """,
+)
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — EXISTS without row duplication."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey")
+    )
+    return (
+        semi_join(supplier, li, "s_suppkey")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "part_slug_filter",
+    """
+    SELECT p_partkey,
+           REPLACE(p_name, ' ', '_') AS slug,
+           UPPER(p_brand) AS brand_uc,
+           p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 25
+    ORDER BY p_partkey
+    """,
+)
+def part_slug_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-shape literal replace + string functions + range predicate
+    (the repair pattern of visualization.py:44 generalized)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_size").between(10, 25))
+        .select(
+            "p_partkey",
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("slug"),
+            F.upper("p_brand").alias("brand_uc"),
+            "p_retailprice",
+        )
+        .orderBy("p_partkey")
+    )

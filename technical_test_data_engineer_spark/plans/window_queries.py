@@ -1,0 +1,137 @@
+"""Window-analytic and time-series coverage: running totals, lag,
+event-time bucketing, as-of attribution (SURVEY.md §2.5 extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from technical_test_data_engineer_spark.operators.joins import asof_join
+from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+@query(
+    "running_customer_spend",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame-spec window (rowsBetween) — decimal-path so the
+    running sum is exact at every prefix, not just the total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(DATEDIFF('day',
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS gap_days
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic window: days since the customer's previous order
+    (null for the first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", prev).cast("bigint").alias("gap_days"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "events_hourly_rollup",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_decsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling bucket aggregate — the batch twin of the
+    streaming layer's windowed aggregation (SURVEY.md §2.10/§7 Phase 4);
+    both share this groupBy(date_trunc) shape."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "asof_click_attribution",
+    """
+    SELECT c.event_id, CAST(c.ts AS TIMESTAMP) AS click_ts, c.user_id,
+           v.view_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        SELECT user_id, ts AS view_ts, event_id AS view_event_id
+        FROM events WHERE event_type = 'view'
+    ) v ON c.user_id = v.user_id AND v.view_ts <= c.ts
+    ORDER BY c.event_id
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.asof_join): each click attributed to
+    the user's latest prior-or-simultaneous view. DuckDB expresses this
+    natively (ASOF JOIN); Spark lacks it — the engine's union+window
+    composition is the scale-safe equivalent (one shuffle on user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    out = asof_join(clicks, views, on="user_id", left_ts="ts", right_ts="view_ts")
+    return out.select(
+        "event_id",
+        F.col("ts").alias("click_ts"),
+        "user_id",
+        "view_event_id",
+    ).orderBy("event_id")
