@@ -1,0 +1,262 @@
+"""Deduplication operators for LLM-data pipelines (north-star §2.11):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard, embedding-cosine.
+
+Design rules for 100 TB:
+- everything is built-in expressions (xxhash64 / transform / aggregate /
+  array_*) — zero Python per row;
+- candidate generation is always a *bucket equi-join* (shuffle on a
+  band/bucket key), never an O(n²) cross join; exact verification runs
+  only on candidate pairs;
+- all hashes are seeded literals → results are deterministic across
+  runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.windows import top1_per_group
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], keeper_order: list[Column]
+) -> DataFrame:
+    """Exact dedup with a DEFINED keeper (vs ``dropDuplicates``'s
+    arbitrary row): one hash-shuffle on the key, row_number pick."""
+    return top1_per_group(df, key_cols, keeper_order)
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) — the unit set for
+    Jaccard similarity. 1-based ``element_at``; docs shorter than n
+    words yield their whole text as one shingle."""
+    toks = F.split(text_col if isinstance(text_col, str) else text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays; int∩/int∪ in
+    double — bit-stable across engines."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """MinHash signature (array<long>, length ``num_hashes``): the i-th
+    element is min over shingles of xxhash64(seed_i, shingle). Each scan
+    task computes signatures for its rows independently — embarrassingly
+    parallel, no shuffle."""
+    # NB: closures, not default args — PySpark counts lambda parameters
+    # to decide how many lambda variables to bind, so `lambda s, i=i`
+    # would receive the ARRAY INDEX as `i`, not the hash index.
+    def _minhash(i: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(F.lit(seed + i), s))
+        )
+
+    return F.array(*[_minhash(i) for i in range(num_hashes)])
+
+
+def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs. Two
+    docs are candidates iff any band hashes equal — P(candidate) =
+    1-(1-j^r)^b for Jaccard j."""
+    entries = []
+    for b in range(bands):
+        chunk = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string")))).alias("bh"),
+            )
+        )
+    return F.array(*entries)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold).
+
+    Plan: shingle → signature (scan-side) → explode bands → self equi-
+    join on (band, band_hash) → distinct candidate pairs → exact Jaccard
+    verify on the shingle arrays → threshold filter. The only shuffles
+    are the band join and the distinct — both on uniform hash keys.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+    banded = base.select(
+        id_col, "_sh", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_b")
+    ).select(id_col, "_sh", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "_band", "_bh"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "_band", "_bh"
+    )
+    cands = (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text_col: str | Column = "text", n_bits: int = 64) -> Column:
+    """64-bit SimHash: per-token xxhash64, majority vote per bit.
+
+    One pass, pure expressions: fold the token-hash array once per bit
+    position (codegen handles the 64-way expansion). Near-dups have
+    small Hamming distance between simhashes.
+    """
+    toks = F.split(text_col if isinstance(text_col, str) else text_col, " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # closure per bit (see minhash_signature note on lambda arity)
+    def _vote(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda s, h: s
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    acc = None
+    for j in range(n_bits):
+        bit = F.when(_vote(j) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, j)
+        acc = term if acc is None else acc.bitwiseOR(term)
+    return acc
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs via band blocking: with ``n_bands`` bands
+    over 64 bits, pigeonhole guarantees any pair with Hamming <
+    ``n_bands`` shares at least one exact band — so ``max_hamming`` ≤
+    ``n_bands - 1`` is exhaustive, above it probabilistic. Bucket-join
+    on (band_idx, band_value), verify exact Hamming."""
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    base = df.select(F.col(id_col), simhash64(text_col).alias("_sh64"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.shiftright(F.col("_sh64"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("v"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = base.select(id_col, "_sh64", F.explode(bands).alias("_b")).select(
+        id_col, "_sh64", F.col("_b.i").alias("_i"), F.col("_b.v").alias("_v")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("_sh64").alias("_ha"), "_i", "_v")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("_sh64").alias("_hb"), "_i", "_v")
+    return (
+        left.join(right, ["_i", "_v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("_ha"), F.col("_hb")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes_tables: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Pairs with cosine(dot for unit vectors) ≥ threshold.
+
+    With ``planes_tables``: SRP-LSH bucket self-join (scale path).
+    Without: full pair scoring — only for small/filtered inputs.
+    """
+    from technical_test_data_engineer_spark.operators.similarity import (
+        exact_dot,
+        srp_signature,
+    )
+
+    if planes_tables:
+        cands = None
+        for planes in planes_tables:
+            sig = df.select(
+                id_col, vec_col, srp_signature(F.col(vec_col), planes).alias("_sig")
+            )
+            l = sig.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_sig"
+            )
+            r = sig.select(
+                F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_sig"
+            )
+            pair = l.join(r, "_sig").filter(F.col("id_a") < F.col("id_b")).drop("_sig")
+            cands = pair if cands is None else cands.unionByName(pair)
+        cands = cands.dropDuplicates(["id_a", "id_b"])
+    else:
+        l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        cands = l.crossJoin(r).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cands.withColumn("score", exact_dot(F.col("_va"), F.col("_vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

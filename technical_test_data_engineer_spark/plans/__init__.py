@@ -7,6 +7,7 @@ from technical_test_data_engineer_spark.plans.star_queries import (  # noqa: F40
     flagship,
 )
 from technical_test_data_engineer_spark.plans import (  # noqa: F401
+    dedup_queries,
     similarity_queries,
     text_queries,
     tpch_queries,

@@ -1,0 +1,121 @@
+"""Dedup queries over documents/embeddings (north-star §2.11).
+
+Oracle strategy: exact Jaccard and exact cosine-threshold queries run on
+bounded id-subsets so DuckDB can verify them with list lambdas /
+correlated sums; the hash-based pipelines (MinHash banding, SimHash)
+use Spark's xxhash64 — not reproducible in DuckDB — so they get
+rows-only checks here and planted-duplicate assertions in unit tests.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    jaccard,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from technical_test_data_engineer_spark.plans.star_queries import query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH d AS (
+        SELECT doc_id, toks,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS sh
+        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
+              FROM documents WHERE doc_id < 25)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+             AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh)) > 0
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on a bounded doc subset (doc_id < 25) —
+    the ground-truth metric MinHash approximates; int/int division so
+    the oracle matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.filter(F.size(F.array_intersect("sh_a", "sh_b")) > 0)
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "embedding_near_dup_exact",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST((
+               SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+               FROM (SELECT UNNEST(CAST(a.embedding AS DOUBLE[])) AS x,
+                            UNNEST(CAST(b.embedding AS DOUBLE[])) AS y)
+           ) AS DOUBLE) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE CAST((
+               SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+               FROM (SELECT UNNEST(CAST(a.embedding AS DOUBLE[])) AS x,
+                            UNNEST(CAST(b.embedding AS DOUBLE[])) AS y)
+           ) AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-threshold near-dup pairs on a bounded subset
+    (vec_id < 200, unit vectors → dot ≡ cosine), decimal-exact scores."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return embedding_near_dup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+
+
+# --- hash-based pipelines: rows-only (xxhash64 has no DuckDB twin) ---
+
+
+@query("minhash_near_dups")
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup pairs over the full documents
+    table, exact-Jaccard-verified at ≥ 0.5. Deterministic (seed 42)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@query("simhash_near_dups")
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs (Hamming ≤ 7, exhaustive via 8-band
+    pigeonhole blocking) over the full documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=7).orderBy("id_a", "id_b")
+
+
+@query("embedding_near_dups_lsh")
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (dot ≥ 0.8) over the full corpus via
+    SRP-LSH candidate buckets + exact decimal re-score (seed 7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rng = random.Random(7)
+    planes_tables = [
+        [[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)] for _ in range(8)
+    ]
+    return embedding_near_dup_pairs(
+        emb, threshold=0.8, planes_tables=planes_tables
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,65 @@
+"""Dedup operators: planted-duplicate recall (the testable contract for
+hash-based approximations, SURVEY.md §7 hard-part #3) + exact metrics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight")
+NEAR = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark woods tonight")          # 1 word changed
+OTHER = ("completely different content about spark query engines and "
+         "distributed columnar execution at massive scale today")
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = exact_dedup(_docs(spark), ["text"], [F.asc("doc_id")])
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    sh = df.select(word_shingles("text", 3).alias("s")).collect()[0].s
+    assert sorted(sh) == ["a b c", "b c d"]
+    df2 = spark.createDataFrame([(["x", "y"], ["y", "z"])], "a array<string>, b array<string>")
+    j = df2.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    assert abs(j - 1 / 3) < 1e-12
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    pairs = minhash_near_dup_pairs(_docs(spark), threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got            # exact dup pair always collides
+    assert (1, 2) in got            # planted near-dup (1 word of 18)
+    assert (1, 3) not in got        # unrelated text never passes verify
+
+
+def test_minhash_exact_dup_jaccard_is_one(spark):
+    pairs = minhash_near_dup_pairs(_docs(spark), threshold=0.5)
+    j = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert j[(1, 4)] == 1.0
+
+
+def test_simhash_planted_near_dup(spark):
+    # planted pair measures Hamming 7; 8 bands guarantee candidates ≤ 7
+    pairs = simhash_near_dup_pairs(_docs(spark), max_hamming=7)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 4)) == 0     # identical text → identical simhash
+    assert got.get((1, 2)) == 7     # near-dup within hamming budget
+    assert (1, 3) not in got
