@@ -110,11 +110,15 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_near_dups_lsh")
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (dot ≥ 0.8) over the full corpus via
-    SRP-LSH candidate buckets + exact decimal re-score (seed 7)."""
+    SRP-LSH candidate buckets + exact decimal re-score (seed 7).
+
+    10 planes → 1024 buckets keeps bucket cross-products small as the
+    corpus grows (bucket size ~N/1024); 12 tables buys recall back for
+    the high-similarity pairs this query targets."""
     emb = load_table(spark, sf_dir, "embeddings")
     rng = random.Random(7)
     planes_tables = [
-        [[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)] for _ in range(8)
+        [[rng.gauss(0, 1) for _ in range(64)] for _ in range(10)] for _ in range(12)
     ]
     return embedding_near_dup_pairs(
         emb, threshold=0.8, planes_tables=planes_tables

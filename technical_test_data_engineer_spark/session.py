@@ -53,6 +53,11 @@ def get_spark(
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    # local mode runs every task in the driver JVM; the 1g default heap
+    # starves 32 executor threads. Only effective before JVM launch.
+    confs.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    )
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_confs:

@@ -28,3 +28,16 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_all_queries_run_under_ansi(spark, sf_dir):
+    """The driver calls queries() with ITS session — Spark 4 defaults
+    ANSI on. Every query must be ANSI-safe (no silent-overflow / bad
+    casts that ANSI turns into runtime errors)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        for name, fn in QUERIES.items():
+            assert fn(spark, sf_dir).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
