@@ -32,8 +32,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers outside the timed region
-    spark.range(1).count()
+    # warm the JVM + parquet footers + Python UDF workers outside the
+    # timed region (one worker per core spawns on first pandas_udf use)
+    from pyspark.sql.functions import pandas_udf
+
+    identity = pandas_udf(lambda s: s, "long")
+    spark.range(int(cpus) * 4).repartition(int(cpus)).select(
+        identity("id")
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -13,9 +13,11 @@ Design rules for 100 TB:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from technical_test_data_engineer_spark.operators.partitioning import fan_out
 from technical_test_data_engineer_spark.operators.windows import top1_per_group
 
 # ---------------------------------------------------------------------------
@@ -116,27 +118,39 @@ def minhash_near_dup_pairs(
     are the band join and the distinct — both on uniform hash keys.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
-    banded = base.select(
-        id_col, "_sh", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_b")
-    ).select(id_col, "_sh", F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+    # fan_out: shingling + signatures are the expensive per-row stage —
+    # spread them over all cores when the input scan is under-split.
+    # persist: base feeds THREE branches (banding + both verify sides);
+    # without it each branch re-shingles the corpus.
+    base = (
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), "_band", "_bh"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), "_band", "_bh"
-    )
+    # Candidate generation on LIGHT rows only — (id, band, band_hash) is
+    # ~24 bytes, so the band self-join and the pair-dedup shuffle stay
+    # cheap even when templated corpora produce hot buckets (bucket of m
+    # docs → m² candidate rows). The KB-sized shingle arrays are joined
+    # back AFTER dedup, once per surviving pair side.
+    banded = base.select(
+        id_col, F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+
+    left = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")
+    right = banded.select(F.col(id_col).alias("id_b"), "_band", "_bh")
     cands = (
         left.join(right, ["_band", "_bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_sh_a", "_sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    shingles = base.select(id_col, "_sh")
     return (
-        cands.withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        cands.join(shingles.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(shingles.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -216,7 +230,13 @@ def simhash_near_dup_pairs(
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     half_bands = 32 // band_bits
-    base = df.select(F.col(id_col), simhash_packed(text_col).alias("_sh"))
+    # fan_out: the token-hash vote fold is the heavy stage. persist:
+    # (id, 2×long) is ~24 B/row and feeds both self-join sides.
+    base = (
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col), simhash_packed(text_col).alias("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def _band(i: int) -> Column:
         half = F.col("_sh.h1") if i < half_bands else F.col("_sh.h2")
@@ -260,30 +280,47 @@ def embedding_near_dup_pairs(
     """
     from technical_test_data_engineer_spark.operators.similarity import (
         exact_dot,
-        srp_signature,
+        fast_dot,
+        srp_signatures_batch,
     )
 
     if planes_tables:
-        cands = None
-        for planes in planes_tables:
-            sig = df.select(
-                id_col, vec_col, srp_signature(F.col(vec_col), planes).alias("_sig")
-            )
-            l = sig.select(
-                F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_sig"
-            )
-            r = sig.select(
-                F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_sig"
-            )
-            pair = l.join(r, "_sig").filter(F.col("id_a") < F.col("id_b")).drop("_sig")
-            cands = pair if cands is None else cands.unionByName(pair)
-        cands = cands.dropDuplicates(["id_a", "id_b"])
+        # ALL tables' signatures in one vectorized numpy pass (see
+        # srp_signatures_batch), exploded to (table_idx, sig) rows →
+        # ONE light self-join on (t, sig) instead of n_tables joins +
+        # union; vectors are joined back only for the deduped pairs.
+        # persist: 3 longs per row, read by both self-join sides.
+        sig_udf = srp_signatures_batch(planes_tables)
+        bucketed = (
+            fan_out(df.select(id_col, vec_col))
+            .select(id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_s"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        l = bucketed.select(F.col(id_col).alias("id_a"), "_t", "_s")
+        r = bucketed.select(F.col(id_col).alias("id_b"), "_t", "_s")
+        cands = (
+            l.join(r, ["_t", "_s"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        vecs = df.select(id_col, vec_col)
+        cands = cands.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"
+        ).join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b"
+        )
     else:
-        l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        # stream side fanned out so the O(n²) scoring uses every core;
+        # the build side stays as-is (it is broadcast whole).
+        l = fan_out(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")))
         r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-        cands = l.crossJoin(r).filter(F.col("id_a") < F.col("id_b"))
+        cands = l.crossJoin(F.broadcast(r)).filter(F.col("id_a") < F.col("id_b"))
+    # decimal exact_dot on the oracle-compared exact path; double
+    # fast_dot on the LSH path (rows-only checked, 5× cheaper).
+    dot = fast_dot if planes_tables else exact_dot
     return (
-        cands.withColumn("score", exact_dot(F.col("_va"), F.col("_vb")))
+        cands.withColumn("score", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
