@@ -1,0 +1,159 @@
+"""Multimodal (image/audio/video) column handling (north-star §2.11).
+
+Media are opaque ``binary`` columns + a typed metadata struct riding
+next to them. All Spark-side plumbing — schema, partition sizing, UDF
+signatures, Arrow batch shapes — is real and tested; only the actual
+codec call is a STUB (the container ships no image/audio libraries):
+
+- ``decode_media_meta``: mapInPandas "decode" that parses a
+  deterministic fake header (see ``fake_media_binary``) instead of
+  calling Pillow/ffmpeg. Swap `_parse_header` for the real codec and
+  nothing else changes.
+- ``frame_sample``: every-Nth-frame sampling over a video-like binary,
+  emitting one row per sampled frame (explode-shaped mapInPandas).
+- ``real decode``: ``decode_image_real`` raises NotImplementedError —
+  the clearly-marked seam where Pillow/libav would be invoked.
+
+Scale design: media rows are KB–MB sized, so the operative knobs are
+``spark.sql.files.maxPartitionBytes`` (scan split sizing — a 128 MB
+split holds ~100 1-MB blobs) and ``maxRecordsPerBatch`` for Arrow
+transfer; mapInPandas streams batch-iterators so a task never holds
+more than one Arrow batch of blobs in Python memory at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_FORMATS = ["png", "jpeg", "webp"]
+
+
+def fake_media_binary(text_col: str | Column = "text") -> Column:
+    """Deterministic fake media blob derived from a text column: a
+    12-byte header (3 big-endian int32: width, height, n_frames) +
+    the UTF-8 payload. Lets every pipeline stage work on real binary
+    data with verifiable contents, no codec needed."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    payload = F.encode(c, "UTF-8")
+    n = F.length(payload)
+    # fake dimensions derived from payload length — oracle-reproducible
+    width = (n % 640 + 16).cast("int")
+    height = (n % 480 + 16).cast("int")
+    frames = (n % 24 + 1).cast("int")
+
+    def be32(x: Column) -> Column:
+        # exact big-endian int32 bytes, ANSI-safe (no numeric→binary cast)
+        return F.unhex(F.lpad(F.hex(x), 8, "0"))
+
+    header = F.concat(be32(width), be32(height), be32(frames))
+    return F.concat(header, payload)
+
+
+def _parse_header(blob: bytes) -> tuple[str, int, int, int, int]:
+    """STUB decode: parse the fake 12-byte header. A real implementation
+    would call Pillow/libav here; everything around it is unchanged."""
+    width = int.from_bytes(blob[0:4], "big")
+    height = int.from_bytes(blob[4:8], "big")
+    n_frames = int.from_bytes(blob[8:12], "big")
+    fmt = _FORMATS[len(blob) % 3]
+    return fmt, width, height, n_frames, len(blob)
+
+
+def decode_image_real(blob: bytes):
+    """The seam for a real codec (Pillow/torchvision/ffmpeg)."""
+    raise NotImplementedError(
+        "real image decoding requires an image library not present in "
+        "this environment; use decode_media_meta (stub header decode)"
+    )
+
+
+def decode_media_meta(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Extract a typed metadata struct from each media blob via
+    mapInPandas (Arrow-batched; one batch of blobs in memory per task).
+
+    Output: (id_col, meta struct, plus passthrough of media bytes
+    count) — the schema/partitioning pattern any real decoder plugs
+    into.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                None
+                if blob is None
+                else dict(
+                    zip(
+                        ("format", "width", "height", "n_frames", "n_bytes"),
+                        _parse_header(bytes(blob)),
+                    )
+                )
+                for blob in pdf[media_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "meta": metas})
+
+    return df.select(id_col, media_col).mapInPandas(_decode, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 4,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video-like blob: one
+    output row per sampled frame with a (stub) frame payload slice.
+
+    The explode-shaped mapInPandas pattern for video: input rows fan out
+    to variable row counts decided in Python, schema stays declared.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[media_col]):
+                if blob is None:
+                    continue
+                blob = bytes(blob)
+                _, _, _, n_frames, _ = _parse_header(blob)
+                body = blob[12:]
+                # stub frame extraction: equal byte slices per frame
+                step = max(len(body) // max(n_frames, 1), 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    payloads.append(body[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_bytes": payloads}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_sample, out_schema)

@@ -1,0 +1,89 @@
+"""Multimodal-pipeline queries (north-star §2.11): binary media columns
+with typed metadata, decode via mapInPandas, frame sampling.
+
+The media blobs are deterministic fakes derived from ``documents.text``
+(operators/multimodal.fake_media_binary) so the full binary pipeline —
+construct → Arrow-transfer → Python decode → typed struct → aggregate —
+runs end-to-end AND stays DuckDB-expressible: the stub decode is pure
+arithmetic on byte lengths, which the oracle reproduces with
+``octet_length``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.multimodal import (
+    decode_media_meta,
+    fake_media_binary,
+    frame_sample,
+)
+from technical_test_data_engineer_spark.plans.star_queries import query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+@query(
+    "media_decode_meta",
+    """
+    WITH blobs AS (
+        SELECT doc_id,
+               12 + octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(text)) AS payload_len
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE n_bytes % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS format,
+           CAST(payload_len % 640 + 16 AS INTEGER) AS width,
+           CAST(payload_len % 480 + 16 AS INTEGER) AS height,
+           CAST(payload_len % 24 + 1 AS INTEGER) AS n_frames,
+           CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM blobs
+    ORDER BY doc_id
+    """,
+)
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct binary media from documents, decode metadata via the
+    mapInPandas stub decoder, flatten the typed struct."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", fake_media_binary("text").alias("media"))
+    meta = decode_media_meta(media)
+    return meta.select("doc_id", "meta.*").orderBy("doc_id")
+
+
+@query(
+    "media_frame_sample_stats",
+    """
+    WITH blobs AS (
+        SELECT doc_id, octet_length(encode(text)) AS payload_len
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, payload_len,
+               payload_len % 24 + 1 AS n_frames
+        FROM blobs
+    )
+    SELECT doc_id,
+           CAST(CEIL((n_frames) / 4.0) AS BIGINT) AS n_sampled,
+           CAST(GREATEST(payload_len // GREATEST(n_frames, 1), 1)
+                AS BIGINT) AS frame_size
+    FROM frames
+    ORDER BY doc_id
+    """,
+)
+def media_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over video-like blobs; per-doc count of
+    sampled frames + (stub) frame payload size. Verifies the explode-
+    shaped mapInPandas fan-out row-for-row against arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", fake_media_binary("text").alias("media"))
+    frames = frame_sample(media, every_n=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.max(F.length("frame_bytes")).cast("bigint").alias("frame_size"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,108 @@
+"""Batch twins of the streaming transforms (streaming/transforms.py),
+oracle-paired so the shared transformation logic is DuckDB-verified;
+tests/test_streaming.py then asserts stream output == batch output for
+the same functions, closing the loop without needing a SQL oracle for
+the unbounded path (SURVEY.md §2.10 / §7 Phase 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+from technical_test_data_engineer_spark.streaming.transforms import (
+    session_rollup,
+    sliding_rollup,
+    tumbling_rollup,
+)
+
+
+@query(
+    "events_tumbling_30m",
+    f"""
+    SELECT CAST(to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800)
+                AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_decsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_tumbling_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute tumbling windows — F.window() on a batch frame; the
+    oracle floors epoch seconds to the same 1800 s buckets."""
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_rollup(events, window="30 minutes").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "events_sliding_1h_15m",
+    f"""
+    WITH offsets AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+    slid AS (
+        SELECT to_timestamp(
+                   (FLOOR(epoch(CAST(e.ts AS TIMESTAMP)) / 900) - o.k) * 900
+               ) AS window_start,
+               e.event_type, e.value
+        FROM events e CROSS JOIN offsets o
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_decsum('value')} AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes. Spark assigns each event
+    to window/slide = 4 overlapping windows; the oracle reproduces that
+    by exploding k ∈ 0..3 slide offsets per event."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_rollup(events, window="1 hour", slide="15 minutes").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "events_user_sessions",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events,
+           {_decsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min inactivity gap) per user. Spark's
+    ``session_window`` merges an event into the current session iff it
+    falls strictly inside last_ts + gap; the oracle reproduces that with
+    LAG-based gap detection + cumulative session ids."""
+    events = load_table(spark, sf_dir, "events")
+    return session_rollup(events, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )

@@ -1,0 +1,56 @@
+"""Streaming sinks.
+
+``snapshot_overwrite_sink`` reproduces the reference's refresh
+semantics — every scrape fully replaces the stored tables
+(``to_sql(if_exists='replace')``,
+/root/reference/tasks/scraper/src/scraper.py:23-24) — as a
+``foreachBatch`` that overwrites a parquet snapshot per micro-batch.
+With an aggregation upstream in ``complete`` mode, each snapshot is the
+full current rollup: downstream readers always see one consistent,
+latest table, exactly like the reference's Postgres tables after a
+refresh, but updated incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def snapshot_overwrite_sink(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "complete",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """Write each micro-batch as a full-replace parquet snapshot."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(path)
+
+    writer = (
+        sdf.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_write)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def memory_sink(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """In-memory table sink — test/debug only (driver-resident)."""
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,119 @@
+"""Event-time transformations shared by batch and streaming.
+
+Each function is DataFrame-in → DataFrame-out and contains nothing
+stream-specific except ``withWatermark`` (which is a no-op on batch
+frames). The batch twins are oracle-checked against DuckDB
+(plans/window_queries.py, plans/streaming_queries.py); the streaming
+tests (tests/test_streaming.py) assert stream output == batch output on
+the same files — the recommended way to validate streaming logic, since
+the semantics of the aggregation itself are engine-identical.
+
+At scale: every aggregation here shuffles on (window, key) — uniform
+keys, bounded state. Watermarks bound the state store: without one, an
+event-time window aggregation on an unbounded stream grows state
+forever; with delay D the store holds only windows newer than
+max_event_time − D.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the event-time column (truncate to µs precision if the
+    source delivered raw nanos as long — see sources/parquet_source)."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
+
+
+def tumbling_rollup(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window: count + exact sum per (window, key).
+
+    Batch twin of the reference's "refresh then re-aggregate" loop —
+    with a stream source this maintains the same rollup incrementally
+    instead of recomputing from scratch per refresh
+    (/root/reference/tasks/visualization/src/visualization.py:226-233).
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, window).alias("win"), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        key_col,
+        "n_events",
+        "total_value",
+    )
+
+
+def sliding_rollup(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding event-time window — each event lands in window/slide
+    overlapping windows; Spark expands them scan-side (no UDTF)."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.window(ts_col, window, slide).alias("win"), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        key_col,
+        "n_events",
+        "total_value",
+    )
+
+
+def session_rollup(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: events for one key belong to one session while
+    consecutive gaps stay < ``gap``; a gap ≥ ``gap`` starts a new
+    session. ``session_window``'s end is last_event + gap, so we emit
+    the start plus aggregates (the stable, engine-independent part).
+    """
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(
+        F.session_window(ts_col, gap).alias("win"), F.col(key_col)
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        F.col("win.start").alias("session_start"),
+        key_col,
+        "n_events",
+        "total_value",
+    )

@@ -1,0 +1,84 @@
+"""Multimodal binary-column plumbing: fake blob construction, stub
+header decode via mapInPandas, frame-sampling fan-out, null handling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from technical_test_data_engineer_spark.operators.multimodal import (
+    decode_media_meta,
+    decode_image_real,
+    fake_media_binary,
+    frame_sample,
+)
+
+import pytest
+
+
+def _media_df(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    return df.select("doc_id", fake_media_binary("text").alias("media"))
+
+
+def test_fake_media_binary_layout(spark):
+    """12-byte big-endian header + exact UTF-8 payload."""
+    text = "hello wörld"  # multi-byte char exercises UTF-8 length
+    media = _media_df(spark, [text]).collect()[0]["media"]
+    payload = text.encode("utf-8")
+    n = len(payload)
+    assert len(media) == 12 + n
+    assert int.from_bytes(media[0:4], "big") == n % 640 + 16
+    assert int.from_bytes(media[4:8], "big") == n % 480 + 16
+    assert int.from_bytes(media[8:12], "big") == n % 24 + 1
+    assert bytes(media[12:]) == payload
+
+
+def test_decode_media_meta(spark):
+    df = _media_df(spark, ["a" * 50, "b" * 7])
+    rows = {r["doc_id"]: r["meta"] for r in decode_media_meta(df).collect()}
+    assert rows[0]["width"] == 50 % 640 + 16
+    assert rows[0]["n_bytes"] == 62
+    assert rows[1]["n_frames"] == 7 % 24 + 1
+    assert rows[0]["format"] in ("png", "jpeg", "webp")
+
+
+def test_decode_media_meta_null_blob(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"\x00\x00\x00\x01" * 3 + b"xy")), (1, None)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    rows = {r["doc_id"]: r["meta"] for r in decode_media_meta(df).collect()}
+    assert rows[0]["width"] == 1
+    assert rows[1] is None
+
+
+def test_frame_sample_fanout(spark):
+    """n_frames = len%24+1; sampling every 4th frame → ceil(n/4) rows,
+    each slice len//n bytes."""
+    text = "x" * 47  # payload 47 → n_frames 0 % ... = 47%24+1 = 24
+    df = _media_df(spark, [text])
+    rows = frame_sample(df, every_n=4).collect()
+    n_frames = 47 % 24 + 1  # 24
+    assert len(rows) == (n_frames + 3) // 4
+    assert sorted(r["frame_idx"] for r in rows) == list(range(0, n_frames, 4))
+    step = 47 // n_frames
+    assert all(len(r["frame_bytes"]) == step for r in rows)
+
+
+def test_decode_image_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")

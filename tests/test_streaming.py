@@ -1,0 +1,153 @@
+"""Streaming layer tests: stream output == batch output for the shared
+transforms, multi-file incremental ingestion, the stateful operator,
+and the full-replace snapshot sink.
+
+Strategy: the events parquet is split into several files in a tmp dir;
+the stream reads them (availableNow) and must agree with the same
+transformation applied to a batch read of the same directory.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+from technical_test_data_engineer_spark.streaming.sinks import (
+    memory_sink,
+    snapshot_overwrite_sink,
+)
+from technical_test_data_engineer_spark.streaming.sources import read_events_stream
+from technical_test_data_engineer_spark.streaming.stateful import user_running_stats
+from technical_test_data_engineer_spark.streaming.transforms import (
+    session_rollup,
+    sliding_rollup,
+    tumbling_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """The sf0.001 events table re-written as 4 parquet files (so the
+    stream has several input files to discover)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def _run_stream(spark, sdf, name, output_mode="complete"):
+    q = memory_sink(sdf, name, output_mode=output_mode)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        tumbling_rollup(stream, window="30 minutes", watermark="1 hour"),
+        "t_tumbling",
+    )
+    want = tumbling_rollup(events_batch, window="30 minutes")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_sliding_stream_equals_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        sliding_rollup(stream, window="1 hour", slide="15 minutes", watermark="1 hour"),
+        "t_sliding",
+    )
+    want = sliding_rollup(events_batch, window="1 hour", slide="15 minutes")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_session_stream_equals_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        session_rollup(stream, gap="30 minutes", watermark="1 hour"),
+        "t_sessions",
+    )
+    want = session_rollup(events_batch, gap="30 minutes")
+    assert _rows(got, "user_id", "session_start") == _rows(
+        want, "user_id", "session_start"
+    )
+
+
+def test_incremental_microbatches(spark, events_dir, events_batch):
+    """maxFilesPerTrigger=1 → one micro-batch per file; the final
+    complete-mode table must still equal the batch answer (incremental
+    state accumulation across 4 batches)."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    got = _run_stream(
+        spark,
+        tumbling_rollup(stream, window="1 hour", watermark="1 hour"),
+        "t_incr",
+    )
+    want = tumbling_rollup(events_batch, window="1 hour")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_stateful_user_running_stats(spark, events_dir, events_batch):
+    """applyInPandasWithState totals must match a batch groupBy. With
+    maxFilesPerTrigger=1 each user's state is updated across several
+    micro-batches; the LAST emitted row per user is their lifetime
+    total."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = memory_sink(user_running_stats(stream), "t_state", output_mode="update")
+    q.awaitTermination()
+    # update mode appends one row per (user, batch); keep the final row
+    got = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert set(g) == set(w)
+    for u in w:
+        assert g[u][0] == w[u][0], u
+        assert abs(g[u][1] - w[u][1]) < 1e-6, u
+
+
+def test_snapshot_overwrite_sink(spark, events_dir, events_batch, tmp_path):
+    """foreachBatch full-replace sink: the final snapshot equals the
+    batch rollup (reference refresh semantics, scraper.py:23-24)."""
+    out = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, events_dir)
+    q = snapshot_overwrite_sink(
+        tumbling_rollup(stream, window="1 hour", watermark="1 hour"),
+        out,
+        ckpt,
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = tumbling_rollup(events_batch, window="1 hour")
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
