@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 from technical_test_data_engineer_spark.operators.partitioning import fan_out
@@ -124,6 +124,94 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def ivf_assignment_udf(centroids, n_probe: int = 1):
+    """Vectorized IVF cell assignment: per batch, one (rows × dim) @
+    (dim × K) matmul, then the ``n_probe`` nearest (by cosine) centroid
+    ids per vector. Centroids are L2-normalized so the argmax is the
+    cosine-nearest cell regardless of vector norms."""
+    C = np.asarray(centroids, dtype=np.float64)  # (K, D)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(C))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        sims = mat @ C.T  # (n, K)
+        # stable top-n_probe, nearest first
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32") for row in top])
+
+    return _assign
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id
+    vectors. A production IVF would run (mini-batch) k-means here — this
+    is the training seam; everything downstream only needs *some* fixed
+    centroid list, and lowest-id selection keeps results reproducible
+    across runs/partitionings with one tiny collect."""
+    rows = corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    return [list(r[0]) for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into Voronoi cells of a
+    coarse quantizer; each query scores only the ``n_probe`` nearest
+    cells — the classic FAISS-style recall/cost dial, Spark-shaped:
+
+    - cell assignment is scan-side (vectorized UDF, no shuffle);
+    - the query→cell fan-out (small) broadcasts;
+    - per-cell scoring is a broadcast hash join + fast_dot, so the
+      corpus is scanned once and never shuffled;
+    - top-k via per-query window on the scored candidates.
+    """
+    cents = train_ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c_assign = ivf_assignment_udf(cents, n_probe=1)
+    q_assign = ivf_assignment_udf(cents, n_probe=n_probe)
+
+    corpus_cells = fan_out(corpus.select(id_col, vec_col)).withColumn(
+        "_cell", F.element_at(c_assign(F.col(vec_col)), 1)
+    )
+    query_cells = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(q_assign(F.col(vec_col))).alias("_cell"),
+        )
+    )
+    scored = (
+        corpus_cells.join(query_cells, "_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            fast_dot(F.col("_qvec"), F.col(vec_col)).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )
 
 
 def srp_signatures_batch(planes_tables: list[list[list[float]]]):

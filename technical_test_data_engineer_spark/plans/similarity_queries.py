@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from technical_test_data_engineer_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from technical_test_data_engineer_spark.plans.star_queries import query
@@ -79,6 +80,23 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)] for _ in range(8)
     ]
     out = lsh_topk(emb, probes, planes_tables, k=TOP_K)
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")
+
+
+# rows-only (approximate): recall vs brute force asserted in tests
+@query("knn_ivf_ann")
+def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF (FAISS-style coarse quantizer): corpus
+    bucketed into 16 Voronoi cells scan-side, each query probes its 4
+    nearest cells (25% of the corpus scored instead of 100%). The
+    centroid 'training' is a deterministic lowest-id sample — the seam
+    where mini-batch k-means would plug in (see
+    operators/similarity.train_ivf_centroids)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk(emb, probes, n_centroids=16, n_probe=4, k=TOP_K)
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from technical_test_data_engineer_spark.operators.similarity import (
     brute_force_topk,
     exact_dot,
+    ivf_topk,
     lsh_topk,
 )
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
@@ -47,3 +48,26 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     recall = len(e & a) / len(e)
     # 8 tables × 3 planes measured 0.92 on this fixture (seed 42)
     assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_ivf_finds_identical_vector(spark):
+    rows = [(i, [float(i % 4 == 0), float(i % 4 == 1), float(i % 4 == 2),
+                 float(i % 4 == 3)]) for i in range(16)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(corpus, corpus.filter("vec_id = 12"), n_centroids=4,
+                   n_probe=1, k=2)
+    got = [(r.vec_id, r.rank) for r in out.orderBy("rank").collect()]
+    # vec 12 ≡ e_0; its cell holds the other e_0 vectors (0, 4, 8)
+    assert got[0][0] in (0, 4, 8)
+    assert got[0][1] == 1
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, probes, k=5)
+    approx = ivf_topk(emb, probes, n_centroids=16, n_probe=4, k=5)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
