@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -115,49 +116,66 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("decimal(30,10)").alias("qty"),
         )
     )
-    starts = joined.select(
-        F.col("start_day").alias("day"),
-        "l_returnflag",
-        F.col("qty").alias("dq"),
-        F.lit(1).cast("bigint").alias("dl"),
-    )
-    ends = joined.select(
-        F.date_add("end_day", 1).alias("day"),
-        "l_returnflag",
-        (-F.col("qty")).alias("dq"),
-        F.lit(-1).cast("bigint").alias("dl"),
-    )
+    # ONE pass over the join: each line explodes to its two delta events
+    # (+qty/+1 on the start day, −qty/−1 the day after shipment). The
+    # union-of-two-selects formulation read the join 2×, and deriving
+    # bounds/flags from `joined` read it 2 more — .explain showed FOUR
+    # scan+join copies. Everything below deltas reuses its (tiny,
+    # post-aggregation) exchange instead.
     deltas = (
-        starts.unionByName(ends)
+        joined.select(
+            "l_returnflag",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("start_day").alias("day"),
+                        F.col("qty").alias("dq"),
+                        F.lit(1).cast("bigint").alias("dl"),
+                    ),
+                    F.struct(
+                        F.date_add("end_day", 1).alias("day"),
+                        (-F.col("qty")).alias("dq"),
+                        F.lit(-1).cast("bigint").alias("dl"),
+                    ),
+                )
+            ).alias("_d"),
+        )
+        .select("l_returnflag", "_d.day", "_d.dq", "_d.dl")
         .groupBy("day", "l_returnflag")
         .agg(F.sum("dq").alias("dq"), F.sum("dl").alias("dl"))
     )
-    bounds = joined.agg(
-        F.min("start_day").alias("lo"), F.max("end_day").alias("hi")
-    )
-    spine = (
-        bounds.select(
-            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
-        )
-        .crossJoin(joined.select("l_returnflag").distinct())
-    )
-    w = (
+    # Prefix-sum at DELTA DAYS only, then expand each constant segment
+    # [day_i, next_delta_day) with sequence+explode. No generated spine,
+    # no crossJoin, no left join — the window runs over ≤ 2·days·flags
+    # rows and `deltas` has exactly one consumer (one fact scan total).
+    wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = spine.join(deltas, ["day", "l_returnflag"], "left").select(
+    wlead = Window.partitionBy("l_returnflag").orderBy("day")
+    seg = deltas.select(
         "day",
         "l_returnflag",
-        F.sum(F.coalesce(F.col("dq"), F.lit(0).cast("decimal(30,10)")))
-        .over(w)
-        .cast("double")
-        .alias("sum_qty"),
-        F.sum(F.coalesce(F.col("dl"), F.lit(0).cast("bigint")))
-        .over(w)
-        .alias("nb_lines"),
+        F.sum("dq").over(wcum).cast("double").alias("sum_qty"),
+        F.sum("dl").over(wcum).alias("nb_lines"),
+        F.lead("day").over(wlead).alias("_next_day"),
     )
-    return cum.filter(F.col("nb_lines") > 0).orderBy("day", "l_returnflag")
+    # nb_lines = 0 segments are days no interval covers (incl. each
+    # flag's trailing end+1 delta) — absent from the explode semantics
+    expanded = seg.filter(F.col("nb_lines") > 0).select(
+        F.explode(
+            F.sequence(
+                "day",
+                F.date_sub(F.coalesce("_next_day", F.date_add("day", 1)), 1),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+        "l_returnflag",
+        "sum_qty",
+        "nb_lines",
+    )
+    return expanded.orderBy("day", "l_returnflag")
 
 
 # ---------------------------------------------------------------------------
