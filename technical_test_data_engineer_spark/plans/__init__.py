@@ -10,6 +10,7 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
     dedup_queries,
     multimodal_queries,
     parity_queries,
+    relational_breadth_queries,
     similarity_queries,
     streaming_queries,
     text_queries,

@@ -1,0 +1,233 @@
+"""Relational-breadth coverage: the SQL surface a reference user gets
+for free once on Spark — correlated-subquery shapes, conditional
+aggregation, filtered ratios, set operations, grouped distinct counts,
+LIKE filtering (SURVEY.md §2.3-§2.6 "free in Spark" notes, made
+concrete and oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+@query(
+    "cheapest_part_per_brand",
+    """
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    JOIN (
+        SELECT p_brand, MIN(p_retailprice) AS min_price
+        FROM part GROUP BY p_brand
+    ) m ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.p_brand ORDER BY p.p_partkey
+    ) = 1
+    ORDER BY p.p_brand
+    """,
+)
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: argmin row via self-join against a grouped MIN
+    (the correlated-subquery pattern), deterministic tiebreak on key."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("min_price")
+    ).withColumnRenamed("p_brand", "_mb")
+    joined = part.join(
+        F.broadcast(mins),
+        (part.p_brand == mins._mb) & (part.p_retailprice == mins.min_price),
+    ).select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    from technical_test_data_engineer_spark.operators.windows import top1_per_group
+
+    return top1_per_group(joined, ["p_brand"], [F.asc("p_partkey")]).orderBy(
+        "p_brand"
+    )
+
+
+@query(
+    "late_order_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def late_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: EXISTS-correlated filter as a LEFT SEMI join with
+    a non-equi conjunct (ship > order + 60 days), then group-count."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windowed = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    late = windowed.join(
+        li,
+        (windowed.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(F.col("o_orderdate").cast("date"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "shipmode_priority_matrix",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def shipmode_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: conditional aggregation (CASE inside SUM) over a
+    fact join — pivot-style counting without a shuffle per condition."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    f"""
+    SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_pct
+    FROM (
+        SELECT
+            {_decsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS promo,
+            {_decsum('l_extendedprice * (1 - l_discount)')} AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= DATE '1996-03-01'
+          AND l_shipdate < DATE '1996-04-01'
+    )
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: filtered-to-total ratio in one aggregation pass
+    (no second scan for the denominator); LIKE prefix predicate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.expr("l_extendedprice * (1 - l_discount)").cast("decimal(30,10)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(30,10)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo") / F.col("total")).alias("promo_pct")
+    )
+
+
+@query(
+    "brand_supplier_counts",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: grouped COUNT(DISTINCT) — Spark expands to a
+    two-level aggregate (distinct then count) automatically."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@query(
+    "segment_churn_set_ops",
+    """
+    WITH y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    ),
+    y97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    )
+    SELECT 'retained' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'churned' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+    UNION ALL
+    SELECT 'new' AS cohort, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+    ORDER BY cohort
+    """,
+)
+def segment_churn_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (INTERSECT / EXCEPT / UNION ALL): customer
+    cohort churn between two order years."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_customers(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = year_customers(1996), year_customers(1997)
+    retained = y96.intersect(y97).agg(F.count("*").alias("n")).select(
+        F.lit("retained").alias("cohort"), "n"
+    )
+    churned = y96.exceptAll(y97).agg(F.count("*").alias("n")).select(
+        F.lit("churned").alias("cohort"), "n"
+    )
+    new = y97.exceptAll(y96).agg(F.count("*").alias("n")).select(
+        F.lit("new").alias("cohort"), "n"
+    )
+    return retained.unionByName(churned).unionByName(new).orderBy("cohort")
