@@ -65,3 +65,24 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-distributed into ``n_buckets``
+    files by ``bucket_cols`` at WRITE time. Two tables bucketed the same
+    way join WITHOUT a shuffle (co-located sort-merge) — the standard
+    way to pre-pay the shuffle for a fact table that joins on the same
+    key every day. At 100 TB this converts the nightly join's dominant
+    exchange into a free scan-side zip.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)

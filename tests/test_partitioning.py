@@ -1,0 +1,79 @@
+"""Scale-hygiene operators: salted skew joins (same result, bounded
+per-key task size) and bucketed co-located joins (no exchange in the
+plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.partitioning import (
+    fan_out,
+    salted_join,
+)
+from technical_test_data_engineer_spark.sources.parquet_source import (
+    load_table,
+    write_bucketed_table,
+)
+
+
+def test_fan_out_only_when_undersplit(spark, sf_dir):
+    one = spark.range(100).coalesce(1)
+    assert fan_out(one).rdd.getNumPartitions() > 1
+    many = spark.range(100).repartition(64)
+    assert fan_out(many).rdd.getNumPartitions() == 64
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Skewed fact (every lineitem of one hot order replicated onto one
+    key) salted-joined to a dim must equal the plain join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # manufacture skew: map 90% of keys to key 1
+    skewed = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    dim = (
+        skewed.select("l_orderkey").distinct().withColumn("tag", F.col("l_orderkey") * 2)
+    )
+    plain = skewed.join(dim, "l_orderkey").agg(
+        F.count("*").alias("n"), F.sum("tag").alias("s")
+    ).collect()[0]
+    salted = salted_join(skewed, dim, "l_orderkey", n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("tag").alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    out = salted_join(big, small, "k", n_salts=4, how="left").collect()
+    got = {(r["k"], r["w"]) for r in out}
+    assert got == {(1, "x"), (2, None)}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → sort-merge join with zero
+    Exchange operators in the plan (the pre-paid-shuffle contract)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], n_buckets=4)
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force a sort-merge join (broadcast would sidestep bucketing — on a
+    # real 100 TB fact⋈fact neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
