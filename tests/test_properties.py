@@ -1,0 +1,125 @@
+"""Property-based differential tests (hypothesis): engine operators vs
+an independent pandas implementation on random inputs. Complements the
+fixed-fixture oracle gate with adversarial small cases (ties, empty
+groups, single-row groups, equal timestamps).
+
+Few examples + session-scoped Spark keep runtime bounded; shrinking
+still produces minimal counterexamples on failure.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.joins import asof_join
+from technical_test_data_engineer_spark.operators.windows import top1_per_group
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),   # group
+        st.integers(min_value=-5, max_value=5),  # value (ties likely)
+        st.integers(min_value=0, max_value=99),  # id (tiebreak)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_top1_per_group_matches_pandas(spark, rows):
+    # unique ids so (value desc, id asc) is a total order
+    rows = [(g, v, i) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = {
+        (r.g, r.v, r.id)
+        for r in top1_per_group(df, ["g"], [F.desc("v"), F.asc("id")]).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["g", "v", "id"])
+    want = {
+        tuple(r)
+        for r in pdf.sort_values(["v", "id"], ascending=[False, True])
+        .drop_duplicates("g", keep="first")
+        .itertuples(index=False)
+    }
+    assert got == want
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 2), st.integers(0, 20)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right: (key, ts, payload)
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+
+@given(data=asof_strategy)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    lrows, rrows = data
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    # dedupe right on (key, ts): merge_asof picks the LAST among equal
+    # ts while the window picks a hash-order row — both valid "a" match;
+    # uniqueness makes the expected answer unambiguous
+    rmap = {(k, t): p for k, t, p in rrows}
+    rrows = [(k, t, p) for (k, t), p in sorted(rmap.items())]
+    left = spark.createDataFrame(lrows, "k long, ts long, lid long")
+    if rrows:
+        right = spark.createDataFrame(rrows, "k long, ts long, payload long")
+    else:
+        right = spark.createDataFrame([], "k long, ts long, payload long")
+    got = {
+        (r.lid, r.payload)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    lpdf = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts")
+    rpdf = pd.DataFrame(rrows, columns=["k", "ts", "payload"]).sort_values("ts")
+    if len(rpdf):
+        m = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward")
+        want = {
+            (int(r.lid), None if pd.isna(r.payload) else int(r.payload))
+            for r in m.itertuples(index=False)
+        }
+    else:
+        want = {(int(lid), None) for _, _, lid in lrows}
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_exact_sum_partition_invariant(spark, vals, n_parts):
+    """exact_sum must not depend on partitioning/reduction order."""
+    from decimal import Decimal
+
+    from technical_test_data_engineer_spark.functions.scalars import exact_sum
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(n_parts)
+    got = df.agg(exact_sum("x", "s")).collect()[0]["s"]
+    want = float(sum(Decimal(str(round(v, 10))) for v in vals))
+    assert abs(got - want) < 1e-4 * max(1.0, abs(want))
