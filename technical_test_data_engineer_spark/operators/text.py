@@ -112,3 +112,33 @@ def tokens_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Explode to one row per (doc, token) — the long-form input for
     TF-IDF and n-gram statistics."""
     return df.select(id_col, F.explode(tokens(text_col)).alias("term"))
+
+
+def winnow_fingerprints(
+    text_col: str | Column = "text", k: int = 5, w: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every ``k``-token shingle (rolling k-gram), then
+    keep the minimum hash of every ``w``-wide window — guaranteeing any
+    shared run of ≥ w+k-1 tokens between two documents shares a selected
+    hash, at ~1/w the fingerprint density of full shingling.
+
+    Pure JVM expressions: shingle hashes via transform+xxhash64, window
+    minima via transform over a position sequence + slice + array_min,
+    dedup via array_distinct. Scan-side only — no shuffle, no Python.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    hashes = F.transform(idx, lambda i: F.xxhash64(gram(i)))
+    n_win = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    wins = F.sequence(F.lit(1), n_win)
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(wins, lambda i: F.array_min(F.slice(hashes, i, w)))
+        )
+    )

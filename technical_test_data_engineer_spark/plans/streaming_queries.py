@@ -8,6 +8,7 @@ the unbounded path (SURVEY.md §2.10 / §7 Phase 4).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
@@ -105,4 +106,22 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return session_rollup(events, gap="30 minutes").orderBy(
         "user_id", "session_start"
+    )
+
+
+# rows-only: HLL estimates differ across engines by design; the
+# tolerance vs exact distinct is asserted in tests instead
+@query("events_approx_user_counts")
+def events_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=2%) users per event
+    type — the sketch path for cardinality at 100 TB, one pass, O(1)
+    state per group vs a shuffle-heavy exact distinct."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
     )

@@ -168,3 +168,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", F.round(score, 6).alias("score"))
         .orderBy("doc_id", "term")
     )
+
+
+# rows-only: xxhash64 has no DuckDB equivalent; winnowing guarantees
+# (shared-run detection, subset-of-shingles, density) are unit-tested
+@query("doc_winnow_fingerprints")
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k=5-gram hashes, w=4 window
+    minima) per document + fingerprint count — the rolling-hash document
+    signature for plagiarism/near-dup detection at 1/w shingle density."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = TX.winnow_fingerprints("text", k=5, w=4)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprints"),
+        F.size(fp).cast("bigint").alias("n_fingerprints"),
+    ).orderBy("doc_id")

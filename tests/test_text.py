@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from technical_test_data_engineer_spark.operators import text as TX
+from technical_test_data_engineer_spark.operators.text import winnow_fingerprints
 
 
 def _docs(spark):
@@ -56,3 +57,41 @@ def test_fingerprint_is_md5(spark):
     df = spark.createDataFrame([("abc",)], "text string")
     fp = df.select(TX.fingerprint("text").alias("fp")).collect()[0].fp
     assert fp == hashlib.md5(b"abc").hexdigest()
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Any shared token run of >= w+k-1 tokens must share a fingerprint
+    (the winnowing theorem, k=5 w=4 -> run of 8)."""
+    shared = " ".join(f"s{i}" for i in range(8))
+    a = "x1 x2 x3 " + shared + " y1 y2"
+    b = "z1 " + shared + " w1 w2 w3"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    rows = {r["doc_id"]: set(r["fp"]) for r in df.select(
+        "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fp")).collect()}
+    assert rows[0] & rows[1], "shared 8-token run produced no common fingerprint"
+
+
+def test_winnow_density_and_determinism(spark):
+    text = " ".join(f"t{i % 7}" for i in range(60))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    fp = lambda: df.select(winnow_fingerprints("text").alias("f")).collect()[0]["f"]
+    f1, f2 = fp(), fp()
+    assert f1 == f2
+    n_shingles = 60 - 4
+    assert len(f1) < n_shingles / 2  # far sparser than full shingling
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    from technical_test_data_engineer_spark.plans.streaming_queries import (
+        events_approx_user_counts,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+    got = {r["event_type"]: r["approx_users"]
+           for r in events_approx_user_counts(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"]
+             for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(2, 0.05 * n), (et, got[et], n)
