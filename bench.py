@@ -48,6 +48,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop intra-query persisted intermediates so queries are timed
+        # in isolation (no cross-query cache memory pressure)
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

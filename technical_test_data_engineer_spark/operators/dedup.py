@@ -298,11 +298,14 @@ def embedding_near_dup_pairs(
         )
         l = bucketed.select(F.col(id_col).alias("id_a"), "_t", "_s")
         r = bucketed.select(F.col(id_col).alias("id_b"), "_t", "_s")
+        # NOTE: no pair-dedup here — re-scoring a pair once per agreeing
+        # table (≤ n_tables×) costs a few fast_dot folds, while a
+        # dropDuplicates on the full candidate set is a whole extra
+        # shuffle stage; the final dedup below touches only survivors.
         cands = (
             l.join(r, ["_t", "_s"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
         )
         vecs = df.select(id_col, vec_col)
         cands = cands.join(
@@ -319,8 +322,11 @@ def embedding_near_dup_pairs(
     # decimal exact_dot on the oracle-compared exact path; double
     # fast_dot on the LSH path (rows-only checked, 5× cheaper).
     dot = fast_dot if planes_tables else exact_dot
-    return (
+    out = (
         cands.withColumn("score", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+    if planes_tables:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out

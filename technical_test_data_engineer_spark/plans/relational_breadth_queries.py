@@ -231,3 +231,119 @@ def segment_churn_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("new").alias("cohort"), "n"
     )
     return retained.unionByName(churned).unionByName(new).orderBy("cohort")
+
+
+@query(
+    "customer_spend_quartiles",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT o_custkey, total_spend,
+               NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey)
+                   AS quartile
+        FROM spend
+    )
+    SELECT quartile, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(total_spend AS DECIMAL(30,10))) AS DOUBLE)
+               AS quartile_spend
+    FROM q GROUP BY quartile ORDER BY quartile
+    """,
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking windows: customers bucketed into spend quartiles,
+    then per-quartile totals (deterministic tiebreak on key)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    q = spend.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("total_spend").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("quartile_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@query(
+    "acctbal_quantiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(MEDIAN(c_acctbal) AS DOUBLE) AS median_bal,
+           CAST(QUANTILE_CONT(c_acctbal, 0.95) AS DOUBLE) AS p95_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def acctbal_quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (median, p95) per segment — Spark
+    ``median``/``percentile`` use the same linear interpolation as
+    DuckDB's QUANTILE_CONT, so values hash-match exactly. (The sketch
+    path for 100 TB is percentile_approx — see
+    events_approx_user_counts for the approximate-aggregate pattern.)"""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.median("c_acctbal").alias("median_bal"),
+            F.percentile("c_acctbal", F.lit(0.95)).alias("p95_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "nation_orderstatus_pivot",
+    """
+    SELECT n_name,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def nation_orderstatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide reshape): order-status counts per nation via
+    ``groupBy().pivot()`` with explicit pivot values — one pass, no
+    per-status shuffle; the oracle is the equivalent CASE matrix."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderstatus")
+    )
+    out = (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "n_name",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    ).orderBy("n_name")
