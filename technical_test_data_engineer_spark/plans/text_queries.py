@@ -154,7 +154,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = TX.tokens_long(docs)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency FROM tf: its rows are already distinct
+    # (doc, term) pairs, so df is a plain count — no second explode
+    # pass over the corpus, no countDistinct expansion; the tf exchange
+    # is reused for both consumers
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # scalar to the driver; literal in the plan
     score = (
         F.col("tf").cast("double")

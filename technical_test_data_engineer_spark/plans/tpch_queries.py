@@ -237,3 +237,128 @@ def part_slug_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+           {_decsum('l_extendedprice * (1 - l_discount)')} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: cross-nation shipping volume by year — a 6-table
+    join where every dimension chain broadcasts and only the fact
+    tables shuffle; year extraction as a grouping key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        joined.groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(exact_sum_expr("l_extendedprice * (1 - l_discount)", "volume"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {_decsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: revenue lost to returns per customer, top-20 —
+    TakeOrderedAndProject caps the sort at k rows per partition."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact_sum_expr("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           {_decsum('l_quantity')} AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(30,10))) > 140
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: HAVING over a grouped sum (post-aggregation
+    filter), top-50 largest orders."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.sum(F.col("l_quantity").cast("decimal(30,10)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(qty.cast("double").alias("total_qty"), qty.alias("_q"))
+        .filter(F.col("_q") > 140)
+        .drop("_q")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(50)
+    )
