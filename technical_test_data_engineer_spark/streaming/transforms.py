@@ -117,3 +117,23 @@ def session_rollup(
         "n_events",
         "total_value",
     )
+
+
+def stream_exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: drop repeat keys across micro-batches.
+
+    With a watermark, uses ``dropDuplicatesWithinWatermark`` — state
+    holds only keys newer than the watermark horizon (bounded memory,
+    the 100 TB-stream answer). Without one (or on a batch frame),
+    plain ``dropDuplicates`` — unbounded state, test/batch use only.
+    """
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return df.dropDuplicates(key_cols)

