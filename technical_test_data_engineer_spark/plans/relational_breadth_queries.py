@@ -67,7 +67,13 @@ def late_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q4 shape: EXISTS-correlated filter as a LEFT SEMI join with
     a non-equi conjunct (ship > order + 60 days), then group-count."""
     orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # manual constraint propagation: o_orderdate ≥ 1996-01-01 and the
+    # join requires l_shipdate > o_orderdate + 60d, so l_shipdate >
+    # 1996-03-01 always holds — a parquet-pushable bound on the fact
+    # scan that Catalyst cannot derive from the non-equi condition
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-01")
+    )
     windowed = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1996-07-01"))
