@@ -142,3 +142,20 @@ def winnow_fingerprints(
             F.transform(wins, lambda i: F.array_min(F.slice(hashes, i, w)))
         )
     )
+
+
+def token_chunks(
+    text_col: str | Column = "text", chunk_size: int = 100, stride: int = 80
+) -> Column:
+    """Overlapping token-window chunks (array<string>): windows of
+    ``chunk_size`` tokens every ``stride`` tokens — the chunking step
+    before embedding/indexing long documents. Pure JVM expressions
+    (sequence → slice → array_join); explode the result for one row per
+    chunk. Chunks shorter than ``chunk_size`` appear only at the tail.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, chunk_size), " ")
+    )

@@ -188,3 +188,92 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprints"),
         F.size(fp).cast("bigint").alias("n_fingerprints"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_token_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(1, GREATEST(len(t), 1), 80)) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(s AS INTEGER) AS chunk_start,
+           array_to_string(t[s:s+99], ' ') AS chunk,
+           CAST(LEAST(len(t) - s + 1, 100) AS BIGINT) AS chunk_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: 100-token windows every 80 tokens (20
+    overlap) per document, one row per chunk — the pre-embedding
+    segmentation step, entirely JVM expressions + explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = TX.token_chunks("text", chunk_size=100, stride=80)
+    out = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    ).select(
+        "doc_id",
+        (F.col("pos") * 80 + 1).cast("int").alias("chunk_start"),
+        "chunk",
+        (F.size(F.split("chunk", " "))).cast("bigint").alias("chunk_tokens"),
+    )
+    return out.orderBy("doc_id", "chunk_start")
+
+
+@query(
+    "doc_greedy_packing",
+    """
+    WITH sized AS (
+        SELECT source, doc_id, len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - 1) / 2048) AS INTEGER) AS bin_id
+        FROM sized
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: greedy cumulative-token
+    binning to ~2048-token bins per source shard (window running sum →
+    bin id → per-bin stats). The deterministic doc_id order makes the
+    packing reproducible across partitionings."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - 1) / 2048).cast("int"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )

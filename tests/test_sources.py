@@ -112,3 +112,19 @@ def test_geojson_features(spark, tmp_path):
     assert rows["01"]["nom"] == "Ain"
     geom = json.loads(rows["2A"]["geometry"])
     assert geom["type"] == "Polygon"
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Appended files with an added column read back with mergeSchema:
+    old rows get NULL, new rows carry the value — the live-pipeline
+    schema-evolution path for a fact table that grows columns."""
+    path = str(tmp_path / "evolving")
+    v1 = load_table(spark, sf_dir, "region")
+    v1.write.parquet(path)
+    v2 = v1.withColumn("r_comment", F.concat(F.lit("c-"), F.col("r_name")))
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "r_comment" in merged.columns
+    assert merged.count() == 2 * v1.count()
+    nulls = merged.filter(F.col("r_comment").isNull()).count()
+    assert nulls == v1.count()
