@@ -172,3 +172,24 @@ def test_stream_dedup_across_microbatches(spark, events_dir, events_batch, tmp_p
     got = spark.table("t_dedup").count()
     want = events_batch.select("event_id").distinct().count()
     assert got == want
+
+
+def test_stream_static_join_enrichment(spark, events_dir, events_batch, sf_dir):
+    """Stream-static join: the event stream enriched with a static
+    dimension (no state store needed — the static side is re-read per
+    micro-batch); result equals the batch join."""
+    static_users = (
+        events_batch.select("user_id").distinct()
+        .withColumn("user_tag", F.concat(F.lit("u-"), F.col("user_id")))
+    )
+    static_users.createOrReplaceTempView("static_users_dim")
+    stream = read_events_stream(spark, events_dir)
+    enriched = stream.join(static_users, "user_id").select(
+        "event_id", "user_id", "user_tag"
+    )
+    q = memory_sink(enriched, "t_enriched", output_mode="append")
+    q.awaitTermination()
+    got = spark.table("t_enriched")
+    assert got.count() == events_batch.count()
+    bad = got.filter(F.col("user_tag") != F.concat(F.lit("u-"), F.col("user_id")))
+    assert bad.count() == 0
