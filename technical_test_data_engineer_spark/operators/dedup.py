@@ -289,12 +289,13 @@ def embedding_near_dup_pairs(
         # srp_signatures_batch), exploded to (table_idx, sig) rows →
         # ONE light self-join on (t, sig) instead of n_tables joins +
         # union; vectors are joined back only for the deduped pairs.
-        # persist: 3 longs per row, read by both self-join sides.
+        # No persist: the matmul signature pass is cheap, and measured
+        # A/B shows recomputing it for the two join branches beats the
+        # persist materialization barrier (unlike MinHash, whose
+        # shingling is expensive enough to cache).
         sig_udf = srp_signatures_batch(planes_tables)
-        bucketed = (
-            fan_out(df.select(id_col, vec_col))
-            .select(id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_s"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        bucketed = fan_out(df.select(id_col, vec_col)).select(
+            id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_s")
         )
         l = bucketed.select(F.col(id_col).alias("id_a"), "_t", "_s")
         r = bucketed.select(F.col(id_col).alias("id_b"), "_t", "_s")
