@@ -362,3 +362,156 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(50)
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_decsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: pure filtered global aggregate — every predicate
+    parquet-pushable (date range, numeric range, bound), zero joins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum_expr("l_extendedprice * l_discount", "revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT {_decsum('l_extendedprice')} AS total_price, COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey AS pk,
+               0.5 * (SUM(CAST(l_quantity AS DECIMAL(30,10))) / COUNT(*))
+                   AS half_avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.pk
+    WHERE CAST(l.l_quantity AS DECIMAL(30,10)) < half_avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into a grouped aggregate + self-join — the standard
+    rewrite; the per-part avg side is small and broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(F.col("l_quantity").cast("decimal(30,10)")) / F.count("*"))
+        ).alias("half_avg_qty")
+    )
+    joined = li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.pk).filter(
+        F.col("l_quantity").cast("decimal(30,10)") < F.col("half_avg_qty")
+    )
+    return joined.agg(
+        exact_sum("l_extendedprice", "total_price"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT {_decsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: OR-of-ANDs spanning both join sides — Catalyst
+    extracts the common single-side conjuncts (brand/size, quantity
+    envelopes) below the join; the residual disjunction evaluates on
+    joined rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def arm(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        arm("Brand#1", 1, 15, 1, 21)
+        | arm("Brand#2", 10, 30, 10, 30)
+        | arm("Brand#3", 20, 50, 20, 40)
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(cond)
+    return joined.agg(
+        exact_sum_expr("l_extendedprice * (1 - l_discount)", "revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    f"""
+    WITH avg_bal AS (
+        SELECT (SUM(CAST(c_acctbal AS DECIMAL(30,10))) / COUNT(*)) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT RIGHT(c_name, 2) AS key_suffix,
+           COUNT(*) AS n_customers,
+           {_decsum('c_acctbal')} AS total_bal
+    FROM customer, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(30,10)) > a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= DATE '1998-01-01'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape: scalar subquery (global positive-balance
+    average, crossJoin-broadcast as a literal-like column) + NOT EXISTS
+    (no recent orders) as LEFT ANTI join + string-suffix grouping."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)")) / F.count("*")
+        ).alias("a")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("decimal(30,10)") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy(F.expr("right(c_name, 2)").alias("key_suffix"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal", "total_bal"),
+        )
+        .orderBy("key_suffix")
+    )
