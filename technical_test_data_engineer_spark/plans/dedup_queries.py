@@ -123,3 +123,77 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, threshold=0.8, planes_tables=planes_tables
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "curation_pipeline",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang, source, text,
+               LEN(STR_SPLIT(text, ' ')) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(STR_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STR_SPLIT(text, ' ')) AS distinct_ratio
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 50 AND distinct_ratio >= 0.3
+    ),
+    deduped AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY MD5(text) ORDER BY doc_id
+        ) AS rn
+        FROM quality
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped WHERE rn = 1
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM data-curation composition, end to end in ONE
+    lazy plan: quality gate (token count + distinct-token ratio) →
+    exact dedup with a DEFINED keeper (lowest doc_id per md5
+    fingerprint, operators/dedup.exact_dedup) → per-(lang, source)
+    shard statistics. At 100 TB: the quality gate is scan-side (no
+    shuffle), dedup is one hash shuffle on the fingerprint, stats are
+    partial+final aggs — three stages total for the whole pipeline."""
+    from technical_test_data_engineer_spark.operators.dedup import exact_dedup
+    from technical_test_data_engineer_spark.operators.text import (
+        fingerprint,
+        token_count,
+        tokens,
+        unique_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        token_count("text").alias("n_tokens"),
+        (
+            unique_token_count("text").cast("double")
+            / token_count("text")
+        ).alias("distinct_ratio"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 50) & (F.col("distinct_ratio") >= 0.3)
+    )
+    keeper = exact_dedup(
+        quality.withColumn("_fp", fingerprint("text")),
+        ["_fp"],
+        [F.asc("doc_id")],
+    )
+    return (
+        keeper.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
