@@ -197,3 +197,59 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS sh
+        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT ia AS ea, ib AS eb FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+    )
+    SELECT src AS doc_id, MIN(dst) AS component
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: MinHash+LSH candidate pairs (exact-Jaccard
+    verified ≥ 0.5) → connected components (iterative min-label
+    propagation, operators/graph.py) → (doc_id, component) where the
+    component id is the smallest doc_id in the group — the canonical
+    keeper for corpus-level dedup.
+
+    The oracle recomputes components from EXACT all-pairs Jaccard via a
+    recursive CTE, so a hash-match also certifies the LSH pipeline's
+    recall is 1.0 on this corpus (every true ≥0.5 pair was found).
+    """
+    from technical_test_data_engineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = minhash_near_dup_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    )
+    return cc.orderBy("doc_id")

@@ -1,0 +1,38 @@
+"""Connected components: hand graphs (chain, triangle+isolate, empty
+edges) against known components."""
+
+from __future__ import annotations
+
+from technical_test_data_engineer_spark.operators.graph import connected_components
+
+
+def _cc(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    if edge_pairs:
+        edges = spark.createDataFrame(edge_pairs, "src long, dst long")
+    else:
+        edges = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(nodes, edges)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2, 2-3, 3-4 ... one component rooted at 1; 9 isolated
+    got = _cc(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_two_components_and_triangle(spark):
+    got = _cc(spark, list(range(1, 8)), [(5, 6), (6, 7), (5, 7), (2, 4)])
+    assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 5, 7: 5}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [3, 1, 2], [])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_long_chain_needs_iterations(spark):
+    n = 20  # diameter 19 → several label-propagation rounds
+    got = _cc(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    assert set(got.values()) == {0}
