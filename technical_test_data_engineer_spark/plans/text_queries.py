@@ -277,3 +277,50 @@ def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+@query(
+    "doc_unigram_logprob",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+        SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ),
+    total AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / n), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*) AS avg_neg_logprob,
+           COUNT(*) AS n_tokens
+    FROM tok JOIN counts USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — mean −ln p(token) under the
+    corpus unigram distribution, the cheap perplexity proxy used for
+    LM-based quality filtering. One explode → count aggregate (small,
+    broadcast back) → per-doc mean. Per-token ln is rounded to 9dp and
+    summed in DECIMAL so the aggregate is order-independent and matches
+    the oracle despite libm-vs-JVM last-ulp differences."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens_long(docs)
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    n_total = tok.count()
+    neg_ln = F.round(
+        -F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
+    ).cast("decimal(20,9)")
+    return (
+        tok.join(F.broadcast(counts), "term")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(neg_ln).cast("double") / F.count("*")).alias(
+                "avg_neg_logprob"
+            ),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
