@@ -353,3 +353,43 @@ def nation_orderstatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("status_o"),
         F.col("P").alias("status_p"),
     ).orderBy("n_name")
+
+
+@query(
+    "nation_status_unpivot",
+    """
+    WITH statuses AS (SELECT UNNEST(['F', 'O', 'P']) AS o_orderstatus),
+    counts AS (
+        SELECT n_name, o_orderstatus, COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderstatus
+    )
+    SELECT n.n_name, s.o_orderstatus AS status,
+           COALESCE(c.n, 0) AS n_orders
+    FROM nation n CROSS JOIN statuses s
+    LEFT JOIN counts c
+      ON n.n_name = c.n_name AND s.o_orderstatus = c.o_orderstatus
+    ORDER BY n.n_name, status
+    """,
+)
+def nation_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-status pivot melted back to long
+    form via ``DataFrame.unpivot`` — zero-filled combinations survive
+    the roundtrip, which the oracle reproduces with a dimension cross
+    join. Wide→long is the reshape the reference never had but any
+    metrics pipeline needs."""
+    wide = nation_orderstatus_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["n_name"],
+            values=["status_f", "status_o", "status_p"],
+            variableColumnName="status",
+            valueColumnName="n_orders",
+        )
+        .withColumn(
+            "status", F.upper(F.substring("status", -1, 1))
+        )
+        .orderBy("n_name", "status")
+    )

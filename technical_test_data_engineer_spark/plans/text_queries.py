@@ -324,3 +324,36 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_train_val_split",
+    """
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by CONTENT hash (md5 prefix
+    mod 100) — stable under re-sharding, re-ordering, and re-runs,
+    unlike df.sample; identical docs always land in the same split, so
+    the split can never leak near-duplicates across train/val after
+    dedup. Per-(lang, split) counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    tagged = docs.select(
+        "lang",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
+    return (
+        tagged.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
