@@ -253,3 +253,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), edges, id_col="doc_id"
     )
     return cc.orderBy("doc_id")
+
+
+# rows-only: built on MinHash pairs (xxhash64, no DuckDB twin)
+@query("split_contamination_audit")
+def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: near-duplicate pairs (MinHash+LSH,
+    exact-verified Jaccard ≥ 0.5) that CROSS the content-hash train/val
+    split — the leakage check run before training. Exact duplicates can
+    never cross (identical text ⇒ identical md5 bucket ⇒ same split);
+    near-duplicates can, and each such pair is a val example the model
+    effectively saw in training. Output: one row per leaking pair with
+    both splits, plus jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    split = docs.select(
+        "doc_id", F.when(bucket < 90, "train").otherwise("val").alias("split")
+    )
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    out = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+    return out.orderBy("id_a", "id_b")
