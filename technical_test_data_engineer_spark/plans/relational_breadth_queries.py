@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from technical_test_data_engineer_spark.functions.scalars import exact_sum
 from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
 
@@ -392,4 +393,103 @@ def nation_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status", F.upper(F.substring("status", -1, 1))
         )
         .orderBy("n_name", "status")
+    )
+
+
+@query(
+    "orders_column_profile",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS price_non_null,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(DISTINCT o_orderstatus) AS distinct_statuses,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           {_decsum('o_totalprice')} AS sum_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-profiling aggregate: row count, null counts,
+    distinct cardinalities, numeric/date ranges, exact sum — the
+    one-scan quality report a pipeline runs after every load (vs
+    df.summary(), which is neither deterministic nor oracle-exact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_totalprice").alias("price_non_null"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.countDistinct("o_orderstatus").alias("distinct_statuses"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        exact_sum("o_totalprice", "sum_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+
+
+@query(
+    "sales_grouping_sets",
+    f"""
+    SELECT c_mktsegment, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_decsum('o_totalprice')} AS revenue,
+           CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                            (c_mktsegment), (o_orderstatus), ())
+    ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (the general form of rollup/cube) + GROUPING() ids
+    distinguishing aggregation levels from genuine NULL keys — one
+    shuffle produces all four aggregation levels."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined.createOrReplaceTempView("_sales_gs")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, o_orderstatus,
+               COUNT(*) AS n_orders,
+               {_decsum('o_totalprice')} AS revenue,
+               CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus)
+                    AS BIGINT) AS gid
+        FROM _sales_gs
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                (c_mktsegment), (o_orderstatus), ())
+        ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "price_histogram",
+    f"""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           {_decsum('o_totalprice')} AS bucket_revenue
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k buckets, top-capped) — the profiling
+    companion to quantiles; pure arithmetic bucketing so both engines
+    agree exactly, single aggregation pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "bigint"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice", "bucket_revenue"),
+        )
+        .orderBy("bucket")
     )

@@ -58,3 +58,18 @@ def test_asof_join_equal_ts_matches(spark):
     quotes = spark.createDataFrame([("A", 5, 42.0)], "sym string, t int, bid double")
     out = J.asof_join(trades, quotes, on="sym", left_ts="t", right_ts="t")
     assert out.collect()[0].bid == 42.0  # backward as-of is inclusive
+
+
+def test_null_keys_never_match(spark):
+    """SQL null-join semantics: NULL keys match nothing in inner joins
+    and survive as unmatched in left joins — the engine must not
+    'repair' this (both pandas and Spark share it; documented in
+    SURVEY.md §1)."""
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame([(1, "a"), (None, "b")], "k long, v string")
+    r = spark.createDataFrame([(1, "x"), (None, "y")], "k long, w string")
+    inner = l.join(r, "k").collect()
+    assert [(row["k"], row["v"], row["w"]) for row in inner] == [(1, "a", "x")]
+    left = l.join(r, "k", "left").orderBy(F.col("v")).collect()
+    assert [(row["k"], row["w"]) for row in left] == [(1, "x"), (None, None)]
