@@ -125,3 +125,23 @@ def events_approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# rows-only: the t-digest/Greenwald-Khanna sketch is engine-specific;
+# the tolerance vs exact quantiles is asserted in tests
+@query("acctbal_quantile_sketch")
+def acctbal_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch, accuracy 10000) per
+    segment — the single-pass mergeable-sketch path for quantiles at
+    100 TB, where exact percentile's full sort per group is the
+    bottleneck; paired with acctbal_quantiles_by_segment (exact) as the
+    correctness anchor."""
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("c_acctbal", 0.5, 10000).alias("median_approx"),
+            F.percentile_approx("c_acctbal", 0.95, 10000).alias("p95_approx"),
+        )
+        .orderBy("c_mktsegment")
+    )

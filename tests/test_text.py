@@ -95,3 +95,22 @@ def test_approx_distinct_tolerance(spark, sf_dir):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for et, n in exact.items():
         assert abs(got[et] - n) <= max(2, 0.05 * n), (et, got[et], n)
+
+
+def test_quantile_sketch_tolerance(spark, sf_dir):
+    from technical_test_data_engineer_spark.plans.streaming_queries import (
+        acctbal_quantile_sketch,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+    got = {r["c_mktsegment"]: (r["median_approx"], r["p95_approx"])
+           for r in acctbal_quantile_sketch(spark, sf_dir).collect()}
+    cust = load_table(spark, sf_dir, "customer")
+    exact = {r["c_mktsegment"]: (r["m"], r["p"])
+             for r in cust.groupBy("c_mktsegment").agg(
+                 F.median("c_acctbal").alias("m"),
+                 F.percentile("c_acctbal", F.lit(0.95)).alias("p")).collect()}
+    for seg, (m, p) in exact.items():
+        spread = abs(p) + abs(m) + 1
+        assert abs(got[seg][0] - m) <= 0.05 * spread, seg
+        assert abs(got[seg][1] - p) <= 0.05 * spread, seg
