@@ -49,8 +49,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
         # drop intra-query persisted intermediates so queries are timed
-        # in isolation (no cross-query cache memory pressure)
+        # in isolation: clearCache frees DataFrame persists, but NOT
+        # localCheckpoint RDDs (iterative operators) — unpersist every
+        # persistent RDD explicitly, then nudge the JVM to collect,
+        # otherwise heap pressure from earlier queries taxes later ones
         spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark._jvm.System.gc()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
