@@ -69,6 +69,11 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # per-query isolation: also frees localCheckpoint RDDs, which
+        # clearCache alone does not (see bench.py)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
