@@ -1,0 +1,64 @@
+"""Plan audit: report queries whose physical plan scans the same table
+more than once.
+
+Multiple scans of one table are CORRECT for self-join shapes (pair
+generation, two dimension roles, grouped-min back-joins) and often
+cheaper than materialization when each scan is column-pruned — but an
+UNINTENTIONAL duplicate (a shared subplan Catalyst didn't reuse) is the
+kind of regression that only hurts at scale. Run this after adding or
+refactoring queries and diff the output against the documented
+expectations below.
+
+Expected multi-scans (all reviewed):
+- self-join pair generation: ngram_jaccard_pairs, embedding_near_dup_
+  exact, knn_*, q17, tfidf, doc_unigram_logprob (tf/df share one
+  aggregate but scan for the join side), cheapest_part_per_brand
+- two dimension roles: q7_nation_volume (customer vs supplier nation)
+- event stream split into clicks/views: asof_click_attribution
+- LSH sig recompute in lieu of persist (measured faster):
+  embedding_near_dups_lsh, split_contamination_audit
+- set-operation cohort demo (clarity over scans; the single-pass
+  conditional-aggregation rewrite is the scale path):
+  segment_churn_set_ops
+- q22 scalar-subquery average + main scan: q22_idle_rich_customers
+
+Usage: python audit_scans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from collections import Counter
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from technical_test_data_engineer_spark.plans import QUERIES
+    from technical_test_data_engineer_spark.session import get_spark
+
+    spark = get_spark("scan_audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    pat = re.compile(
+        r"InMemoryFileIndex\s*(?:\(\d+ paths\))?\s*\[[^\]]*?/(\w+)\.parquet"
+    )
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            dup = {t: c for t, c in Counter(pat.findall(plan)).items() if c > 1}
+            if dup:
+                print(f"{name}: {dup}")
+        except Exception as ex:  # noqa: BLE001
+            print(f"{name}: ERROR {str(ex)[:120]}")
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
