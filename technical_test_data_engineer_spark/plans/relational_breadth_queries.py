@@ -493,3 +493,30 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "orders_monthly_revenue",
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           {_decsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup (date_trunc month) — the month-granularity
+    sibling of events_hourly_rollup; at scale the natural partition key
+    for the fact table's partitioned writes."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
+        .orderBy("month")
+    )

@@ -357,3 +357,32 @@ def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "split")
     )
+
+
+@query(
+    "doc_bpe_token_counts",
+    """
+    SELECT doc_id,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(LEN(LIST_FILTER(regexp_split_to_array(text, '[^A-Za-z0-9'']+'),
+                                t -> t <> '')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(LEN(LIST_DISTINCT(
+               LIST_FILTER(regexp_split_to_array(text, '[^A-Za-z0-9'']+'),
+                           t -> t <> ''))) AS BIGINT) AS bpe_ish_unique
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (north-star §2.11): whitespace tokens vs
+    the BPE-ish regex segmentation (word/digit pieces, punctuation
+    dropped) — the ratio between the two is the standard
+    chars-per-token sanity signal for corpus sizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = TX.bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("ws_tokens"),
+        F.size(bpe).cast("bigint").alias("bpe_ish_tokens"),
+        F.size(F.array_distinct(bpe)).cast("bigint").alias("bpe_ish_unique"),
+    ).orderBy("doc_id")
