@@ -17,6 +17,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from technical_test_data_engineer_spark.functions.hof import bind
 from technical_test_data_engineer_spark.operators.partitioning import fan_out
 from technical_test_data_engineer_spark.operators.windows import top1_per_group
 
@@ -40,14 +41,20 @@ def exact_dedup(
 
 def word_shingles(text_col: str | Column = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles (array<string>) — the unit set for
-    Jaccard similarity. 1-based ``element_at``; docs shorter than n
-    words yield their whole text as one shingle."""
-    toks = F.split(text_col if isinstance(text_col, str) else text_col, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.array_distinct(F.transform(idx, gram))
+    Jaccard similarity. Grams built via ``slice`` + ``array_join`` (ANSI-
+    safe: slice past the array end returns the available suffix, so no
+    out-of-bounds indexing regardless of session ANSI mode); docs shorter
+    than n words yield their whole text as one shingle. The token array
+    is let-bound (``bind``) so split() runs once per row, not once per
+    gram — see functions/hof.py for the Catalyst lambda-body pitfall."""
+    raw = F.split(text_col if isinstance(text_col, str) else text_col, " ")
+
+    def _with_toks(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        gram = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
+        return F.array_distinct(F.transform(idx, gram))
+
+    return bind(raw, _with_toks)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -70,18 +77,24 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     parallel, no shuffle."""
     # Hash each variable-length shingle string ONCE, then derive the
     # num_hashes functions by rehashing the fixed 8-byte value — ~num_
-    # hashes× less string traversal.
+    # hashes× less string traversal. The base-hash array is let-bound:
+    # without bind, each of the num_hashes transforms re-evaluates the
+    # base expression (and the shingle expression under it), so string
+    # hashing would run num_hashes× per row.
     # NB: closures, not default args — PySpark counts lambda parameters
     # to decide how many lambda variables to bind, so `lambda s, i=i`
     # would receive the ARRAY INDEX as `i`, not the hash index.
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    raw = F.transform(shingles, lambda s: F.xxhash64(s))
 
-    def _minhash(i: int) -> Column:
-        return F.array_min(
-            F.transform(base, lambda h: F.xxhash64(F.lit(seed + i), h))
-        )
+    def _with_base(base: Column) -> Column:
+        def _minhash(i: int) -> Column:
+            return F.array_min(
+                F.transform(base, lambda h: F.xxhash64(F.lit(seed + i), h))
+            )
 
-    return F.array(*[_minhash(i) for i in range(num_hashes)])
+        return F.array(*[_minhash(i) for i in range(num_hashes)])
+
+    return bind(raw, _with_base)
 
 
 def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -201,10 +214,16 @@ def simhash_packed(text_col: str | Column = "text") -> Column:
     ``conv(binary-string)`` keeps each half ≤ 2^32, inside bigint range.
     """
     bits = simhash_bits(text_col)
-    s = F.concat_ws("", F.transform(bits, lambda b: b.cast("string")))
-    h1 = F.conv(F.substring(s, 1, 32), 2, 10).cast("bigint")
-    h2 = F.conv(F.substring(s, 33, 32), 2, 10).cast("bigint")
-    return F.struct(h1.alias("h1"), h2.alias("h2"))
+    raw = F.concat_ws("", F.transform(bits, lambda b: b.cast("string")))
+
+    def _with_s(s: Column) -> Column:
+        # bind: h1 and h2 both reference the bit string — unbound, the
+        # whole vote fold would run twice per row
+        h1 = F.conv(F.substring(s, 1, 32), 2, 10).cast("bigint")
+        h2 = F.conv(F.substring(s, 33, 32), 2, 10).cast("bigint")
+        return F.struct(h1.alias("h1"), h2.alias("h2"))
+
+    return bind(raw, _with_s)
 
 
 def hamming_packed(a: Column, b: Column) -> Column:

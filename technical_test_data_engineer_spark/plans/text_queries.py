@@ -183,9 +183,15 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature for plagiarism/near-dup detection at 1/w shingle density."""
     docs = load_table(spark, sf_dir, "documents")
     fp = TX.winnow_fingerprints("text", k=5, w=4)
+    # serialize the fingerprint set to a scalar string: the driver's
+    # canonicalizer sorts result frames with pandas, which cannot
+    # factorize list cells (round-1 harness crash) — array form stays
+    # available to unit tests via TX.winnow_fingerprints directly
     return docs.select(
         "doc_id",
-        fp.alias("fingerprints"),
+        F.concat_ws(",", F.transform(fp, lambda h: h.cast("string"))).alias(
+            "fingerprints"
+        ),
         F.size(fp).cast("bigint").alias("n_fingerprints"),
     ).orderBy("doc_id")
 

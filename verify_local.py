@@ -12,6 +12,7 @@ Usage: python verify_local.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import sys
 import time
@@ -25,14 +26,24 @@ TABLES = [
 
 
 def _norm_cell(v):
+    # Type-strict like the driver's pandas canonicalizer: an int64 1791
+    # and a float64 1791.0 hash DIFFERENTLY (round-1 lesson — DuckDB
+    # HUGEINT sums come back float-ish while Spark returns bigint).
+    # DECIMAL is converted to float first, as pandas does when loading.
     if v is None:
         return "␀"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "f:nan"
         if v == 0:
-            return "0"
-        return f"{v:.9g}"
+            return "f:0"
+        return f"f:{v:.9g}"
+    if isinstance(v, int):
+        return f"i:{v}"
     return str(v)
 
 
