@@ -153,14 +153,30 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
 ) -> list[list[float]]:
-    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id
-    vectors. A production IVF would run (mini-batch) k-means here — this
-    is the training seam; everything downstream only needs *some* fixed
-    centroid list, and lowest-id selection keeps results reproducible
-    across runs/partitionings with one tiny collect."""
-    rows = corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    return [list(r[0]) for r in rows]
+    """Coarse quantizer via seeded k-means (``pyspark.ml.clustering.
+    KMeans``, k-means|| init): real Voronoi cells, so probe recall holds
+    when the corpus grows — the round-1 lowest-id stub degenerates at
+    scale (arbitrary early vectors make skewed cells). Distributed
+    Lloyd's: each iteration is one map-side partial-aggregation pass
+    over the corpus, no shuffle of vectors; only (K × D) centroid
+    updates cross the wire. Deterministic for a fixed seed + input.
+
+    Returns plain ``list[list[float]]`` — downstream assignment UDFs
+    broadcast the centroids as a numpy closure, no ml.Vector columns
+    leak out of this function."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def ivf_topk(

@@ -90,10 +90,12 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF (FAISS-style coarse quantizer): corpus
     bucketed into 16 Voronoi cells scan-side, each query probes its 4
-    nearest cells (25% of the corpus scored instead of 100%). The
-    centroid 'training' is a deterministic lowest-id sample — the seam
-    where mini-batch k-means would plug in (see
-    operators/similarity.train_ivf_centroids)."""
+    nearest cells (25% of the corpus scored instead of 100%). Centroids
+    come from seeded distributed k-means (pyspark.ml) — see
+    operators/similarity.train_ivf_centroids. Recall at fixed probe
+    fraction depends on how clustered the corpus is; tests assert ≥0.9
+    on clustered data and the exact-in-the-limit property (probing all
+    cells ≡ brute force) on this uniform-random fixture."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     out = ivf_topk(emb, probes, n_centroids=16, n_probe=4, k=TOP_K)

@@ -36,3 +36,30 @@ def test_long_chain_needs_iterations(spark):
     n = 20  # diameter 19 → several label-propagation rounds
     got = _cc(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
     assert set(got.values()) == {0}
+
+
+def test_planted_chain_converges_logarithmically(spark):
+    # 200-node path: diameter 199. Plain min-label propagation needs
+    # ~199 rounds; large-star/small-star must finish in O(log n) —
+    # assert ≤ ceil(log2(200)) + 3 = 11 rounds and correct labels.
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats: dict = {}
+    out = connected_components(nodes, edges, stats=stats)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 11, f"too many rounds: {stats['rounds']}"
+
+
+def test_unconverged_raises(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(64)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=1)
