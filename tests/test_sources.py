@@ -114,6 +114,53 @@ def test_geojson_features(spark, tmp_path):
     assert geom["type"] == "Polygon"
 
 
+def test_geojson_jsonl_presplit_parallel_scan(spark, tmp_path):
+    """The documented scale path for S4: one multiLine parse at ingest,
+    then JSONL reads that split across tasks. Asserts the split produces
+    multiple files and the re-read scan uses >1 partition (with the
+    file-packing conf pinned so tiny fixture files don't coalesce)."""
+    from technical_test_data_engineer_spark.sources.json_source import (
+        read_geojson_jsonl,
+        split_geojson_to_jsonl,
+    )
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"code": f"{i:02d}", "nom": f"dep-{i}"},
+                "geometry": {"type": "Point", "coordinates": [float(i), 46.0]},
+            }
+            for i in range(40)
+        ],
+    }
+    src = tmp_path / "deps.geojson"
+    src.write_text(json.dumps(fc))
+    dst = str(tmp_path / "deps_jsonl")
+    split_geojson_to_jsonl(spark, str(src), dst, num_files=4)
+
+    import os
+
+    parts = [f for f in os.listdir(dst) if f.startswith("part-")]
+    assert len(parts) == 4, parts
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # one tiny file per partition: openCostInBytes (4 MiB default)
+        # fills maxPartitionBytes immediately
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+        df = read_geojson_jsonl(spark, dst)
+        assert df.rdd.getNumPartitions() > 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    rows = {r["code"]: r for r in df.collect()}
+    assert len(rows) == 40
+    geom = json.loads(rows["07"]["geometry"])
+    assert geom == {"type": "Point", "coordinates": [7.0, 46.0]}
+
+
 def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     """Appended files with an added column read back with mergeSchema:
     old rows get NULL, new rows carry the value — the live-pipeline
