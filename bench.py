@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Per-query timing includes full materialization (count of the result) but
-not session startup. Queries run once each, in a fixed order.
+Per-query timing includes full materialization of EVERY output column
+(noop-format write), not session startup. ``df.count()`` is NOT the
+materializer: Catalyst prunes all columns under a count, so per-row
+expression work (winnowing, signatures, chunk text) would go untimed —
+round-1 recorded 0.26 s for a winnowing query whose real cost was ~10 s.
+Queries run once each, in a fixed order.
 """
 
 from __future__ import annotations
@@ -40,14 +44,28 @@ def main() -> None:
     spark.range(int(cpus) * 4).repartition(int(cpus)).select(
         identity("id")
     ).count()
+    # ... and pyspark.ml's JVM classes (first KMeans fit in a session
+    # pays ~3 s of one-time class loading, which is not query work)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import array, col, lit
+
+    tiny = spark.range(8).select(
+        array_to_vector(array(col("id").cast("double"), lit(0.0))).alias(
+            "features"
+        )
+    )
+    KMeans(k=2, seed=1, maxIter=1).fit(tiny)
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop write: evaluates every column of every row JVM-side with
+        # zero sink cost — count() would column-prune the query body
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # drop intra-query persisted intermediates so queries are timed
         # in isolation: clearCache frees DataFrame persists, but NOT
         # localCheckpoint RDDs (iterative operators) — unpersist every

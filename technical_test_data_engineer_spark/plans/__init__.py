@@ -22,6 +22,7 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
     similarity_queries,
     streaming_queries,
     text_queries,
+    tpch_extra_queries,
     tpch_queries,
     window_queries,
 )

@@ -255,6 +255,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy("doc_id")
 
 
+@query(
+    "dedup_clusters_exact",
+    """
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS sh
+        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
+              FROM documents WHERE doc_id < 120)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT ia AS ea, ib AS eb FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+    )
+    SELECT src AS doc_id, MIN(dst) AS component
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over EXACT all-pairs Jaccard edges on a
+    bounded subset (doc_id < 120) — the CC operator verified
+    independently of MinHash-LSH recall. ``dedup_clusters`` pairs the
+    probabilistic candidate pipeline with the same oracle (certifying
+    recall 1.0 on this corpus); this variant keeps the graph operator's
+    gate green even on a corpus where LSH misses a pair. Bounded
+    crossJoin is ground-truth-only — the scale path stays LSH."""
+    from technical_test_data_engineer_spark.operators.dedup import (
+        jaccard,
+        word_shingles,
+    )
+    from technical_test_data_engineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
+    edges = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .filter(jaccard(F.col("sha"), F.col("shb")) >= 0.5)
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    cc = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    return cc.orderBy("doc_id")
+
+
 # rows-only: built on MinHash pairs (xxhash64, no DuckDB twin)
 @query("split_contamination_audit")
 def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
