@@ -157,6 +157,58 @@ def winnow_fingerprints(
     return bind(F.split(c, " "), _with_toks)
 
 
+def token_ngrams(text_col: str | Column = "text", n: int = 2) -> Column:
+    """ALL word n-grams in order, repeats kept (array<string>) — the
+    counting form for repetition metrics, vs ``dedup.word_shingles``
+    which dedups for set similarity. ANSI-safe slice+array_join grams;
+    token array let-bound (split runs once per row)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+
+    def _with_toks(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    return bind(F.split(c, " "), _with_toks)
+
+
+# audit patterns (PII-ish plumbing): keep the regex subset common to
+# Java regex (Spark) and RE2 (DuckDB) — char classes, +, {m,}, no
+# lookaround — so every count is oracle-checkable
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+DIGIT_RUN_RE = r"[0-9]{6,}"
+
+
+def pattern_count(text_col: str | Column, pattern: str) -> Column:
+    """Occurrences of ``pattern`` in the text (vectorized JVM regex;
+    the building block for PII audits / scrub decisions)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def charclass_columns(text_col: str = "text") -> list[Column]:
+    """C4-style character-class token ratios: digit-only tokens and
+    tokens containing any non-alphanumeric symbol, as counts + ratios.
+    Exact-int ÷ exact-int doubles, bit-stable across engines."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("bigint")
+    n_digit = F.size(
+        F.filter(toks, lambda t: t.rlike(r"^[0-9]+$"))
+    ).cast("bigint")
+    n_symbol = F.size(
+        F.filter(toks, lambda t: t.rlike(r"[^A-Za-z0-9]"))
+    ).cast("bigint")
+    return [
+        n_tok.alias("n_tokens"),
+        n_digit.alias("n_digit_tokens"),
+        n_symbol.alias("n_symbol_tokens"),
+        (n_digit.cast("double") / n_tok).alias("digit_token_ratio"),
+        (n_symbol.cast("double") / n_tok).alias("symbol_token_ratio"),
+    ]
+
+
 def token_chunks(
     text_col: str | Column = "text", chunk_size: int = 100, stride: int = 80
 ) -> Column:

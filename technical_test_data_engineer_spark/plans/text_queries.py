@@ -11,6 +11,17 @@ from pyspark.sql.window import Window
 from technical_test_data_engineer_spark.operators import text as TX
 from technical_test_data_engineer_spark.plans.star_queries import query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
+from technical_test_data_engineer_spark.operators.partitioning import fan_out
+
+
+def _docs(spark, sf_dir):
+    """documents scan, fanned out: the local fixture is one parquet
+    row-group, so without repartition ALL per-row expression work
+    (tokenize/hash/winnow) runs on a single task — a 32x parallelism
+    loss measured on every text query. No-op on real multi-split
+    cluster scans (see operators/partitioning.fan_out)."""
+    return fan_out(load_table(spark, sf_dir, "documents"))
+
 
 
 @query(
@@ -26,7 +37,7 @@ from technical_test_data_engineer_spark.sources.parquet_source import load_table
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting — whitespace tokenizer, total + distinct."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         "lang",
@@ -55,7 +66,7 @@ _STOP_SQL = "['the','a','of','and','to','in']"
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword / distinct ratios. All ratios
     are exact-int ÷ exact-int in double — bit-stable across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", *TX.quality_columns("text")).orderBy("doc_id")
 
 
@@ -87,7 +98,7 @@ def _lang_case_sql() -> str:
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-vocabulary hit scoring with an
     alphabetical argmax tiebreak (operators/text.predicted_language)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = TX.tokens("text")
     return docs.select(
         "doc_id",
@@ -106,7 +117,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint (md5 hex) — exact-dup key + stable shard id."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", TX.fingerprint("text").alias("fp")).orderBy("doc_id")
 
 
@@ -151,7 +162,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Score rounded to 6dp in both engines: LN is the one non-rational op
     in the battery, and libm vs JVM can differ in the last ulp.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = TX.tokens_long(docs)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # document frequency FROM tf: its rows are already distinct
@@ -181,7 +192,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints (k=5-gram hashes, w=4 window
     minima) per document + fingerprint count — the rolling-hash document
     signature for plagiarism/near-dup detection at 1/w shingle density."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = TX.winnow_fingerprints("text", k=5, w=4)
     # serialize the fingerprint set to a scalar string: the driver's
     # canonicalizer sorts result frames with pandas, which cannot
@@ -219,7 +230,7 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline chunking: 100-token windows every 80 tokens (20
     overlap) per document, one row per chunk — the pre-embedding
     segmentation step, entirely JVM expressions + explode."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     chunks = TX.token_chunks("text", chunk_size=100, stride=80)
     out = docs.select(
         "doc_id", F.posexplode(chunks).alias("pos", "chunk")
@@ -262,7 +273,7 @@ def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing reproducible across partitionings."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sized = docs.select(
         "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
@@ -312,7 +323,7 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back) → per-doc mean. Per-token ln is rounded to 9dp and
     summed in DECIMAL so the aggregate is order-independent and matches
     the oracle despite libm-vs-JVM last-ulp differences."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     tok = TX.tokens_long(docs)
     counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
     n_total = tok.count()
@@ -352,7 +363,7 @@ def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike df.sample; identical docs always land in the same split, so
     the split can never leak near-duplicates across train/val after
     dedup. Per-(lang, split) counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
     tagged = docs.select(
         "lang",
@@ -384,7 +395,7 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BPE-ish regex segmentation (word/digit pieces, punctuation
     dropped) — the ratio between the two is the standard
     chars-per-token sanity signal for corpus sizing."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     bpe = TX.bpe_ish_tokens("text")
     return docs.select(
         "doc_id",
@@ -392,3 +403,201 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("bigint").alias("bpe_ish_tokens"),
         F.size(F.array_distinct(bpe)).cast("bigint").alias("bpe_ish_unique"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_repetition_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1]
+               )) AS gram
+        FROM toks
+    ),
+    counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM bg GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_frac
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: fraction of bigram occurrences
+    taken by the most frequent bigram, and fraction that are repeats of
+    an earlier occurrence — the boilerplate/templating signal used to
+    drop low-quality docs before training.
+
+    Plan: ALL bigrams (repeats kept, operators/text.token_ngrams) →
+    explode → one hash agg per (doc, gram) → one per doc. Both aggs
+    shuffle on doc-id-prefixed keys; no per-row quadratic work."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(TX.token_ngrams("text", 2)).alias("gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+            (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")).alias(
+                "dup_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_charclass_stats",
+    """
+    SELECT doc_id,
+           CAST(LEN(toks) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '^[0-9]+$')))
+                AS BIGINT) AS n_digit_tokens,
+           CAST(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '[^A-Za-z0-9]')))
+                AS BIGINT) AS n_symbol_tokens,
+           CAST(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '^[0-9]+$')))
+                AS DOUBLE) / LEN(toks) AS digit_token_ratio,
+           CAST(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '[^A-Za-z0-9]')))
+                AS DOUBLE) / LEN(toks) AS symbol_token_ratio
+    FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def doc_charclass_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style character-class ratios (digit-only tokens, tokens with
+    symbols) — the cheap lexical signals for corpus filtering, all
+    vectorized JVM regex over the token array."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", *TX.charclass_columns("text")).orderBy("doc_id")
+
+
+@query(
+    "doc_pattern_audit",
+    rf"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT)
+               AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, 'https?://[^ ]+')) AS BIGINT)
+               AS n_urls,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{{6,}}')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b(scan|sort|join)\b')) AS BIGINT)
+               AS n_flagged_terms
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_pattern_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish pattern audit: per-doc counts of email-like, URL-like,
+    long-digit-run, and flagged-term matches — the detection pass before
+    a scrub/redact decision. Patterns stay in the Java-regex ∩ RE2
+    dialect subset (operators/text.EMAIL_RE etc.) so the oracle checks
+    the same semantics."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.pattern_count("text", TX.EMAIL_RE).alias("n_emails"),
+        TX.pattern_count("text", TX.URL_RE).alias("n_urls"),
+        TX.pattern_count("text", TX.DIGIT_RUN_RE).alias("n_digit_runs"),
+        TX.pattern_count("text", r"\b(scan|sort|join)\b").alias(
+            "n_flagged_terms"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_gopher_filter",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               CAST(LENGTH(text) AS DOUBLE) / LEN(toks) AS avg_token_len,
+               CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)
+                   AS distinct_ratio
+        FROM (SELECT doc_id, text, STR_SPLIT(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           (n_tokens >= 20 AND avg_token_len >= 5.0
+            AND distinct_ratio >= 0.35) AS keep,
+           CONCAT_WS(';',
+               CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               CASE WHEN avg_token_len < 5.0 THEN 'low_avg_len' END,
+               CASE WHEN distinct_ratio < 0.35 THEN 'low_diversity' END
+           ) AS drop_reasons
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: length / mean-token-length / lexical-
+    diversity rules with per-doc drop reasons (the audit trail a corpus
+    curation run must emit — 'what was dropped and why', not just the
+    survivors). Thresholds chosen to be meaningfully selective on this
+    corpus (43 short docs, 11 low-avg-len, ~15% low-diversity at
+    sf0.01)."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens("text")
+    n_tok = F.size(toks)
+    avg_len = F.length("text").cast("double") / n_tok
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    scored = docs.select(
+        "doc_id",
+        n_tok.alias("_n"),
+        avg_len.alias("_avg"),
+        distinct_ratio.alias("_dr"),
+    )
+    return scored.select(
+        "doc_id",
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        (
+            (F.col("_n") >= 20) & (F.col("_avg") >= 5.0) & (F.col("_dr") >= 0.35)
+        ).alias("keep"),
+        F.concat_ws(
+            ";",
+            F.when(F.col("_n") < 20, F.lit("too_short")),
+            F.when(F.col("_avg") < 5.0, F.lit("low_avg_len")),
+            F.when(F.col("_dr") < 0.35, F.lit("low_diversity")),
+        ).alias("drop_reasons"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_hash_sample",
+    """
+    SELECT doc_id,
+           CAST(CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT) % 10
+                AS BIGINT) AS bucket
+    FROM documents
+    WHERE CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT) % 10 = 0
+    ORDER BY doc_id
+    """,
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% content-hash sample: md5-bucket the text and
+    keep bucket 0 — reproducible across runs, partitionings, and
+    engines (unlike rand()-based sampling), and consistent with the
+    train/val split convention (doc_train_val_split). The standard way
+    to cut an eval slice from a 100 TB corpus without a global sort."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 10
+    )
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket") == 0)
+        .orderBy("doc_id")
+    )

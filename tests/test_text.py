@@ -114,3 +114,37 @@ def test_quantile_sketch_tolerance(spark, sf_dir):
         spread = abs(p) + abs(m) + 1
         assert abs(got[seg][0] - m) <= 0.05 * spread, seg
         assert abs(got[seg][1] - p) <= 0.05 * spread, seg
+
+
+def test_token_ngrams_keeps_repeats(spark):
+    df = spark.createDataFrame([("a b a b",)], "text string")
+    grams = df.select(TX.token_ngrams("text", 2).alias("g")).collect()[0].g
+    # unlike word_shingles (distinct), counting form keeps the repeat
+    assert grams == ["a b", "b a", "a b"]
+    short = spark.createDataFrame([("solo",)], "text string")
+    assert short.select(TX.token_ngrams("text", 2).alias("g")).collect()[0].g == [
+        "solo"
+    ]
+
+
+def test_pattern_count_email_url_digits(spark):
+    df = spark.createDataFrame(
+        [("mail me at a.b@example.com or http://x.io ref 1234567",)],
+        "text string",
+    )
+    got = df.select(
+        TX.pattern_count("text", TX.EMAIL_RE).alias("e"),
+        TX.pattern_count("text", TX.URL_RE).alias("u"),
+        TX.pattern_count("text", TX.DIGIT_RUN_RE).alias("d"),
+    ).collect()[0]
+    assert (got.e, got.u, got.d) == (1, 1, 1)
+
+
+def test_charclass_columns(spark):
+    df = spark.createDataFrame([("abc 123 a-b xyz",)], "text string")
+    got = df.select(*TX.charclass_columns("text")).collect()[0]
+    assert got.n_tokens == 4
+    assert got.n_digit_tokens == 1
+    assert got.n_symbol_tokens == 1  # only 'a-b' has a symbol
+    assert got.digit_token_ratio == 0.25
+    assert got.symbol_token_ratio == 0.25
