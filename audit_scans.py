@@ -21,6 +21,17 @@ Expected multi-scans (all reviewed):
   conditional-aggregation rewrite is the scale path):
   segment_churn_set_ops
 - q22 scalar-subquery average + main scan: q22_idle_rich_customers
+- two dimension roles (r02): q8_market_share (customer vs supplier
+  nation)
+- q21_waiting_suppliers: lineitem/orders ×3 — the l1/EXISTS/NOT-EXISTS
+  correlations each scan the base relation; at 100 TB you would
+  localCheckpoint the joined base, but persisting a full fact join
+  locally costs more than the re-scans it saves (reviewed)
+- NOTE: q2/q11/q15/q20 persist their aggregated intermediate, so the
+  remaining double-scan in their EXPLAIN output is the unresolved
+  InMemoryRelation definition printed per reference — the materialized
+  run scans lineitem once (verified via InMemoryTableScan in the
+  post-materialization plan)
 
 Usage: python audit_scans.py [sf_dir]
 """

@@ -14,6 +14,7 @@ Catalyst decorrelates the SQL forms the same way.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,9 +53,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
     supplier = load_table(spark, sf_dir, "supplier")
+    # persist: 'cost' feeds both the grouped-min side and the equality
+    # join-back; without it the lineitem scan+agg lineage runs twice —
+    # at 100 TB, persisting the small aggregate beats a second fact scan
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     min_cost = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("_mc"))
     return (
         cost.join(min_cost, "l_partkey")
@@ -222,6 +226,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey"
         )
     )
+    # persist: pv feeds both the threshold rows and the global-total
+    # scalar; one materialization of the per-part aggregate replaces a
+    # second full lineitem scan
     pv = (
         li.join(supp, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
@@ -230,6 +237,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
             ).alias("value_dec")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     total = pv.agg(F.sum("value_dec").cast("double").alias("_total"))
     return (
@@ -307,9 +315,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     supplier = load_table(spark, sf_dir, "supplier")
+    # persist: srev feeds both the argmax scalar and the equality
+    # filter — one quarterly-revenue aggregate, not two lineitem scans
     srev = li.groupBy("l_suppkey").agg(
         exact_sum_expr("l_extendedprice * (1 - l_discount)", "total_rev")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mx = srev.agg(F.max("total_rev").alias("_mx"))
     return (
         srev.crossJoin(F.broadcast(mx))
@@ -347,9 +357,10 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
+    # persist: pq feeds both the per-part total and the share filter
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast(_DEC)).alias("sq")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     majority = (
         pq.join(pt, "l_partkey")
