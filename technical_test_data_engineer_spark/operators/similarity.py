@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 from pyspark.sql.window import Window
 
 from technical_test_data_engineer_spark.operators.partitioning import fan_out
@@ -333,6 +333,170 @@ def lsh_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the embedding-compression path at corpus
+# scale: a 64-d float32 vector (256 B) becomes m uint8 codes (m B, 32×
+# smaller at m=8), and approximate scoring runs over codes + a per-query
+# lookup table without touching raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 10,
+    max_train_vectors: int = 4096,
+) -> np.ndarray:
+    """Train per-subspace codebooks: split dims into ``m`` contiguous
+    subspaces, run seeded Lloyd's k-means (``n_codes`` centroids) per
+    subspace on a deterministic ≤``max_train_vectors`` subsample,
+    driver-side in numpy. Codebook training is a constant-size problem
+    (the sample bounds it) regardless of corpus size — the corpus-scale
+    work is encoding/scoring, which stays distributed.
+
+    Returns codebooks of shape (m, n_codes, dim // m)."""
+    n = corpus.count()
+    sample = corpus
+    if n > max_train_vectors:
+        stride = -(-n // max_train_vectors)
+        sample = corpus.filter((F.col(id_col) % stride) == 0)
+    X = np.array([list(r[0]) for r in sample.select(vec_col).collect()])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        # seeded k-means++ -ish init: distinct random rows
+        idx = rng.choice(len(Xj), size=n_codes, replace=False)
+        C = Xj[idx].copy()
+        for _ in range(n_iter):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Vectorized encoder: per Arrow batch, one distance matrix per
+    subspace → argmin code. Returns array<int> of length m per vector."""
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _, sub = books.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance top-k: corpus is scored from its PQ codes
+    only. Per query, precompute a (m × n_codes) lookup table of partial
+    dot products query_sub · centroid; a corpus vector's approximate
+    score is the sum of m table lookups — no raw corpus vectors move.
+
+    Spark shape: codes computed scan-side (vectorized UDF); the query
+    LUTs broadcast inside a closure; scoring is one more scan-side UDF;
+    top-k via per-query window. The corpus is never shuffled.
+
+    ``rerank > k`` enables the standard two-stage refinement: take the
+    top-``rerank`` ADC shortlist, re-score JUST those candidates against
+    raw vectors (broadcast join back), return exact-ranked top-k. ADC
+    alone cannot rank within a quantization cell (cell-mates share codes
+    → tied scores); re-ranking restores fine order while still scanning
+    the full corpus only in compressed form."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    # LUT[q, j, c] = Q[q, subspace j] · centroid c of subspace j
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+
+    encode = pq_encode_udf(books)
+    coded = fan_out(corpus.select(id_col, vec_col)).select(
+        id_col, encode(F.col(vec_col)).alias("_codes")
+    )
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _scores(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])  # (n, m)
+        # gather per query: scores (n, q) = sum_j lut[q, j, C[:, j]]
+        out = np.zeros((len(C), lut.shape[0]))
+        for j in range(m):
+            out += lut[:, j, C[:, j]].T  # (n, q)
+        return pd.Series(list(out))
+
+    scored = coded.select(
+        id_col, F.posexplode(_scores(F.col("_codes"))).alias("_qi", "score")
+    )
+    qmap = F.array(*[F.lit(int(q)) for q in q_ids])
+    scored = scored.select(
+        F.element_at(qmap, F.col("_qi") + 1).alias(query_id_col),
+        id_col,
+        "score",
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(k, rerank))
+        .select(query_id_col, id_col, "rank", "score")
+    )
+    if rerank <= k:
+        return shortlist
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    refined = (
+        F.broadcast(shortlist.select(query_id_col, id_col))
+        .join(corpus.select(id_col, vec_col), id_col)
+        .join(qvecs, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            fast_dot(F.col("_qvec"), F.col(vec_col)).alias("score"),
+        )
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )

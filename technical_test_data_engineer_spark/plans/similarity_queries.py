@@ -102,3 +102,28 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")
+
+
+# rows-only (approximate): PQ reconstruction is lossy by design; recall
+# + compression invariants are asserted in tests/test_similarity.py
+@query("knn_pq_ann")
+def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization + asymmetric distance
+    (FAISS PQ/ADC): each 64-d float32 vector compresses to 8 subspace
+    codes (32× smaller), and scoring sums 8 lookup-table entries per
+    corpus row — no raw corpus vectors move after encoding. The
+    compression tier under IVF/LSH for corpora whose raw embeddings
+    don't fit the cluster's storage budget."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    books = train_pq_codebooks(emb, m=8, n_codes=64)
+    # two-stage: ADC shortlist of 25 from codes, exact re-rank to top-5
+    out = pq_adc_topk(emb, probes, books, k=TOP_K, rerank=25)
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")

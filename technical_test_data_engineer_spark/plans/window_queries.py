@@ -135,3 +135,93 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "view_event_id",
     ).orderBy("event_id")
+
+
+@query(
+    "events_campaign_attribution",
+    """
+    WITH campaigns AS (
+        SELECT CAST(w AS INTEGER) AS campaign_id,
+               TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL 1 DAY AS start_ts,
+               TIMESTAMP '2024-01-01 00:00:00' + (w + 3) * INTERVAL 1 DAY
+                   AS end_ts
+        FROM (SELECT UNNEST(GENERATE_SERIES(0, 29)) AS w)
+    )
+    SELECT campaign_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS total_value
+    FROM events JOIN campaigns
+      ON ts >= start_ts AND ts <= end_ts
+    GROUP BY campaign_id
+    ORDER BY campaign_id
+    """,
+)
+def events_campaign_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events attributed to every overlapping
+    3-day campaign window (operators/joins.range_join). The campaign dim
+    is tiny → broadcast-nested-loop with the range predicate; an event
+    matches ≤3 overlapping windows (stride 1 day). At fact×fact scale
+    the documented upgrade is bucketizing both sides to a coarse grid
+    key so the range predicate rides an equi-join."""
+    from technical_test_data_engineer_spark.operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    campaigns = spark.range(30).select(
+        F.col("id").cast("int").alias("campaign_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.col("id") * F.expr("INTERVAL 1 DAY")
+        ).alias("start_ts"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + (F.col("id") + 3) * F.expr("INTERVAL 1 DAY")
+        ).alias("end_ts"),
+    )
+    joined = range_join(events, campaigns, "ts", "start_ts", "end_ts")
+    return (
+        joined.groupBy("campaign_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("campaign_id")
+    )
+
+
+@query(
+    "customer_value_ranks",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+           ROUND(PERCENT_RANK() OVER w, 9) AS bal_pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS bal_cume_dist,
+           FIRST_VALUE(c_custkey) OVER w AS poorest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    ORDER BY c_mktsegment, bal_rank, c_custkey
+    """,
+)
+def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-rank battery per segment: rank / dense_rank /
+    percent_rank / cume_dist / first_value in ONE window spec — one
+    shuffle on the partition key, all five functions evaluated in a
+    single streaming pass over each sorted partition. Fractions rounded
+    to 9 dp (both engines compute (rank-1)/(n-1) in double)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+    ).orderBy("c_mktsegment", "bal_rank", "c_custkey")

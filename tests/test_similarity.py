@@ -102,3 +102,85 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     full = ivf_topk(emb, probes, n_centroids=16, n_probe=16, k=5)
     af = {(r.query_id, r.vec_id) for r in full.collect()}
     assert af == e, "probing every cell must equal brute force"
+
+
+def test_pq_recall_and_score_quality(spark, sf_dir):
+    from technical_test_data_engineer_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    # uniform-random 64-d unit vectors are PQ's worst case (no subspace
+    # structure to exploit): measured 0.38 recall@10 at 8 subspaces × 64
+    # codes vs 0.02 chance. The ≥0.9 bar lives on clustered data below.
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, probes, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    books = train_pq_codebooks(emb, m=8, n_codes=64)
+    approx = pq_adc_topk(emb, probes, books, k=10)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.25, f"PQ/ADC recall collapsed: {recall}"
+    # determinism: same seed → same codebooks → identical result set
+    books2 = train_pq_codebooks(emb, m=8, n_codes=64)
+    a2 = {(r.query_id, r.vec_id) for r in pq_adc_topk(emb, probes, books2, k=10).collect()}
+    assert a == a2
+
+
+def test_pq_recall_on_clustered_data(spark):
+    import random as _random
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    rng = _random.Random(11)
+    rows = []
+    for c in range(16):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for p in range(25):
+            rows.append((c * 25 + p, [x + rng.gauss(0, 0.05) for x in center]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = corpus.filter(F.col("vec_id") % 25 == 0).limit(5)
+    e = {(r.query_id, r.vec_id) for r in brute_force_topk(corpus, probes, k=5).collect()}
+    books = train_pq_codebooks(corpus, m=4, n_codes=32)
+    # ADC alone cannot rank within a cluster (cell-mates share codes →
+    # tied scores), so bare-ADC recall is ~0.28 here; the standard
+    # two-stage pattern — ADC shortlist, exact re-rank — restores it
+    a = {
+        (r.query_id, r.vec_id)
+        for r in pq_adc_topk(corpus, probes, books, k=5, rerank=50).collect()
+    }
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"PQ+rerank recall too low on clustered data: {recall}"
+
+
+def test_pq_encoding_reconstruction_improves_with_codes(spark, sf_dir):
+    # more centroids per subspace → lower quantization error (monotone
+    # improvement is the basic sanity invariant of a trained quantizer)
+    import numpy as np
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    X = np.array([list(r[0]) for r in emb.select("embedding").collect()])
+
+    def mse(n_codes):
+        books = train_pq_codebooks(emb, m=8, n_codes=n_codes)
+        enc = pq_encode_udf(books)
+        codes = np.array(
+            [list(r[0]) for r in emb.select(enc(F.col("embedding"))).collect()]
+        )
+        sub = X.shape[1] // 8
+        rec = np.concatenate(
+            [books[j][codes[:, j]] for j in range(8)], axis=1
+        )
+        assert rec.shape == X.shape
+        return float(((X - rec) ** 2).mean())
+
+    assert mse(32) < mse(4)
