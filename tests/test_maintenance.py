@@ -1,0 +1,81 @@
+"""Maintenance operators: merge/upsert semantics, snapshot diff
+classification, compaction file counts — all through the atomic
+publisher so each rewrite is crash-safe."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.sources.atomic import (
+    current_version,
+    publish_tables,
+    read_published,
+)
+from technical_test_data_engineer_spark.sources.maintenance import (
+    compact_table,
+    merge_upsert,
+    publish_upsert,
+    snapshot_diff,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_merge_upsert_semantics(spark):
+    base = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    updates = _df(spark, [(2, "B2"), (4, "d")])
+    got = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_snapshot_diff_classification(spark):
+    old = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _df(spark, [(2, "B2"), (3, "c"), (4, "d")])
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    # row 3 unchanged → absent
+    assert got == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_publish_upsert_roundtrip_and_carry_forward(spark, tmp_path):
+    root = str(tmp_path / "store")
+    publish_tables(
+        root,
+        {
+            "facts": _df(spark, [(1, "a"), (2, "b")]),
+            "dims": _df(spark, [(10, "x")]),
+        },
+    )
+    v = publish_upsert(
+        spark, root, "facts", _df(spark, [(2, "B2"), (3, "c")]), ["k"]
+    )
+    assert current_version(root) == v == 2
+    facts = {r.k: r.v for r in read_published(spark, root, "facts").collect()}
+    assert facts == {1: "a", 2: "B2", 3: "c"}
+    # untouched table carried into the new snapshot
+    dims = {r.k: r.v for r in read_published(spark, root, "dims").collect()}
+    assert dims == {10: "x"}
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    root = str(tmp_path / "store")
+    many = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    ).repartition(16)
+    publish_tables(root, {"facts": many})
+    v1_files = [
+        f
+        for f in os.listdir(os.path.join(root, "_v1", "facts"))
+        if f.endswith(".parquet")
+    ]
+    assert len(v1_files) == 16
+    v = compact_table(spark, root, "facts", target_files=2)
+    vdir = os.path.join(root, f"_v{v}", "facts")
+    files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    assert len(files) == 2
+    # contents identical
+    got = read_published(spark, root, "facts").count()
+    assert got == 1000
