@@ -51,3 +51,42 @@ def test_flagship_scans_fact_once(spark, sf_dir):
 def test_knn_bruteforce_broadcasts_queries_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q8_dimension_chain_broadcasts(spark, sf_dir):
+    # 7-table join: both dimension chains (customer-side and supplier-
+    # side nation lookups) must resolve as broadcasts; only
+    # orders ⋈ lineitem may shuffle
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q9_part_filter_pushdown(spark, sf_dir):
+    # the LIKE '%red%' prefix filter must reach the part scan as a
+    # pushed StringContains, not a post-scan Filter only
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("StringContains(p_name,red)" in p for p in pushed), pushed
+
+
+def test_q21_reuses_base_relation_shape(spark, sf_dir):
+    # the double-correlated EXISTS/NOT EXISTS must stay semi+anti joins
+    # (no cartesian fallback)
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_campaign_range_join_broadcasts_dim(spark, sf_dir):
+    # range join: tiny campaign dim broadcast-nested-loop against the
+    # events fact — the fact side must never shuffle
+    plan = _plan(spark, sf_dir, "events_campaign_attribution")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_repetition_stats_single_explode(spark, sf_dir):
+    # one corpus scan, one generate (explode), two aggregates — a second
+    # explode would double the heaviest stage
+    plan = _plan(spark, sf_dir, "doc_repetition_stats")
+    assert len(re.findall(r"documents\.parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
