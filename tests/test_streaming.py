@@ -193,3 +193,37 @@ def test_stream_static_join_enrichment(spark, events_dir, events_batch, sf_dir):
     assert got.count() == events_batch.count()
     bad = got.filter(F.col("user_tag") != F.concat(F.lit("u-"), F.col("user_id")))
     assert bad.count() == 0
+
+
+def test_stream_curation_filter_equals_batch(spark, sf_dir, tmp_path):
+    """The corpus-curation operators are stateless column expressions,
+    so the SAME code curates a stream: documents streamed file-by-file
+    through the gopher quality gate + hash-sample must equal the batch
+    run over the same directory. (Streaming '100 TB arriving daily' is
+    the real deployment shape for corpus filters.)"""
+    from technical_test_data_engineer_spark.operators import text as TX
+
+    docs_dir = str(tmp_path / "docs_stream")
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(docs_dir)
+    batch = spark.read.parquet(docs_dir)
+
+    def curate(df):
+        toks = TX.tokens("text")
+        n_tok = F.size(toks)
+        avg_len = F.length("text").cast("double") / n_tok
+        dr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+        bucket = (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 10
+        )
+        return (
+            df.filter((n_tok >= 20) & (avg_len >= 5.0) & (dr >= 0.35))
+            .filter(bucket == 0)
+            .select("doc_id")
+        )
+
+    stream = spark.readStream.schema(batch.schema).parquet(docs_dir)
+    q = memory_sink(curate(stream), "curated_stream", output_mode="append")
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.table("curated_stream").collect())
+    want = sorted(r.doc_id for r in curate(batch).collect())
+    assert got == want and len(want) > 0
