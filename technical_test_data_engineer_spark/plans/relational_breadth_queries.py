@@ -520,3 +520,43 @@ def orders_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "salted_segment_revenue",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_decsum('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join with an oracle parity check: the engine
+    side routes orders⋈customer through operators/partitioning.
+    salted_join (hot fact keys spread across 8 salts, dim rows
+    replicated per salt), and the result must hash-match the plain
+    SQL join — salting is a physical rewrite, never a semantic one.
+    Use when a hot key is too large for one task AND the small side is
+    too big to broadcast; AQE skew-split handles the moderate cases."""
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        salted_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, on="k", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
