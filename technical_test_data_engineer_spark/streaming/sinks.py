@@ -54,3 +54,41 @@ def memory_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_sink(
+    sdf: DataFrame,
+    root: str,
+    name: str,
+    key_cols: list[str],
+    checkpoint: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """CDC-apply sink: each micro-batch of keyed updates MERGEs into the
+    atomically-published table (sources/maintenance.publish_upsert) —
+    last write per key wins, inserts appear, untouched rows persist,
+    and a crash mid-batch leaves readers on the previous complete
+    snapshot (the publish is a pointer flip).
+
+    The batch is deduped to one row per key first (latest by the whole
+    row's order within the batch is NOT defined on a stream — callers
+    needing in-batch ordering must carry an event-time column and
+    pre-aggregate). This is the plain-parquet shape of what Delta's
+    ``foreachBatch`` MERGE recipes do."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        publish_upsert,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            updates = batch_df.dropDuplicates(key_cols)
+            publish_upsert(batch_df.sparkSession, root, name, updates, key_cols)
+
+    writer = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_apply)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
