@@ -560,3 +560,86 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "sales_cube",
+    """
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    ORDER BY segment, priority
+    """,
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations in ONE pass (vs 4 separate
+    aggregations) — Spark expands the grouping sets map-side, so the
+    fact is scanned once. Null grouping markers coalesced to 'ALL' so
+    the oracle comparison is label-stable."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+@query(
+    "rolling_7day_revenue",
+    f"""
+    SELECT day, daily_rev,
+           CAST(SUM(CAST(daily_rev AS DECIMAL(30,10))) OVER (
+               ORDER BY day
+               RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_decsum('o_totalprice')} AS daily_rev
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        GROUP BY 1
+    )
+    ORDER BY day
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: trailing 7-day revenue where the frame is
+    bound by VALUE distance (6 days preceding), not row count — days
+    missing from the data simply don't contribute, which a ROWS frame
+    gets wrong. Pre-aggregating to days first keeps the window input
+    small (one row per day, not per order)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice", "daily_rev"))
+    # rangeBetween needs an orderable numeric: days-since-epoch
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "daily_rev",
+        F.sum(F.col("daily_rev").cast("decimal(30,10)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
+    ).orderBy("day")

@@ -175,3 +175,33 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert merged.count() == 2 * v1.count()
     nulls = merged.filter(F.col("r_comment").isNull()).count()
     assert nulls == v1.count()
+
+
+def test_csv_malformed_rows_permissive_and_drop(spark, tmp_path):
+    """Dirty-ingest error surface: PERMISSIVE mode lands unparseable
+    rows in a corrupt-record column (nothing silently lost — the audit
+    requirement), DROPMALFORMED drops them (the curated-output path).
+    The reference would crash or coerce silently in pd.read_csv."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,amount\n1,10.5\n2,not_a_number\n3,30.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = read_csv(
+        spark, str(p), schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = {r.id: r for r in permissive.collect()}
+    assert rows[1].amount == 10.5 and rows[1]._corrupt_record is None
+    corrupt = [r for r in rows.values() if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and "not_a_number" in corrupt[0]._corrupt_record
+
+    clean_schema = T.StructType(schema.fields[:2])
+    dropped = read_csv(spark, str(p), schema=clean_schema, mode="DROPMALFORMED")
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
