@@ -225,3 +225,113 @@ def customer_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
         F.first("c_custkey").over(w).alias("poorest_custkey"),
     ).orderBy("c_mktsegment", "bal_rank", "c_custkey")
+
+
+@query(
+    "events_gapfilled_hourly",
+    """
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+                   AS avg_value
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1
+    ),
+    spine AS (
+        SELECT UNNEST(GENERATE_SERIES(
+            (SELECT MIN(hour) FROM hourly),
+            (SELECT MAX(hour) FROM hourly),
+            INTERVAL 1 HOUR)) AS hour
+    ),
+    joined AS (
+        SELECT s.hour, h.n_events, h.avg_value,
+               LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_v,
+               FIRST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_v,
+               LAST_VALUE(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                          IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_h,
+               FIRST_VALUE(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                           IGNORE NULLS) OVER (
+                   ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_h
+        FROM spine s LEFT JOIN hourly h USING (hour)
+    )
+    SELECT hour,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           ROUND(CASE
+               WHEN avg_value IS NOT NULL THEN avg_value
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * (CAST(DATE_DIFF('hour', prev_h, hour) AS DOUBLE)
+                       / CAST(DATE_DIFF('hour', prev_h, next_h) AS DOUBLE))
+           END, 9) AS avg_value_filled
+    FROM joined
+    ORDER BY hour
+    """,
+)
+def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: hourly 'error' series on a full
+    hour spine; missing hours get count 0 and a LINEARLY INTERPOLATED
+    value between the nearest observed neighbors (boundary gaps take
+    the nearest value). The last/first IGNORE-NULLS window pair is the
+    standard forward/backward-fill primitive; interpolation weights by
+    hour distance. Single global window here (one series, 721 rows) —
+    partition by series key for the many-series case. Rounded to 9 dp:
+    the interpolation is pure double arithmetic, structured identically
+    in the oracle."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count("*")
+        ).alias("avg_value"),
+    )
+    lo, hi = hourly.agg(F.min("hour"), F.max("hour")).collect()[0]
+    spine = spark.sql(
+        "SELECT explode(sequence(timestamp'{}', timestamp'{}', "
+        "interval 1 hour)) AS hour".format(lo, hi)
+    )
+    joined = spine.join(hourly, "hour", "left")
+    w_prev = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_next = Window.orderBy("hour").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_hour = F.when(F.col("avg_value").isNotNull(), F.col("hour"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_next)
+    prev_h = F.last(obs_hour, ignorenulls=True).over(w_prev)
+    next_h = F.first(obs_hour, ignorenulls=True).over(w_next)
+    hours_between = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("double")
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (hours_between(prev_h, F.col("hour")) / hours_between(prev_h, next_h))
+        )
+    )
+    return joined.select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(interp, 9).alias("avg_value_filled"),
+    ).orderBy("hour")
