@@ -335,3 +335,100 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.round(interp, 9).alias("avg_value_filled"),
     ).orderBy("hour")
+
+
+@query(
+    "user_conversion_funnel",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        COUNT(*) AS n_users,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS viewed,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                 THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM firsts
+    """,
+)
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: per user, FIRST occurrence of each
+    step (conditional MIN — one pass, no per-step scan), then strict
+    event-time ordering view < click < purchase. The standard product-
+    analytics shape: one shuffle on user_id, funnel logic entirely in
+    the aggregate row."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = events.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        as_cnt(viewed).alias("viewed"),
+        as_cnt(clicked).alias("clicked_after_view"),
+        as_cnt(purchased).alias("purchased_after_click"),
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    """
+    WITH user_weeks AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(DATE_DIFF('week', c.cohort_week, w.week) AS INTEGER)
+               AS weeks_since,
+           COUNT(*) AS n_active
+    FROM cohorts c JOIN user_weeks w USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: users grouped by first-active week,
+    counted in each later week they return. Two aggregations over one
+    distinct (user, week) relation — the cohort join is on user_id and
+    reuses the dedup shuffle's partitioning. The denominator for rate
+    curves is the weeks_since=0 row of each cohort."""
+    events = load_table(spark, sf_dir, "events")
+    user_weeks = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
