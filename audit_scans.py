@@ -31,7 +31,11 @@ Expected multi-scans (all reviewed):
   remaining double-scan in their EXPLAIN output is the unresolved
   InMemoryRelation definition printed per reference — the materialized
   run scans lineitem once (verified via InMemoryTableScan in the
-  post-materialization plan)
+  post-materialization plan); weekly_retention_cohorts persists its
+  distinct (user, week) relation for the same reason
+- knn_pq_ann: embeddings ×3 by design — bounded training-sample
+  collect, the code-encoding scan, and the re-rank raw-vector
+  re-attach for the tiny shortlist (reviewed)
 
 Usage: python audit_scans.py [sf_dir]
 """

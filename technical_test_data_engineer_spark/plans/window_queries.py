@@ -414,10 +414,17 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (user, week) relation — the cohort join is on user_id and
     reuses the dedup shuffle's partitioning. The denominator for rate
     curves is the weeks_since=0 row of each cohort."""
+    from pyspark import StorageLevel
+
     events = load_table(spark, sf_dir, "events")
-    user_weeks = events.select(
-        "user_id", F.date_trunc("week", "ts").alias("week")
-    ).distinct()
+    # persist: the distinct (user, week) relation feeds both the cohort
+    # aggregate and the join side — without it the events scan + dedup
+    # shuffle run twice
+    user_weeks = (
+        events.select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cohorts = user_weeks.groupBy("user_id").agg(
         F.min("week").alias("cohort_week")
     )
