@@ -38,7 +38,6 @@ _FRONT_50 = [
     "prep_orders_pipeline",
     "orders_active_on_day",
     "priority_status_legend",
-    "nation_region_join",
     "customers_per_nation_left",
     "events_json_extract",
     # TPC-H shapes (multi-join, correlated, disjunctive, top-N)
@@ -52,6 +51,8 @@ _FRONT_50 = [
     "q18_large_orders",
     "q19_disjunctive_predicates",
     "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     # windows + as-of
     "top_order_per_customer",
     "running_customer_spend",
@@ -69,7 +70,6 @@ _FRONT_50 = [
     # event-time rollups (stream-equivalent batch twins)
     "events_hourly_rollup",
     "events_tumbling_30m",
-    "events_sliding_1h_15m",
     "events_user_sessions",
     # text analysis
     "doc_token_stats",
@@ -77,16 +77,16 @@ _FRONT_50 = [
     "doc_language_id",
     "tfidf_top_terms",
     "doc_token_chunks",
-    "doc_greedy_packing",
     "doc_unigram_logprob",
     "doc_train_val_split",
-    "doc_bpe_token_counts",
+    "doc_repetition_stats",
     # dedup / curation / similarity
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
     "embedding_near_dup_exact",
     "curation_pipeline",
     "dedup_clusters",
+    "dedup_clusters_exact",
     "knn_bruteforce",
     # multimodal
     "media_decode_meta",
