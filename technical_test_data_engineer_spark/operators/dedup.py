@@ -113,7 +113,7 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
-def minhash_near_dup_pairs(
+def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -122,13 +122,23 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    persist: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold).
+    """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold) —
+    THE shared MinHash+LSH candidate pipeline: the near-dup listing, the
+    decontamination audit, and the dedup-cluster edge set all consume
+    this one function (round-2 verdict item 7).
 
     Plan: shingle → signature (scan-side) → explode bands → self equi-
     join on (band, band_hash) → distinct candidate pairs → exact Jaccard
     verify on the shingle arrays → threshold filter. The only shuffles
     are the band join and the distinct — both on uniform hash keys.
+
+    ``persist=True`` caches the verified pair set so a session feeding
+    MULTIPLE consumers (audit + clustering over the same corpus) runs
+    shingling/banding/verification once; the default recomputes, which
+    is what per-query bench isolation and one-shot callers want. The
+    caller owns the unpersist.
     """
     rows_per_band = num_hashes // bands
     # fan_out: shingling + signatures are the expensive per-row stage —
@@ -160,12 +170,31 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     shingles = base.select(id_col, "_sh")
-    return (
+    out = (
         cands.join(shingles.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
         .join(shingles.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
         .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    if persist:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Back-compat name for :func:`minhash_candidates` (pre-round-3)."""
+    return minhash_candidates(
+        df, id_col, text_col, shingle_n, num_hashes, bands, threshold, seed
     )
 
 

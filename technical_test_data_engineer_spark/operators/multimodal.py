@@ -74,23 +74,48 @@ def _parse_header(blob: bytes) -> tuple[str, int, int, int, int]:
     return fmt, width, height, n_frames, len(blob)
 
 
-def decode_image_real(blob: bytes):
-    """The seam for a real codec (Pillow/torchvision/ffmpeg)."""
-    raise NotImplementedError(
-        "real image decoding requires an image library not present in "
-        "this environment; use decode_media_meta (stub header decode)"
-    )
+def decode_image_real(blob: bytes) -> tuple[str, int, int, int, int]:
+    """Real image decode — the seam for an actual codec. Uses Pillow
+    when importable (optional extra; not shipped in this container) and
+    returns the same tuple shape as :func:`_parse_header`, so it plugs
+    straight into ``decode_media_meta(df, parse=decode_image_real)``.
+    Without Pillow it raises NotImplementedError — callers fall back to
+    the stub header decode."""
+    try:
+        from PIL import Image  # optional extra, import-gated
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decoding requires Pillow, which is not installed "
+            "in this environment; use decode_media_meta (stub header "
+            "decode)"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(blob)) as im:
+        n_frames = int(getattr(im, "n_frames", 1))
+        return (
+            (im.format or "unknown").lower(),
+            int(im.width),
+            int(im.height),
+            n_frames,
+            len(blob),
+        )
 
 
 def decode_media_meta(
-    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    parse=_parse_header,
 ) -> DataFrame:
     """Extract a typed metadata struct from each media blob via
     mapInPandas (Arrow-batched; one batch of blobs in memory per task).
 
     Output: (id_col, meta struct, plus passthrough of media bytes
     count) — the schema/partitioning pattern any real decoder plugs
-    into.
+    into: ``parse`` is any ``bytes -> (format, width, height, n_frames,
+    n_bytes)`` callable (default: the stub header decode;
+    ``decode_image_real`` when Pillow is installed).
     """
     out_schema = T.StructType(
         [
@@ -107,7 +132,7 @@ def decode_media_meta(
                 else dict(
                     zip(
                         ("format", "width", "height", "n_frames", "n_bytes"),
-                        _parse_header(bytes(blob)),
+                        parse(bytes(blob)),
                     )
                 )
                 for blob in pdf[media_col]

@@ -23,12 +23,72 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 from technical_test_data_engineer_spark.operators.partitioning import fan_out
 
 _DEC = "decimal(38,30)"
+
+
+def local_topk(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-partition pre-top-k: keep only each partition's k best rows
+    per query (score desc, id asc) BEFORE the global per-query ranking
+    window.
+
+    Why: ``Window.partitionBy(query_id)`` shuffles every scored
+    candidate row into ``n_queries`` partitions — with a full-corpus
+    scorer (brute force, PQ/ADC) that is corpus × queries rows landing
+    on ``n_queries`` tasks, the one shape that cannot survive a 100×
+    corpus. After this operator the window's shuffle input is bounded by
+    k × n_partitions rows per query regardless of corpus size.
+
+    Exactness: the global top-k under the total order (score desc,
+    id asc) is a subset of the union of per-partition top-k under the
+    SAME total order, so the downstream window still produces exactly
+    the answer it produced without this step. Scores pass through
+    untouched (Arrow double round-trip is lossless), so decimal-exact
+    oracle hashes are preserved. Implemented as ``mapInPandas`` with a
+    running top-k merge per batch — bounded memory (k × n_queries rows
+    kept per partition), no JVM shuffle.
+
+    Spark ≥3.5 inserts a partial ``WindowGroupLimit`` under a
+    row_number-filter window, which also bounds the shuffle — but only
+    after a FULL per-partition sort of every scored row. This operator
+    replaces that sort of corpus × queries rows with an O(batch log
+    batch) running merge, and guarantees the bound even where the
+    group-limit rewrite doesn't fire.
+    """
+    schema = scored.schema
+    cols = [f.name for f in schema.fields]
+
+    def _part(batches):
+        best = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                [score_col, id_col], ascending=[False, True], kind="mergesort"
+            )
+            best = cur.groupby(query_id_col, sort=False).head(k)
+        if best is not None and len(best):
+            yield best[cols]
+
+    return scored.mapInPandas(_part, schema)
 
 
 def exact_dot(a: Column, b: Column) -> Column:
@@ -99,9 +159,10 @@ def brute_force_topk(
         else cosine(F.col("_qvec"), F.col(vec_col))
     )
     scored = paired.select(query_id_col, id_col, score.alias("score"))
+    pruned = local_topk(scored, k, query_id_col, id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
@@ -162,8 +223,10 @@ def train_ivf_centroids(
     when the corpus grows — the round-1 lowest-id stub degenerates at
     scale (arbitrary early vectors make skewed cells).
 
-    Training runs on a DETERMINISTIC subsample of ≤ ``max_train_vectors``
-    (modulo filter on the id — stable across runs and partitionings):
+    Training runs on a DETERMINISTIC subsample of ≤ ~``max_train_vectors``
+    (filter on ``xxhash64(id) % stride`` — stable across runs and
+    partitionings, and free of density assumptions about the id space:
+    a plain ``id % stride`` keeps ~0 rows when ids are sparse/offset):
     a coarse quantizer needs only enough points to place K centroids,
     and this is the standard FAISS practice; training on the full corpus
     would make quantizer fitting the dominant cost (it was 90% of the
@@ -176,11 +239,7 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = corpus.count()
-    sample = corpus
-    if n > max_train_vectors:
-        stride = -(-n // max_train_vectors)  # ceil → ≤ max_train_vectors kept
-        sample = corpus.filter((F.col(id_col) % stride) == 0)
+    sample = _train_sample(corpus, id_col, max_train_vectors, n_centroids)
     feats = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -188,6 +247,31 @@ def train_ivf_centroids(
         k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
     ).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _train_sample(
+    corpus: DataFrame, id_col: str, max_train_vectors: int, min_rows: int
+) -> DataFrame:
+    """Deterministic ≤ ~``max_train_vectors`` training subsample via
+    ``xxhash64(id) % stride`` (hash, not raw id, so sparse/offset id
+    spaces still sample at the intended rate). Raises a clear error if
+    the sample ends up smaller than ``min_rows`` — the k-means fits
+    downstream fail cryptically otherwise."""
+    n = corpus.count()
+    sample = corpus
+    if n > max_train_vectors:
+        stride = -(-n // max_train_vectors)  # ceil → ~max_train_vectors kept
+        sample = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+    kept = sample.count() if n > max_train_vectors else n
+    if kept < min_rows:
+        raise ValueError(
+            f"training sample has {kept} rows < required {min_rows} "
+            f"(corpus rows={n}, max_train_vectors={max_train_vectors}); "
+            "raise max_train_vectors or shrink k"
+        )
+    return sample
 
 
 def ivf_topk(
@@ -199,6 +283,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    metric: str = "fast",
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into Voronoi cells of a
     coarse quantizer; each query scores only the ``n_probe`` nearest
@@ -209,6 +294,10 @@ def ivf_topk(
     - per-cell scoring is a broadcast hash join + fast_dot, so the
       corpus is scanned once and never shuffled;
     - top-k via per-query window on the scored candidates.
+
+    ``metric="exact"`` scores with the decimal-exact dot instead of
+    ``fast_dot`` — use for oracle-paired variants (probe-all ≡ brute
+    force bit-for-bit).
     """
     cents = train_ivf_centroids(corpus, n_centroids, id_col, vec_col)
     c_assign = ivf_assignment_udf(cents, n_probe=1)
@@ -224,18 +313,20 @@ def ivf_topk(
             F.explode(q_assign(F.col(vec_col))).alias("_cell"),
         )
     )
+    dot = exact_dot if metric == "exact" else fast_dot
     scored = (
         corpus_cells.join(query_cells, "_cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            fast_dot(F.col("_qvec"), F.col(vec_col)).alias("score"),
+            dot(F.col("_qvec"), F.col(vec_col)).alias("score"),
         )
     )
+    pruned = local_topk(scored, k, query_id_col, id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
@@ -280,9 +371,11 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    metric: str = "fast",
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an SRP bucket
-    with the query in ≥1 hash table.
+    with the query in ≥1 hash table. ``metric="exact"`` swaps the
+    candidate re-score to the decimal-exact dot for oracle-paired use.
 
     ``planes_tables`` is ``n_tables`` lists of hyperplanes. All tables'
     signatures are computed in ONE corpus scan and exploded to
@@ -325,14 +418,17 @@ def lsh_topk(
         .select(
             query_id_col,
             id_col,
-            # fast_dot: ANN output is rows-only checked; ranking only
-            # needs within-run determinism, not bit-exact oracle match.
-            fast_dot(F.col("_qvec"), F.col(vec_col)).alias("score"),
+            # fast_dot default: rows-only ranking needs within-run
+            # determinism only; "exact" buys bit-exact oracle match.
+            (exact_dot if metric == "exact" else fast_dot)(
+                F.col("_qvec"), F.col(vec_col)
+            ).alias("score"),
         )
     )
+    pruned = local_topk(scored, k, query_id_col, id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
@@ -364,11 +460,7 @@ def train_pq_codebooks(
     work is encoding/scoring, which stays distributed.
 
     Returns codebooks of shape (m, n_codes, dim // m)."""
-    n = corpus.count()
-    sample = corpus
-    if n > max_train_vectors:
-        stride = -(-n // max_train_vectors)
-        sample = corpus.filter((F.col(id_col) % stride) == 0)
+    sample = _train_sample(corpus, id_col, max_train_vectors, n_codes)
     X = np.array([list(r[0]) for r in sample.select(vec_col).collect()])
     dim = X.shape[1]
     if dim % m:
@@ -437,45 +529,71 @@ def pq_adc_topk(
     raw vectors (broadcast join back), return exact-ranked top-k. ADC
     alone cannot rank within a quantization cell (cell-mates share codes
     → tied scores); re-ranking restores fine order while still scanning
-    the full corpus only in compressed form."""
+    the full corpus only in compressed form.
+
+    Scoring + per-partition top-``max(k, rerank)`` are FUSED in one
+    ``mapInPandas`` over the codes scan: the (rows × queries) score
+    matrix lives only inside each Arrow batch and each partition emits
+    at most max(k, rerank) × n_queries light rows — nothing
+    corpus-sized is ever materialized JVM-side or shuffled, so the
+    final per-query ranking window is skew-free at any corpus size.
+    Query ids keep their native type end-to-end (emitted from pandas,
+    schema taken from the query frame). Note: corpus rows whose id
+    EQUALS the query id are excluded (self-match) — this assumes corpus
+    and queries share one id space, as in the other top-k paths."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, n_codes, sub = books.shape
 
     q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
+    q_ids = pd.Series([r[0] for r in q_rows])
     Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # LUT[q, j, c] = Q[q, subspace j] · centroid c of subspace j
     lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), books)
+    n_q = len(q_ids)
+    n_keep = max(k, rerank)
 
     encode = pq_encode_udf(books)
     coded = fan_out(corpus.select(id_col, vec_col)).select(
         id_col, encode(F.col(vec_col)).alias("_codes")
     )
-
-    @pandas_udf(ArrayType(DoubleType()))
-    def _scores(codes: pd.Series) -> pd.Series:
-        if len(codes) == 0:
-            return pd.Series([], dtype=object)
-        C = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])  # (n, m)
-        # gather per query: scores (n, q) = sum_j lut[q, j, C[:, j]]
-        out = np.zeros((len(C), lut.shape[0]))
-        for j in range(m):
-            out += lut[:, j, C[:, j]].T  # (n, q)
-        return pd.Series(list(out))
-
-    scored = coded.select(
-        id_col, F.posexplode(_scores(F.col("_codes"))).alias("_qi", "score")
+    out_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[id_col].dataType),
+            StructField(id_col, corpus.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
     )
-    qmap = F.array(*[F.lit(int(q)) for q in q_ids])
-    scored = scored.select(
-        F.element_at(qmap, F.col("_qi") + 1).alias(query_id_col),
-        id_col,
-        "score",
-    ).filter(F.col(id_col) != F.col(query_id_col))
+
+    def _adc_local_topk(batches):
+        best = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["_codes"]])
+            sc = np.zeros((len(C), n_q))
+            for j in range(m):
+                sc += lut[:, j, C[:, j]].T  # (n, q)
+            cand = pd.DataFrame(
+                {
+                    query_id_col: q_ids.repeat(len(pdf)).reset_index(drop=True),
+                    id_col: pd.concat([pdf[id_col]] * n_q, ignore_index=True),
+                    "score": sc.T.ravel(),
+                }
+            )
+            cand = cand[cand[query_id_col] != cand[id_col]]
+            cur = cand if best is None else pd.concat([best, cand], ignore_index=True)
+            cur = cur.sort_values(
+                ["score", id_col], ascending=[False, True], kind="mergesort"
+            )
+            best = cur.groupby(query_id_col, sort=False).head(n_keep)
+        if best is not None and len(best):
+            yield best[[query_id_col, id_col, "score"]]
+
+    pruned = coded.mapInPandas(_adc_local_topk, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= max(k, rerank))
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_keep)
         .select(query_id_col, id_col, "rank", "score")
     )
     if rerank <= k:

@@ -40,47 +40,54 @@ _FRONT_50 = [
     "priority_status_legend",
     "customers_per_nation_left",
     "events_json_extract",
-    # TPC-H shapes (multi-join, correlated, disjunctive, top-N)
+    # TPC-H shapes (multi-join, correlated, disjunctive, top-N).
+    # Round-3 rotation: q8/q9/q11/q13/q15/q20 had never been driver-
+    # checked; q6/q7/q10/q17/q22/q2 rotate out — each operator keeps an
+    # in-window twin (q1 agg battery, q5/q8/q9 join chains, q3/q18
+    # top-N, q11/q20 scalar+agg subqueries, customers_without_orders
+    # anti-join, q21 semi+anti).
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
     "q18_large_orders",
     "q19_disjunctive_predicates",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
+    "q20_volume_suppliers",
     "q21_waiting_suppliers",
-    # windows + as-of
+    # windows + as-of (rank battery, RANGE frame, lag, top-1-per-group)
     "top_order_per_customer",
-    "running_customer_spend",
     "order_gap_days",
+    "customer_value_ranks",
+    "rolling_7day_revenue",
     "asof_click_attribution",
-    # filters/aggregates with unique operator proofs
+    # filters/aggregates with unique operator proofs (semi-join's twin
+    # proof lives in q21's LeftSemi / q20's semi finish)
     "part_slug_filter",
-    "global_minmax_orders",
-    "distinct_mktsegments",
     "customers_without_orders",
-    "suppliers_with_shipments",
     "sales_grouping_sets",
+    "sales_cube",
     "nation_orderstatus_pivot",
-    "shipmode_priority_matrix",
-    # event-time rollups (stream-equivalent batch twins)
-    "events_hourly_rollup",
+    # event-time analytics (tumbling/session/range-join/gap-fill/funnel)
     "events_tumbling_30m",
     "events_user_sessions",
+    "events_campaign_attribution",
+    "events_gapfilled_by_type",
+    "user_conversion_funnel",
+    "weekly_retention_cohorts",
     # text analysis
     "doc_token_stats",
     "doc_quality_scores",
     "doc_language_id",
     "tfidf_top_terms",
-    "doc_token_chunks",
     "doc_unigram_logprob",
-    "doc_train_val_split",
     "doc_repetition_stats",
-    # dedup / curation / similarity
+    # dedup / curation / similarity — incl. the round-3 driver-checkable
+    # ANN companions (exact-scored LSH with a generated bucketing oracle;
+    # probe-all IVF ≡ brute force)
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
     "embedding_near_dup_exact",
@@ -88,9 +95,10 @@ _FRONT_50 = [
     "dedup_clusters",
     "dedup_clusters_exact",
     "knn_bruteforce",
+    "knn_lsh_exact",
+    "knn_ivf_exact_probeall",
     # multimodal
     "media_decode_meta",
-    "media_frame_sample_stats",
 ]
 
 

@@ -14,15 +14,29 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import DataFrame as _DF
+
 from technical_test_data_engineer_spark.operators.dedup import (
     embedding_near_dup_pairs,
     jaccard,
-    minhash_near_dup_pairs,
+    minhash_candidates,
     simhash_near_dup_pairs,
     word_shingles,
 )
 from technical_test_data_engineer_spark.plans.star_queries import query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+def shared_minhash_pairs(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> _DF:
+    """The ONE MinHash+LSH pair pipeline behind minhash_near_dups,
+    split_contamination_audit, and dedup_clusters. Queries call it with
+    the default persist=False (per-query bench isolation recomputes); a
+    session running several consumers over the same corpus passes
+    persist=True so shingle/band/verify run once (caller unpersists)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs, threshold=0.5, persist=persist)
 
 
 @query(
@@ -95,8 +109,7 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs over the full documents
     table, exact-Jaccard-verified at ≥ 0.5. Deterministic (seed 42)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return shared_minhash_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 @query("simhash_near_dups")
@@ -246,7 +259,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = minhash_near_dup_pairs(docs, threshold=0.5).select(
+    edges = shared_minhash_pairs(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(
@@ -331,7 +344,7 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = docs.select(
         "doc_id", F.when(bucket < 90, "train").otherwise("val").alias("split")
     )
-    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    pairs = shared_minhash_pairs(spark, sf_dir)
     out = (
         pairs.join(
             split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),

@@ -22,10 +22,10 @@ from technical_test_data_engineer_spark.sources.parquet_source import load_table
 N_QUERIES = 5
 TOP_K = 5
 
-
-@query(
-    "knn_bruteforce",
-    f"""
+# exact top-k oracle, shared by knn_bruteforce and the probe-all IVF
+# companion (probing every cell scores every corpus vector exactly once,
+# so with decimal-exact scoring the two are bit-identical by construction)
+_EXACT_TOPK_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qvec
         FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -50,8 +50,78 @@ TOP_K = 5
     )
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+def _seeded_planes(n_tables: int = 8, n_planes: int = 3, dim: int = 64):
+    """The seeded SRP hyperplanes shared by the Spark LSH queries and
+    the generated DuckDB oracle — one definition, two consumers."""
+    rng = random.Random(42)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _lsh_exact_oracle(planes_tables) -> str:
+    """Generate DuckDB SQL that reproduces the FULL LSH pipeline —
+    seeded hyperplane sign-buckets (list_dot_product against literal
+    planes, same ``>= 0`` convention as srp_signatures_batch), candidate
+    join per hash table, distinct pairs, decimal-exact re-score, top-k.
+    Plane literals are repr'd doubles (shortest round-trip), so both
+    engines hash the same buckets; sign flips would need a dot within
+    float summation error of 0 (~1e-14 odds per pair, negligible)."""
+    per_table = []
+    for t, planes in enumerate(planes_tables):
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product("
+                f"CAST(embedding AS DOUBLE[]), {lit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(terms)}) AS bucket "
+            "FROM embeddings"
+        )
+    sigs = " UNION ALL ".join(per_table)
+    return f"""
+    WITH sigs AS ({sigs}),
+    q AS (
+        SELECT vec_id AS query_id, tbl, bucket FROM sigs
+        WHERE vec_id < {N_QUERIES}
+    ),
+    cands AS (
+        SELECT DISTINCT q.query_id, s.vec_id
+        FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket
+        WHERE s.vec_id <> q.query_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(eq.embedding AS DOUBLE[])) AS x,
+                                UNNEST(CAST(ec.embedding AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS score
+        FROM cands c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ec ON ec.vec_id = c.vec_id
+    )
+    SELECT query_id, vec_id, rank, score
+    FROM (
+        SELECT query_id, vec_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("knn_bruteforce", _EXACT_TOPK_ORACLE)
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 nearest neighbors (dot product ≡ cosine — the corpus
     is unit-normalized) for 5 probe vectors, broadcast-scan plan."""
@@ -74,12 +144,23 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes → smaller buckets → cheaper + lower recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
-    rng = random.Random(42)
-    dim = 64
-    planes_tables = [
-        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)] for _ in range(8)
-    ]
-    out = lsh_topk(emb, probes, planes_tables, k=TOP_K)
+    out = lsh_topk(emb, probes, _seeded_planes(), k=TOP_K)
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")
+
+
+@query("knn_lsh_exact", _lsh_exact_oracle(_seeded_planes()))
+def knn_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable LSH companion (round-2 verdict item 4): the
+    SAME seeded 8-table × 3-plane SRP pipeline as knn_lsh_ann, scored
+    with the decimal-exact dot, paired with a GENERATED DuckDB oracle
+    that recomputes the hyperplane sign-buckets from the identical
+    plane literals — so bucketing, candidate join, dedup, scoring and
+    ranking are all cross-checked, not just row counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = lsh_topk(emb, probes, _seeded_planes(), k=TOP_K, metric="exact")
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")
@@ -99,6 +180,25 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     out = ivf_topk(emb, probes, n_centroids=16, n_probe=4, k=TOP_K)
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")
+
+
+@query("knn_ivf_exact_probeall", _EXACT_TOPK_ORACLE)
+def knn_ivf_exact_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF companion (round-2 verdict item 4): probe
+    EVERY cell with decimal-exact scoring — each corpus vector is scored
+    exactly once regardless of the trained quantizer, so the result is
+    bit-identical to brute force and the brute-force oracle applies.
+    Exercises the full IVF machinery (k-means training, scan-side cell
+    assignment, probe fan-out, candidate join, pre-top-k) under a hash
+    check; the pytest limit test proves the same equivalence in-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = ivf_topk(
+        emb, probes, n_centroids=16, n_probe=16, k=TOP_K, metric="exact"
+    )
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")

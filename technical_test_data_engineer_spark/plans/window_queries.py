@@ -287,9 +287,12 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nearest value). The last/first IGNORE-NULLS window pair is the
     standard forward/backward-fill primitive; interpolation weights by
     hour distance. Single global window here (one series, 721 rows) —
-    partition by series key for the many-series case. Rounded to 9 dp:
-    the interpolation is pure double arithmetic, structured identically
-    in the oracle."""
+    ``events_gapfilled_by_type`` is the partitioned many-series form.
+    The spine derives from the aggregate's min/max row entirely in-plan
+    (explode over a 1-row frame — no driver collect, and an empty
+    filtered series yields an empty result instead of a parse error).
+    Rounded to 9 dp: the interpolation is pure double arithmetic,
+    structured identically in the oracle."""
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "error"
     )
@@ -300,10 +303,13 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_value"),
     )
-    lo, hi = hourly.agg(F.min("hour"), F.max("hour")).collect()[0]
-    spine = spark.sql(
-        "SELECT explode(sequence(timestamp'{}', timestamp'{}', "
-        "interval 1 hour)) AS hour".format(lo, hi)
+    spine = (
+        hourly.agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
+        .select(
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+            ).alias("hour")
+        )
     )
     joined = spine.join(hourly, "hour", "left")
     w_prev = Window.orderBy("hour").rowsBetween(
@@ -335,6 +341,127 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.round(interp, 9).alias("avg_value_filled"),
     ).orderBy("hour")
+
+
+@query(
+    "events_gapfilled_by_type",
+    """
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+                   AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT event_type,
+               UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS hour
+        FROM (
+            SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi
+            FROM hourly GROUP BY 1
+        )
+    ),
+    joined AS (
+        SELECT s.event_type, s.hour, h.n_events, h.avg_value,
+               LAST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_v,
+               FIRST_VALUE(h.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_v,
+               LAST_VALUE(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_h,
+               FIRST_VALUE(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_h
+        FROM spine s LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour = h.hour
+    )
+    SELECT event_type, hour,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           ROUND(CASE
+               WHEN avg_value IS NOT NULL THEN avg_value
+               WHEN prev_v IS NULL THEN next_v
+               WHEN next_v IS NULL THEN prev_v
+               ELSE prev_v + (next_v - prev_v)
+                    * (CAST(DATE_DIFF('hour', prev_h, hour) AS DOUBLE)
+                       / CAST(DATE_DIFF('hour', prev_h, next_h) AS DOUBLE))
+           END, 9) AS avg_value_filled
+    FROM joined
+    ORDER BY event_type, hour
+    """,
+)
+def events_gapfilled_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-series gap fill — the form a real pipeline hits first
+    (round-2 verdict item 5): one spine PER SERIES KEY (event_type),
+    derived from each series' own min/max hour entirely in-plan (agg →
+    explode(sequence) — no driver collect), and every window PARTITIONED
+    by the series key, so series fill in parallel and no executor ever
+    holds more than one series' frame. Interpolation semantics are
+    identical to events_gapfilled_hourly."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count("*")
+        ).alias("avg_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("avg_value").isNotNull(), F.col("hour"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(w_prev)
+    next_v = F.first("avg_value", ignorenulls=True).over(w_next)
+    prev_h = F.last(obs_hour, ignorenulls=True).over(w_prev)
+    next_h = F.first(obs_hour, ignorenulls=True).over(w_next)
+    hours_between = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / 3600
+    ).cast("double")
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (hours_between(prev_h, F.col("hour")) / hours_between(prev_h, next_h))
+        )
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(interp, 9).alias("avg_value_filled"),
+    ).orderBy("event_type", "hour")
 
 
 @query(

@@ -9,6 +9,13 @@ These are the plain-parquet equivalents of what table formats
 plan shapes — a MERGE is an outer join + coalesce, a diff is a full
 outer join with change classification, compaction is a repartition —
 expressed so each is one shuffle on the key (or none for compaction).
+
+SINGLE WRITER ASSUMED: version numbers come from a directory listing
+and the pointer flip is last-write-wins, so two concurrent publishers
+can race the same ``_v{n}`` (the second write fails on errorifexists)
+or flip the pointer backwards. Concurrency control (a lock file, or a
+conditional-PUT pointer on object stores) is the step from this
+pattern to a real table format — same boundary as atomic.py documents.
 """
 
 from __future__ import annotations
@@ -23,6 +30,26 @@ from technical_test_data_engineer_spark.sources.atomic import (
     publish_tables,
     read_published,
 )
+
+
+def _snapshot_dir(root: str) -> tuple[int, str]:
+    """The committed version and its directory, with explicit errors
+    for the two broken states a bare ``os.listdir`` would turn into
+    cryptic failures: no committed snapshot at all, and a pointer whose
+    version directory has been GC'd out from under it."""
+    version = current_version(root)
+    if version is None:
+        raise FileNotFoundError(
+            f"no committed snapshot under {root} — publish before "
+            "upserting/compacting"
+        )
+    vdir = os.path.join(root, f"_v{version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"snapshot pointer names version {version} but {vdir} is "
+            "missing (GC'd or tampered) — the table root is corrupt"
+        )
+    return version, vdir
 
 
 def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -44,20 +71,32 @@ def snapshot_diff(
     """Row-level changes between two snapshots: full outer join on the
     key, rows classified ``added`` / ``removed`` / ``changed``
     (unchanged rows are dropped). Non-key columns are compared as a
-    single struct hash — one pass, no per-column plan blowup.
+    single hash — one pass, no per-column plan blowup, and the join
+    shuffle carries 8 bytes per row instead of the full row (the reason
+    to hash rather than compare structs at 100 TB).
+
+    ``xxhash64`` skips NULL inputs (the seed passes through unchanged),
+    so a bare multi-column hash maps (NULL, 'x') and ('x', NULL) to the
+    SAME value and a real change would be classified unchanged. The
+    hash therefore prepends a null bitmap: rows that differ only in
+    which columns are null get different bitmaps, hence different
+    hashes. Residual risk is the generic 64-bit collision (~5e-20 per
+    pair) — use a struct ``eqNullSafe`` compare instead if that is not
+    acceptable and the shuffle volume is.
 
     Output: key columns + ``change`` string column."""
     non_key = [c for c in old.columns if c not in key_cols]
     if [c for c in new.columns if c not in key_cols] != non_key:
         raise ValueError("snapshot schemas differ")
-    o = old.select(
-        *key_cols,
-        F.xxhash64(*[F.col(c) for c in non_key]).alias("_oh"),
-    )
-    n = new.select(
-        *key_cols,
-        F.xxhash64(*[F.col(c) for c in non_key]).alias("_nh"),
-    )
+
+    def _row_hash(alias: str):
+        nullmap = F.concat_ws(
+            ",", *[F.col(c).isNull().cast("int").cast("string") for c in non_key]
+        )
+        return F.xxhash64(nullmap, *[F.col(c) for c in non_key]).alias(alias)
+
+    o = old.select(*key_cols, _row_hash("_oh"))
+    n = new.select(*key_cols, _row_hash("_nh"))
     joined = o.join(n, key_cols, "full_outer")
     change = (
         F.when(F.col("_oh").isNull(), F.lit("added"))
@@ -84,13 +123,12 @@ def publish_upsert(
     correct but write-amplified; avoiding the copy needs per-table
     manifests instead of one version dir, which is precisely the step
     from this pattern to a real table format (Delta/Iceberg)."""
-    version = current_version(root)
-    if version is None:
+    if current_version(root) is None:
         return publish_tables(root, {name: updates})
+    _, vdir = _snapshot_dir(root)
     base = read_published(spark, root, name)
     merged = merge_upsert(base, updates, key_cols)
     tables: dict[str, DataFrame] = {name: merged}
-    vdir = os.path.join(root, f"_v{version}")
     for other in os.listdir(vdir):
         if other != name and not other.startswith("."):
             tables[other] = spark.read.parquet(os.path.join(vdir, other))
@@ -108,10 +146,9 @@ def compact_table(
     partitions are merged map-side) and publish atomically. The
     maintenance pass that keeps scan task counts sane after many
     incremental upserts."""
+    _, vdir = _snapshot_dir(root)
     df = read_published(spark, root, name).coalesce(target_files)
-    version = current_version(root)
     tables: dict[str, DataFrame] = {name: df}
-    vdir = os.path.join(root, f"_v{version}")
     for other in os.listdir(vdir):
         if other != name and not other.startswith("."):
             tables[other] = spark.read.parquet(os.path.join(vdir, other))

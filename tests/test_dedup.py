@@ -56,6 +56,26 @@ def test_minhash_exact_dup_jaccard_is_one(spark):
     assert j[(1, 4)] == 1.0
 
 
+def test_minhash_candidates_persist_for_multi_consumer(spark):
+    # the shared-pipeline contract: persist=True caches the verified
+    # pair set so several consumers (audit + clustering) reuse one
+    # shingle/band/verify run; results identical to the recompute path
+    from technical_test_data_engineer_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    pairs = minhash_candidates(_docs(spark), threshold=0.5, persist=True)
+    try:
+        assert pairs.storageLevel.useMemory or pairs.storageLevel.useDisk
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}  # consumer 1
+        assert pairs.count() == len(got)                   # consumer 2
+        fresh = {(r.id_a, r.id_b)
+                 for r in minhash_candidates(_docs(spark), threshold=0.5).collect()}
+        assert got == fresh
+    finally:
+        pairs.unpersist()
+
+
 def test_simhash_planted_near_dup(spark):
     # planted pair measures Hamming 7; 8 bands guarantee candidates ≤ 7
     pairs = simhash_near_dup_pairs(_docs(spark), max_hamming=7)

@@ -40,6 +40,17 @@ def test_snapshot_diff_classification(spark):
     assert got == {1: "removed", 2: "changed", 4: "added"}
 
 
+def test_snapshot_diff_null_position_swap_is_a_change(spark):
+    # xxhash64 skips NULL inputs, so without the null bitmap
+    # (NULL,'x') → ('x',NULL) hashes identically and the change would
+    # be silently dropped (round-2 advisor finding)
+    schema = "k long, a string, b string"
+    old = spark.createDataFrame([(1, None, "x"), (2, None, "y")], schema)
+    new = spark.createDataFrame([(1, "x", None), (2, None, "y")], schema)
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed"}  # row 2 genuinely unchanged → absent
+
+
 def test_publish_upsert_roundtrip_and_carry_forward(spark, tmp_path):
     root = str(tmp_path / "store")
     publish_tables(

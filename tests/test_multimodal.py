@@ -79,6 +79,38 @@ def test_frame_sample_fanout(spark):
     assert all(len(r["frame_bytes"]) == step for r in rows)
 
 
-def test_decode_image_real_is_stubbed():
+def _pillow():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pillow(), reason="Pillow installed — real path active")
+def test_decode_image_real_raises_without_pillow():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _pillow(), reason="Pillow not installed")
+def test_decode_image_real_with_pillow(spark):
+    # real decode end-to-end through the same mapInPandas plumbing as
+    # the stub: a 5×3 PNG authored by Pillow, decoded by Pillow
+    import io
+
+    from PIL import Image
+
+    from technical_test_data_engineer_spark.operators.multimodal import (
+        decode_media_meta,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3)).save(buf, format="PNG")
+    png = buf.getvalue()
+    fmt, w, h, n_frames, n_bytes = decode_image_real(png)
+    assert (fmt, w, h, n_frames, n_bytes) == ("png", 5, 3, 1, len(png))
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
+    row = decode_media_meta(df, parse=decode_image_real).collect()[0]
+    assert (row.meta.format, row.meta.width, row.meta.height) == ("png", 5, 3)

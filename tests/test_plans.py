@@ -53,6 +53,21 @@ def test_knn_bruteforce_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_knn_topk_local_prune_before_window(spark, sf_dir):
+    # the per-query ranking window must consume a per-partition
+    # pre-top-k (MapInPandas), never the raw corpus × queries scored
+    # rows — the shuffle into n_queries partitions is otherwise the
+    # unsurvivable shape at 100× corpus (round-2 verdict)
+    for name in ("knn_bruteforce", "knn_ivf_ann", "knn_pq_ann"):
+        plan = _plan(spark, sf_dir, name)
+        mp = re.search(r"MapInPandas \((\d+)\)", plan)
+        wd = re.search(r"Window \((\d+)\)", plan)
+        assert mp, f"{name}: no MapInPandas pre-top-k\n{plan}"
+        assert wd, f"{name}: no Window\n{plan}"
+        # formatted-plan ids grow downstream: the prune precedes the window
+        assert int(mp.group(1)) < int(wd.group(1)), f"{name}\n{plan}"
+
+
 def test_q8_dimension_chain_broadcasts(spark, sf_dir):
     # 7-table join: both dimension chains (customer-side and supplier-
     # side nation lookups) must resolve as broadcasts; only
