@@ -414,7 +414,12 @@ def lsh_topk(
                 query_id_col,
             )
         )
-        .join(corpus.select(id_col, vec_col), id_col)
+        # fan_out: the corpus probe side of this broadcast join inherits
+        # the raw scan's partitioning — locally a single row-group ⇒ ONE
+        # task evaluating every candidate dot product (56 s vs 3 s for
+        # the decimal metric at sf0.1); on a cluster the scan is already
+        # split and fan_out is a no-op.
+        .join(fan_out(corpus.select(id_col, vec_col)), id_col)
         .select(
             query_id_col,
             id_col,
