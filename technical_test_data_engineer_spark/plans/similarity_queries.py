@@ -213,13 +213,16 @@ def knn_ivf_exact_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, probe fan-out, candidate join, pre-top-k) under a hash
     check; the pytest limit test proves the same equivalence in-engine.
     Corpus bounded to EXACT_BOUND vectors (inactive at sf0.01 — see
-    knn_lsh_exact)."""
+    knn_lsh_exact). Quantizer is k=4: probe-all ≡ brute force holds for
+    ANY centroids (every corpus vector is scored exactly once), so the
+    proof buys the cheapest training that still exercises the
+    machinery."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < EXACT_BOUND
     )
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     out = ivf_topk(
-        emb, probes, n_centroids=16, n_probe=16, k=TOP_K, metric="exact"
+        emb, probes, n_centroids=4, n_probe=4, k=TOP_K, metric="exact"
     )
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")

@@ -576,6 +576,39 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT) % 100
+                AS BIGINT) AS bucket
+    FROM documents
+    WHERE CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT) % 100
+          < CASE WHEN lang = 'en' THEN 30 ELSE 60 END
+    ORDER BY doc_id
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) hash sampling — the
+    mixture-rebalancing primitive for training corpora: the
+    over-represented language ('en') keeps 30 of 100 content-hash
+    buckets while tail languages keep 60, so the sampled mixture is
+    flatter without any rand() nondeterminism. Same md5-bucket
+    convention as doc_hash_sample/doc_train_val_split ⇒ sampling,
+    splitting and decontamination all agree on bucket boundaries.
+    Scan-side filter only — zero shuffles at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    quota = F.when(F.col("lang") == "en", 30).otherwise(60)
+    return (
+        docs.select("doc_id", "lang", bucket.cast("bigint").alias("bucket"))
+        .filter(F.col("bucket") < quota)
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "doc_hash_sample",
     """
     SELECT doc_id,

@@ -293,16 +293,20 @@ def events_gapfilled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered series yields an empty result instead of a parse error).
     Rounded to 9 dp: the interpolation is pure double arithmetic,
     structured identically in the oracle."""
+    from pyspark import StorageLevel
+
     events = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "error"
     )
+    # persist: the (tiny) hourly aggregate feeds both the spine bounds
+    # and the join side — without it the events scan + agg run twice
     hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("n_events"),
         (
             F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
             / F.count("*")
         ).alias("avg_value"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     spine = (
         hourly.agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
         .select(
@@ -407,7 +411,11 @@ def events_gapfilled_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the series key, so series fill in parallel and no executor ever
     holds more than one series' frame. Interpolation semantics are
     identical to events_gapfilled_hourly."""
+    from pyspark import StorageLevel
+
     events = load_table(spark, sf_dir, "events")
+    # persist: the per-(type, hour) aggregate feeds both the per-series
+    # bounds and the join side — one events scan instead of two
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
@@ -416,7 +424,7 @@ def events_gapfilled_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
             / F.count("*")
         ).alias("avg_value"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     spine = (
         hourly.groupBy("event_type")
         .agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
