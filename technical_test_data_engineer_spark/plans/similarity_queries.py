@@ -252,3 +252,45 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")
+
+
+@query(
+    "embedding_label_centroids",
+    """
+    WITH dims AS (SELECT UNNEST(RANGE(1, 65)) AS g)
+    SELECT label, CAST(d.g - 1 AS INTEGER) AS dim,
+           CAST(SUM(CAST(CAST(embedding[d.g] AS DOUBLE) AS DECIMAL(38,30)))
+                AS DOUBLE) / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM embeddings e CROSS JOIN dims d
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group vector centroids — the embedding-monitoring primitive
+    (cluster drift, per-class mean vectors, k-means update steps as a
+    query): element-wise mean over ``array<float>`` rows per label.
+
+    Spark shape: posexplode to (label, dim, x) then groupBy(label, dim)
+    — entirely JVM-side, and the partial (map-side) aggregation reduces
+    each scan task's output to ≤ labels × 64 rows BEFORE the shuffle,
+    so the exchange is constant-size per partition at any corpus scale.
+    Decimal-exact sums keep the result order-independent and
+    bit-comparable to the DuckDB oracle (the convention from
+    functions/scalars.py). Output long form (label, dim, centroid) —
+    array columns don't survive the driver's canonicalizer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,30)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
