@@ -123,3 +123,35 @@ def test_exact_sum_partition_invariant(spark, vals, n_parts):
     got = df.agg(exact_sum("x", "s")).collect()[0]["s"]
     want = float(sum(Decimal(str(round(v, 10))) for v in vals))
     assert abs(got - want) < 1e-4 * max(1.0, abs(want))
+
+
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_local_topk_prune_is_lossless(spark, rows, k):
+    # the per-partition pre-top-k must never change the final global
+    # top-k under (score desc, id asc) — tie-heavy scores and a forced
+    # multi-partition layout stress the local prune boundary
+    from pyspark.sql.window import Window
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        local_topk,
+    )
+
+    rows = [(q, float(v), i) for i, (q, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows, "query_id long, score double, vec_id long"
+    ).repartition(4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+
+    def finish(scored):
+        return {
+            (r.query_id, r.vec_id, r.rank)
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .collect()
+        }
+
+    scored = df.select("query_id", "vec_id", "score")
+    assert finish(local_topk(scored, k)) == finish(scored)
