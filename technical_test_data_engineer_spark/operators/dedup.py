@@ -320,11 +320,15 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes_tables: list[list[list[float]]] | None = None,
+    exact_scores: bool = False,
 ) -> DataFrame:
     """Pairs with cosine(dot for unit vectors) ≥ threshold.
 
     With ``planes_tables``: SRP-LSH bucket self-join (scale path).
     Without: full pair scoring — only for small/filtered inputs.
+    ``exact_scores=True`` forces the decimal-exact dot on the LSH path
+    too (oracle-paired companion queries); default keeps the 5× cheaper
+    double fold there.
     """
     from technical_test_data_engineer_spark.operators.similarity import (
         exact_dot,
@@ -370,7 +374,7 @@ def embedding_near_dup_pairs(
         cands = l.crossJoin(F.broadcast(r)).filter(F.col("id_a") < F.col("id_b"))
     # decimal exact_dot on the oracle-compared exact path; double
     # fast_dot on the LSH path (rows-only checked, 5× cheaper).
-    dot = fast_dot if planes_tables else exact_dot
+    dot = fast_dot if (planes_tables and not exact_scores) else exact_dot
     out = (
         cands.withColumn("score", dot(F.col("_va"), F.col("_vb")))
         .filter(F.col("score") >= threshold)

@@ -86,9 +86,10 @@ _FRONT_50 = [
     "doc_unigram_logprob",
     "doc_repetition_stats",
     # dedup / curation / similarity — incl. the round-3 driver-checkable
-    # ANN companions (exact-scored LSH with a generated bucketing oracle;
-    # probe-all IVF ≡ brute force)
-    "dedup_exact_documents",
+    # companions (exact-scored LSH top-k AND near-dup pairs, each with a
+    # generated bucketing oracle; probe-all IVF ≡ brute force). Exact
+    # dedup's in-window twin is curation_pipeline's keeper-dedup stage.
+    "embedding_near_dups_lsh_exact",
     "ngram_jaccard_pairs",
     "embedding_near_dup_exact",
     "curation_pipeline",

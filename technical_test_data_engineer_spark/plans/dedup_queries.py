@@ -138,6 +138,78 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _embedding_lsh_pairs_oracle(planes_tables, bound, threshold) -> str:
+    """Generated oracle for the SRP-LSH near-dup PAIR pipeline: seeded
+    sign-buckets recomputed from the identical plane literals
+    (similarity_queries.srp_sigs_sql), bucket self-join, distinct
+    id_a < id_b pairs, decimal-exact scoring, threshold filter."""
+    from technical_test_data_engineer_spark.plans.similarity_queries import (
+        srp_sigs_sql,
+    )
+
+    sigs = srp_sigs_sql(planes_tables, bound)
+    return f"""
+    WITH sigs AS ({sigs}),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
+                                UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS score
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, score FROM scored
+    WHERE score >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+_NEARDUP_BOUND = 800
+_NEARDUP_THRESHOLD = 0.3
+
+
+def _neardup_planes():
+    rng = random.Random(7)
+    return [
+        [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+        for _ in range(4)
+    ]
+
+
+@query(
+    "embedding_near_dups_lsh_exact",
+    _embedding_lsh_pairs_oracle(
+        _neardup_planes(), _NEARDUP_BOUND, _NEARDUP_THRESHOLD
+    ),
+)
+def embedding_near_dups_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable companion for the SRP-LSH near-dup family: the
+    same bucket-self-join pipeline as embedding_near_dups_lsh, run with
+    4 tables x 6 seeded planes, decimal-exact scoring, and a GENERATED
+    DuckDB oracle recomputing the sign-buckets from the identical plane
+    literals — bucketing, candidate join, dedup, scoring and threshold
+    all cross-checked. Threshold 0.3 (not the production 0.8) so the
+    uniform-random fixture yields a non-empty result — an empty==empty
+    pass would prove nothing. Corpus bounded (inactive at sf0.01)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NEARDUP_BOUND
+    )
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=_NEARDUP_THRESHOLD,
+        planes_tables=_neardup_planes(),
+        exact_scores=True,
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "curation_pipeline",
     """

@@ -75,14 +75,14 @@ def _seeded_planes(n_tables: int = 8, n_planes: int = 3, dim: int = 64):
     ]
 
 
-def _lsh_exact_oracle(planes_tables, bound: int | None = None) -> str:
-    """Generate DuckDB SQL that reproduces the FULL LSH pipeline —
-    seeded hyperplane sign-buckets (list_dot_product against literal
-    planes, same ``>= 0`` convention as srp_signatures_batch), candidate
-    join per hash table, distinct pairs, decimal-exact re-score, top-k.
+def srp_sigs_sql(planes_tables, bound: int | None = None) -> str:
+    """DuckDB SQL computing every hash table's SRP sign-bucket per
+    vector — the oracle-side twin of ``srp_signatures_batch``
+    (list_dot_product against literal planes, same ``>= 0`` convention).
     Plane literals are repr'd doubles (shortest round-trip), so both
     engines hash the same buckets; sign flips would need a dot within
-    float summation error of 0 (~1e-14 odds per pair, negligible)."""
+    float summation error of 0 (~1e-14 odds per pair, negligible).
+    Shared by every generated LSH oracle (top-k and near-dup pairs)."""
     where = f"WHERE vec_id < {bound}" if bound else ""
     per_table = []
     for t, planes in enumerate(planes_tables):
@@ -98,7 +98,14 @@ def _lsh_exact_oracle(planes_tables, bound: int | None = None) -> str:
             f"SELECT vec_id, {t} AS tbl, ({' + '.join(terms)}) AS bucket "
             f"FROM embeddings {where}"
         )
-    sigs = " UNION ALL ".join(per_table)
+    return " UNION ALL ".join(per_table)
+
+
+def _lsh_exact_oracle(planes_tables, bound: int | None = None) -> str:
+    """Generated oracle for the full LSH top-k pipeline: seeded
+    sign-buckets (srp_sigs_sql), candidate join per hash table, distinct
+    pairs, decimal-exact re-score, per-query ranking."""
+    sigs = srp_sigs_sql(planes_tables, bound)
     return f"""
     WITH sigs AS ({sigs}),
     q AS (
