@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from technical_test_data_engineer_spark.operators.similarity import (
@@ -184,3 +185,36 @@ def test_pq_encoding_reconstruction_improves_with_codes(spark, sf_dir):
         return float(((X - rec) ** 2).mean())
 
     assert mse(32) < mse(4)
+
+
+def test_train_sample_sparse_offset_ids(spark):
+    # hash-based subsampling must keep ~the intended rate when ids are
+    # sparse/offset — the round-2 advisor showed (id % stride)==0 keeps
+    # ~0 rows for offset id spaces and k-means then fails cryptically
+    import random as _random
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rng = _random.Random(3)
+    rows = [
+        (10**12 + i * 7919, [rng.gauss(0, 1) for _ in range(8)])
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(
+        corpus, n_centroids=4, max_train_vectors=60
+    )
+    assert len(cents) == 4 and len(cents[0]) == 8
+
+
+def test_train_sample_undersized_raises_clearly(spark):
+    from technical_test_data_engineer_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="training sample"):
+        train_ivf_centroids(corpus, n_centroids=16)
