@@ -145,3 +145,33 @@ def acctbal_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "view_click_within_30m",
+    """
+    SELECT v.user_id AS user_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+      AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY v.user_id, view_ts, click_ts
+    """,
+)
+def view_click_within_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/transforms.view_click_attribution_join): per-user
+    (view, click) pairs with the click inside the 30-minute attribution
+    window. The stream==batch parity test plus this oracle anchor give
+    the stream-stream join the same transitive DuckDB verification as
+    the windowed rollups."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        view_click_attribution_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return view_click_attribution_join(events, within="30 minutes").orderBy(
+        "user_id", "view_ts", "click_ts"
+    )

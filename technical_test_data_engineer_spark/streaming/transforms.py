@@ -137,3 +137,43 @@ def stream_exact_dedup(
             key_cols
         )
     return df.dropDuplicates(key_cols)
+
+
+def view_click_attribution_join(
+    events: DataFrame,
+    within: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream interval join (batch self-join twin): every
+    (view, click) pair for one user where the click lands in
+    (view_ts, view_ts + ``within``]. The canonical Structured Streaming
+    stream-stream join shape: BOTH sides watermarked and the join
+    condition time-bounded, so the state store retains only rows within
+    watermark + ``within`` — without the time bound, stream-stream join
+    state grows forever.
+
+    On batch frames the watermark is a no-op and the same plan is a
+    range self-join — the oracle-paired batch twin
+    (plans/streaming_queries.view_click_within_30m) anchors the
+    semantics, the stream==batch parity test anchors the streaming
+    execution.
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col(user_col), F.col(ts_col).alias("view_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col(user_col).alias("_c_user"), F.col(ts_col).alias("click_ts")
+    )
+    if watermark:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col(user_col) == F.col("_c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"interval {within}"))
+    )
+    return views.join(clicks, cond, "inner").select(
+        user_col, "view_ts", "click_ts"
+    )

@@ -271,3 +271,24 @@ def test_upsert_sink_applies_cdc_stream(spark, tmp_path):
     assert got[1] == "a" and got[2] == "B2" and got[4] == "d"
     assert got[3] in ("c", "C3")
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir, events_batch):
+    """Stream-stream interval join (both sides watermarked, time-bounded
+    condition) must produce exactly the batch self-join's pairs. Append
+    mode — the only output mode stream-stream inner joins support."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        view_click_attribution_join,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        view_click_attribution_join(stream, watermark="1 hour"),
+        "t_ss_join",
+        output_mode="append",
+    )
+    want = view_click_attribution_join(events_batch)
+    assert _rows(got, "user_id", "view_ts", "click_ts") == _rows(
+        want, "user_id", "view_ts", "click_ts"
+    )
