@@ -105,3 +105,25 @@ def test_repetition_stats_single_explode(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_repetition_stats")
     assert len(re.findall(r"documents\.parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+
+
+def test_gapfill_by_type_is_fully_partitioned(spark, sf_dir):
+    # the multi-series gap fill must never funnel through a single
+    # partition (the documented limitation of the single-series form):
+    # windows partition by event_type and the spine derives in-plan,
+    # reusing the bounds-agg's hash partitioning — no SinglePartition
+    # exchange, no second events scan (the hourly agg is persisted)
+    plan = _plan(spark, sf_dir, "events_gapfilled_by_type")
+    assert "SinglePartition" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_centroids_partial_aggregation(spark, sf_dir):
+    # posexplode fans every vector into 64 rows; the partial (map-side)
+    # HashAggregate must reduce them to labels x 64 BEFORE the exchange,
+    # and the explode must appear exactly once
+    plan = _plan(spark, sf_dir, "embedding_label_centroids")
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[:first_agg] or "Generate" in plan[:first_agg], plan
