@@ -81,14 +81,33 @@ def local_topk(
             if not len(pdf):
                 continue
             cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            # na_position="last" matches Spark's NULLS LAST under desc().
+            # Scores must arrive NaN-free (see nan_safe_score): the
+            # Arrow/pandas boundary cannot represent a float NaN (it
+            # arrives back as SQL NULL), and Spark orders NaN and NULL
+            # differently — so scorers normalize NaN → NULL up front and
+            # both sides of the prune agree on null-last.
             cur = cur.sort_values(
-                [score_col, id_col], ascending=[False, True], kind="mergesort"
+                [score_col, id_col],
+                ascending=[False, True],
+                kind="mergesort",
+                na_position="last",
             )
             best = cur.groupby(query_id_col, sort=False).head(k)
         if best is not None and len(best):
             yield best[cols]
 
     return scored.mapInPandas(_part, schema)
+
+
+def nan_safe_score(c: Column) -> Column:
+    """NaN → NULL for similarity scores. Spark orders NaN GREATER than
+    every double while NULL sorts LAST under ``desc()`` — and the
+    Arrow/pandas hop inside :func:`local_topk` turns float NaN into SQL
+    NULL regardless. Normalizing up front gives one consistent rule on
+    both sides of the prune: undefined scores (zero-norm cosine,
+    NaN-poisoned embeddings) rank last instead of first."""
+    return F.when(~F.isnan(c), c)
 
 
 def exact_dot(a: Column, b: Column) -> Column:
@@ -158,7 +177,9 @@ def brute_force_topk(
         if metric == "dot"
         else cosine(F.col("_qvec"), F.col(vec_col))
     )
-    scored = paired.select(query_id_col, id_col, score.alias("score"))
+    scored = paired.select(
+        query_id_col, id_col, nan_safe_score(score).alias("score")
+    )
     pruned = local_topk(scored, k, query_id_col, id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -236,42 +257,48 @@ def train_ivf_centroids(
     Returns plain ``list[list[float]]`` — downstream assignment UDFs
     broadcast the centroids as a numpy closure, no ml.Vector columns
     leak out of this function."""
+    from pyspark import StorageLevel
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    sample = _train_sample(corpus, id_col, max_train_vectors, n_centroids)
+    sample = _train_sample(corpus, id_col, max_train_vectors)
     feats = sample.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
-    ).fit(feats)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # the count both materializes the cache (k-means|| + maxIter
+        # sweeps then hit memory instead of re-scanning the corpus per
+        # iteration) and guards the undersample case with a clear error
+        kept = feats.count()
+        if kept < n_centroids:
+            raise ValueError(
+                f"training sample has {kept} rows < k={n_centroids} "
+                f"(max_train_vectors={max_train_vectors}); raise "
+                "max_train_vectors or shrink k"
+            )
+        model = KMeans(
+            k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+        ).fit(feats)
+    finally:
+        feats.unpersist()
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def _train_sample(
-    corpus: DataFrame, id_col: str, max_train_vectors: int, min_rows: int
+    corpus: DataFrame, id_col: str, max_train_vectors: int
 ) -> DataFrame:
     """Deterministic ≤ ~``max_train_vectors`` training subsample via
     ``xxhash64(id) % stride`` (hash, not raw id, so sparse/offset id
-    spaces still sample at the intended rate). Raises a clear error if
-    the sample ends up smaller than ``min_rows`` — the k-means fits
-    downstream fail cryptically otherwise."""
+    spaces still sample at the intended rate). Undersample guarding
+    happens in the trainers, where the sample is materialized anyway
+    (cached feats count / collected numpy array) — no extra scan here."""
     n = corpus.count()
-    sample = corpus
-    if n > max_train_vectors:
-        stride = -(-n // max_train_vectors)  # ceil → ~max_train_vectors kept
-        sample = corpus.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
-        )
-    kept = sample.count() if n > max_train_vectors else n
-    if kept < min_rows:
-        raise ValueError(
-            f"training sample has {kept} rows < required {min_rows} "
-            f"(corpus rows={n}, max_train_vectors={max_train_vectors}); "
-            "raise max_train_vectors or shrink k"
-        )
-    return sample
+    if n <= max_train_vectors:
+        return corpus
+    stride = -(-n // max_train_vectors)  # ceil → ~max_train_vectors kept
+    return corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
 
 
 def ivf_topk(
@@ -320,7 +347,7 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            dot(F.col("_qvec"), F.col(vec_col)).alias("score"),
+            nan_safe_score(dot(F.col("_qvec"), F.col(vec_col))).alias("score"),
         )
     )
     pruned = local_topk(scored, k, query_id_col, id_col)
@@ -425,8 +452,10 @@ def lsh_topk(
             id_col,
             # fast_dot default: rows-only ranking needs within-run
             # determinism only; "exact" buys bit-exact oracle match.
-            (exact_dot if metric == "exact" else fast_dot)(
-                F.col("_qvec"), F.col(vec_col)
+            nan_safe_score(
+                (exact_dot if metric == "exact" else fast_dot)(
+                    F.col("_qvec"), F.col(vec_col)
+                )
             ).alias("score"),
         )
     )
@@ -465,8 +494,14 @@ def train_pq_codebooks(
     work is encoding/scoring, which stays distributed.
 
     Returns codebooks of shape (m, n_codes, dim // m)."""
-    sample = _train_sample(corpus, id_col, max_train_vectors, n_codes)
+    sample = _train_sample(corpus, id_col, max_train_vectors)
     X = np.array([list(r[0]) for r in sample.select(vec_col).collect()])
+    if len(X) < n_codes:
+        raise ValueError(
+            f"training sample has {len(X)} rows < n_codes={n_codes} "
+            f"(max_train_vectors={max_train_vectors}); raise "
+            "max_train_vectors or shrink n_codes"
+        )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -587,8 +622,14 @@ def pq_adc_topk(
             )
             cand = cand[cand[query_id_col] != cand[id_col]]
             cur = cand if best is None else pd.concat([best, cand], ignore_index=True)
+            # na_position="last": NaN ADC scores (NaN-poisoned input
+            # vectors) leave this map as SQL NULL (Arrow), which the
+            # downstream desc() window also ranks last — see local_topk
             cur = cur.sort_values(
-                ["score", id_col], ascending=[False, True], kind="mergesort"
+                ["score", id_col],
+                ascending=[False, True],
+                kind="mergesort",
+                na_position="last",
             )
             best = cur.groupby(query_id_col, sort=False).head(n_keep)
         if best is not None and len(best):
@@ -615,7 +656,9 @@ def pq_adc_topk(
         .select(
             query_id_col,
             id_col,
-            fast_dot(F.col("_qvec"), F.col(vec_col)).alias("score"),
+            nan_safe_score(fast_dot(F.col("_qvec"), F.col(vec_col))).alias(
+                "score"
+            ),
         )
     )
     return (

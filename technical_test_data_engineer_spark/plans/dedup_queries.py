@@ -14,8 +14,6 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark.sql import DataFrame as _DF
-
 from technical_test_data_engineer_spark.operators.dedup import (
     embedding_near_dup_pairs,
     jaccard,
@@ -29,7 +27,7 @@ from technical_test_data_engineer_spark.sources.parquet_source import load_table
 
 def shared_minhash_pairs(
     spark: SparkSession, sf_dir: str, persist: bool = False
-) -> _DF:
+) -> DataFrame:
     """The ONE MinHash+LSH pair pipeline behind minhash_near_dups,
     split_contamination_audit, and dedup_clusters. Queries call it with
     the default persist=False (per-query bench isolation recomputes); a

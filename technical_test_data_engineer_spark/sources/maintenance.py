@@ -32,12 +32,14 @@ from technical_test_data_engineer_spark.sources.atomic import (
 )
 
 
-def _snapshot_dir(root: str) -> tuple[int, str]:
+def _snapshot_dir(root: str, version: int | None = None) -> tuple[int, str]:
     """The committed version and its directory, with explicit errors
     for the two broken states a bare ``os.listdir`` would turn into
     cryptic failures: no committed snapshot at all, and a pointer whose
-    version directory has been GC'd out from under it."""
-    version = current_version(root)
+    version directory has been GC'd out from under it. Pass ``version``
+    when the caller already read the pointer (avoids a second read)."""
+    if version is None:
+        version = current_version(root)
     if version is None:
         raise FileNotFoundError(
             f"no committed snapshot under {root} — publish before "
@@ -123,9 +125,10 @@ def publish_upsert(
     correct but write-amplified; avoiding the copy needs per-table
     manifests instead of one version dir, which is precisely the step
     from this pattern to a real table format (Delta/Iceberg)."""
-    if current_version(root) is None:
+    version = current_version(root)
+    if version is None:
         return publish_tables(root, {name: updates})
-    _, vdir = _snapshot_dir(root)
+    _, vdir = _snapshot_dir(root, version)
     base = read_published(spark, root, name)
     merged = merge_upsert(base, updates, key_cols)
     tables: dict[str, DataFrame] = {name: merged}

@@ -124,6 +124,13 @@ def test_centroids_partial_aggregation(spark, sf_dir):
     # and the explode must appear exactly once
     plan = _plan(spark, sf_dir, "embedding_label_centroids")
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
-    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
-    first_agg = plan.index("HashAggregate")
-    assert "Exchange" in plan[:first_agg] or "Generate" in plan[:first_agg], plan
+    # formatted-plan ids grow downstream: partial HashAggregate must sit
+    # BETWEEN the Generate and an Exchange, with the final HashAggregate
+    # after that Exchange — i.e. some exchange id strictly between two
+    # HashAggregate ids
+    ha = sorted(int(i) for i in re.findall(r"\((\d+)\) HashAggregate", plan))
+    ex = [int(i) for i in re.findall(r"\((\d+)\) Exchange", plan)]
+    gen = int(re.search(r"\((\d+)\) Generate", plan).group(1))
+    assert len(ha) >= 2, plan
+    assert gen < ha[0], plan
+    assert any(ha[i] < e < ha[i + 1] for e in ex for i in range(len(ha) - 1)), plan

@@ -218,3 +218,52 @@ def test_train_sample_undersized_raises_clearly(spark):
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="training sample"):
         train_ivf_centroids(corpus, n_centroids=16)
+
+
+def test_nan_scores_rank_last_and_prune_losslessly(spark):
+    # contract: scorers normalize NaN -> NULL (nan_safe_score), because
+    # the Arrow/pandas hop in local_topk cannot represent float NaN and
+    # Spark orders NaN (greatest) and NULL (last under desc) differently.
+    # Operator level: a zero-norm vector's cosine is undefined -> ranks
+    # LAST, and the pruned pipeline equals the expected ranking.
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(
+        corpus, corpus.filter("vec_id = 0"), k=3, metric="cosine"
+    )
+    got = [(r.vec_id, r.score) for r in out.orderBy("rank").collect()]
+    assert [v for v, _ in got] == [1, 3, 2]
+    assert got[2][1] is None  # undefined score surfaced as NULL, ranked last
+
+    # prune level: NULL scores must survive the prune exactly like the
+    # plain window path (null-last on both sides)
+    from pyspark.sql.window import Window
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        local_topk,
+    )
+
+    srows = [
+        (0, None, 1), (0, 5.0, 2), (0, 4.0, 3), (0, 3.0, 4),
+        (1, 2.0, 5), (1, None, 6),
+    ]
+    df = spark.createDataFrame(
+        srows, "query_id long, score double, vec_id long"
+    ).repartition(3)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+
+    def finish(scored):
+        return {
+            (r.query_id, r.vec_id, r.rank)
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 2)
+            .collect()
+        }
+
+    got2 = finish(local_topk(df, 2))
+    assert got2 == finish(df)
+    assert (1, 5, 1) in got2 and (1, 6, 2) in got2  # null ranks last
