@@ -428,3 +428,108 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
     return out.orderBy("id_a", "id_b")
+
+
+@query(
+    "neardup_keeper_docs",
+    """
+    WITH RECURSIVE d AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS sh
+        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
+              FROM documents WHERE doc_id < 120)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT ia AS ea, ib AS eb FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    ),
+    toks AS (
+        SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens
+        FROM documents WHERE doc_id < 120
+    ),
+    ranked AS (
+        SELECT c.component, c.doc_id, t.n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY t.n_tokens DESC, c.doc_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+        FROM comp c JOIN toks t USING (doc_id)
+    )
+    SELECT component, doc_id AS kept_doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1 ORDER BY component
+    """,
+)
+def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup END TO END: cluster near-duplicates (exact-Jaccard
+    edges on the bounded ground-truth subset → connected components),
+    then keep ONE canonical doc per cluster — the longest (most tokens),
+    lowest doc_id on ties. This is the production near-dedup composition
+    (exact_dedup's keeper policy generalized from identical-text groups
+    to similarity clusters); singletons keep themselves. At scale the
+    edge set comes from minhash_candidates instead of the bounded
+    all-pairs ground truth — the keeper logic is identical."""
+    from technical_test_data_engineer_spark.operators.dedup import (
+        jaccard,
+        word_shingles,
+    )
+    from technical_test_data_engineer_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
+    edges = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .filter(jaccard(F.col("sha"), F.col("shb")) >= 0.5)
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    cc = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    joined = cc.join(toks, "doc_id")
+    wr = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ws = Window.partitionBy("component")
+    return (
+        joined.select(
+            "component",
+            "doc_id",
+            "n_tokens",
+            F.row_number().over(wr).alias("_rn"),
+            F.count("*").over(ws).cast("bigint").alias("cluster_size"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_tokens",
+            "cluster_size",
+        )
+        .orderBy("component")
+    )

@@ -634,3 +634,46 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") == 0)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_above_lang_median",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, LEN(STR_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT lang,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY n_tokens) AS med
+        FROM t GROUP BY lang
+    )
+    SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
+    FROM t JOIN m USING (lang)
+    WHERE t.n_tokens > m.med
+    ORDER BY doc_id
+    """,
+)
+def doc_above_lang_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile gate — the curation staple of thresholding
+    against each language's OWN distribution (a global cutoff over- or
+    under-prunes small languages): exact interpolated median per lang
+    (Spark `percentile` ≡ DuckDB PERCENTILE_CONT — both linear
+    interpolation, bit-identical on integer inputs), broadcast back,
+    scan-side filter. Two shuffles total (the tiny per-lang agg and the
+    final sort); the fact side never shuffles for the join."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    med = t.groupBy("lang").agg(
+        F.expr("percentile(n_tokens, 0.5)").alias("_med")
+    )
+    return (
+        t.join(F.broadcast(med), "lang")
+        .filter(F.col("n_tokens") > F.col("_med"))
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
