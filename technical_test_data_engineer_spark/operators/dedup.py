@@ -383,3 +383,79 @@ def embedding_near_dup_pairs(
     if planes_tables:
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dedup: pairs (id_a < id_b, jaccard ≥ threshold)
+    where AT LEAST ONE side is in ``new_docs`` — the daily-ingestion
+    shape at corpus scale. Old-vs-old pairs are never generated: the
+    band join is new-batch bands ⋈ full-corpus bands, so its cost is
+    O(|new| × bucket-collision rate), not O(|corpus|²) — re-running the
+    all-pairs pipeline per ingest is the thing that stops working first
+    at 100 TB.
+
+    ``corpus`` must CONTAIN ``new_docs`` (pass union(old, new) — ids
+    unique across both). At scale the corpus side's (id, band, hash)
+    relation is a stored table (≈ bands × 16 B per doc) refreshed by
+    appending each batch's bands; here it is recomputed from text, the
+    join shape is identical. The new-batch id set is broadcast (8 B per
+    id — fine for any realistic ingest batch); band the new batch
+    directly instead if it ever isn't. Deterministic for fixed seed.
+    """
+    rows_per_band = num_hashes // bands
+    # base (id, shingles, signature) persisted — feeds the banding and
+    # both verify sides, exactly like minhash_candidates
+    base = (
+        fan_out(corpus.select(id_col, text_col))
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # banded rows stay LIGHT (id, band, hash) — the KB-sized shingle
+    # arrays never enter the candidate join (same rule as the all-pairs
+    # pipeline); at scale this relation is the stored bands table
+    banded = base.select(
+        id_col,
+        F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_b"),
+    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+
+    new_ids = new_docs.select(F.col(id_col).alias("_nid")).distinct()
+    new_b = banded.join(
+        F.broadcast(new_ids), banded[id_col] == F.col("_nid")
+    ).select(id_col, "_band", "_bh")
+
+    left = new_b.select(F.col(id_col).alias("id_n"), "_band", "_bh")
+    right = banded.select(F.col(id_col).alias("id_c"), "_band", "_bh")
+    cands = (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_n") != F.col("id_c"))
+        .select(
+            F.least("id_n", "id_c").alias("id_a"),
+            F.greatest("id_n", "id_c").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shingles = base.select(id_col, "_sh")
+    return (
+        cands.join(
+            shingles.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")),
+            "id_a",
+        )
+        .join(
+            shingles.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

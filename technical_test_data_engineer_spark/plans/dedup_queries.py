@@ -533,3 +533,24 @@ def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# rows-only: xxhash64-based bands have no DuckDB twin (recall for the
+# underlying pipeline is certified by dedup_clusters' exact oracle)
+@query("minhash_incremental_dedup")
+def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with doc_id >= 300 play the
+    day's new batch; near-dup pairs are reported only where a NEW doc
+    is involved — old-vs-old pairs are never generated (that quadratic
+    recheck is what stops working first at 100 TB). Same MinHash+LSH
+    parameters as minhash_near_dups, so the result is exactly that
+    query's pairs minus the old-only ones."""
+    from technical_test_data_engineer_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 300)
+    return minhash_incremental_pairs(docs, new, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )

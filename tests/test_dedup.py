@@ -83,3 +83,34 @@ def test_simhash_planted_near_dup(spark):
     assert got.get((1, 4)) == 0     # identical text → identical simhash
     assert got.get((1, 2)) == 7     # near-dup within hamming budget
     assert (1, 3) not in got
+
+
+def test_minhash_incremental_only_new_involving_pairs(spark):
+    # planted corpus: (1,2) near-dups both OLD; (1,4) exact dups both
+    # OLD; (7) NEW near-dup of 1 — incremental must report ONLY pairs
+    # touching the new batch, and must agree with the all-pairs
+    # pipeline on those pairs
+    from technical_test_data_engineer_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_incremental_pairs,
+    )
+
+    docs = _docs(spark)
+    base_text = docs.filter("doc_id = 1").collect()[0].text
+    new_rows = [(7, base_text + " extra")]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    corpus = docs.unionByName(new)
+
+    inc = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(corpus, new, threshold=0.5).collect()
+    }
+    assert all(7 in p for p in inc), inc          # every pair touches new
+    assert (1, 7) in inc                          # new near-dup found
+    assert (1, 2) not in inc and (1, 4) not in inc  # old-vs-old excluded
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(corpus, threshold=0.5).collect()
+    }
+    assert inc == {p for p in full if 7 in p}     # agrees with all-pairs
