@@ -116,8 +116,17 @@ def tokens_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.select(id_col, F.explode(tokens(text_col)).alias("term"))
 
 
+def md5_hash64(c: Column) -> Column:
+    """Engine-portable 60-bit integer hash (first 15 hex digits of md5)
+    — the same convention as the train/val split and hash sampling.
+    Slower than xxhash64 but reproducible in DuckDB
+    (``CAST('0x' || SUBSTRING(MD5(s), 1, 15) AS BIGINT)``), which makes
+    hash-dependent operators oracle-pairable."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def winnow_fingerprints(
-    text_col: str | Column = "text", k: int = 5, w: int = 4
+    text_col: str | Column = "text", k: int = 5, w: int = 4, hash_fn=None
 ) -> Column:
     """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every ``k``-token shingle (rolling k-gram), then
@@ -134,13 +143,14 @@ def winnow_fingerprints(
     measured 14× slower).
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = hash_fn or F.xxhash64  # md5_hash64 for the oracle-paired twin
 
     def _with_toks(toks: Column) -> Column:
         n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
         idx = F.sequence(F.lit(1), n_sh)
         # slice+array_join, not element_at: ANSI-safe for docs < k tokens
         hashes = F.transform(
-            idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " "))
+            idx, lambda i: h(F.array_join(F.slice(toks, i, k), " "))
         )
 
         def _with_hashes(h: Column) -> Column:

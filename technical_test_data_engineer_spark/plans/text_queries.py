@@ -677,3 +677,50 @@ def doc_above_lang_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_winnow_fingerprints_md5",
+    """
+    WITH t AS (
+        SELECT doc_id, STR_SPLIT(text, ' ') AS toks
+        FROM documents WHERE doc_id < 120
+    ),
+    g AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 4, 1)),
+                   i -> CAST('0x' || SUBSTRING(
+                            MD5(ARRAY_TO_STRING(toks[i:i+4], ' ')), 1, 15)
+                        AS BIGINT)
+               ) AS hashes
+        FROM t
+    ),
+    w AS (
+        SELECT doc_id,
+               LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(hashes) - 3, 1)),
+                   i -> LIST_MIN(hashes[i:i+3])
+               ))) AS fps
+        FROM g
+    )
+    SELECT doc_id, UNNEST(fps) AS fingerprint
+    FROM w ORDER BY doc_id, fingerprint
+    """,
+)
+def doc_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable winnowing companion: the SAME k=5/w=4 MOSS
+    selection logic as doc_winnow_fingerprints, with the k-gram hash
+    swapped from xxhash64 (no DuckDB twin) to the engine-portable
+    md5-derived 60-bit hash — so shingling, rolling window minima,
+    dedup and the fingerprint guarantee are all value-hash-checked
+    against an oracle that recomputes them from scratch. Bounded subset
+    (doc_id < 120) because md5 per k-gram costs ~3× xxhash64; the
+    production query keeps the fast hash. One row per (doc,
+    fingerprint) — exploded, no array columns."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    fp = TX.winnow_fingerprints("text", k=5, w=4, hash_fn=TX.md5_hash64)
+    return (
+        docs.select("doc_id", F.explode(fp).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
