@@ -311,6 +311,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     metric: str = "fast",
+    train_max_iter: int = 10,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into Voronoi cells of a
     coarse quantizer; each query scores only the ``n_probe`` nearest
@@ -324,9 +325,12 @@ def ivf_topk(
 
     ``metric="exact"`` scores with the decimal-exact dot instead of
     ``fast_dot`` — use for oracle-paired variants (probe-all ≡ brute
-    force bit-for-bit).
+    force bit-for-bit, for ANY quantizer — pass ``train_max_iter=1``
+    there, convergence buys nothing when every cell is probed).
     """
-    cents = train_ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    cents = train_ivf_centroids(
+        corpus, n_centroids, id_col, vec_col, max_iter=train_max_iter
+    )
     c_assign = ivf_assignment_udf(cents, n_probe=1)
     q_assign = ivf_assignment_udf(cents, n_probe=n_probe)
 

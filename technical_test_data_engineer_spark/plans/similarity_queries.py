@@ -229,7 +229,8 @@ def knn_ivf_exact_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     out = ivf_topk(
-        emb, probes, n_centroids=4, n_probe=4, k=TOP_K, metric="exact"
+        emb, probes, n_centroids=4, n_probe=4, k=TOP_K, metric="exact",
+        train_max_iter=1,
     )
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
