@@ -203,17 +203,23 @@ def minhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_bits(text_col: str | Column = "text", n_bits: int = 64) -> Column:
+def simhash_bits(
+    text_col: str | Column = "text", n_bits: int = 64, hash_fn=None
+) -> Column:
     """SimHash as an array<int> of ``n_bits`` sign bits: per-token
-    xxhash64, majority vote per bit position.
+    xxhash64, majority vote per bit position. ``hash_fn`` swaps the
+    token hash (e.g. text.md5_hash64 — 60 meaningful bits — for the
+    oracle-paired twin; bits beyond the hash width vote all-negative
+    on both engines, so the comparison stays exact).
 
     Single pass over the token-hash array: the fold accumulator is the
     whole 64-slot vote vector (``zip_with`` against a position sequence,
     ``getbit`` with a column position) — ~3.4× faster than folding the
     array once per bit, and still 100% JVM expressions.
     """
+    h = hash_fn or F.xxhash64
     toks = F.split(text_col if isinstance(text_col, str) else text_col, " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: h(t))
     positions = F.sequence(F.lit(0), F.lit(n_bits - 1))
     votes = F.aggregate(
         hashes,
@@ -234,7 +240,7 @@ def hamming_bits(a: Column, b: Column) -> Column:
     )
 
 
-def simhash_packed(text_col: str | Column = "text") -> Column:
+def simhash_packed(text_col: str | Column = "text", hash_fn=None) -> Column:
     """SimHash packed into struct(h1, h2) — two 32-bit halves in longs.
 
     Pairwise work (joins, Hamming) should use this form: two longs ship
@@ -242,7 +248,7 @@ def simhash_packed(text_col: str | Column = "text") -> Column:
     vs dragging a 64-element array through every candidate pair.
     ``conv(binary-string)`` keeps each half ≤ 2^32, inside bigint range.
     """
-    bits = simhash_bits(text_col)
+    bits = simhash_bits(text_col, hash_fn=hash_fn)
     raw = F.concat_ws("", F.transform(bits, lambda b: b.cast("string")))
 
     def _with_s(s: Column) -> Column:

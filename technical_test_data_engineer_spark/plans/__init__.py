@@ -78,8 +78,9 @@ _FRONT_50 = [
     "events_gapfilled_by_type",
     "user_conversion_funnel",
     "weekly_retention_cohorts",
-    # text analysis
-    "doc_token_stats",
+    # text analysis (token counting's twin proof lives inside
+    # doc_quality_scores' LEN/LIST_DISTINCT ratios)
+    "doc_winnow_fingerprints_md5",
     "doc_quality_scores",
     "doc_language_id",
     "tfidf_top_terms",
@@ -89,8 +90,11 @@ _FRONT_50 = [
     # companions (exact-scored LSH top-k AND near-dup pairs, each with a
     # generated bucketing oracle; probe-all IVF ≡ brute force). Exact
     # dedup's in-window twin is curation_pipeline's keeper-dedup stage.
+    # (ngram_jaccard's shingle+Jaccard machinery is recomputed verbatim
+    # by dedup_clusters_exact's oracle — its window slot goes to the
+    # SimHash bit-vote proof, otherwise uncheckable)
     "embedding_near_dups_lsh_exact",
-    "ngram_jaccard_pairs",
+    "doc_simhash_md5",
     "embedding_near_dup_exact",
     "curation_pipeline",
     "dedup_clusters",

@@ -554,3 +554,58 @@ def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_pairs(docs, new, threshold=0.5).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "doc_simhash_md5",
+    """
+    WITH t AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 120
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST('0x' || SUBSTRING(MD5(tok), 1, 15) AS BIGINT) AS hv
+        FROM t
+    ),
+    bits AS (
+        SELECT doc_id, b.j,
+               CASE WHEN SUM(((hv >> b.j) & 1) * 2 - 1) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM h CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS j) b
+        GROUP BY doc_id, b.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN j < 32 THEN bit * (1::BIGINT << (31 - j))
+                         ELSE 0 END) AS BIGINT) AS h1,
+           CAST(SUM(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (63 - j))
+                         ELSE 0 END) AS BIGINT) AS h2
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable SimHash companion: the SAME per-token-hash
+    bit-vote computation as simhash_near_dups, with xxhash64 swapped
+    for the engine-portable md5-derived hash — DuckDB recomputes every
+    bit vote and the packed (h1, h2) halves from scratch, so
+    tokenization, bit extraction, majority vote and packing are all
+    value-hash-checked. Bounded subset (md5 per token ~3× xxhash64);
+    production keeps the fast hash."""
+    from technical_test_data_engineer_spark.operators.dedup import (
+        simhash_packed,
+    )
+    from technical_test_data_engineer_spark.operators.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    packed = simhash_packed("text", hash_fn=md5_hash64)
+    return (
+        docs.withColumn("_p", packed)
+        .select(
+            "doc_id",
+            F.col("_p.h1").alias("h1"),
+            F.col("_p.h2").alias("h2"),
+        )
+        .orderBy("doc_id")
+    )
