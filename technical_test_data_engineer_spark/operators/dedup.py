@@ -70,11 +70,18 @@ def jaccard(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, seed: int = 42, portable: bool = False
+) -> Column:
     """MinHash signature (array<long>, length ``num_hashes``): the i-th
     element is min over shingles of xxhash64(seed_i, shingle). Each scan
     task computes signatures for its rows independently — embarrassingly
-    parallel, no shuffle."""
+    parallel, no shuffle.
+
+    ``portable=True`` swaps xxhash64 for the md5-derived 60-bit hash
+    (text.md5_hash64) with string-keyed rehashing — ~3× slower but
+    reproducible in DuckDB, which makes the WHOLE MinHash pipeline
+    oracle-pairable (see plans/dedup_queries.minhash_near_dups_md5)."""
     # Hash each variable-length shingle string ONCE, then derive the
     # num_hashes functions by rehashing the fixed 8-byte value — ~num_
     # hashes× less string traversal. The base-hash array is let-bound:
@@ -84,6 +91,26 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     # NB: closures, not default args — PySpark counts lambda parameters
     # to decide how many lambda variables to bind, so `lambda s, i=i`
     # would receive the ARRAY INDEX as `i`, not the hash index.
+    if portable:
+        from technical_test_data_engineer_spark.operators.text import md5_hash64
+
+        raw = F.transform(shingles, lambda s: md5_hash64(s))
+
+        def _with_base_p(base: Column) -> Column:
+            def _minhash_p(i: int) -> Column:
+                return F.array_min(
+                    F.transform(
+                        base,
+                        lambda h: md5_hash64(
+                            F.concat_ws(":", F.lit(str(seed + i)), h.cast("string"))
+                        ),
+                    )
+                )
+
+            return F.array(*[_minhash_p(i) for i in range(num_hashes)])
+
+        return bind(raw, _with_base_p)
+
     raw = F.transform(shingles, lambda s: F.xxhash64(s))
 
     def _with_base(base: Column) -> Column:
@@ -97,17 +124,25 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     return bind(raw, _with_base)
 
 
-def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_band_keys(
+    sig: Column, bands: int, rows_per_band: int, portable: bool = False
+) -> Column:
     """Band the signature: array of (band_id, band_hash) structs. Two
     docs are candidates iff any band hashes equal — P(candidate) =
-    1-(1-j^r)^b for Jaccard j."""
+    1-(1-j^r)^b for Jaccard j. ``portable`` mirrors minhash_signature."""
+    if portable:
+        from technical_test_data_engineer_spark.operators.text import md5_hash64
+
+        bh_fn = md5_hash64
+    else:
+        bh_fn = F.xxhash64
     entries = []
     for b in range(bands):
         chunk = F.slice(sig, b * rows_per_band + 1, rows_per_band)
         entries.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string")))).alias("bh"),
+                bh_fn(F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string")))).alias("bh"),
             )
         )
     return F.array(*entries)
@@ -123,6 +158,7 @@ def minhash_candidates(
     threshold: float = 0.5,
     seed: int = 42,
     persist: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold) —
     THE shared MinHash+LSH candidate pipeline: the near-dup listing, the
@@ -148,7 +184,9 @@ def minhash_candidates(
     base = (
         fan_out(df.select(id_col, text_col))
         .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+        .withColumn(
+            "_sig", minhash_signature(F.col("_sh"), num_hashes, seed, portable)
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -158,7 +196,10 @@ def minhash_candidates(
     # docs → m² candidate rows). The KB-sized shingle arrays are joined
     # back AFTER dedup, once per surviving pair side.
     banded = base.select(
-        id_col, F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_b")
+        id_col,
+        F.explode(
+            lsh_band_keys(F.col("_sig"), bands, rows_per_band, portable)
+        ).alias("_b"),
     ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
 
     left = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")

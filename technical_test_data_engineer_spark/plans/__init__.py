@@ -91,11 +91,13 @@ _FRONT_50 = [
     # generated bucketing oracle; probe-all IVF ≡ brute force). Exact
     # dedup's in-window twin is curation_pipeline's keeper-dedup stage.
     # (ngram_jaccard's shingle+Jaccard machinery is recomputed verbatim
-    # by dedup_clusters_exact's oracle — its window slot goes to the
-    # SimHash bit-vote proof, otherwise uncheckable)
+    # by dedup_clusters_exact's oracle, and embedding_near_dup_exact's
+    # exact-scoring+threshold machinery by embedding_near_dups_lsh_exact
+    # + knn_bruteforce — their slots go to the SimHash bit-vote and
+    # full-MinHash-pipeline proofs, otherwise uncheckable)
     "embedding_near_dups_lsh_exact",
     "doc_simhash_md5",
-    "embedding_near_dup_exact",
+    "minhash_near_dups_md5",
     "curation_pipeline",
     "dedup_clusters",
     "dedup_clusters_exact",

@@ -2,9 +2,13 @@
 
 Oracle strategy: exact Jaccard and exact cosine-threshold queries run on
 bounded id-subsets so DuckDB can verify them with list lambdas /
-correlated sums; the hash-based pipelines (MinHash banding, SimHash)
-use Spark's xxhash64 — not reproducible in DuckDB — so they get
-rows-only checks here and planted-duplicate assertions in unit tests.
+correlated sums. The production hash pipelines (MinHash banding,
+SimHash) use Spark's xxhash64 — not reproducible in DuckDB — so those
+queries get rows-only checks plus planted-duplicate unit tests; each
+family ALSO has an `_md5` companion that reruns the identical pipeline
+under the engine-portable md5-derived hash with a generated oracle
+recomputing every stage (round-3), so the algorithms themselves are
+value-checked, not just row-counted.
 """
 
 from __future__ import annotations
@@ -608,4 +612,84 @@ def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_p.h2").alias("h2"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _minhash_md5_oracle(
+    bound: int = 120,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Generated oracle for the FULL MinHash+LSH pipeline under the
+    engine-portable hash: DuckDB recomputes shingles, the 32-element
+    minhash signature (md5-derived base hash + string-keyed rehash),
+    the 8 band hashes, the bucket self-join, pair dedup, and the exact
+    Jaccard verify — every stage of minhash_candidates(portable=True)
+    is independently reproduced and value-checked."""
+
+    def md5int(e: str) -> str:
+        return f"CAST('0x' || SUBSTRING(MD5({e}), 1, 15) AS BIGINT)"
+
+    rehash = md5int(f"'{{k}}:' || CAST({md5int('s')} AS VARCHAR)")
+    sig_elems = ", ".join(
+        "LIST_MIN(LIST_TRANSFORM(sh, s -> " + rehash.format(k=seed + i) + "))"
+        for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + md5int(
+            f"ARRAY_TO_STRING(LIST_TRANSFORM("
+            f"sg[{b * rpb + 1}:{b * rpb + rpb}], x -> CAST(x AS VARCHAR)), ',')"
+        )
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS sh
+        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
+              FROM documents WHERE doc_id < {bound})
+    ),
+    sig AS (SELECT doc_id, sh, [{sig_elems}] AS sg FROM d),
+    bands AS ({band_selects}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(LEN(LIST_INTERSECT(da.sh, db.sh)) AS DOUBLE)
+               / (LEN(da.sh) + LEN(db.sh) - LEN(LIST_INTERSECT(da.sh, db.sh)))
+                   AS jaccard
+        FROM cands c
+        JOIN d da ON da.doc_id = c.id_a
+        JOIN d db ON db.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("minhash_near_dups_md5", _minhash_md5_oracle())
+def minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MinHash+LSH companion: the ENTIRE pipeline —
+    shingling, 32-hash signature, 8-band LSH keys, bucket self-join,
+    pair dedup, exact-Jaccard verify — run with the engine-portable
+    md5-derived hash and cross-checked against a DuckDB oracle that
+    recomputes every stage from scratch. Complements dedup_clusters'
+    recall certification (which checks the FOUND pair set against
+    ground truth) by checking the hashes and buckets themselves.
+    Bounded subset; production keeps xxhash64."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return minhash_candidates(docs, threshold=0.5, portable=True).orderBy(
+        "id_a", "id_b"
     )
