@@ -558,6 +558,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     rerank: int = 0,
+    rerank_metric: str = "fast",
 ) -> DataFrame:
     """Asymmetric-distance top-k: corpus is scored from its PQ codes
     only. Per query, precompute a (m × n_codes) lookup table of partial
@@ -660,9 +661,15 @@ def pq_adc_topk(
         .select(
             query_id_col,
             id_col,
-            nan_safe_score(fast_dot(F.col("_qvec"), F.col(vec_col))).alias(
-                "score"
-            ),
+            # rerank_metric="exact": with rerank ≥ corpus size the
+            # shortlist is the whole corpus and the refined ranking is
+            # bit-identical to brute force — the oracle-paired limit
+            # proof of the two-stage path (knn_pq_exact_rerankall)
+            nan_safe_score(
+                (exact_dot if rerank_metric == "exact" else fast_dot)(
+                    F.col("_qvec"), F.col(vec_col)
+                )
+            ).alias("score"),
         )
     )
     return (

@@ -65,10 +65,11 @@ _FRONT_50 = [
     "rolling_7day_revenue",
     "asof_click_attribution",
     # filters/aggregates with unique operator proofs (semi-join's twin
-    # proof lives in q21's LeftSemi / q20's semi finish)
+    # proof lives in q21's LeftSemi / q20's semi finish; GROUPING-id
+    # machinery stays proven by sales_cube, freeing grouping_sets' slot
+    # for the PQ limit proof)
     "part_slug_filter",
     "customers_without_orders",
-    "sales_grouping_sets",
     "sales_cube",
     "nation_orderstatus_pivot",
     # event-time analytics (tumbling/session/range-join/gap-fill/funnel)
@@ -104,6 +105,7 @@ _FRONT_50 = [
     "knn_bruteforce",
     "knn_lsh_exact",
     "knn_ivf_exact_probeall",
+    "knn_pq_exact_rerankall",
     # multimodal
     "media_decode_meta",
 ]

@@ -302,3 +302,33 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@query("knn_pq_exact_rerankall", _exact_topk_oracle(EXACT_BOUND))
+def knn_pq_exact_rerankall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable PQ companion — the exact-in-the-limit proof of
+    the two-stage path: with ``rerank`` ≥ corpus size the ADC shortlist
+    is the whole corpus and the exact re-rank is bit-identical to brute
+    force, so the brute-force oracle applies while the query still
+    exercises codebook training, scan-side encoding, fused ADC scoring
+    + per-partition prune, the shortlist window, and the rerank join.
+    Completes the set: every ANN path (LSH, IVF, PQ) now has an
+    oracle-paired companion. Bounded corpus (inactive at sf0.01);
+    small codebooks — the limit proof holds for ANY codebook."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    books = train_pq_codebooks(emb, m=8, n_codes=16, n_iter=1)
+    out = pq_adc_topk(
+        emb, probes, books, k=TOP_K, rerank=EXACT_BOUND,
+        rerank_metric="exact",
+    )
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")
