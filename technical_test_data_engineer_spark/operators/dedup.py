@@ -442,6 +442,7 @@ def minhash_incremental_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Incremental near-dedup: pairs (id_a < id_b, jaccard ≥ threshold)
     where AT LEAST ONE side is in ``new_docs`` — the daily-ingestion
@@ -465,7 +466,9 @@ def minhash_incremental_pairs(
     base = (
         fan_out(corpus.select(id_col, text_col))
         .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, seed))
+        .withColumn(
+            "_sig", minhash_signature(F.col("_sh"), num_hashes, seed, portable)
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # banded rows stay LIGHT (id, band, hash) — the KB-sized shingle
@@ -473,7 +476,9 @@ def minhash_incremental_pairs(
     # pipeline); at scale this relation is the stored bands table
     banded = base.select(
         id_col,
-        F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band)).alias("_b"),
+        F.explode(
+            lsh_band_keys(F.col("_sig"), bands, rows_per_band, portable)
+        ).alias("_b"),
     ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
 
     new_ids = new_docs.select(F.col(id_col).alias("_nid")).distinct()

@@ -615,11 +615,10 @@ def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_md5_oracle(
+def _minhash_md5_pairs_cte(
     bound: int = 120,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
     seed: int = 42,
 ) -> str:
     """Generated oracle for the FULL MinHash+LSH pipeline under the
@@ -672,7 +671,12 @@ def _minhash_md5_oracle(
         FROM cands c
         JOIN d da ON da.doc_id = c.id_a
         JOIN d db ON db.doc_id = c.id_b
-    )
+    )"""
+
+
+def _minhash_md5_oracle(threshold: float = 0.5, **kw) -> str:
+    return f"""
+    {_minhash_md5_pairs_cte(**kw)}
     SELECT id_a, id_b, jaccard FROM verified
     WHERE jaccard >= {threshold}
     ORDER BY id_a, id_b
@@ -693,3 +697,84 @@ def minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(docs, threshold=0.5, portable=True).orderBy(
         "id_a", "id_b"
     )
+
+
+_SPLIT_MD5_SQL = """
+    split AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents WHERE doc_id < 120
+    )"""
+
+
+@query(
+    "split_contamination_audit_md5",
+    f"""
+    {_minhash_md5_pairs_cte()},
+    {_SPLIT_MD5_SQL}
+    SELECT v.id_a, v.id_b,
+           sa.split AS split_a, sb.split AS split_b, v.jaccard
+    FROM verified v
+    JOIN split sa ON sa.doc_id = v.id_a
+    JOIN split sb ON sb.doc_id = v.id_b
+    WHERE v.jaccard >= 0.5 AND sa.split <> sb.split
+    ORDER BY id_a, id_b
+    """,
+)
+def split_contamination_audit_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable decontamination audit: the identical
+    near-dup-pairs-crossing-the-split computation as
+    split_contamination_audit, under the portable hash — the oracle
+    recomputes the MinHash pipeline AND the md5-bucket split assignment
+    and joins them independently. Bounded subset."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    split = docs.select(
+        "doc_id", F.when(bucket < 90, "train").otherwise("val").alias("split")
+    )
+    pairs = minhash_candidates(docs, threshold=0.5, portable=True)
+    return (
+        pairs.join(
+            split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_INCR_NEW_BOUND = 80
+
+
+@query(
+    "minhash_incremental_md5",
+    f"""
+    {_minhash_md5_pairs_cte()}
+    SELECT id_a, id_b, jaccard FROM verified
+    WHERE jaccard >= 0.5
+      AND (id_a >= {_INCR_NEW_BOUND} OR id_b >= {_INCR_NEW_BOUND})
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable incremental-dedup companion: docs ≥ 80 play the
+    new batch within the bounded corpus; the oracle derives the same
+    answer set-theoretically (all verified pairs touching the new
+    batch), so the incremental band-join path is proven to generate
+    exactly the pairs the all-pairs pipeline would, minus old-vs-old."""
+    from technical_test_data_engineer_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    new = docs.filter(F.col("doc_id") >= _INCR_NEW_BOUND)
+    return minhash_incremental_pairs(
+        docs, new, threshold=0.5, portable=True
+    ).orderBy("id_a", "id_b")
