@@ -94,30 +94,24 @@ def minhash_signature(
     if portable:
         from technical_test_data_engineer_spark.operators.text import md5_hash64
 
-        raw = F.transform(shingles, lambda s: md5_hash64(s))
+        base_hash = md5_hash64
 
-        def _with_base_p(base: Column) -> Column:
-            def _minhash_p(i: int) -> Column:
-                return F.array_min(
-                    F.transform(
-                        base,
-                        lambda h: md5_hash64(
-                            F.concat_ws(":", F.lit(str(seed + i)), h.cast("string"))
-                        ),
-                    )
-                )
+        def rehash(i: int, h: Column) -> Column:
+            return md5_hash64(
+                F.concat_ws(":", F.lit(str(seed + i)), h.cast("string"))
+            )
 
-            return F.array(*[_minhash_p(i) for i in range(num_hashes)])
+    else:
+        base_hash = F.xxhash64
 
-        return bind(raw, _with_base_p)
+        def rehash(i: int, h: Column) -> Column:
+            return F.xxhash64(F.lit(seed + i), h)
 
-    raw = F.transform(shingles, lambda s: F.xxhash64(s))
+    raw = F.transform(shingles, lambda s: base_hash(s))
 
     def _with_base(base: Column) -> Column:
         def _minhash(i: int) -> Column:
-            return F.array_min(
-                F.transform(base, lambda h: F.xxhash64(F.lit(seed + i), h))
-            )
+            return F.array_min(F.transform(base, lambda h: rehash(i, h)))
 
         return F.array(*[_minhash(i) for i in range(num_hashes)])
 
@@ -148,6 +142,64 @@ def lsh_band_keys(
     return F.array(*entries)
 
 
+def _minhash_base_and_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    portable: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front of the all-pairs and incremental candidate
+    pipelines: ``base`` is the persisted (id, shingles, signature)
+    relation (feeds banding AND both verify sides — without persist
+    each branch re-shingles the corpus; fan_out spreads the per-row
+    hash work when the input scan is under-split), ``banded`` the
+    LIGHT exploded (id, band, band-hash) rows (~24 B) that enter the
+    candidate equi-join. The KB-sized shingle arrays never ride the
+    join — they come back via :func:`_jaccard_verify` after pair dedup."""
+    rows_per_band = num_hashes // bands
+    base = (
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+        .withColumn(
+            "_sig", minhash_signature(F.col("_sh"), num_hashes, seed, portable)
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = base.select(
+        id_col,
+        F.explode(
+            lsh_band_keys(F.col("_sig"), bands, rows_per_band, portable)
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+    return base, banded
+
+
+def _jaccard_verify(
+    cands: DataFrame, base: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-verify stage shared by both pipelines: join the shingle
+    arrays back onto the deduped candidate pairs (once per surviving
+    side) and keep exact Jaccard ≥ threshold."""
+    shingles = base.select(id_col, "_sh")
+    return (
+        cands.join(
+            shingles.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")),
+            "id_a",
+        )
+        .join(
+            shingles.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -176,32 +228,11 @@ def minhash_candidates(
     is what per-query bench isolation and one-shot callers want. The
     caller owns the unpersist.
     """
-    rows_per_band = num_hashes // bands
-    # fan_out: shingling + signatures are the expensive per-row stage —
-    # spread them over all cores when the input scan is under-split.
-    # persist: base feeds THREE branches (banding + both verify sides);
-    # without it each branch re-shingles the corpus.
-    base = (
-        fan_out(df.select(id_col, text_col))
-        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-        .withColumn(
-            "_sig", minhash_signature(F.col("_sh"), num_hashes, seed, portable)
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    base, banded = _minhash_base_and_bands(
+        df, id_col, text_col, shingle_n, num_hashes, bands, seed, portable
     )
-
-    # Candidate generation on LIGHT rows only — (id, band, band_hash) is
-    # ~24 bytes, so the band self-join and the pair-dedup shuffle stay
-    # cheap even when templated corpora produce hot buckets (bucket of m
-    # docs → m² candidate rows). The KB-sized shingle arrays are joined
-    # back AFTER dedup, once per surviving pair side.
-    banded = base.select(
-        id_col,
-        F.explode(
-            lsh_band_keys(F.col("_sig"), bands, rows_per_band, portable)
-        ).alias("_b"),
-    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
-
+    # Band self-join on the light rows stays cheap even when templated
+    # corpora produce hot buckets (bucket of m docs → m² candidate rows).
     left = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")
     right = banded.select(F.col(id_col).alias("id_b"), "_band", "_bh")
     cands = (
@@ -210,14 +241,7 @@ def minhash_candidates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingles = base.select(id_col, "_sh")
-    out = (
-        cands.join(shingles.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(shingles.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    out = _jaccard_verify(cands, base, id_col, threshold)
     if persist:
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
     return out
@@ -460,27 +484,9 @@ def minhash_incremental_pairs(
     id — fine for any realistic ingest batch); band the new batch
     directly instead if it ever isn't. Deterministic for fixed seed.
     """
-    rows_per_band = num_hashes // bands
-    # base (id, shingles, signature) persisted — feeds the banding and
-    # both verify sides, exactly like minhash_candidates
-    base = (
-        fan_out(corpus.select(id_col, text_col))
-        .select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-        .withColumn(
-            "_sig", minhash_signature(F.col("_sh"), num_hashes, seed, portable)
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    base, banded = _minhash_base_and_bands(
+        corpus, id_col, text_col, shingle_n, num_hashes, bands, seed, portable
     )
-    # banded rows stay LIGHT (id, band, hash) — the KB-sized shingle
-    # arrays never enter the candidate join (same rule as the all-pairs
-    # pipeline); at scale this relation is the stored bands table
-    banded = base.select(
-        id_col,
-        F.explode(
-            lsh_band_keys(F.col("_sig"), bands, rows_per_band, portable)
-        ).alias("_b"),
-    ).select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
-
     new_ids = new_docs.select(F.col(id_col).alias("_nid")).distinct()
     new_b = banded.join(
         F.broadcast(new_ids), banded[id_col] == F.col("_nid")
@@ -497,17 +503,4 @@ def minhash_incremental_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingles = base.select(id_col, "_sh")
-    return (
-        cands.join(
-            shingles.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")),
-            "id_a",
-        )
-        .join(
-            shingles.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")),
-            "id_b",
-        )
-        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(cands, base, id_col, threshold)

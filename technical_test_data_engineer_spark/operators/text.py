@@ -125,6 +125,17 @@ def md5_hash64(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def md5_bucket(c: Column | str, n_buckets: int = 100) -> Column:
+    """THE content-hash bucketing convention (first 8 hex digits of md5,
+    mod ``n_buckets``): deterministic, engine-portable (DuckDB:
+    ``CAST('0x' || SUBSTRING(MD5(s), 1, 8) AS BIGINT) % n``), and
+    text-keyed so identical documents always land in the same bucket —
+    the property the train/val split and hash-sampling queries rely on.
+    Single definition so the split used by the contamination audit can
+    never drift from the one used by the split queries."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
 def winnow_fingerprints(
     text_col: str | Column = "text", k: int = 5, w: int = 4, hash_fn=None
 ) -> Column:

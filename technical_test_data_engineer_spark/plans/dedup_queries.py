@@ -18,6 +18,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from technical_test_data_engineer_spark.operators.text import md5_bucket
 from technical_test_data_engineer_spark.operators.dedup import (
     embedding_near_dup_pairs,
     jaccard,
@@ -27,6 +28,26 @@ from technical_test_data_engineer_spark.operators.dedup import (
 )
 from technical_test_data_engineer_spark.plans.star_queries import query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+
+def _shingle_d_sql(bound: int | None = None) -> str:
+    """Oracle twin of operators.dedup.word_shingles(n=3): distinct word
+    3-grams per doc, built with DuckDB's clamping list slice so docs
+    shorter than 3 tokens yield their whole text as one shingle —
+    IDENTICAL semantics to the Spark slice+array_join form (the direct
+    toks[i]||toks[i+1]||toks[i+2] indexing would yield NULL grams
+    there). One definition feeds every exact-Jaccard oracle in this
+    module, so the shingle convention cannot drift between queries."""
+    where = f" WHERE doc_id < {bound}" if bound is not None else ""
+    return f"""d AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
+                   i -> ARRAY_TO_STRING(toks[i:i+2], ' ')
+               )) AS sh
+        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
+              FROM documents{where})
+    )"""
 
 
 def shared_minhash_pairs(
@@ -43,16 +64,8 @@ def shared_minhash_pairs(
 
 @query(
     "ngram_jaccard_pairs",
-    """
-    WITH d AS (
-        SELECT doc_id, toks,
-               LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-               )) AS sh
-        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
-              FROM documents WHERE doc_id < 25)
-    )
+    f"""
+    WITH {_shingle_d_sql(25)}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
@@ -288,15 +301,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters",
-    """
-    WITH RECURSIVE d AS (
-        SELECT doc_id,
-               LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-               )) AS sh
-        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents)
-    ),
+    f"""
+    WITH RECURSIVE {_shingle_d_sql()},
     pairs AS (
         SELECT a.doc_id AS ia, b.doc_id AS ib
         FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -344,16 +350,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters_exact",
-    """
-    WITH RECURSIVE d AS (
-        SELECT doc_id,
-               LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-               )) AS sh
-        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
-              FROM documents WHERE doc_id < 120)
-    ),
+    f"""
+    WITH RECURSIVE {_shingle_d_sql(450)},
     pairs AS (
         SELECT a.doc_id AS ia, b.doc_id AS ib
         FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -376,7 +374,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over EXACT all-pairs Jaccard edges on a
-    bounded subset (doc_id < 120) — the CC operator verified
+    bounded subset (doc_id < 450, which keeps ~15 planted near-dup
+    pairs including the 45-267-413 triangle — a multi-edge component
+    that exercises label transitivity, not just singletons) — the CC
+    operator verified
     independently of MinHash-LSH recall. ``dedup_clusters`` pairs the
     probabilistic candidate pipeline with the same oracle (certifying
     recall 1.0 on this corpus); this variant keeps the graph operator's
@@ -390,7 +391,7 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
     sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
     b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
@@ -414,7 +415,7 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     effectively saw in training. Output: one row per leaking pair with
     both splits, plus jaccard."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    bucket = md5_bucket("text")
     split = docs.select(
         "doc_id", F.when(bucket < 90, "train").otherwise("val").alias("split")
     )
@@ -436,16 +437,8 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "neardup_keeper_docs",
-    """
-    WITH RECURSIVE d AS (
-        SELECT doc_id,
-               LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-               )) AS sh
-        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
-              FROM documents WHERE doc_id < 120)
-    ),
+    f"""
+    WITH RECURSIVE {_shingle_d_sql(450)},
     pairs AS (
         SELECT a.doc_id AS ia, b.doc_id AS ib
         FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -467,7 +460,7 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     toks AS (
         SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens
-        FROM documents WHERE doc_id < 120
+        FROM documents WHERE doc_id < 450
     ),
     ranked AS (
         SELECT c.component, c.doc_id, t.n_tokens,
@@ -492,7 +485,10 @@ def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact_dedup's keeper policy generalized from identical-text groups
     to similarity clusters); singletons keep themselves. At scale the
     edge set comes from minhash_candidates instead of the bounded
-    all-pairs ground truth — the keeper logic is identical."""
+    all-pairs ground truth — the keeper logic is identical. The
+    doc_id < 450 bound keeps ~15 planted pairs including the
+    45-267-413 triangle, so keeper selection runs on real 2- and
+    3-doc clusters, not only singletons."""
     from technical_test_data_engineer_spark.operators.dedup import (
         jaccard,
         word_shingles,
@@ -502,7 +498,7 @@ def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
     sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
     b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
@@ -616,7 +612,7 @@ def doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_md5_pairs_cte(
-    bound: int = 120,
+    bound: int = 256,
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
@@ -647,15 +643,7 @@ def _minhash_md5_pairs_cte(
         for b in range(bands)
     )
     return f"""
-    WITH d AS (
-        SELECT doc_id,
-               LIST_DISTINCT(LIST_TRANSFORM(
-                   GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-               )) AS sh
-        FROM (SELECT doc_id, STR_SPLIT(text, ' ') AS toks
-              FROM documents WHERE doc_id < {bound})
-    ),
+    WITH {_shingle_d_sql(bound)},
     sig AS (SELECT doc_id, sh, [{sig_elems}] AS sg FROM d),
     bands AS ({band_selects}),
     cands AS (
@@ -692,28 +680,35 @@ def minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every stage from scratch. Complements dedup_clusters'
     recall certification (which checks the FOUND pair set against
     ground truth) by checking the hashes and buckets themselves.
-    Bounded subset; production keeps xxhash64."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    Bounded subset (doc_id < 256 keeps 4 planted near-dup pairs, e.g.
+    (8,245), so the check is non-vacuous); production keeps xxhash64."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
     return minhash_candidates(docs, threshold=0.5, portable=True).orderBy(
         "id_a", "id_b"
     )
 
 
-_SPLIT_MD5_SQL = """
+def _split_md5_sql(bound: int) -> str:
+    """Oracle twin of the md5-bucket train/val split (text_queries'
+    convention: first 8 hex digits of md5(text) mod 100, < 90 → train)."""
+    return f"""
     split AS (
         SELECT doc_id,
                CASE WHEN CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT)
                          % 100 < 90
                     THEN 'train' ELSE 'val' END AS split
-        FROM documents WHERE doc_id < 120
+        FROM documents WHERE doc_id < {bound}
     )"""
+
+
+_AUDIT_MD5_BOUND = 448
 
 
 @query(
     "split_contamination_audit_md5",
     f"""
-    {_minhash_md5_pairs_cte()},
-    {_SPLIT_MD5_SQL}
+    {_minhash_md5_pairs_cte(bound=_AUDIT_MD5_BOUND)},
+    {_split_md5_sql(_AUDIT_MD5_BOUND)}
     SELECT v.id_a, v.id_b,
            sa.split AS split_a, sb.split AS split_b, v.jaccard
     FROM verified v
@@ -728,9 +723,14 @@ def split_contamination_audit_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     near-dup-pairs-crossing-the-split computation as
     split_contamination_audit, under the portable hash — the oracle
     recomputes the MinHash pipeline AND the md5-bucket split assignment
-    and joins them independently. Bounded subset."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    and joins them independently. Bounded at doc_id < 448: the planted
+    pairs (44,446) and (70,447) cross the md5 split there, so the
+    crossing filter produces real leakage rows instead of passing
+    vacuously on an empty set."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _AUDIT_MD5_BOUND
+    )
+    bucket = md5_bucket("text")
     split = docs.select(
         "doc_id", F.when(bucket < 90, "train").otherwise("val").alias("split")
     )
@@ -750,7 +750,7 @@ def split_contamination_audit_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_INCR_NEW_BOUND = 80
+_INCR_NEW_BOUND = 160
 
 
 @query(
@@ -764,16 +764,19 @@ _INCR_NEW_BOUND = 80
     """,
 )
 def minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable incremental-dedup companion: docs ≥ 80 play the
+    """Driver-checkable incremental-dedup companion: docs ≥ 160 play the
     new batch within the bounded corpus; the oracle derives the same
     answer set-theoretically (all verified pairs touching the new
     batch), so the incremental band-join path is proven to generate
-    exactly the pairs the all-pairs pipeline would, minus old-vs-old."""
+    exactly the pairs the all-pairs pipeline would, minus old-vs-old.
+    The bounds are chosen so both sides of the contract are live: the
+    (8,245) and (61,185) pairs touch the new batch and must appear;
+    (87,134) and (152,178) are old-vs-old and must be excluded."""
     from technical_test_data_engineer_spark.operators.dedup import (
         minhash_incremental_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
     new = docs.filter(F.col("doc_id") >= _INCR_NEW_BOUND)
     return minhash_incremental_pairs(
         docs, new, threshold=0.5, portable=True

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from technical_test_data_engineer_spark.operators import text as TX
+from technical_test_data_engineer_spark.operators.text import md5_bucket
 from technical_test_data_engineer_spark.plans.star_queries import query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
 from technical_test_data_engineer_spark.operators.partitioning import fan_out
@@ -364,7 +365,7 @@ def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split can never leak near-duplicates across train/val after
     dedup. Per-(lang, split) counts."""
     docs = _docs(spark, sf_dir)
-    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
+    bucket = md5_bucket("text")
     tagged = docs.select(
         "lang",
         F.when(bucket < 90, "train").otherwise("val").alias("split"),
@@ -597,9 +598,7 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting and decontamination all agree on bucket boundaries.
     Scan-side filter only — zero shuffles at any corpus size."""
     docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 100
-    )
+    bucket = md5_bucket("text")
     quota = F.when(F.col("lang") == "en", 30).otherwise(60)
     return (
         docs.select("doc_id", "lang", bucket.cast("bigint").alias("bucket"))
@@ -626,9 +625,7 @@ def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/val split convention (doc_train_val_split). The standard way
     to cut an eval slice from a 100 TB corpus without a global sort."""
     docs = _docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 10
-    )
+    bucket = md5_bucket("text", 10)
     return (
         docs.select("doc_id", bucket.alias("bucket"))
         .filter(F.col("bucket") == 0)
