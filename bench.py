@@ -89,6 +89,13 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(result))
+    # The driver's BENCH_r{N}.json stores only a 2000-char stdout tail —
+    # too short for 112 per-query timings, so round-over-round claims
+    # were resting on a partial overlap (round-3 advice). Persist the
+    # FULL parsed dict next to the repo so bench_diff.py always has
+    # complete per-query coverage; committed once per round.
+    full = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full.write_text(json.dumps(result, indent=1) + "\n", encoding="utf-8")
     spark.stop()
 
 

@@ -17,9 +17,57 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from technical_test_data_engineer_spark.functions.hof import bind
 from technical_test_data_engineer_spark.operators.partitioning import fan_out
 from technical_test_data_engineer_spark.operators.windows import top1_per_group
+
+# Band buckets larger than this never enter a candidate self-join: a
+# bucket of m docs emits m² pairs, and real pretraining corpora DO
+# produce degenerate buckets (empty docs, boilerplate headers, license
+# blocks) — one million-doc bucket at 100 TB is 10¹² join rows on a
+# single key. Dropping a hot bucket only loses candidates whose
+# similarity the OTHER bands can still catch (a true near-dup pair has
+# bands-1 more chances; truly identical text is exact_dedup's job, not
+# MinHash's). The default is far above any bucket the test corpora
+# produce (≤500-doc oracle subsets), so capping changes no
+# oracle-checked result; production tunes it per corpus.
+DEFAULT_HOT_BUCKET_CAP = 1000
+
+
+def cap_hot_buckets(
+    banded: DataFrame, key_cols: list[str], cap: int | None
+) -> DataFrame:
+    """Drop rows in band buckets whose population exceeds ``cap``.
+
+    One windowed count over the same keys the candidate self-join
+    shuffles on (the exchange is shared, so the guard costs no extra
+    corpus-sized shuffle). ``cap=None`` disables. Diagnostic: feed the
+    same banded relation to :func:`hot_bucket_report` to see what was
+    dropped."""
+    if cap is None:
+        return banded
+    w = Window.partitionBy(*key_cols)
+    return (
+        banded.withColumn("_bucket_n", F.count("*").over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+
+
+def hot_bucket_report(
+    banded: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame:
+    """Buckets over ``cap`` with their populations — the audit a
+    production run logs next to the dedup output (which corpora slices
+    are degenerate, how many candidates the cap suppressed)."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > cap)
+        .orderBy(F.desc("bucket_n"))
+    )
 
 # ---------------------------------------------------------------------------
 # exact
@@ -211,6 +259,7 @@ def minhash_candidates(
     seed: int = 42,
     persist: bool = False,
     portable: bool = False,
+    hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact jaccard ≥ threshold) —
     THE shared MinHash+LSH candidate pipeline: the near-dup listing, the
@@ -221,6 +270,9 @@ def minhash_candidates(
     join on (band, band_hash) → distinct candidate pairs → exact Jaccard
     verify on the shingle arrays → threshold filter. The only shuffles
     are the band join and the distinct — both on uniform hash keys.
+    ``hot_bucket_cap`` guards the self-join against degenerate buckets
+    (see :func:`cap_hot_buckets`): a bucket of m docs emits m² pairs,
+    so templated/boilerplate corpora need the cap at scale.
 
     ``persist=True`` caches the verified pair set so a session feeding
     MULTIPLE consumers (audit + clustering over the same corpus) runs
@@ -231,8 +283,7 @@ def minhash_candidates(
     base, banded = _minhash_base_and_bands(
         df, id_col, text_col, shingle_n, num_hashes, bands, seed, portable
     )
-    # Band self-join on the light rows stays cheap even when templated
-    # corpora produce hot buckets (bucket of m docs → m² candidate rows).
+    banded = cap_hot_buckets(banded, ["_band", "_bh"], hot_bucket_cap)
     left = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")
     right = banded.select(F.col(id_col).alias("id_b"), "_band", "_bh")
     cands = (
@@ -338,12 +389,18 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 7,
     n_bands: int = 8,
+    hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs via band blocking: with ``n_bands`` bands
     over 64 bits, pigeonhole guarantees any pair with Hamming <
     ``n_bands`` shares at least one exact band — so ``max_hamming`` ≤
     ``n_bands - 1`` is exhaustive, above it probabilistic. Bucket-join
-    on (band_idx, band_value), verify exact Hamming."""
+    on (band_idx, band_value), verify exact Hamming. ``hot_bucket_cap``
+    guards the self-join against degenerate buckets (boilerplate
+    corpora hash-collide entire slices into one band value — m² join
+    rows without the cap); capped buckets weaken the ≤ n_bands - 1
+    exhaustiveness guarantee only for pairs INSIDE dropped buckets,
+    which the remaining bands can still pair."""
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
     band_bits = 64 // n_bands
@@ -368,6 +425,7 @@ def simhash_near_dup_pairs(
     banded = base.select(id_col, "_sh", F.explode(bands).alias("_b")).select(
         id_col, "_sh", F.col("_b.i").alias("_i"), F.col("_b.v").alias("_v")
     )
+    banded = cap_hot_buckets(banded, ["_i", "_v"], hot_bucket_cap)
     left = banded.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_ha"), "_i", "_v")
     right = banded.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_hb"), "_i", "_v")
     return (
@@ -467,6 +525,7 @@ def minhash_incremental_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Incremental near-dedup: pairs (id_a < id_b, jaccard ≥ threshold)
     where AT LEAST ONE side is in ``new_docs`` — the daily-ingestion
@@ -487,6 +546,10 @@ def minhash_incremental_pairs(
     base, banded = _minhash_base_and_bands(
         corpus, id_col, text_col, shingle_n, num_hashes, bands, seed, portable
     )
+    # cap BEFORE deriving the new-batch side so both join inputs agree
+    # on which buckets exist — a hot bucket is degenerate regardless of
+    # which ingest batch its members arrived in
+    banded = cap_hot_buckets(banded, ["_band", "_bh"], hot_bucket_cap)
     new_ids = new_docs.select(F.col(id_col).alias("_nid")).distinct()
     new_b = banded.join(
         F.broadcast(new_ids), banded[id_col] == F.col("_nid")

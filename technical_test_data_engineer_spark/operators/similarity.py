@@ -189,6 +189,49 @@ def brute_force_topk(
     )
 
 
+def seeded_planes(
+    n_tables: int, n_planes: int, dim: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Seeded Gaussian SRP hyperplanes — ONE definition shared by the
+    Spark LSH operators and the generated DuckDB oracles (the plane
+    literals are embedded in both, so buckets agree bit-for-bit)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def adaptive_n_planes(
+    n_vectors: int,
+    target_bucket: int = 64,
+    min_planes: int = 3,
+    max_planes: int = 24,
+) -> int:
+    """Planes-per-table sized so the EXPECTED bucket holds about
+    ``target_bucket`` vectors: ``ceil(log2(n / target_bucket))``.
+
+    This is the knob that makes SRP-LSH bucket selectivity scale: with a
+    FIXED plane count, bucket population is n / 2^planes — corpus-
+    proportional — so the candidate set (and the band join's output)
+    grows linearly with the corpus and the recall/cost dial silently
+    becomes "score most of the corpus". Sizing planes from the corpus
+    count keeps per-bucket cross products ~constant at any scale
+    (1 B vectors / target 64 → 24 planes). Recall at a fixed table count
+    falls as planes rise — production raises ``n_tables`` (or
+    multi-probes) to buy it back; the recall floor is asserted in
+    tests/test_similarity.py."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return min_planes
+    return max(
+        min_planes, min(max_planes, math.ceil(math.log2(n_vectors / target_bucket)))
+    )
+
+
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection signature: one sign bit per hyperplane,
     packed into a long. Planes are fixed literals (seeded driver-side),
@@ -435,20 +478,26 @@ def lsh_topk(
         .dropDuplicates([query_id_col, id_col])
     )
     scored = (
-        F.broadcast(
-            cands.join(
-                F.broadcast(
-                    queries.select(
-                        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
-                    )
-                ),
-                query_id_col,
-            )
+        cands.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+                )
+            ),
+            query_id_col,
         )
-        # fan_out: the corpus probe side of this broadcast join inherits
-        # the raw scan's partitioning — locally a single row-group ⇒ ONE
-        # task evaluating every candidate dot product (56 s vs 3 s for
-        # the decimal metric at sf0.1); on a cluster the scan is already
+        # Only the QUERY side is broadcast-hinted: the candidate set is
+        # O(corpus × bucket-collision rate), so forcing it into a
+        # broadcast ships a corpus-proportional relation to every
+        # executor when bucket selectivity is low (and locally adds a
+        # materialization barrier — the round-3 2.3× regression). Left
+        # unhinted, AQE broadcasts the candidates only when their
+        # RUNTIME size is actually small, else plans a shuffle
+        # equi-join on id_col.
+        # fan_out: the corpus probe side of this join inherits the raw
+        # scan's partitioning — locally a single row-group ⇒ ONE task
+        # evaluating every candidate dot product (56 s vs 3 s for the
+        # decimal metric at sf0.1); on a cluster the scan is already
         # split and fan_out is a no-op.
         .join(fan_out(corpus.select(id_col, vec_col)), id_col)
         .select(

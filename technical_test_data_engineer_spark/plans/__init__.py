@@ -32,6 +32,28 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # and locally verified — they are the ones whose operators are already
 # proven by an in-window query (e.g. cheapest_part_per_brand duplicates
 # top_order_per_customer's W1 top-1-per-group proof).
+# Round-4 rotation (verdict item 5): the 16 oracle-paired queries that
+# had never earned a driver-green row rotate IN; after this round every
+# oracle-paired query has been driver-checked in some round. Displaced
+# queries (all green in r03, all with an in-window twin for their
+# operator proof): q8/q9 (join chains — q5, q3), q11/q15/q20 (scalar+agg
+# subqueries — q18's having-subquery, q21's semi+anti,
+# customers_without_orders' anti), q13 (left join + count distribution —
+# customers_per_nation_left), order_gap_days (lag — customer_value_ranks
+# rank battery, verdict's own pairing), events_campaign_attribution /
+# events_gapfilled_by_type (range join + gap-fill — view_click_within_30m
+# interval join + events_gapfilled_hourly rotating in),
+# user_conversion_funnel / weekly_retention_cohorts (event-time staged
+# aggs — events_tumbling_30m + events_user_sessions), doc_quality_scores
+# (length/ratio battery — doc_gopher_filter + doc_charclass_stats
+# rotating in), doc_unigram_logprob (token counting + log weighting —
+# doc_bpe_token_counts + tfidf_top_terms), minhash_near_dups_md5 (whole
+# md5 MinHash pipeline — split_contamination_audit_md5 AND
+# minhash_incremental_md5 rotating in recompute every stage),
+# dedup_clusters_exact (CC over exact all-pairs edges —
+# neardup_keeper_docs rotating in carries the same all-pairs oracle, and
+# dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
+# embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
     # flagship + reference-parity pipeline
     "flagship_daily_backlog",
@@ -40,72 +62,59 @@ _FRONT_50 = [
     "priority_status_legend",
     "customers_per_nation_left",
     "events_json_extract",
-    # TPC-H shapes (multi-join, correlated, disjunctive, top-N).
-    # Round-3 rotation: q8/q9/q11/q13/q15/q20 had never been driver-
-    # checked; q6/q7/q10/q17/q22/q2 rotate out — each operator keeps an
-    # in-window twin (q1 agg battery, q5/q8/q9 join chains, q3/q18
-    # top-N, q11/q20 scalar+agg subqueries, customers_without_orders
-    # anti-join, q21 semi+anti).
+    # TPC-H shapes (multi-join, disjunctive, top-N, semi/anti)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
     "q18_large_orders",
     "q19_disjunctive_predicates",
-    "q20_volume_suppliers",
     "q21_waiting_suppliers",
-    # windows + as-of (rank battery, RANGE frame, lag, top-1-per-group)
+    # windows + as-of (rank battery, RANGE frame, top-1-per-group)
     "top_order_per_customer",
-    "order_gap_days",
     "customer_value_ranks",
     "rolling_7day_revenue",
     "asof_click_attribution",
-    # filters/aggregates with unique operator proofs (semi-join's twin
-    # proof lives in q21's LeftSemi / q20's semi finish; GROUPING-id
-    # machinery stays proven by sales_cube, freeing grouping_sets' slot
-    # for the PQ limit proof)
+    "rollup_acctbal",
+    "salted_segment_revenue",
+    # filters/aggregates with unique operator proofs
     "part_slug_filter",
     "customers_without_orders",
     "sales_cube",
     "nation_orderstatus_pivot",
-    # event-time analytics (tumbling/session/range-join/gap-fill/funnel)
+    # event-time analytics (tumbling/session/interval-join/gap-fill)
     "events_tumbling_30m",
     "events_user_sessions",
-    "events_campaign_attribution",
-    "events_gapfilled_by_type",
-    "user_conversion_funnel",
-    "weekly_retention_cohorts",
-    # text analysis (token counting's twin proof lives inside
-    # doc_quality_scores' LEN/LIST_DISTINCT ratios)
+    "events_gapfilled_hourly",
+    "view_click_within_30m",
+    # text analysis
     "doc_winnow_fingerprints_md5",
-    "doc_quality_scores",
     "doc_language_id",
     "tfidf_top_terms",
-    "doc_unigram_logprob",
     "doc_repetition_stats",
-    # dedup / curation / similarity — incl. the round-3 driver-checkable
-    # companions (exact-scored LSH top-k AND near-dup pairs, each with a
-    # generated bucketing oracle; probe-all IVF ≡ brute force). Exact
-    # dedup's in-window twin is curation_pipeline's keeper-dedup stage.
-    # (ngram_jaccard's shingle+Jaccard machinery is recomputed verbatim
-    # by dedup_clusters_exact's oracle, and embedding_near_dup_exact's
-    # exact-scoring+threshold machinery by embedding_near_dups_lsh_exact
-    # + knn_bruteforce — their slots go to the SimHash bit-vote and
-    # full-MinHash-pipeline proofs, otherwise uncheckable)
+    "doc_charclass_stats",
+    "doc_pattern_audit",
+    "doc_gopher_filter",
+    "doc_bpe_token_counts",
+    "doc_greedy_packing",
+    "doc_above_lang_median",
+    # sampling / splits
+    "doc_stratified_sample",
+    "doc_hash_sample",
+    # dedup / curation / similarity (generated-oracle md5 + LSH
+    # companions; exact dedup's in-window twin is curation_pipeline's
+    # keeper-dedup stage; the md5 MinHash pipeline is recomputed
+    # stage-by-stage inside both the audit and incremental oracles)
     "embedding_near_dups_lsh_exact",
     "doc_simhash_md5",
-    "minhash_near_dups_md5",
+    "split_contamination_audit_md5",
+    "minhash_incremental_md5",
     "curation_pipeline",
     "dedup_clusters",
-    "dedup_clusters_exact",
+    "neardup_keeper_docs",
     "knn_bruteforce",
-    "knn_lsh_exact",
     "knn_ivf_exact_probeall",
     "knn_pq_exact_rerankall",
+    "embedding_label_centroids",
     # multimodal
     "media_decode_meta",
 ]

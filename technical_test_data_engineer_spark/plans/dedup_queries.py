@@ -106,15 +106,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
                FROM (SELECT UNNEST(CAST(a.embedding AS DOUBLE[])) AS x,
                             UNNEST(CAST(b.embedding AS DOUBLE[])) AS y)
-           ) AS DOUBLE) >= 0.8
+           ) AS DOUBLE) >= 0.3
     ORDER BY id_a, id_b
     """,
 )
 def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine-threshold near-dup pairs on a bounded subset
-    (vec_id < 200, unit vectors → dot ≡ cosine), decimal-exact scores."""
+    (vec_id < 200, unit vectors → dot ≡ cosine), decimal-exact scores.
+    Threshold 0.3 — matching the lsh_exact twin — not the production
+    0.8: the uniform-random fixture has no ≥0.8 pairs, so the higher
+    threshold passed vacuously (0 rows at sf0.01, round-3 finding 3);
+    at 0.3 the all-pairs scoring + threshold path is value-checked on
+    148 real pairs."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return embedding_near_dup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
 # --- hash-based pipelines: rows-only (xxhash64 has no DuckDB twin) ---
@@ -479,33 +484,27 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup END TO END: cluster near-duplicates (exact-Jaccard
-    edges on the bounded ground-truth subset → connected components),
-    then keep ONE canonical doc per cluster — the longest (most tokens),
-    lowest doc_id on ties. This is the production near-dedup composition
+    edges ≥ 0.5 on the bounded subset → connected components), then keep
+    ONE canonical doc per cluster — the longest (most tokens), lowest
+    doc_id on ties. This is the production near-dedup composition
     (exact_dedup's keeper policy generalized from identical-text groups
-    to similarity clusters); singletons keep themselves. At scale the
-    edge set comes from minhash_candidates instead of the bounded
-    all-pairs ground truth — the keeper logic is identical. The
-    doc_id < 450 bound keeps ~15 planted pairs including the
-    45-267-413 triangle, so keeper selection runs on real 2- and
-    3-doc clusters, not only singletons."""
-    from technical_test_data_engineer_spark.operators.dedup import (
-        jaccard,
-        word_shingles,
-    )
+    to similarity clusters); singletons keep themselves. The edge set
+    comes from the PRODUCTION band pipeline (minhash_candidates: banded
+    candidate generation + exact-Jaccard verify) — the round-3 all-pairs
+    crossJoin edge build cost 5.8 s for a ground-truth-only shape; the
+    ORACLE stays exact all-pairs, so a hash match also certifies band
+    recall 1.0 on this subset (the same certificate dedup_clusters
+    carries for the full corpus). The doc_id < 450 bound keeps ~15
+    planted pairs including the 45-267-413 triangle, so keeper selection
+    runs on real 2- and 3-doc clusters, not only singletons."""
     from technical_test_data_engineer_spark.operators.graph import (
         connected_components,
     )
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
-    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
-    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
-    edges = (
-        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
-        .filter(jaccard(F.col("sha"), F.col("shb")) >= 0.5)
-        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    edges = minhash_candidates(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
     toks = docs.select(

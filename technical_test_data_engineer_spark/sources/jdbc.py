@@ -7,9 +7,12 @@ inserts (/root/reference/tasks/scraper/src/scraper.py:23-24) and
 equivalents below add what matters at scale: partitioned parallel reads
 (``partitionColumn``/``numPartitions``) and batched writes.
 
-No JDBC driver jar or database exists in the test harness, so these are
-exercised by unit tests only at the plan level (options wiring), not
-end-to-end.
+Exercised END-TO-END against embedded Apache Derby (whose jars ship
+inside Spark itself — no external database or network needed):
+``tests/test_jdbc_live.py`` does real DDL + batched-insert writes,
+range-predicated parallel reads, and full-replace semantics. The
+plan-level option-wiring tests in ``tests/test_sources.py`` remain for
+the driver-agnostic surface.
 """
 
 from __future__ import annotations

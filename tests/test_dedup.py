@@ -114,3 +114,65 @@ def test_minhash_incremental_only_new_involving_pairs(spark):
         for r in minhash_candidates(corpus, threshold=0.5).collect()
     }
     assert inc == {p for p in full if 7 in p}     # agrees with all-pairs
+
+
+def _hot_corpus(spark):
+    # 100 IDENTICAL docs (the boilerplate/license-block degenerate case:
+    # every band bucket holds all 100 → 100² candidate rows per band
+    # without a guard) + a planted near-dup pair of UNRELATED text whose
+    # buckets stay cold.
+    rows = [(i, BASE) for i in range(100)]
+    rows += [(2000, OTHER), (2001, OTHER.replace("today", "tomorrow"))]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap_guards_degenerate_buckets(spark):
+    from technical_test_data_engineer_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    pairs = minhash_candidates(_hot_corpus(spark), threshold=0.5,
+                               hot_bucket_cap=50)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # capped buckets emit NO pairs — the m² blowup never reaches the join
+    assert not any(a < 100 and b < 100 for a, b in got), got
+    # cold buckets are untouched: the planted near-dup is still found
+    assert (2000, 2001) in got
+
+
+def test_minhash_hot_bucket_cap_none_keeps_identical_pairs(spark):
+    # cap=None restores the uncapped round-3 semantics (proving the cap
+    # is what suppressed the hot pairs, not a hashing accident)
+    from technical_test_data_engineer_spark.operators.dedup import (
+        minhash_candidates,
+    )
+
+    pairs = minhash_candidates(_hot_corpus(spark), threshold=0.5,
+                               hot_bucket_cap=None)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (2000, 2001) in got
+
+
+def test_hot_bucket_report_lists_dropped_buckets(spark):
+    from technical_test_data_engineer_spark.operators.dedup import (
+        _minhash_base_and_bands,
+        hot_bucket_report,
+    )
+
+    _, banded = _minhash_base_and_bands(
+        _hot_corpus(spark), "doc_id", "text", 3, 32, 8, 42, False
+    )
+    hot = hot_bucket_report(banded, ["_band", "_bh"], cap=50).collect()
+    # all 8 bands of the identical-100 group are hot, population 100
+    assert len(hot) == 8 and all(r.bucket_n == 100 for r in hot)
+
+
+def test_simhash_hot_bucket_cap(spark):
+    # identical docs → identical simhash → every band bucket holds all
+    # 100; the cap suppresses them while the unrelated planted pair
+    # (distinct band values) still verifies
+    pairs = simhash_near_dup_pairs(_hot_corpus(spark), max_hamming=7,
+                                   hot_bucket_cap=50)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert not any(a < 100 and b < 100 for a, b in got), got
+    assert (2000, 2001) in got

@@ -1,0 +1,61 @@
+"""LIVE JDBC round-trip (round-3 verdict item 8): Spark ships the
+embedded Apache Derby jars (its Hive-metastore backend), so S2/S3's
+JDBC halves are exercised against a REAL database — actual DDL, real
+batched inserts, real range-predicated parallel reads — not just
+option wiring. Derby runs in-memory in the driver JVM; no server, no
+network, nothing outside the test process.
+
+Reference parity: ``scraper.py:23-24`` (``to_sql(if_exists='replace')``)
+and ``visualization.py:19`` (``pd.read_sql_table``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.sources.jdbc import (
+    read_jdbc_table,
+    write_jdbc_table,
+)
+
+URL = "jdbc:derby:memory:sparkgraft;create=true"
+DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _sample(spark):
+    return spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+
+
+def test_jdbc_write_read_round_trip(spark):
+    df = _sample(spark)
+    write_jdbc_table(df, URL, "roundtrip", **DRIVER)
+    back = read_jdbc_table(spark, URL, "roundtrip", **DRIVER)
+    assert back.count() == 100
+    got = {(r.id, r.v, r.name) for r in back.collect()}
+    want = {(r.id, r.v, r.name) for r in df.collect()}
+    assert got == want
+
+
+def test_jdbc_partitioned_parallel_read(spark):
+    # the at-scale read shape: num_partitions range-predicated queries
+    # issued in parallel instead of one unusable single-task scan
+    write_jdbc_table(_sample(spark), URL, "partread", **DRIVER)
+    part = read_jdbc_table(
+        spark, URL, "partread",
+        partition_column="id", lower_bound=0, upper_bound=100,
+        num_partitions=4, **DRIVER,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+
+
+def test_jdbc_full_replace_semantics(spark):
+    # if_exists='replace' parity: a second overwrite leaves ONLY the
+    # new rows — no append, no stale remainder
+    df = _sample(spark)
+    write_jdbc_table(df, URL, "replacetest", **DRIVER)
+    write_jdbc_table(df.filter("id < 40"), URL, "replacetest", **DRIVER)
+    assert read_jdbc_table(spark, URL, "replacetest", **DRIVER).count() == 40
