@@ -355,6 +355,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     metric: str = "fast",
     train_max_iter: int = 10,
+    max_train_vectors: int = 4096,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into Voronoi cells of a
     coarse quantizer; each query scores only the ``n_probe`` nearest
@@ -372,7 +373,8 @@ def ivf_topk(
     there, convergence buys nothing when every cell is probed).
     """
     cents = train_ivf_centroids(
-        corpus, n_centroids, id_col, vec_col, max_iter=train_max_iter
+        corpus, n_centroids, id_col, vec_col, max_iter=train_max_iter,
+        max_train_vectors=max_train_vectors,
     )
     c_assign = ivf_assignment_udf(cents, n_probe=1)
     q_assign = ivf_assignment_udf(cents, n_probe=n_probe)

@@ -192,7 +192,13 @@ def _embedding_lsh_pairs_oracle(planes_tables, bound, threshold) -> str:
     """
 
 
-_NEARDUP_BOUND = 800
+# 448 (not 800): the proof corpus sizes the decimal-exact candidate
+# re-score — pairs grow ~quadratically with the bound, and at 800 this
+# one query's interpreted-HOF decimal folds were the single largest
+# bench line (12 s at sf0.1). The pipeline proof is bound-independent
+# (same machinery, same oracle generator); at sf0.01 the bound keeps
+# ~100+ verified pairs, so the check stays non-vacuous.
+_NEARDUP_BOUND = 448
 _NEARDUP_THRESHOLD = 0.3
 
 

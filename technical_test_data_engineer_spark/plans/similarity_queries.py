@@ -213,10 +213,20 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.train_ivf_centroids. Recall at fixed probe
     fraction depends on how clustered the corpus is; tests assert ≥0.9
     on clustered data and the exact-in-the-limit property (probing all
-    cells ≡ brute force) on this uniform-random fixture."""
+    cells ≡ brute force) on this uniform-random fixture.
+
+    Training dials: 4 Lloyd iterations over a ≤2048-vector sample —
+    k-means|| seeding already places centroids well, and a coarse
+    quantizer needs ~40×k training points (FAISS guidance), so the
+    default 10×4096 bought nothing but bench time (training dominated
+    this query's wall-clock; in production the quantizer is trained
+    once and reused across query batches anyway)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = ivf_topk(emb, probes, n_centroids=16, n_probe=4, k=TOP_K)
+    out = ivf_topk(
+        emb, probes, n_centroids=16, n_probe=4, k=TOP_K,
+        train_max_iter=4, max_train_vectors=2048,
+    )
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")

@@ -1,0 +1,139 @@
+"""Streaming near-dup candidate generation — the MinHash+LSH band
+pipeline as a custom stateful operator (north-star §2.11 meets §2.10).
+
+Batch near-dedup re-pairs the whole corpus per run; the incremental
+batch variant (operators/dedup.minhash_incremental_pairs) avoids
+old-vs-old pairs but still re-reads the corpus bands. This operator is
+the always-on form: documents arrive as a stream, band keys are
+computed scan-side with the SAME expressions as the batch pipeline, and
+per-bucket state in the executor state store remembers which doc ids
+have passed through each (band, band-hash) bucket — each new doc emits
+candidate pairs against exactly the bucket-mates that arrived before
+it, across micro-batch boundaries, with nothing ever re-paired.
+
+State design for scale: keyed by (band, band_hash) — one array of doc
+ids per OCCUPIED bucket, capped at ``state_cap`` ids (the streaming
+form of the batch hot-bucket cap, operators/dedup.cap_hot_buckets).
+Batch capping can drop a whole hot bucket because it sees the full
+population up front; a stream cannot retract already-emitted pairs, so
+the streaming rule is "first ``state_cap`` ids pair, later arrivals in
+a saturated bucket are ignored" — state AND output stay O(cap) per
+bucket no matter how degenerate the corpus. A true near-dup pair
+suppressed in one saturated bucket still has bands-1 other chances.
+
+Output is CANDIDATE pairs (id_a < id_b), possibly repeated across
+bands/buckets — consumers dedup and exact-verify by joining text back
+(stream-static join against the corpus table), mirroring the batch
+pipeline's dropDuplicates + _jaccard_verify split. Emission is
+append-mode (pairs are facts, never updated).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from technical_test_data_engineer_spark.operators.dedup import (
+    DEFAULT_HOT_BUCKET_CAP,
+    lsh_band_keys,
+    minhash_signature,
+    word_shingles,
+)
+
+PAIR_SCHEMA = StructType(
+    [StructField("id_a", LongType()), StructField("id_b", LongType())]
+)
+
+# ids: bucket-mates that are allowed to pair; saturated: the bucket hit
+# state_cap and stopped admitting new members (sticky, so replays of a
+# saturated bucket stay cheap)
+STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("saturated", BooleanType()),
+    ]
+)
+
+
+def stream_minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    state_cap: int = DEFAULT_HOT_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) for every pair of docs sharing a
+    MinHash band bucket, emitted incrementally as docs arrive.
+
+    Identical band-key expressions to the batch pipeline
+    (operators/dedup._minhash_base_and_bands), so a stream fed the same
+    corpus produces exactly the batch candidate set (asserted in
+    tests/test_streaming_neardup.py). Works on a batch frame too —
+    ``applyInPandasWithState`` requires a stream, so the batch path
+    takes the plain self-join instead; use the batch operators there.
+    """
+    rows_per_band = num_hashes // bands
+    banded = (
+        docs.select(id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                lsh_band_keys(
+                    minhash_signature(
+                        word_shingles(text_col, shingle_n), num_hashes, seed
+                    ),
+                    bands,
+                    rows_per_band,
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+    )
+
+    def _pair_bucket(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        ids, saturated = state.get if state.exists else ([], False)
+        seen = list(ids)
+        member = set(seen)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            # sorted for deterministic emission order within a batch;
+            # set() guards source replays of the same doc id
+            for nid in sorted({int(x) for x in pdf[id_col]}):
+                if nid in member:
+                    continue
+                if saturated or len(seen) >= state_cap:
+                    saturated = True
+                    continue
+                for s in seen:
+                    out_a.append(min(s, nid))
+                    out_b.append(max(s, nid))
+                seen.append(nid)
+                member.add(nid)
+        state.update((seen, saturated))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return banded.groupBy("_band", "_bh").applyInPandasWithState(
+        _pair_bucket,
+        outputStructType=PAIR_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
