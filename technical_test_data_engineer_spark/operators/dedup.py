@@ -480,15 +480,21 @@ def embedding_near_dup_pairs(
         )
         l = bucketed.select(F.col(id_col).alias("id_a"), "_t", "_s")
         r = bucketed.select(F.col(id_col).alias("id_b"), "_t", "_s")
-        # NOTE: no pair-dedup here — re-scoring a pair once per agreeing
-        # table (≤ n_tables×) costs a few fast_dot folds, while a
-        # dropDuplicates on the full candidate set is a whole extra
-        # shuffle stage; the final dedup below touches only survivors.
+        # Pair-dedup placement depends on the scorer: re-scoring a pair
+        # once per agreeing table (≤ n_tables×) costs a few extra
+        # fast_dot folds — cheaper than the extra shuffle stage a
+        # dropDuplicates on the full candidate set adds, so the fast
+        # path dedups only the survivors below. The decimal-exact fold
+        # is ~100× a double fold (interpreted HOF + BigDecimal), so on
+        # the exact path the shuffle is the cheap side and duplicates
+        # are dropped BEFORE any scoring happens.
         cands = (
             l.join(r, ["_t", "_s"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
+        if exact_scores:
+            cands = cands.dropDuplicates(["id_a", "id_b"])
         vecs = df.select(id_col, vec_col)
         cands = cands.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a"

@@ -448,6 +448,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     metric: str = "fast",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing an SRP bucket
     with the query in ≥1 hash table. ``metric="exact"`` swaps the
@@ -460,19 +461,45 @@ def lsh_topk(
     light (query_id, id) pairs are deduped; vectors are re-attached to
     the surviving candidates via broadcast joins — the standard
     recall/cost dial for ANN at 100 TB.
-    """
+
+    ``probe_bits`` enables MULTI-PROBE (Lv et al., VLDB'07): each query
+    additionally probes the buckets reached by flipping each of the
+    first ``probe_bits`` signature bits (``probe_bits = n_planes`` ⇒
+    full Hamming-1 coverage, 1 + n_planes buckets per table). A
+    near-miss pair differs in few sign bits, so 1-bit probes recover
+    most of the recall that extra planes cost — WITHOUT touching the
+    corpus side: the fan-out is query-side only (still broadcast-
+    small), so at high plane counts this dial buys recall at
+    candidate-set cost instead of table-count cost (every extra table
+    re-scans and re-shuffles corpus signatures). Candidate-set
+    monotonicity (multiprobe ⊇ single-probe, same planes) is asserted
+    in tests."""
 
     sig_udf = srp_signatures_batch(planes_tables)
+    n_planes = len(planes_tables[0])
+    if not 0 <= probe_bits <= n_planes:
+        raise ValueError(f"probe_bits={probe_bits} outside [0, {n_planes}]")
     c_sig = (
         fan_out(corpus.select(id_col, vec_col))
         .select(id_col, F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_s"))
     )
-    q_sig = F.broadcast(
-        queries.select(
-            F.col(id_col).alias(query_id_col),
-            F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_s"),
-        )
+    q_base = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_s"),
     )
+    if probe_bits:
+        masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(probe_bits)])
+        q_base = q_base.select(
+            query_id_col,
+            "_t",
+            "_s",
+            F.explode(masks).alias("_m"),
+        ).select(
+            query_id_col,
+            "_t",
+            F.col("_s").bitwiseXOR(F.col("_m")).alias("_s"),
+        )
+    q_sig = F.broadcast(q_base)
     cands = (
         c_sig.join(q_sig, ["_t", "_s"])
         .select(query_id_col, id_col)

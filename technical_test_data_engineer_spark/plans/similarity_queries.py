@@ -182,6 +182,31 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "score")
 
 
+# rows-only (approximate): candidate-superset + recall asserted in tests
+@query("knn_lsh_multiprobe")
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5 (Lv et al., VLDB'07): the HIGH-planes
+    regime — planes sized one step tighter than knn_lsh_ann's adaptive
+    count (so buckets are ~2× smaller and the candidate join is ~2×
+    lighter), with each query also probing every Hamming-1 bucket to
+    buy the recall back. The production trade at corpus scale: probe
+    fan-out is query-side only (broadcast-small), while the equivalent
+    recall from extra TABLES would re-scan and re-shuffle corpus
+    signatures per table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = adaptive_n_planes(emb.count(), target_bucket=32)
+    out = lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        seeded_planes(8, n_planes, 64),
+        k=TOP_K,
+        probe_bits=n_planes,
+    )
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")
+
+
 @query("knn_lsh_exact", _lsh_exact_oracle(_seeded_planes(), EXACT_BOUND))
 def knn_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable LSH companion (round-2 verdict item 4): the

@@ -75,6 +75,7 @@ def stream_minhash_candidates(
     bands: int = 8,
     seed: int = 42,
     state_cap: int = DEFAULT_HOT_BUCKET_CAP,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) for every pair of docs sharing a
     MinHash band bucket, emitted incrementally as docs arrive.
@@ -85,7 +86,21 @@ def stream_minhash_candidates(
     tests/test_streaming_neardup.py). Works on a batch frame too —
     ``applyInPandasWithState`` requires a stream, so the batch path
     takes the plain self-join instead; use the batch operators there.
-    """
+
+    ``state_ttl_ms`` (e.g. 7 days = ``604_800_000``) bounds state LIFETIME the way
+    ``state_cap`` bounds state width: buckets idle longer than the TTL
+    are evicted (processing-time timeout), so an unbounded stream's
+    state store holds only buckets touched within the horizon — the
+    same bounded-state contract watermarks give the windowed
+    aggregations. The recall trade is explicit and matches incremental
+    batch practice: a new doc no longer pairs with bucket-mates older
+    than the TTL (dedup-against-recent-corpus semantics); run the
+    incremental BATCH pipeline against the full stored band table when
+    full-history dedup is required. CAVEAT: use TTLs only with
+    continuous triggers — under ``Trigger.AvailableNow`` the engine
+    loops timeout-cleanup batches indefinitely once any group arms a
+    processing-time timeout (observed on Spark 4.1; the bounded-backfill
+    trigger has no meaningful processing-time horizon anyway)."""
     rows_per_band = num_hashes // bands
     banded = (
         docs.select(id_col, text_col)
@@ -107,6 +122,11 @@ def stream_minhash_candidates(
     def _pair_bucket(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle bucket past the TTL: evict and emit nothing — the
+            # next arrival starts the bucket fresh
+            state.remove()
+            return
         ids, saturated = state.get if state.exists else ([], False)
         seen = list(ids)
         member = set(seen)
@@ -127,6 +147,8 @@ def stream_minhash_candidates(
                 seen.append(nid)
                 member.add(nid)
         state.update((seen, saturated))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_a:
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
@@ -135,5 +157,9 @@ def stream_minhash_candidates(
         outputStructType=PAIR_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -267,3 +267,29 @@ def test_nan_scores_rank_last_and_prune_losslessly(spark):
     got2 = finish(local_topk(df, 2))
     assert got2 == finish(df)
     assert (1, 5, 1) in got2 and (1, 6, 2) in got2  # null ranks last
+
+
+def test_lsh_multiprobe_superset_and_recall(spark, sf_dir):
+    # deterministic contract: flipping bits only ADDS probe buckets, so
+    # the multiprobe candidate set (hence result quality) can only grow
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    rng = random.Random(42)
+    planes = [[[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+              for _ in range(8)]
+    exact = {(r.query_id, r.vec_id) for r in
+             brute_force_topk(emb, probes, k=5).collect()}
+
+    def recall(probe_bits):
+        got = lsh_topk(emb, probes, planes, k=5, probe_bits=probe_bits)
+        return {(r.query_id, r.vec_id) for r in got.collect()}
+
+    single, multi = recall(0), recall(6)
+    # at 6 planes/table single-probe recall collapses on the uniform
+    # fixture (buckets hold ~1/64 of the corpus); Hamming-1 probing
+    # must recover at least as much as single-probe ever had, and in
+    # practice most of the gap to brute force
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) / len(exact) >= 0.6, (
+        len(multi & exact) / len(exact)
+    )

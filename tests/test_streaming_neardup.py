@@ -83,3 +83,72 @@ def test_stream_state_cap_bounds_degenerate_bucket(spark, tmp_path):
         ).collect()
     }
     assert got == {(0, 1), (0, 2), (1, 2)}, got
+
+
+def test_stream_state_ttl_evicts_idle_buckets(spark, tmp_path):
+    # doc 0 (file a) and doc 2 (file c) are identical → same buckets in
+    # every band; file b holds an unrelated doc, so those buckets idle
+    # through trigger 2. With a 1 ms processing-time TTL (state_ttl_ms=1) the idle
+    # buckets are evicted at trigger 2, so the (0, 2) pair is NEVER
+    # emitted; without a TTL it is. Files are processed one per trigger
+    # in modification-time order (explicitly pinned via os.utime).
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = "ttl eviction corpus shares this exact boilerplate sentence"
+    other = "completely unrelated filler content nothing in common here"
+    d = tmp_path / "ttldocs"
+    d.mkdir()
+    for fname, doc_id, txt, mtime in [
+        ("a.parquet", 0, text, 1_000),
+        ("b.parquet", 1, other, 2_000),
+        ("c.parquet", 2, text, 3_000),
+    ]:
+        p = str(d / fname)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([doc_id], pa.int64()),
+                      "text": pa.array([txt], pa.string())}),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    # TTL + availableNow don't mix (the engine loops timeout-cleanup
+    # batches forever once any group arms a processing-time timeout),
+    # so the TTL query runs on a processing-time trigger — the
+    # continuous-stream shape TTLs exist for — and is stopped once all
+    # three files have been processed.
+    import time
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_minhash_candidates(stream, state_ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("t_neardup_ttl")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp["batchId"] >= 4 and lp["numInputRows"] == 0:
+                break
+            time.sleep(0.5)
+        with_ttl = {
+            (r.id_a, r.id_b)
+            for r in spark.table("t_neardup_ttl").collect()
+        }
+    finally:
+        q.stop()
+    assert (0, 2) not in with_ttl, with_ttl
+    without = {
+        (r.id_a, r.id_b)
+        for r in _stream_pairs(spark, str(d), "t_neardup_nottl").collect()
+    }
+    assert (0, 2) in without, without
