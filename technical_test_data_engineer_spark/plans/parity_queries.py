@@ -166,3 +166,62 @@ def active_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("nb_customers"))
         .orderBy(F.desc("nb_customers"), "o_orderpriority")
     )
+
+
+def _legend_colors_oracle() -> str:
+    from technical_test_data_engineer_spark.functions.colormap import (
+        viridis_hex_sql,
+    )
+
+    return f"""
+    WITH lvl AS (
+        SELECT DISTINCT o_orderpriority AS priority,
+               CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS numero
+        FROM orders
+    ),
+    b AS (SELECT MIN(numero) AS lo, MAX(numero) AS hi FROM lvl),
+    n AS (
+        SELECT priority, numero,
+               CASE WHEN hi = lo THEN 0.0
+                    ELSE LEAST(GREATEST(
+                        (CAST(numero AS DOUBLE) - lo) / (hi - lo), 0.0), 1.0)
+               END AS t
+        FROM lvl CROSS JOIN b
+    )
+    SELECT priority, numero, {viridis_hex_sql('t')} AS color
+    FROM n ORDER BY numero
+    """
+
+
+@query("priority_legend_colors", _legend_colors_oracle())
+def priority_legend_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6 as ENGINE columns — the reference's legend coloring
+    (``cmap(norm(numero_niveau))``, visualization.py:51) re-expressed
+    as whole-stage-codegen JVM expressions: min-max normalization over
+    the level domain + piecewise-linear viridis → '#RRGGBBAA'. The
+    oracle recomputes the normalization AND the color lerp from the
+    same anchor table (functions/colormap.viridis_hex_sql), so the hex
+    strings themselves are value-checked. Plan shape: distinct legend
+    levels (tiny by construction) → broadcast global min/max → scan-
+    side color expression; at any scale the only shuffle is the
+    distinct."""
+    from technical_test_data_engineer_spark.functions.colormap import (
+        minmax_normalize,
+        viridis_hex,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lvl = (
+        orders.select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .withColumn("numero", F.substring("priority", 1, 1).cast("int"))
+    )
+    bounds = lvl.agg(
+        F.min("numero").alias("_lo"), F.max("numero").alias("_hi")
+    )
+    t = minmax_normalize(F.col("numero"), F.col("_lo"), F.col("_hi"))
+    return (
+        lvl.crossJoin(F.broadcast(bounds))
+        .select("priority", "numero", viridis_hex(t).alias("color"))
+        .orderBy("numero")
+    )
