@@ -36,6 +36,12 @@ Expected multi-scans (all reviewed):
 - knn_pq_ann: embeddings ×3 by design — bounded training-sample
   collect, the code-encoding scan, and the re-rank raw-vector
   re-attach for the tiny shortlist (reviewed)
+- r04 additions (all self-join / re-attach shapes, reviewed):
+  knn_lsh_multiprobe ×4 (same shape as knn_lsh_ann: sig branches +
+  vector re-attach), neardup_keeper_docs ×4 (band pipeline sides +
+  token-count re-attach; replaced the bounded all-pairs crossJoin),
+  split_contamination_audit_md5 / minhash_incremental_md5 (band
+  pipeline + split/batch side)
 
 Usage: python audit_scans.py [sf_dir]
 """

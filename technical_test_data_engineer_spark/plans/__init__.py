@@ -76,8 +76,10 @@ _FRONT_50 = [
     "asof_click_attribution",
     "rollup_acctbal",
     "salted_segment_revenue",
-    # filters/aggregates with unique operator proofs
-    "part_slug_filter",
+    # filters/aggregates with unique operator proofs (P4 IN-list's
+    # in-window twin is q19's IN/OR predicate battery — its slot goes
+    # to the r04 F5/F6 engine-colormap proof, otherwise unchecked)
+    "priority_legend_colors",
     "customers_without_orders",
     "sales_cube",
     "nation_orderstatus_pivot",

@@ -201,10 +201,13 @@ def priority_legend_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the level domain + piecewise-linear viridis → '#RRGGBBAA'. The
     oracle recomputes the normalization AND the color lerp from the
     same anchor table (functions/colormap.viridis_hex_sql), so the hex
-    strings themselves are value-checked. Plan shape: distinct legend
-    levels (tiny by construction) → broadcast global min/max → scan-
-    side color expression; at any scale the only shuffle is the
-    distinct."""
+    strings themselves are value-checked. Plan shape: ONE scan →
+    distinct legend levels → unpartitioned window min/max over the
+    distinct frame (bounded at ≤ #levels rows by construction — the
+    usual single-partition-window hazard needs unbounded input) →
+    scan-side color expression."""
+    from pyspark.sql.window import Window
+
     from technical_test_data_engineer_spark.functions.colormap import (
         minmax_normalize,
         viridis_hex,
@@ -216,12 +219,12 @@ def priority_legend_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("numero", F.substring("priority", 1, 1).cast("int"))
     )
-    bounds = lvl.agg(
-        F.min("numero").alias("_lo"), F.max("numero").alias("_hi")
+    w = Window.partitionBy()
+    t = minmax_normalize(
+        F.col("numero"),
+        F.min("numero").over(w),
+        F.max("numero").over(w),
     )
-    t = minmax_normalize(F.col("numero"), F.col("_lo"), F.col("_hi"))
-    return (
-        lvl.crossJoin(F.broadcast(bounds))
-        .select("priority", "numero", viridis_hex(t).alias("color"))
-        .orderBy("numero")
-    )
+    return lvl.select(
+        "priority", "numero", viridis_hex(t).alias("color")
+    ).orderBy("numero")
