@@ -520,6 +520,98 @@ def embedding_near_dup_pairs(
     return out
 
 
+def band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The light (id, band, band-hash) relation on its own — what a
+    production deployment STORES (≈ bands × 16 B per doc) instead of
+    recomputing shingles + signatures from text per ingest."""
+    rows_per_band = num_hashes // bands
+    return (
+        fan_out(df.select(id_col, text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                lsh_band_keys(
+                    minhash_signature(
+                        word_shingles(text_col, shingle_n), num_hashes, seed
+                    ),
+                    bands,
+                    rows_per_band,
+                    portable,
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, F.col("_b.band").alias("_band"), F.col("_b.bh").alias("_bh"))
+    )
+
+
+def materialize_band_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+    **band_kwargs,
+) -> None:
+    """Persist the corpus band relation as a table BUCKETED on the band
+    join keys — the storage layout that makes per-ingest dedup
+    shuffle-free on the corpus side: every future candidate join against
+    this table shuffles only the (small) new batch to the bucket
+    layout, while the corpus bands are read in place (no Exchange above
+    their scan — asserted in tests/test_dedup.py). Daily refresh is an
+    append of the new batch's bands (mode="append")."""
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        write_bucketed_table,
+    )
+
+    write_bucketed_table(
+        band_table(df, **band_kwargs),
+        name,
+        ["_band", "_bh"],
+        n_buckets=n_buckets,
+        mode=mode,
+    )
+
+
+def incremental_candidates_vs_band_table(
+    spark,
+    table_name: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
+    **band_kwargs,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, at least one side new) from the
+    STORED band table: band the new batch (scan-side), join it against
+    the bucketed corpus bands — the corpus side is never shuffled and
+    never re-hashed from text. Output is candidates; exact-verify by
+    joining shingles back (``_jaccard_verify``-style) downstream, where
+    the text lives. The cap guards the same degenerate buckets as the
+    in-memory path."""
+    new_b = band_table(new_docs, id_col=id_col, **band_kwargs)
+    corpus_b = spark.table(table_name)
+    if hot_bucket_cap is not None:
+        corpus_b = cap_hot_buckets(corpus_b, ["_band", "_bh"], hot_bucket_cap)
+    left = new_b.select(F.col(id_col).alias("id_n"), "_band", "_bh")
+    right = corpus_b.select(F.col(id_col).alias("id_c"), "_band", "_bh")
+    return (
+        left.join(right, ["_band", "_bh"])
+        .filter(F.col("id_n") != F.col("id_c"))
+        .select(
+            F.least("id_n", "id_c").alias("id_a"),
+            F.greatest("id_n", "id_c").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_incremental_pairs(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -544,8 +636,11 @@ def minhash_incremental_pairs(
     ``corpus`` must CONTAIN ``new_docs`` (pass union(old, new) — ids
     unique across both). At scale the corpus side's (id, band, hash)
     relation is a stored table (≈ bands × 16 B per doc) refreshed by
-    appending each batch's bands; here it is recomputed from text, the
-    join shape is identical. The new-batch id set is broadcast (8 B per
+    appending each batch's bands — that path is IMPLEMENTED:
+    :func:`materialize_band_table` (bucketed on the band keys, so the
+    per-ingest join never shuffles the corpus side) +
+    :func:`incremental_candidates_vs_band_table`; here it is recomputed
+    from text, the join shape is identical. The new-batch id set is broadcast (8 B per
     id — fine for any realistic ingest batch); band the new batch
     directly instead if it ever isn't. Deterministic for fixed seed.
     """

@@ -176,3 +176,85 @@ def test_simhash_hot_bucket_cap(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert not any(a < 100 and b < 100 for a, b in got), got
     assert (2000, 2001) in got
+
+
+def test_band_table_incremental_join_skips_corpus_shuffle(spark):
+    # the stored-band-table ingest path: corpus bands live in a table
+    # bucketed on the band join keys, so the per-ingest candidate join
+    # shuffles ONLY the new batch — the corpus side reads in place.
+    from technical_test_data_engineer_spark.operators.dedup import (
+        incremental_candidates_vs_band_table,
+        materialize_band_table,
+        minhash_candidates,
+    )
+
+    old = _docs(spark)                      # docs 1-4 (1,2 near-dups)
+    base_text = old.filter("doc_id = 1").collect()[0].text
+    new = spark.createDataFrame(
+        [(7, base_text + " extra")], "doc_id long, text string"
+    )
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("band_corpus_t", "band_corpus_plain"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    materialize_band_table(old, "band_corpus_t", n_buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = incremental_candidates_vs_band_table(
+            spark, "band_corpus_t", new, hot_bucket_cap=None
+        )
+        got = {(r.id_a, r.id_b) for r in cands.collect()}
+        # the new near-dup of doc 1 must band-collide; old-vs-old pairs
+        # can never appear (the join requires a new-batch side)
+        assert (1, 7) in got, got
+        assert all(7 in p for p in got), got
+        # executedPlan prints Final AND Initial sections — count only
+        # the final one
+        plan = (
+            cands._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # exactly two exchanges: the new batch shuffling to the bucket
+        # layout, and the pair dropDuplicates — NONE above the corpus
+        # band-table scan (bucketing pre-paid it)
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "FileScan parquet" in plan and "Bucketed: true" in plan, plan
+
+        # control: same join against an UNBUCKETED copy needs a third
+        # exchange to co-locate the corpus bands
+        from technical_test_data_engineer_spark.operators.dedup import (
+            band_table,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS band_corpus_plain")
+        band_table(old).write.mode("overwrite").saveAsTable(
+            "band_corpus_plain"
+        )
+        plain = incremental_candidates_vs_band_table(
+            spark, "band_corpus_plain", new, hot_bucket_cap=None
+        )
+        pplan = (
+            plain._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert pplan.count("Exchange hashpartitioning") == 3, pplan
+        assert {(r.id_a, r.id_b) for r in plain.collect()} == got
+
+        # the stored-table path generates exactly the candidates the
+        # recompute path verifies from (planted pair set agrees)
+        verified = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidates(
+                old.unionByName(new), threshold=0.5
+            ).collect()
+            if 7 in (r.id_a, r.id_b)
+        }
+        assert verified <= got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_corpus_t")
+        spark.sql("DROP TABLE IF EXISTS band_corpus_plain")
