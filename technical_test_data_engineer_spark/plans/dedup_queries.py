@@ -403,11 +403,22 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
-    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"))
-    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"))
+    sh = docs.select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("sh").alias("sha"), F.col("n").alias("na"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("sh").alias("shb"), F.col("n").alias("nb"))
     edges = (
         a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        # PPJoin length filter — LOSSLESS for the 0.5 threshold:
+        # |a∩b| ≤ min(|a|,|b|) and |a∪b| ≥ max(|a|,|b|), so
+        # j ≤ min/max; j ≥ 0.5 therefore REQUIRES 2·min ≥ max. Skips
+        # the O(|a|+|b|) set intersection for the vast majority of the
+        # ~100k bounded pairs without dropping any qualifying edge —
+        # the ground truth (and the all-pairs oracle) are unchanged.
+        .filter(
+            F.least("na", "nb") * 2 >= F.greatest("na", "nb")
+        )
         .filter(jaccard(F.col("sha"), F.col("shb")) >= 0.5)
         .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
     )
