@@ -171,17 +171,28 @@ def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    )
     ORDER BY c_custkey
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join — the rows an inner join silently drops (the orphan
-    keys SURVEY.md §2.3 notes the reference cannot express)."""
+    keys SURVEY.md §2.3 notes the reference cannot express). The anti
+    side is the 1995 order book, NOT all orders: on this fixture every
+    customer has SOME order, so the unfiltered version returned 0 rows
+    and the driver check passed vacuously (empty == empty — the round-3
+    finding-3 class; caught in round 4's vanilla-session sweep). With
+    the year filter the result is 326 customers at sf0.01 and the
+    anti-join machinery is value-checked on real output. The filter is
+    pushed below the join (scan-side) — same plan family either way."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+    ).select(F.col("o_custkey").alias("c_custkey"))
     return (
         anti_join(customer, orders, "c_custkey")
         .select("c_custkey", "c_name")
