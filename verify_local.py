@@ -76,7 +76,7 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_vacuous = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,10 +95,12 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            status = "ROWS" if len(s_rows) >= 0 else "FAIL"
-            print(f"{status}  {name}: rows-only check, {len(s_rows)} rows "
-                  f"({time.time()-t0:.1f}s)")
+            vac = "  [VACUOUS: 0 rows]" if not s_rows else ""
+            print(f"ROWS  {name}: rows-only check, {len(s_rows)} rows "
+                  f"({time.time()-t0:.1f}s){vac}")
             n_rows_only += 1
+            if not s_rows:
+                n_vacuous += 1
             continue
         try:
             res = con.execute(oracles[name])
@@ -133,10 +135,20 @@ def main() -> int:
                 print(p)
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            # an empty==empty hash match proves nothing about the
+            # operator (round-3 finding 3 / round-4 zero-row sweep:
+            # customers_without_orders passed vacuously for 3 rounds) —
+            # surface it loudly so fixture drift can't hide a dead query
+            vac = "  [VACUOUS: empty==empty]" if not s_rows else ""
+            print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s){vac}")
             n_pass += 1
+            if not s_rows:
+                n_vacuous += 1
 
-    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    print(
+        f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"
+        + (f", {n_vacuous} VACUOUS (0-row results — weak evidence)" if n_vacuous else "")
+    )
     spark.stop()
     return 1 if n_fail else 0
 
