@@ -207,13 +207,16 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "score")
 
 
-@query("knn_lsh_exact", _lsh_exact_oracle(_seeded_planes(), EXACT_BOUND))
+@query("knn_lsh_exact", _lsh_exact_oracle(_seeded_planes(8, 6), EXACT_BOUND))
 def knn_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable LSH companion (round-2 verdict item 4): the
-    SAME seeded 8-table × 3-plane SRP pipeline as knn_lsh_ann, scored
-    with the decimal-exact dot, paired with a GENERATED DuckDB oracle
-    that recomputes the hyperplane sign-buckets from the identical
-    plane literals — so bucketing, candidate join, dedup, scoring and
+    SAME seeded SRP pipeline as knn_lsh_ann (8 tables × 6 planes —
+    r04 raised planes from 3 so the exact-scored candidate set is
+    bucket-selective like the adaptive production path, ~6× fewer
+    decimal folds; the oracle regenerates mechanically from the same
+    plane literals), scored with the decimal-exact dot, paired with a
+    GENERATED DuckDB oracle that recomputes the hyperplane
+    sign-buckets — so bucketing, candidate join, dedup, scoring and
     ranking are all cross-checked, not just row counts. Corpus bounded
     to EXACT_BOUND vectors — inactive at the driver's sf0.01 (500-vector
     corpus, fully checked), keeps the exact full-scoring proof off the
@@ -222,7 +225,7 @@ def knn_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < EXACT_BOUND
     )
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = lsh_topk(emb, probes, _seeded_planes(), k=TOP_K, metric="exact")
+    out = lsh_topk(emb, probes, _seeded_planes(8, 6), k=TOP_K, metric="exact")
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")
