@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import decimal
 import math
+import os
 import sys
 import time
 
@@ -64,9 +65,22 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
-    from technical_test_data_engineer_spark.session import get_spark
 
-    spark = get_spark("verify_local", master="local[8]", shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # simulate the DRIVER's session: bare builder, no engine confs,
+        # Spark 4 defaults (ANSI on) — value-checks every query under
+        # the exact conditions CORRECTNESS_r{N} is recorded in
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from technical_test_data_engineer_spark.session import get_spark
+
+        spark = get_spark("verify_local", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
