@@ -668,3 +668,118 @@ def minhash_incremental_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return _jaccard_verify(cands, base, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# semantic (cluster-scoped) dedup — SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def centroid_sim_argmax(vec: Column, centroids: list[list[float]]) -> Column:
+    """struct(csim, cluster) of the max-dot centroid for ``vec``,
+    with K literal centroids evaluated JVM-side (K zip_with/aggregate
+    folds per row — scan-side, no Python, no shuffle). Strict ``>`` in
+    the argmax fold ⇒ the LOWEST cluster index wins ties, matching the
+    oracle's ``ORDER BY csim DESC, cluster`` row_number. Callers pass
+    L2-normalized centroids when they want cosine order (row norm is
+    constant across a row's K comparisons, so normalizing the vector
+    side is unnecessary for the argmax)."""
+    entries = []
+    for k, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("csim"), F.lit(k).alias("cluster")))
+    arr = F.array(*entries)
+    return bind(
+        arr,
+        lambda a: F.aggregate(
+            a,
+            F.element_at(a, 1),
+            lambda acc, x: F.when(x["csim"] > acc["csim"], x).otherwise(acc),
+        ),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_scores: bool = False,
+    hot_cluster_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): cluster-scoped
+    semantic dedup — assign every vector to its nearest centroid, score
+    pairs only WITHIN a cluster, and for every pair above ``threshold``
+    drop the member with the HIGHER similarity to its centroid (the
+    paper's policy: prototypical near-dups go, the outlier stays; ties
+    drop the higher id). Returns the KEPT set as (id, cluster).
+
+    vs the SRP-LSH near-dup path: buckets there are random sign
+    patterns (recall is probabilistic per band); clusters here are
+    semantic cells from a trained/seeded quantizer, so the pair scope
+    is "things that mean the same", the granularity production
+    semantic-dedup pipelines prune at.
+
+    Scale: assignment is scan-side JVM expression work (K folds/row);
+    the only shuffle is the cluster-key self-join. Within-cluster
+    pairing is quadratic in cell size, so production sizes K ~ N/target
+    (the same knob as IVF's ``adaptive_n_planes``) and
+    ``hot_cluster_cap`` guards degenerate cells — the cap applies to
+    the PAIRING relation only, never the universe, so capped-cell rows
+    are still emitted as kept (they just aren't pruned; a production
+    run logs them via ``hot_bucket_report`` and re-clusters the slice
+    with a larger K)."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        exact_dot,
+        fast_dot,
+    )
+
+    assigned = fan_out(df.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        centroid_sim_argmax(F.col(vec_col), centroids).alias("_a"),
+    ).select(
+        id_col,
+        vec_col,
+        F.col("_a.cluster").alias("_c"),
+        F.col("_a.csim").alias("_cs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairable = cap_hot_buckets(assigned, ["_c"], hot_cluster_cap)
+    l = pairable.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        "_c",
+        F.col("_cs").alias("_csa"),
+    )
+    r = pairable.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        "_c",
+        F.col("_cs").alias("_csb"),
+    )
+    dot = exact_dot if exact_scores else fast_dot
+    pairs = (
+        l.join(r, "_c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_score", dot(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_score") >= threshold)
+    )
+    drops = pairs.select(
+        F.when(
+            (F.col("_csa") > F.col("_csb"))
+            | ((F.col("_csa") == F.col("_csb")) & (F.col("id_a") > F.col("id_b"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return (
+        assigned.join(drops, id_col, "left_anti")
+        .select(F.col(id_col), F.col("_c").alias("cluster"))
+    )

@@ -210,9 +210,16 @@ _NEARDUP_THRESHOLD = 0.3
 
 
 def _neardup_planes():
+    # 8 planes/table (256 buckets over 448 vecs), not 6 (64): same
+    # bucket-selectivity lever as knn_lsh_exact — each extra plane
+    # halves expected bucket size, and candidate pairs (each paying a
+    # decimal-exact 64-d fold) shrink ~4x. Measured at sf0.1:
+    # 8.4 s/153 rows -> 2.0 s/55 rows steady-state; still non-vacuous
+    # at both gate scales. The generated oracle rebuilds from these
+    # same literals, so the change is mechanical.
     rng = random.Random(7)
     return [
-        [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+        [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
         for _ in range(4)
     ]
 
@@ -804,3 +811,106 @@ def minhash_incremental_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_pairs(
         docs, new, threshold=0.5, portable=True
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-scoped semantic dedup (operators/dedup.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+# 320 vectors / 16 seeded unit centroids → ~20 per cell, so the
+# within-cell exact scoring stays a few thousand decimal folds; the
+# policy proof (assignment → pairing scope → keep-lowest-centroid-sim)
+# is size-independent. Threshold 0.3 is the fixture calibration every
+# embedding companion uses (uniform-random unit vectors top out near
+# dot ≈ 0.45 — see embedding_near_dups_lsh).
+_SEMDEDUP_BOUND = 320
+_SEMDEDUP_K = 16
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def _semdedup_centroids() -> list[list[float]]:
+    """Seeded unit-normalized Gaussian centroids, embedded as literals
+    in BOTH engines (the oracle-paired stand-in for a trained
+    quantizer; production feeds similarity.train_ivf_centroids into the
+    same operator — knn_ivf_ann proves that trained path)."""
+    rng = random.Random(11)
+    cents = []
+    for _ in range(_SEMDEDUP_K):
+        c = [rng.gauss(0, 1) for _ in range(64)]
+        n = sum(x * x for x in c) ** 0.5
+        cents.append([x / n for x in c])
+    return cents
+
+
+def _semdedup_oracle(centroids, bound, threshold) -> str:
+    """Generated oracle recomputing the full SemDeDup pipeline from the
+    identical centroid literals: argmax-dot assignment (row_number with
+    the same lowest-cluster tie-break as the strict-> fold), cluster-
+    scoped pairing, decimal-exact scoring, keep-lowest-centroid-sim
+    drops, NOT IN survivor set."""
+    sims = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS cluster, list_dot_product(e, "
+        "[" + ", ".join(repr(float(x)) for x in c) + "]) AS csim FROM emb"
+        for k, c in enumerate(centroids)
+    )
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < {bound}
+    ),
+    sims AS ({sims}),
+    assign AS (
+        SELECT vec_id, cluster, csim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY csim DESC, cluster
+            ) AS rn FROM sims
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.csim AS sim_a, b.csim AS sim_b
+        FROM assign a
+        JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN emb ea ON ea.vec_id = a.vec_id
+        JOIN emb eb ON eb.vec_id = b.vec_id
+        WHERE CAST((
+            SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+            FROM (SELECT UNNEST(ea.e) AS x, UNNEST(eb.e) AS y)
+        ) AS DOUBLE) >= {threshold}
+    ),
+    drops AS (
+        SELECT DISTINCT CASE
+            WHEN sim_a > sim_b OR (sim_a = sim_b AND id_a > id_b)
+            THEN id_a ELSE id_b END AS vec_id
+        FROM pairs
+    )
+    SELECT a.vec_id, a.cluster
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM drops)
+    ORDER BY a.vec_id
+    """
+
+
+@query(
+    "semantic_dedup_keep",
+    _semdedup_oracle(_semdedup_centroids(), _SEMDEDUP_BOUND, _SEMDEDUP_THRESHOLD),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor set (operators/dedup.semantic_dedup): nearest-
+    centroid assignment over 16 seeded unit centroids, within-cluster
+    decimal-exact pair scoring at threshold 0.3, drop the higher-
+    centroid-sim member of every near-dup pair. The generated oracle
+    recomputes assignment, pair scope, scores and the keeper policy
+    from the same centroid literals — the whole pipeline is
+    value-checked end to end."""
+    from technical_test_data_engineer_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_BOUND
+    )
+    return semantic_dedup(
+        emb,
+        _semdedup_centroids(),
+        threshold=_SEMDEDUP_THRESHOLD,
+        exact_scores=True,
+    ).orderBy("vec_id")

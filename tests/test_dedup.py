@@ -258,3 +258,43 @@ def test_band_table_incremental_join_skips_corpus_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS band_corpus_t")
         spark.sql("DROP TABLE IF EXISTS band_corpus_plain")
+
+
+def test_semantic_dedup_keeps_lowest_centroid_sim(spark):
+    """Planted 2-cluster fixture: near-dup pair inside cluster 0 must
+    drop its higher-centroid-sim member; the cross-cluster near-equal
+    pair must survive (pairing is cluster-scoped); singletons and
+    capped-cell rows always stay in the kept set."""
+    from technical_test_data_engineer_spark.operators.dedup import semantic_dedup
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.0]),       # cluster 0, sim 1.0   (prototype → dropped)
+        (2, [0.9, 0.05]),      # cluster 0, sim 0.9   (near-dup of 1, kept)
+        (3, [0.1, 0.99]),      # cluster 1, singleton near-dup of 2 by dot?
+        (4, [-1.0, 0.0]),      # cluster 1 (sim -1 < 0) far from all
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semantic_dedup(df, centroids, threshold=0.8).orderBy("vec_id")
+    got = {(r.vec_id, r.cluster) for r in kept.collect()}
+    # pair (1,2): dot = 0.9 + 0.0... >= 0.8 → drop vec 1 (csim 1.0 > 0.9)
+    assert (1, 0) not in got
+    assert (2, 0) in got
+    # vecs 3/4 are singletons in their cluster scope → kept
+    assert any(v == 3 for v, _ in got)
+    assert any(v == 4 for v, _ in got)
+
+
+def test_semantic_dedup_hot_cluster_cap_keeps_universe(spark):
+    """A degenerate cell over the cap is excluded from PAIRING (no m²
+    join) but its rows must still be emitted as kept — the cap guards
+    the self-join, never the survivor universe."""
+    from technical_test_data_engineer_spark.operators.dedup import semantic_dedup
+
+    centroids = [[1.0, 0.0]]
+    rows = [(i, [1.0, 0.0]) for i in range(50)]  # 50 identical vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = semantic_dedup(df, centroids, threshold=0.8, hot_cluster_cap=10)
+    assert capped.count() == 50  # nothing pruned: cell skipped pairing
+    uncapped = semantic_dedup(df, centroids, threshold=0.8, hot_cluster_cap=None)
+    assert uncapped.count() == 1  # full pairing collapses the clones
