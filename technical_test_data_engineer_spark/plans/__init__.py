@@ -113,8 +113,13 @@ _FRONT_50 = [
     "curation_pipeline",
     "dedup_clusters",
     "neardup_keeper_docs",
+    # semantic_dedup_keep (new r04 operator: cluster-scoped SemDeDup)
+    # takes knn_ivf_exact_probeall's slot — that exact-ANN proof earned
+    # its driver-green row in r03 and keeps two in-window twins
+    # (knn_bruteforce is its ground truth, knn_pq_exact_rerankall the
+    # same exact-in-the-limit shape).
+    "semantic_dedup_keep",
     "knn_bruteforce",
-    "knn_ivf_exact_probeall",
     "knn_pq_exact_rerankall",
     "embedding_label_centroids",
     # multimodal

@@ -442,191 +442,3 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
     )
 
-
-# ---------------------------------------------------------------------------
-# Round-4 completion: the four shapes (Q4/Q12/Q14/Q16) that closed the
-# full 22-query TPC-H suite. Same adaptation rules as above — no
-# partsupp / commit / receipt / shipmode columns, so each keeps its
-# distinctive plan shape over the columns that exist.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
-      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
-      AND EXISTS (
-          SELECT 1 FROM lineitem l
-          WHERE l.l_orderkey = o.o_orderkey
-            AND l.l_shipdate > o.o_orderdate
-      )
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: correlated EXISTS with a NON-equi inner predicate
-    (original: l_commitdate < l_receiptdate; here: shipped after the
-    order date), counted per priority over one quarter. The EXISTS is a
-    left-semi join on (orderkey equality AND date inequality) — one
-    shuffle on the order key; the quarter filter prunes the probe side
-    at the scan."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    shipped_late = semi_join(
-        orders,
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > orders.o_orderdate),
-    )
-    return (
-        shipped_late.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-@query(
-    "q12_priority_class_counts",
-    """
-    SELECT l_returnflag AS ship_class,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
-def q12_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: fact⋈fact join followed by CONDITIONAL counts
-    (CASE inside SUM) bucketing order priority into high/low per line
-    class (original groups by l_shipmode; the star schema carries
-    l_returnflag). One shuffle join on the order key, partial+final
-    hash agg; both CASE branches evaluate in the same pass."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(F.col("l_returnflag").alias("ship_class"))
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
-                "high_line_count"
-            ),
-            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
-                "low_line_count"
-            ),
-        )
-        .orderBy("ship_class")
-    )
-
-
-@query(
-    "q14_promo_revenue",
-    f"""
-    SELECT
-        {_decsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-            AS promo_revenue,
-        {_decsum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
-        100.0 * {_decsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-            / {_decsum('l_extendedprice * (1 - l_discount)')} AS promo_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
-    """,
-)
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promotion revenue share — conditional aggregate ratio
-    over a month of lineitem⋈part (p_type exists verbatim, so this one
-    is faithful, not an adaptation). part broadcasts; both sums are
-    exact decimal folds surfaced as double, and the ratio divides the
-    two doubles so Spark and the oracle perform the identical final
-    IEEE operation."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    promo_expr = (
-        "CASE WHEN p_type LIKE 'PROMO%' "
-        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
-    )
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    agg = joined.agg(
-        exact_sum_expr(promo_expr, "promo_revenue"),
-        exact_sum_expr("l_extendedprice * (1 - l_discount)", "total_revenue"),
-    )
-    return agg.select(
-        "promo_revenue",
-        "total_revenue",
-        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
-            "promo_pct"
-        ),
-    )
-
-
-@query(
-    "q16_supplier_cnt",
-    """
-    WITH ps AS (
-        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-    ),
-    ok AS (
-        SELECT * FROM ps
-        WHERE l_suppkey NOT IN (
-            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
-        )
-    )
-    SELECT p_brand, p_type, p_size,
-           COUNT(DISTINCT l_suppkey) AS supplier_cnt
-    FROM ok JOIN part ON p_partkey = l_partkey
-    WHERE p_brand <> 'Brand#1'
-      AND p_size IN (1, 7, 14, 19, 23, 36, 45, 49)
-    GROUP BY p_brand, p_type, p_size
-    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-    """,
-)
-def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: distinct part⋈supplier bridge (lineitem is the
-    partsupp surrogate), NOT-IN exclusion of flagged suppliers
-    (negative balance stands in for the comment-pattern 'complaints'
-    filter), COUNT(DISTINCT) per (brand, type, size) with brand <> and
-    size IN predicates. The exclusion list is tiny → broadcast anti
-    join; the distinct bridge and count-distinct share one shuffle on
-    the part key."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    flagged = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select(F.col("s_suppkey").alias("l_suppkey"))
-    )
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & F.col("p_size").isin(1, 7, 14, 19, 23, 36, 45, 49)
-    )
-    return (
-        anti_join(li, flagged, "l_suppkey")
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
-    )
