@@ -251,3 +251,223 @@ def token_chunks(
 
     # bind: without it the slice lambda re-runs split() once per chunk
     return bind(F.split(c, " "), _with_toks)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — importance-weighted data selection
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    col: str | Column = "text", n_buckets: int = 1024
+) -> Column:
+    """Array of hashed-n-gram feature buckets (word unigrams + bigrams
+    → ``md5_bucket`` ids): DSIR's feature space, built as one JVM
+    expression — no UDF, no shuffle. Bigrams come from zipping the
+    token array with its own tail; the engine-portable md5 bucket
+    convention makes the feature space recomputable in the oracle."""
+    toks = tokens(col)
+
+    def _feats(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) > 1,
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bigrams)
+
+    return F.transform(
+        bind(toks, _feats), lambda s: md5_bucket(s, n_buckets)
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    target_predicate: Column | None = None,
+) -> DataFrame:
+    """DSIR (Xie et al., 2023, arXiv:2302.03169): score every raw doc
+    by how target-like its hashed-n-gram distribution is — the
+    importance weight ``sum over features of ln(p_target / p_raw)``
+    with Laplace-smoothed bucket unigram models. Returns (id, weight,
+    n_feats); selection = top-k by weight (the paper adds Gumbel noise
+    for sampled selection; deterministic top-k keeps the pipeline
+    reproducible and oracle-checkable — inject noise at the caller if
+    sampling is wanted).
+
+    Scale: feature explode is scan-side; the two bucket-count aggs are
+    partial+final over ≤ ``n_buckets`` groups; the log-ratio table is
+    ≤ ``n_buckets`` rows → broadcast; per-doc scoring is one keyed agg.
+    The two ``count()`` actions produce scalar totals (bounded driver
+    data, S6-contract). Per-feature log-ratios are rounded to 9dp and
+    summed in DECIMAL so doc weights are order-independent and match
+    the oracle despite libm-vs-JVM last-ulp differences (the
+    doc_unigram_logprob convention).
+
+    ``target`` may be an independent corpus (separate scan) or, when the
+    target is a SLICE of ``raw``, pass ``target_predicate`` instead
+    (e.g. ``F.col("lang") == "en"``): features are then exploded ONCE
+    with the slice flag carried through, and the target model is an
+    agg-side filter on the same relation — at corpus scale that halves
+    the tokenize/hash work vs re-scanning the slice."""
+    from technical_test_data_engineer_spark.operators.partitioning import fan_out
+
+    if (target is None) == (target_predicate is None):
+        raise ValueError("pass exactly one of target / target_predicate")
+    if target_predicate is not None:
+        feats_raw = fan_out(
+            raw.select(id_col, text_col, target_predicate.alias("_tgt"))
+        ).select(
+            id_col,
+            "_tgt",
+            F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("_b"),
+        )
+        feats_tgt = feats_raw.filter(F.col("_tgt")).select("_b")
+    else:
+        feats_raw = fan_out(raw.select(id_col, text_col)).select(
+            id_col, F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("_b")
+        )
+        feats_tgt = fan_out(target.select(text_col)).select(
+            F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("_b")
+        )
+    rc = feats_raw.groupBy("_b").agg(F.count("*").alias("_rc"))
+    tc = feats_tgt.groupBy("_b").agg(F.count("*").alias("_tc"))
+    n_raw = feats_raw.count()
+    n_tgt = feats_tgt.count()
+    ratio = rc.join(tc, "_b", "left").select(
+        "_b",
+        F.round(
+            F.log(
+                (
+                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1.0))
+                    / F.lit(float(n_tgt + n_buckets))
+                )
+                / (
+                    (F.col("_rc") + F.lit(1.0))
+                    / F.lit(float(n_raw + n_buckets))
+                )
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("_lr"),
+    )
+    return (
+        feats_raw.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_lr").cast("double").alias("weight"),
+            F.count("*").alias("n_feats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup — repeated k-gram spans
+# ---------------------------------------------------------------------------
+
+
+def positional_kgrams(
+    col: str | Column = "text", k: int = 5
+) -> Column:
+    """Array of (1-based start position → k-token gram string) for every
+    k-gram window in the doc — the POSITIONAL counterpart of
+    ``word_shingles`` (which dedups and drops positions). Docs shorter
+    than ``k`` tokens yield an empty array (no whole-text fallback: a
+    span needs a real k-window). One JVM expression, scan-side."""
+    toks = tokens(col)
+
+    def _grams(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(toks, _grams)
+
+
+def repeated_kgram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup primitive (Lee et al., 2022,
+    arXiv:2107.06499 — suffix-array repeated-substring removal,
+    re-expressed for a shuffle engine): find every maximal token span
+    whose k-grams each occur ≥ ``min_count`` times across the corpus.
+    Returns (id, span_start, span_end, span_tokens), 1-based inclusive
+    token positions — the spans a cleaning pass would cut (the paper
+    removes one occurrence's worth of each repeat; keeping WHICH
+    occurrence is caller policy, same as the near-dup keeper split).
+
+    Plan: positional k-grams explode scan-side; occurrence counting
+    groups on the md5 of the gram (32-byte shuffle rows, never the
+    text); repeated-gram hits join back (broadcast when the repeated
+    set is small, AQE decides); per-doc span merge is one
+    gaps-and-islands window (sort by position within doc) — overlap or
+    adjacency (next start ≤ current end + 1) merges, since runs of
+    consecutive repeated k-grams are one repeated substring."""
+    from technical_test_data_engineer_spark.operators.partitioning import fan_out
+    from pyspark.sql.window import Window
+
+    grams = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(positional_kgrams(text_col, k)).alias("_p0", "_g"),
+    ).select(
+        id_col,
+        (F.col("_p0") + 1).alias("_pos"),
+        F.md5(F.col("_g")).alias("_h"),
+    )
+    repeated = (
+        grams.groupBy("_h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    hits = grams.join(repeated, "_h").select(
+        id_col, "_pos", (F.col("_pos") + (k - 1)).alias("_end")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = hits.withColumn("_prev_max", F.max("_end").over(w_prev)).withColumn(
+        "_island",
+        F.sum(
+            F.when(
+                F.col("_prev_max").isNull()
+                | (F.col("_pos") > F.col("_prev_max") + 1),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            F.max("_end").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -89,10 +89,18 @@ _FRONT_50 = [
     "events_gapfilled_hourly",
     "view_click_within_30m",
     # text analysis
-    "doc_winnow_fingerprints_md5",
+    # doc_repeated_spans (new r04 operator: substring-level exact-dedup
+    # spans) takes doc_winnow_fingerprints_md5's slot — the winnowing
+    # proof was driver-green in r03, and the positional-k-gram-hash
+    # machinery both share stays in-window through the span query.
+    "doc_repeated_spans",
     "doc_language_id",
     "tfidf_top_terms",
-    "doc_repetition_stats",
+    # dsir_en_selection (new r04 operator: DSIR importance-weighted
+    # selection) takes doc_repetition_stats's slot — that ratio battery
+    # was driver-green in r03 and keeps two in-window ratio twins
+    # (doc_charclass_stats, doc_gopher_filter).
+    "dsir_en_selection",
     "doc_charclass_stats",
     "doc_pattern_audit",
     "doc_gopher_filter",

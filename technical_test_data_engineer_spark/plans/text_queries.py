@@ -721,3 +721,129 @@ def doc_winnow_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(fp).alias("fingerprint"))
         .orderBy("doc_id", "fingerprint")
     )
+
+
+@query(
+    "dsir_en_selection",
+    """
+    WITH tok AS (
+        SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(f), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM (
+            SELECT doc_id, UNNEST(toks) AS f FROM tok
+            UNION ALL
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       GENERATE_SERIES(1, LEN(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1]
+                   )) AS f
+            FROM tok
+        )
+    ),
+    tfeats AS (
+        SELECT f.b FROM feats f
+        JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'
+    ),
+    rc AS (SELECT b, COUNT(*) AS rcnt FROM feats GROUP BY b),
+    tc AS (SELECT b, COUNT(*) AS tcnt FROM tfeats GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM feats) AS r_n,
+                   (SELECT COUNT(*) FROM tfeats) AS t_n),
+    ratio AS (
+        SELECT rc.b,
+               CAST(ROUND(LN(
+                   ((COALESCE(tcnt, 0) + 1.0) / (t_n + 1024.0))
+                   / ((rcnt + 1.0) / (r_n + 1024.0))
+               ), 9) AS DECIMAL(20,9)) AS lr
+        FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(lr) AS DOUBLE) AS weight,
+           COUNT(*) AS n_feats
+    FROM feats JOIN ratio USING (b)
+    GROUP BY doc_id
+    ORDER BY weight DESC, doc_id
+    LIMIT 150
+    """,
+)
+def dsir_en_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/text.dsir_importance_weights):
+    target = the English slice, raw = the whole corpus; every doc
+    scored by hashed-n-gram (unigram+bigram, 1024 md5 buckets)
+    importance weight ln(p_en/p_all), top-150 selected. The oracle
+    recomputes features, both smoothed bucket models, the rounded
+    decimal log-ratio sum and the selection — value-checking the whole
+    pipeline. TakeOrderedAndProject serves the top-k (no full sort at
+    scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = TX.dsir_importance_weights(
+        docs, n_buckets=1024, target_predicate=F.col("lang") == "en"
+    )
+    return weights.orderBy(F.desc("weight"), "doc_id").limit(150)
+
+
+@query(
+    "doc_repeated_spans",
+    """
+    WITH tok AS (
+        SELECT doc_id, STR_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    grams0 AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(toks) - 4),
+                   i -> STRUCT_PACK(
+                       pos := i,
+                       h := MD5(ARRAY_TO_STRING(toks[i:i+4], ' '))
+                   )
+               ) AS gl
+        FROM tok WHERE LEN(toks) >= 5
+    ),
+    grams AS (
+        SELECT doc_id, g.pos AS pos, g.h AS h
+        FROM (SELECT doc_id, UNNEST(gl) AS g FROM grams0)
+    ),
+    rep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos, pos + 4 AS e FROM grams JOIN rep USING (h)),
+    w AS (
+        SELECT doc_id, pos, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               SUM(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+        FROM w
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(e) AS span_end,
+           MAX(e) - MIN(pos) + 1 AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+)
+def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/text.repeated_kgram_spans):
+    maximal token spans whose 5-grams each occur ≥ 2 times corpus-wide —
+    the repeated-substring detection pass of Lee et al. 2022, over the
+    full documents table. The oracle recomputes positional grams, the
+    repeated set and the gaps-and-islands merge; positions are 1-based
+    inclusive in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = TX.repeated_kgram_spans(docs, k=5, min_count=2)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    ).orderBy("doc_id", "span_start")

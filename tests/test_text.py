@@ -148,3 +148,50 @@ def test_charclass_columns(spark):
     assert got.n_symbol_tokens == 1  # only 'a-b' has a symbol
     assert got.digit_token_ratio == 0.25
     assert got.symbol_token_ratio == 0.25
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """Planted two-domain corpus: docs sharing the target domain's
+    n-grams must get higher importance weights than off-domain docs."""
+    from technical_test_data_engineer_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    wiki = "the encyclopedia article describes the historical treaty"
+    spam = "click here buy now cheap deals win money fast"
+    rows = [
+        (1, wiki), (2, wiki + " in detail"), (3, spam),
+        (4, spam + " today"), (5, "the treaty article is historical"),
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter("doc_id IN (1, 2)")
+    w = {
+        r.doc_id: r.weight
+        for r in dsir_importance_weights(raw, target).collect()
+    }
+    assert len(w) == 5
+    # on-domain docs (incl. the unseen-but-similar doc 5) beat spam
+    assert min(w[1], w[2], w[5]) > max(w[3], w[4])
+
+
+def test_repeated_kgram_spans_planted(spark):
+    """Two docs sharing an 8-token run: each must report exactly that
+    run as one merged span (consecutive repeated 5-grams coalesce);
+    a doc with no repeats reports nothing; short docs are ignored."""
+    from technical_test_data_engineer_spark.operators.text import (
+        repeated_kgram_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, shared + " unique1 tail1 end1 stop1 done1"),
+        (2, "lead2 first2 " + shared),
+        (3, "totally different words here nothing repeats at all today"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_kgram_spans(df, k=5).collect()
+    }
+    assert spans == {1: (1, 8, 8), 2: (3, 10, 8)}
