@@ -42,6 +42,16 @@ Expected multi-scans (all reviewed):
   token-count re-attach; replaced the bounded all-pairs crossJoin),
   split_contamination_audit_md5 / minhash_incremental_md5 (band
   pipeline + split/batch side)
+- dsir_en_selection ×2: one corpus pass builds BOTH bucket models
+  (conditional-count agg, persisted ≤n_buckets rows; totals summed
+  from that table, never the corpus), one pass scores docs
+- doc_repeated_spans ×2: gram relation feeds the occurrence-count agg
+  and the repeated-hit join-back (tfidf-style self-join; scan-side
+  gram recompute beats materializing a corpus-sized positional list)
+- embedding_near_dups_lsh_exact / semantic_dedup_keep: sig/assignment
+  recompute per join side + vector re-attach for deduped pairs (the
+  documented LSH-family convention; semantic_dedup persists its
+  assignment relation, the extra scans are the pair sides)
 
 Usage: python audit_scans.py [sf_dir]
 """

@@ -313,9 +313,14 @@ def dsir_importance_weights(
     ``target`` may be an independent corpus (separate scan) or, when the
     target is a SLICE of ``raw``, pass ``target_predicate`` instead
     (e.g. ``F.col("lang") == "en"``): features are then exploded ONCE
-    with the slice flag carried through, and the target model is an
-    agg-side filter on the same relation — at corpus scale that halves
-    the tokenize/hash work vs re-scanning the slice."""
+    with the slice flag carried through, and BOTH bucket models come
+    out of one grouped agg (conditional count) — so the whole model
+    build is a single corpus pass, and scoring is the only other one.
+    Totals for the smoothing denominators are summed from the
+    PERSISTED ≤ ``n_buckets``-row model table, never by re-counting
+    the corpus."""
+    from pyspark import StorageLevel
+
     from technical_test_data_engineer_spark.operators.partitioning import fan_out
 
     if (target is None) == (target_predicate is None):
@@ -328,7 +333,10 @@ def dsir_importance_weights(
             "_tgt",
             F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("_b"),
         )
-        feats_tgt = feats_raw.filter(F.col("_tgt")).select("_b")
+        model = feats_raw.groupBy("_b").agg(
+            F.count("*").alias("_rc"),
+            F.count(F.when(F.col("_tgt"), 1)).alias("_tc"),
+        )
     else:
         feats_raw = fan_out(raw.select(id_col, text_col)).select(
             id_col, F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("_b")
@@ -336,16 +344,23 @@ def dsir_importance_weights(
         feats_tgt = fan_out(target.select(text_col)).select(
             F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("_b")
         )
-    rc = feats_raw.groupBy("_b").agg(F.count("*").alias("_rc"))
-    tc = feats_tgt.groupBy("_b").agg(F.count("*").alias("_tc"))
-    n_raw = feats_raw.count()
-    n_tgt = feats_tgt.count()
-    ratio = rc.join(tc, "_b", "left").select(
+        rc = feats_raw.groupBy("_b").agg(F.count("*").alias("_rc"))
+        tc = feats_tgt.groupBy("_b").agg(F.count("*").alias("_tc"))
+        model = rc.join(tc, "_b", "left").select(
+            "_b", "_rc", F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc")
+        )
+    # persist: the totals action below materializes the tiny model
+    # table so the scoring plan reuses it instead of re-exploding the
+    # corpus a third time
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = model.agg(F.sum("_rc"), F.sum("_tc")).first()
+    n_raw, n_tgt = int(totals[0]), int(totals[1])
+    ratio = model.select(
         "_b",
         F.round(
             F.log(
                 (
-                    (F.coalesce(F.col("_tc"), F.lit(0)) + F.lit(1.0))
+                    (F.col("_tc") + F.lit(1.0))
                     / F.lit(float(n_tgt + n_buckets))
                 )
                 / (
@@ -359,7 +374,8 @@ def dsir_importance_weights(
         .alias("_lr"),
     )
     return (
-        feats_raw.join(F.broadcast(ratio), "_b")
+        feats_raw.select(id_col, "_b")
+        .join(F.broadcast(ratio), "_b")
         .groupBy(id_col)
         .agg(
             F.sum("_lr").cast("double").alias("weight"),
