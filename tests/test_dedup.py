@@ -271,8 +271,8 @@ def test_semantic_dedup_keeps_lowest_centroid_sim(spark):
     rows = [
         (1, [1.0, 0.0]),       # cluster 0, sim 1.0   (prototype → dropped)
         (2, [0.9, 0.05]),      # cluster 0, sim 0.9   (near-dup of 1, kept)
-        (3, [0.1, 0.99]),      # cluster 1, singleton near-dup of 2 by dot?
-        (4, [-1.0, 0.0]),      # cluster 1 (sim -1 < 0) far from all
+        (3, [0.1, 0.99]),      # cluster 1; dot(3,4) < threshold
+        (4, [-1.0, 0.0]),      # cluster 1 (sims -1.0 / 0.0); no pair
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     kept = semantic_dedup(df, centroids, threshold=0.8).orderBy("vec_id")

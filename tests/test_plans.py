@@ -134,3 +134,37 @@ def test_centroids_partial_aggregation(spark, sf_dir):
     assert len(ha) >= 2, plan
     assert gen < ha[0], plan
     assert any(ha[i] < e < ha[i + 1] for e in ex for i in range(len(ha) - 1)), plan
+
+
+def test_semantic_dedup_assignment_is_scan_side(spark, sf_dir):
+    """SemDeDup's centroid assignment must be expression work on the
+    scan (no Python UDF stage, no shuffle before the cluster-key
+    self-join) and the log-ratio/pair machinery must not broadcast
+    anything corpus-proportional — the broadcast side is absent here
+    entirely; the only exchanges are the cluster-key join and the
+    final anti join."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_keep")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the kept-universe anti join resolves as broadcast of the small
+    # DROPS relation (pairs above threshold), never the corpus
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_dsir_scoring_join_broadcasts_model(spark, sf_dir):
+    """DSIR's per-feature scoring join must broadcast the ≤n_buckets
+    log-ratio table (never shuffle the exploded corpus against it),
+    and feature hashing must be JVM expression work."""
+    plan = _plan(spark, sf_dir, "dsir_en_selection")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repeated_spans_shuffles_hashes_not_text(spark, sf_dir):
+    """The repeated-gram count must group on the md5 hash only — the
+    gram STRINGS must not survive into the aggregate's shuffle (32-byte
+    rows at scale, not text)."""
+    plan = _plan(spark, sf_dir, "doc_repeated_spans")
+    m = re.findall(r"hashpartitioning\(([^,)]*)", plan)
+    assert m, plan
+    assert any(g.strip().startswith("_h#") for g in m), m
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

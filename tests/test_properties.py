@@ -155,3 +155,108 @@ def test_local_topk_prune_is_lossless(spark, rows, k):
 
     scored = df.select("query_id", "vec_id", "score")
     assert finish(local_topk(scored, k)) == finish(scored)
+
+
+spans_strategy = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=12),  # docs as token-id lists
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=spans_strategy)
+@settings(**SETTINGS)
+def test_repeated_kgram_spans_matches_reference(spark, docs):
+    """Differential vs a direct Python implementation: same k-gram
+    repeats, same maximal-span merge, on random tiny-vocab corpora
+    (small vocab → repeats are common; empty/short docs included)."""
+    from collections import Counter
+
+    from technical_test_data_engineer_spark.operators.text import (
+        repeated_kgram_spans,
+    )
+
+    k = 3
+    texts = [" ".join(f"t{t}" for t in toks) for toks in docs]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_kgram_spans(df, k=k, min_count=2).collect()
+    }
+
+    # reference: count grams, mark repeated positions, merge islands.
+    # NOTE tokenization parity: Spark's split("", " ") yields [""], so
+    # an empty text is ONE empty token, exactly like " ".join([]) here
+    toksets = [s.split(" ") for s in texts]
+    counts = Counter(
+        " ".join(t[i : i + k])
+        for t in toksets
+        if len(t) >= k
+        for i in range(len(t) - k + 1)
+    )
+    want = set()
+    for doc_id, t in enumerate(toksets):
+        if len(t) < k:
+            continue
+        hits = [
+            i + 1
+            for i in range(len(t) - k + 1)
+            if counts[" ".join(t[i : i + k])] >= 2
+        ]
+        cur = None
+        for p in hits:
+            e = p + k - 1
+            if cur is None:
+                cur = [p, e]
+            elif p <= cur[1] + 1:
+                cur[1] = max(cur[1], e)
+            else:
+                want.add((doc_id, cur[0], cur[1]))
+                cur = [p, e]
+        if cur is not None:
+            want.add((doc_id, cur[0], cur[1]))
+    assert got == want
+
+
+semdedup_strategy = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-2, 2), st.integers(-2, 2)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=semdedup_strategy)
+@settings(**SETTINGS)
+def test_semantic_dedup_matches_reference(spark, rows):
+    """Differential vs direct Python: nearest-centroid assignment
+    (strict-> argmax, lowest cluster on ties), within-cluster pairing,
+    keep-lowest-centroid-sim drops — integer-valued vectors so every
+    comparison is exact in both implementations."""
+    from technical_test_data_engineer_spark.operators.dedup import semantic_dedup
+
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    data = [(i, [float(x), float(y)]) for i, (_, x, y) in enumerate(rows)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    thr = 2.0
+    got = {
+        (r.vec_id, r.cluster)
+        for r in semantic_dedup(df, centroids, threshold=thr).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assign = {}
+    for i, v in data:
+        sims = [dot(v, c) for c in centroids]
+        best = max(range(len(sims)), key=lambda j: (sims[j], -j))
+        assign[i] = (best, sims[best])
+    drops = set()
+    for i, v in data:
+        for j, w in data:
+            if i < j and assign[i][0] == assign[j][0] and dot(v, w) >= thr:
+                si, sj = assign[i][1], assign[j][1]
+                drops.add(i if (si > sj or (si == sj and i > j)) else j)
+    want = {(i, assign[i][0]) for i, _ in data if i not in drops}
+    assert got == want
