@@ -136,3 +136,59 @@ def connected_components(
             F.coalesce(F.col("component"), F.col("a")).alias("component"),
         )
     )
+
+
+def triangle_enumerate(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate every triangle in an undirected graph (one input row
+    per unordered edge), emitting ``node_a < node_b < node_c`` by id.
+
+    Distributed shape — the degree-ordered node-iterator (Cohen's
+    MapReduce triangle counting / Latapy's compact-forward): orient
+    each edge from its lower-(degree, id) endpoint to the higher one,
+    build wedges by self-joining oriented edges on their source, and
+    close each wedge with a semi-ish join back onto the oriented edge
+    set. Under degree orientation every out-degree is O(√m), so the
+    wedge relation — the only super-linear intermediate — is bounded
+    by Σ out-deg² = O(m^1.5) instead of the Σ deg² a naive orientation
+    produces when one hub dominates (a star graph yields ZERO wedges
+    here vs n² naive). Three hash shuffles total, no driver state;
+    each triangle is produced exactly once (its lowest-order vertex
+    owns it).
+    """
+    a, b = F.col(src), F.col(dst)
+    sym = edges.select(a.alias("u"), b.alias("v")).unionAll(
+        edges.select(b.alias("u"), a.alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    with_deg = (
+        sym.join(deg.withColumnRenamed("u", "_du"), sym["u"] == F.col("_du"))
+        .withColumnRenamed("deg", "deg_u")
+        .drop("_du")
+        .join(deg.withColumnRenamed("u", "_dv"), sym["v"] == F.col("_dv"))
+        .withColumnRenamed("deg", "deg_v")
+        .drop("_dv")
+    )
+    # total order (deg, id): keep only edges pointing "up" the order —
+    # each undirected edge survives exactly once, oriented.
+    oriented = with_deg.filter(
+        F.struct("deg_u", "u") < F.struct("deg_v", "v")
+    ).select("u", "v")
+    e1 = oriented.select(F.col("u").alias("w_src"), F.col("v").alias("w_a"))
+    e2 = oriented.select(F.col("u").alias("w_src"), F.col("v").alias("w_b"))
+    wedges = e1.join(e2, "w_src").filter(F.col("w_a") < F.col("w_b"))
+    # wedge endpoints are id-ordered (w_a < w_b) but the closing edge is
+    # DEGREE-oriented — re-emit it id-ordered so the close is a plain
+    # two-key hash equi-join (an OR-of-orientations condition would
+    # force a nested-loop join).
+    closing = oriented.select(
+        F.least("u", "v").alias("w_a"), F.greatest("u", "v").alias("w_b")
+    )
+    tri = wedges.join(closing, ["w_a", "w_b"])
+    ids = F.array_sort(F.array("w_src", "w_a", "w_b"))
+    return tri.select(
+        F.element_at(ids, 1).alias("node_a"),
+        F.element_at(ids, 2).alias("node_b"),
+        F.element_at(ids, 3).alias("node_c"),
+    )

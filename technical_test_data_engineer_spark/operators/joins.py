@@ -79,6 +79,67 @@ def range_join(
     return left.join(r, cond, "inner")
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    block,
+    max_dist: int,
+    min_dist: int = 1,
+) -> DataFrame:
+    """Blocked edit-distance self-join (record linkage): distinct
+    ``text_col`` values whose Levenshtein distance is in
+    ``[min_dist, max_dist]``, restricted to pairs sharing ``block``.
+
+    Scale shape — the three standard guards that keep fuzzy matching
+    off the O(n²) cliff, in evaluation order:
+
+    1. **distinct-first**: pairing runs over DISTINCT strings (vocab),
+       not rows — duplicated catalog entries collapse before the join;
+    2. **blocking key**: the self-join is a hash equi-join on
+       ``block`` (e.g. the product noun, a phonetic code, a length
+       bucket) — never a cross product;
+    3. **length-band prefilter**: ``|len(a)−len(b)| ≤ max_dist`` is a
+       lower bound on edit distance, so the cheap length compare runs
+       before the O(len²) Levenshtein, and Spark's 3-arg
+       ``levenshtein(l, r, threshold)`` early-exits its DP loop once
+       the running distance exceeds ``max_dist``.
+
+    ``block`` is a callable ``Column -> Column`` mapping a string to
+    its blocking key (so the caller states the policy, the operator the
+    plumbing). ``min_dist=1`` excludes exact duplicates (those belong
+    to ``exact_dedup``); emits ``(name_a, name_b, edit_dist)`` with
+    ``name_a < name_b`` so each unordered pair appears once.
+    """
+    n = (
+        df.select(F.col(text_col).alias("_name"))
+        .distinct()
+        .withColumn("_blk", block(F.col("_name")))
+        .withColumn("_len", F.length("_name"))
+    )
+    a = n.select(
+        F.col("_name").alias("name_a"), "_blk", F.col("_len").alias("_la")
+    )
+    b = n.select(
+        F.col("_name").alias("name_b"), "_blk", F.col("_len").alias("_lb")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist),
+        )
+        # threshold form returns -1 when the distance exceeds max_dist
+        .filter(
+            (F.col("edit_dist") >= min_dist) & (F.col("edit_dist") <= max_dist)
+        )
+        .select("name_a", "name_b", "edit_dist")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -574,3 +574,55 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@query(
+    "user_type_scd2",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE user_id % 25 = 0
+    ),
+    d AS (
+        SELECT *,
+               LAG(event_type) OVER w AS prev,
+               LAG(1) OVER w AS notfirst
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+        SELECT user_id, event_id, ts, event_type FROM d
+        WHERE notfirst IS NULL OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id,
+           event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           LEAD(ts) OVER w2 IS NULL AS is_current,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+    FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from
+    """,
+)
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2 (``sources.maintenance.scd2_from_changelog``): the
+    event stream collapsed into per-user event_type validity intervals
+    — consecutive repeats merge into one versioned row, NULL upper
+    bound marks the current state. One shuffle on user_id serves both
+    window passes (change detection + interval assembly); the oracle
+    recomputes the same lag/lead pipeline with IS DISTINCT FROM
+    null-safe semantics. The %25 key filter bounds the proof's output,
+    pushed to the scan on both sides."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        scd2_from_changelog,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0
+    )
+    return scd2_from_changelog(
+        events.select("user_id", "event_id", "ts", "event_type"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak="event_id",
+    ).orderBy("user_id", "valid_from")

@@ -156,3 +156,48 @@ def compact_table(
         if other != name and not other.startswith("."):
             tables[other] = spark.read.parquet(os.path.join(vdir, other))
     return publish_tables(root, tables)
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse an append-only change
+    log into versioned validity intervals — one row per (key, attribute
+    state) run, with ``valid_from``/``valid_to``/``is_current``/
+    ``version``. The sibling of :func:`snapshot_diff` for when history
+    must be KEPT, not just detected (the dimension-table pattern every
+    warehouse bolt-on to an event stream needs).
+
+    Plan shape: two window passes over ONE shuffle on ``key_cols`` —
+    change detection (null-safe ``lag`` compare per attribute; a row
+    survives iff it's the key's first or differs from its predecessor)
+    feeds interval assembly (``lead`` for the exclusive upper bound).
+    Catalyst reuses the sort for both windows, so scale cost is a
+    single partitioned sort — no per-key collect, no self-join.
+
+    ``tiebreak`` orders equal timestamps deterministically (pass the
+    log's monotonic id). Attribute NULLs are states, not gaps:
+    NULL→value and value→NULL are both transitions (eqNullSafe).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    first = F.lag(F.lit(1)).over(w).isNull()
+    differs = F.lit(False)
+    for c in attr_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    changes = df.withColumn("_chg", first | differs).filter("_chg").drop("_chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version"),
+    )

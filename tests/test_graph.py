@@ -63,3 +63,46 @@ def test_unconverged_raises(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=1)
+
+
+def test_triangle_enumerate_k4_and_star(spark):
+    """K4 has exactly its 4 triangles; a star (one hub) has none — and
+    under degree orientation the hub never becomes a wedge source, so
+    the intermediate stays empty instead of hub-degree²."""
+    import itertools
+
+    from technical_test_data_engineer_spark.operators.graph import (
+        triangle_enumerate,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(4), 2)],
+        "src long, dst long",
+    )
+    got = sorted(
+        (r.node_a, r.node_b, r.node_c) for r in triangle_enumerate(k4).collect()
+    )
+    assert got == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    assert triangle_enumerate(star).count() == 0
+
+
+def test_triangle_enumerate_all_hash_joins(spark):
+    """The wedge close must stay an equi hash join — no nested-loop or
+    cartesian fallback from an OR-of-orientations condition."""
+    from technical_test_data_engineer_spark.operators.graph import (
+        triangle_enumerate,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    plan = (
+        triangle_enumerate(edges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

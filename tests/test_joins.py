@@ -73,3 +73,44 @@ def test_null_keys_never_match(spark):
     assert [(row["k"], row["v"], row["w"]) for row in inner] == [(1, "a", "x")]
     left = l.join(r, "k", "left").orderBy(F.col("v")).collect()
     assert [(row["k"], row["w"]) for row in left] == [(1, "x"), (None, None)]
+
+
+def test_fuzzy_pairs_planted(spark):
+    """Planted near-dups: blocking on the last token, only same-block
+    pairs within distance 2 surface; exact duplicates (dist 0) and
+    cross-block near-matches are excluded."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("cold widget",),
+            ("old widget",),   # dist 1 from "cold widget", same block
+            ("cold widget",),  # exact dup — must NOT pair (min_dist=1)
+            ("bold widget",),  # dist 1 from both "cold" and "old"
+            ("cold gadget",),  # different block noun — never compared
+            ("verylongname widget",),  # same block, length-band pruned
+        ],
+        "name string",
+    )
+    out = J.fuzzy_pairs(
+        df, "name", block=lambda c: F.element_at(F.split(c, " "), -1), max_dist=2
+    )
+    got = {(r.name_a, r.name_b): r.edit_dist for r in out.collect()}
+    assert got == {
+        ("bold widget", "cold widget"): 1,
+        ("bold widget", "old widget"): 1,
+        ("cold widget", "old widget"): 1,
+    }
+
+
+def test_fuzzy_pairs_plan_is_blocked_hash_join(spark):
+    """The pair generation must be an equi-join on the block key —
+    no BroadcastNestedLoopJoin / CartesianProduct in the plan."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b",), ("c b",)], "name string")
+    plan = J.fuzzy_pairs(
+        df, "name", block=lambda c: F.element_at(F.split(c, " "), -1), max_dist=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -90,3 +90,54 @@ def test_compaction_reduces_files(spark, tmp_path):
     # contents identical
     got = read_published(spark, root, "facts").count()
     assert got == 1000
+
+
+def test_scd2_from_changelog_planted(spark):
+    """Planted changelog: repeats collapse, NULL→value and value→NULL
+    both open new versions, last interval is current."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        scd2_from_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (1, 20, "a"),      # repeat — collapses into v1
+            (1, 30, None),     # a → NULL: new version
+            (1, 40, None),     # repeat of NULL — collapses
+            (1, 50, "b"),      # NULL → b: new version
+            (2, 15, "x"),      # second key, single state
+        ],
+        "k long, t long, attr string",
+    )
+    out = scd2_from_changelog(
+        log, key_cols=["k"], ts_col="t", attr_cols=["attr"]
+    )
+    rows = {
+        (r.k, r.version): (r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 1): ("a", 10, 30, False),
+        (1, 2): (None, 30, 50, False),
+        (1, 3): ("b", 50, None, True),
+        (2, 1): ("x", 15, None, True),
+    }
+
+
+def test_scd2_single_shuffle(spark):
+    """Both window passes must ride ONE hash exchange on the key —
+    Catalyst reuses the partitioning/sort, so exactly one
+    hashpartitioning Exchange appears in the physical plan."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        scd2_from_changelog,
+    )
+
+    log = spark.createDataFrame([(1, 10, "a")], "k long, t long, attr string")
+    plan = (
+        scd2_from_changelog(log, ["k"], "t", ["attr"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("hashpartitioning") <= 1, plan
