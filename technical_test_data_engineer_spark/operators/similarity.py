@@ -578,10 +578,18 @@ def train_pq_codebooks(
     Returns codebooks of shape (m, n_codes, dim // m)."""
     sample = _train_sample(corpus, id_col, max_train_vectors)
     X = np.array([list(r[0]) for r in sample.select(vec_col).collect()])
+    return _fit_pq(X, m, n_codes, seed, n_iter, max_train_vectors)
+
+
+def _fit_pq(
+    X: np.ndarray, m: int, n_codes: int, seed: int, n_iter: int, hint: int
+) -> np.ndarray:
+    """Per-subspace seeded Lloyd's over an in-memory training matrix —
+    shared by raw-vector PQ and residual (IVF-PQ) training."""
     if len(X) < n_codes:
         raise ValueError(
             f"training sample has {len(X)} rows < n_codes={n_codes} "
-            f"(max_train_vectors={max_train_vectors}); raise "
+            f"(max_train_vectors={hint}); raise "
             "max_train_vectors or shrink n_codes"
         )
     dim = X.shape[1]
@@ -743,6 +751,207 @@ def pq_adc_topk(
             # shortlist is the whole corpus and the refined ranking is
             # bit-identical to brute force — the oracle-paired limit
             # proof of the two-stage path (knn_pq_exact_rerankall)
+            nan_safe_score(
+                (exact_dot if rerank_metric == "exact" else fast_dot)(
+                    F.col("_qvec"), F.col(vec_col)
+                )
+            ).alias("score"),
+        )
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the FAISS composite index: coarse Voronoi partitioning (IVF)
+# over PQ-compressed RESIDUALS. The production shape for billion-vector
+# corpora: probing visits a few cells (IVF's selectivity) and scoring
+# reads only codes (PQ's compression); residual encoding beats raw-vector
+# PQ because residuals have ~centroid-distance magnitude, so the same
+# code budget buys finer quantization.
+# ---------------------------------------------------------------------------
+
+
+def train_ivfpq_codebooks(
+    corpus: DataFrame,
+    centroids,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 10,
+    max_train_vectors: int = 4096,
+) -> np.ndarray:
+    """PQ codebooks trained on coarse-quantizer RESIDUALS
+    ``x − centroid(cell(x))``: same deterministic ≤``max_train_vectors``
+    sample and per-subspace Lloyd's as :func:`train_pq_codebooks`, with
+    cell assignment + subtraction done in one numpy pass driver-side
+    (training is a bounded-sample problem; encoding stays distributed).
+    Assignment uses the same cosine-to-normalized-centroid rule as
+    :func:`ivf_assignment_udf`, so training and encoding agree."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    sample = _train_sample(corpus, id_col, max_train_vectors)
+    X = np.array([list(r[0]) for r in sample.select(vec_col).collect()])
+    if len(X):
+        cells = (X @ Cn.T).argmax(axis=1)
+        X = X - C[cells]
+    return _fit_pq(X, m, n_codes, seed, n_iter, max_train_vectors)
+
+
+def ivfpq_encode_udf(centroids, codebooks: np.ndarray):
+    """Scan-side IVF-PQ encoder: per Arrow batch, assign each vector
+    its (cosine-)nearest cell, subtract that cell's raw centroid, and
+    PQ-encode the residual. Returns ``struct<cell int, codes
+    array<int>>`` — the entire stored index entry (~1+m small ints per
+    vector, the 32× storage story)."""
+    C = np.asarray(centroids, dtype=np.float64)  # (K, D)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _, sub = books.shape
+    schema = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _encode(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "codes": []})
+        X = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        cells = (X @ Cn.T).argmax(axis=1).astype("int32")
+        R = X - C[cells]
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Rj = R[:, j * sub : (j + 1) * sub]
+            d2 = ((Rj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    return _encode
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: int = 0,
+    rerank_metric: str = "fast",
+) -> DataFrame:
+    """IVF-PQ top-k by inner product: score only corpus rows whose cell
+    is among each query's ``n_probe`` nearest cells, from codes alone:
+
+        score(q, x) ≈ q·centroid(cell) + Σ_j LUT_q[j, codes_j]
+
+    (the decomposition q·(c + r̂) with r̂ the decoded residual — exact
+    up to quantization error; one LUT per query since codebooks are
+    global). Driver-side per query: a (K,) cell-offset row, a probe
+    mask, and an (m × n_codes) LUT — all O(queries), broadcast in the
+    UDF closure. Corpus-side: ONE scan over (cell, codes), scoring +
+    per-partition top-keep fused in mapInPandas exactly like
+    :func:`pq_adc_topk` — unprobed rows are masked out before any
+    candidate frame materializes, nothing corpus-sized shuffles.
+    ``rerank`` ≥ corpus with ``n_probe`` ≥ n_cells degrades to exact
+    brute force (the oracle-pairing limit, like the other ANN paths).
+    """
+    C = np.asarray(centroids, dtype=np.float64)  # (K, D)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = books.shape
+    n_probe = min(n_probe, len(C))
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = pd.Series([r[0] for r in q_rows])
+    Q = np.vstack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    n_q = len(q_ids)
+    cell_sims = Q @ Cn.T  # probe choice: same metric as assignment
+    probe_rank = np.argsort(-cell_sims, axis=1, kind="stable")[:, :n_probe]
+    probed = np.zeros((n_q, len(C)), dtype=bool)
+    np.put_along_axis(probed, probe_rank, True, axis=1)
+    offsets = Q @ C.T  # (n_q, K) raw-centroid dot — the q·c term
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(n_q, m, sub), books)
+    n_keep = max(k, rerank)
+
+    encode = ivfpq_encode_udf(C, books)
+    coded = (
+        fan_out(corpus.select(id_col, vec_col))
+        .select(id_col, encode(F.col(vec_col)).alias("_e"))
+        .select(id_col, F.col("_e.cell").alias("_cell"), F.col("_e.codes").alias("_codes"))
+    )
+    out_schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[id_col].dataType),
+            StructField(id_col, corpus.schema[id_col].dataType),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def _score_local_topk(batches):
+        best = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["_cell"].to_numpy()
+            Cd = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["_codes"]])
+            sc = offsets[:, cells].T.copy()  # (n, n_q)
+            for j in range(m):
+                sc += lut[:, j, Cd[:, j]].T
+            mask = probed[:, cells].T  # (n, n_q)
+            rows, qs = np.nonzero(mask)
+            if not len(rows):
+                continue
+            cand = pd.DataFrame(
+                {
+                    query_id_col: q_ids.to_numpy()[qs],
+                    id_col: pdf[id_col].to_numpy()[rows],
+                    "score": sc[rows, qs],
+                }
+            )
+            cand = cand[cand[query_id_col] != cand[id_col]]
+            cur = cand if best is None else pd.concat([best, cand], ignore_index=True)
+            cur = cur.sort_values(
+                ["score", id_col],
+                ascending=[False, True],
+                kind="mergesort",
+                na_position="last",
+            )
+            best = cur.groupby(query_id_col, sort=False).head(n_keep)
+        if best is not None and len(best):
+            yield best[[query_id_col, id_col, "score"]]
+
+    pruned = coded.mapInPandas(_score_local_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    shortlist = (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_keep)
+        .select(query_id_col, id_col, "rank", "score")
+    )
+    if rerank <= k:
+        return shortlist
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+        )
+    )
+    refined = (
+        F.broadcast(shortlist.select(query_id_col, id_col))
+        .join(corpus.select(id_col, vec_col), id_col)
+        .join(qvecs, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
             nan_safe_score(
                 (exact_dot if rerank_metric == "exact" else fast_dot)(
                     F.col("_qvec"), F.col(vec_col)

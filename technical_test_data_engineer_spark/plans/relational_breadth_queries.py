@@ -754,3 +754,72 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
     return triangle_enumerate(edges).orderBy("node_a", "node_b", "node_c")
+
+
+@query(
+    "segment_revenue_trend",
+    f"""
+    WITH m AS (
+        SELECT c_mktsegment AS segment,
+               MONTH(o_orderdate) AS mon,
+               {_decsum('o_totalprice')} AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS INT) AS n_months,
+           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(mon * rev) AS DOUBLE)
+            - CAST(SUM(mon) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(mon * mon) AS DOUBLE)
+              - CAST(SUM(mon) AS DOUBLE) * CAST(SUM(mon) AS DOUBLE))
+           AS slope
+    FROM m
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend: monthly 1996 revenue per market
+    segment, then the OLS slope per segment from closed-form moment
+    sums. Two-stage shape that scales: stage 1 is the only
+    corpus-sized agg (decimal-exact monthly revenue, one shuffle on
+    (segment, month)); stage 2 regresses over ≤ segments×12 rows. All
+    moments (Σxy, Σx², …) stay in exact decimal/bigint arithmetic —
+    doubles appear only in the final slope division, the same
+    expression tree the oracle runs, so the hash match is exact rather
+    than rounding-dependent."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(exact_sum("o_totalprice", "rev"))
+        .select("segment", "mon", F.col("rev").cast("decimal(30,10)").alias("rev"))
+    )
+    mom = monthly.groupBy("segment").agg(
+        F.count("*").cast("int").alias("n_months"),
+        F.sum(F.col("mon") * F.col("rev")).cast("double").alias("_sxy"),
+        F.sum("mon").cast("double").alias("_sx"),
+        F.sum("rev").cast("double").alias("_sy"),
+        F.sum(F.col("mon") * F.col("mon")).cast("double").alias("_sxx"),
+        F.count("*").cast("double").alias("_n"),
+    )
+    return mom.select(
+        "segment",
+        "n_months",
+        (
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        ).alias("slope"),
+    ).orderBy("segment")

@@ -385,3 +385,64 @@ def knn_pq_exact_rerankall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")
+
+
+# rows-only (approximate): IVF-PQ is doubly lossy (cell pruning +
+# residual quantization); recall and the exact-limit equivalence are
+# asserted in tests/test_similarity.py
+@query("knn_ivfpq_ann")
+def knn_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via the FAISS composite index: IVF coarse
+    cells over PQ-compressed RESIDUALS with ADC scoring — probing
+    visits n_probe cells (IVF's selectivity dial) and scoring reads
+    only (cell, codes) entries (PQ's 32× storage dial), the standard
+    billion-vector production shape. Two-stage: code-based shortlist
+    of 25 from probed cells, exact re-rank to top-5."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_ivfpq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = train_ivf_centroids(emb, n_centroids=8, max_iter=4,
+                                max_train_vectors=2048)
+    books = train_ivfpq_codebooks(emb, cents, m=8, n_codes=64)
+    out = ivfpq_topk(emb, probes, cents, books, k=TOP_K, n_probe=4,
+                     rerank=25)
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")
+
+
+@query("knn_ivfpq_exact", _exact_topk_oracle(PQ_EXACT_BOUND))
+def knn_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF-PQ companion — probe-all + rerank-all:
+    probing every cell scores every corpus row from its codes, and the
+    exact re-rank of the full shortlist is then bit-identical to brute
+    force, so the shared exact oracle applies while the query still
+    exercises coarse training, residual codebook training, scan-side
+    (cell, codes) encoding, mask-pruned fused ADC, and the rerank
+    join. Same PQ_EXACT_BOUND/tiny-codebook trims as the PQ companion
+    — the limit proof is bound- and codebook-independent."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_ivfpq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < PQ_EXACT_BOUND
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = train_ivf_centroids(emb, n_centroids=4, max_iter=1,
+                                max_train_vectors=1024)
+    books = train_ivfpq_codebooks(emb, cents, m=8, n_codes=16, n_iter=1)
+    out = ivfpq_topk(
+        emb, probes, cents, books, k=TOP_K, n_probe=4,
+        rerank=PQ_EXACT_BOUND, rerank_metric="exact",
+    )
+    return out.orderBy("query_id", "rank").withColumn(
+        "rank", F.col("rank").cast("int")
+    ).select("query_id", "vec_id", "rank", "score")

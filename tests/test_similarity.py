@@ -293,3 +293,86 @@ def test_lsh_multiprobe_superset_and_recall(spark, sf_dir):
     assert len(multi & exact) / len(exact) >= 0.6, (
         len(multi & exact) / len(exact)
     )
+
+
+def test_ivfpq_recall_on_clustered_data(spark):
+    """IVF-PQ on planted clusters: probing 4/16 cells with residual
+    codes + exact re-rank keeps ≥0.9 of the true top-5 (the composite
+    inherits IVF's cell contract; residual PQ only has to rank within
+    probed cells before re-rank fixes fine order)."""
+    import random
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_ivfpq_codebooks,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(16):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for p in range(25):
+            rows.append((c * 25 + p, [x + rng.gauss(0, 0.05) for x in center]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = corpus.filter(F.col("vec_id") % 25 == 0).limit(5)
+    exact = brute_force_topk(corpus, probes, k=5)
+    cents = train_ivf_centroids(corpus, n_centroids=16)
+    books = train_ivfpq_codebooks(corpus, cents, m=8, n_codes=16)
+    approx = ivfpq_topk(corpus, probes, cents, books, k=5, n_probe=4, rerank=15)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF-PQ recall too low on clustered data: {recall}"
+
+
+def test_ivfpq_probeall_rerankall_equals_bruteforce(spark, sf_dir):
+    """The exact-in-the-limit proof behind knn_ivfpq_exact: every cell
+    probed + whole shortlist exact-re-ranked ⇒ identical result set to
+    brute force, for ANY centroids/codebooks."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_ivfpq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, probes, k=5)
+    cents = train_ivf_centroids(emb, n_centroids=4, max_iter=1,
+                                max_train_vectors=1024)
+    books = train_ivfpq_codebooks(emb, cents, m=8, n_codes=16, n_iter=1)
+    full = ivfpq_topk(emb, probes, cents, books, k=5, n_probe=4,
+                      rerank=200, rerank_metric="exact")
+    e = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id, r.rank) for r in full.collect()}
+    assert a == e
+
+
+def test_ivfpq_unprobed_cells_never_scored(spark):
+    """n_probe=1 on well-separated clusters: every returned neighbor
+    lies in the query's own cell — the mask prune is real, not
+    cosmetic."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_ivfpq_codebooks,
+    )
+
+    # 4 orthogonal clusters in 8-d
+    rows = []
+    for c in range(4):
+        for p in range(10):
+            v = [0.0] * 8
+            v[c * 2] = 1.0
+            v[c * 2 + 1] = 0.1 * p
+            rows.append((c * 10 + p, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = corpus.filter(F.col("vec_id") == 0)
+    cents = train_ivf_centroids(corpus, n_centroids=4)
+    books = train_ivfpq_codebooks(corpus, cents, m=4, n_codes=8)
+    out = ivfpq_topk(corpus, probes, cents, books, k=5, n_probe=1).collect()
+    assert out, "probe of own cell must return neighbors"
+    assert {r.vec_id for r in out} <= set(range(10)), (
+        "neighbors leaked from unprobed cells"
+    )
