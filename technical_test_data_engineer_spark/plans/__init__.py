@@ -58,17 +58,21 @@ _FRONT_50 = [
     # flagship + reference-parity pipeline
     "flagship_daily_backlog",
     "prep_orders_pipeline",
-    "orders_active_on_day",
     "priority_status_legend",
     "customers_per_nation_left",
     "events_json_extract",
-    # TPC-H shapes (multi-join, disjunctive, top-N, semi/anti)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # TPC-H shapes (multi-join, disjunctive, top-N, semi/anti).
+    # Second r04 rotation: five NEW operator families (below) take the
+    # slots of queries green in r01+r02+r03 whose operator proofs keep
+    # an in-window twin — q1 (agg battery → flagship + rollup_acctbal),
+    # q3 (join+top-N → q5 chain + q18 top-N), q21 (semi+anti →
+    # customers_without_orders anti + q18's subquery), sales_cube
+    # (grouping analytics → rollup_acctbal), orders_active_on_day
+    # (point-in-interval predicate → view_click_within_30m's interval
+    # condition).
     "q5_region_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
-    "q21_waiting_suppliers",
     # windows + as-of (rank battery, RANGE frame, top-1-per-group)
     "top_order_per_customer",
     "customer_value_ranks",
@@ -76,12 +80,19 @@ _FRONT_50 = [
     "asof_click_attribution",
     "rollup_acctbal",
     "salted_segment_revenue",
+    # r04 session-2 additions: fuzzy record linkage (blocked
+    # Levenshtein), SCD2 changelog collapse, degree-ordered triangle
+    # enumeration, grouped OLS trend, IVF-PQ exact-limit companion
+    "part_name_fuzzy_pairs",
+    "user_type_scd2",
+    "part_copurchase_triangles",
+    "segment_revenue_trend",
+    "knn_ivfpq_exact",
     # filters/aggregates with unique operator proofs (P4 IN-list's
     # in-window twin is q19's IN/OR predicate battery — its slot goes
     # to the r04 F5/F6 engine-colormap proof, otherwise unchecked)
     "priority_legend_colors",
     "customers_without_orders",
-    "sales_cube",
     "nation_orderstatus_pivot",
     # event-time analytics (tumbling/session/interval-join/gap-fill)
     "events_tumbling_30m",

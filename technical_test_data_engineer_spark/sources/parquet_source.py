@@ -86,3 +86,69 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(name)
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> DataFrame:
+    """Append ``_z``: the Z-order (Morton) interleave of the rank-
+    normalized key columns. Each column is min-max scaled to a
+    ``bits``-bit integer from GLOBAL min/max (one tiny agg, broadcast
+    as literals), then the bit planes are interleaved high-to-low —
+    rows close in _z are close in EVERY key dimension, which is what
+    makes one sort order serve range predicates on all of them.
+    Pure JVM expressions (shifts/ors) — no UDF in the write path."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top
+                ).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    # extract bit with shiftright + %2 and combine with +: the Python
+    # Column `|`/`&` operators are LOGICAL or/and in PySpark, and after
+    # shiftleft the bit positions never overlap, so + IS the interleave
+    for bit in range(bits - 1, -1, -1):
+        for s in scaled:
+            z = F.shiftleft(z, 1) + F.shiftright(s, bit) % 2
+    return df.withColumn("_z", z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Z-order clustered rewrite: range-partition + sort rows by their
+    Morton value, drop the helper column, write ``n_files`` parquet
+    files. The data-SKIPPING layout for multi-dimensional predicates:
+    after this, every file's footer min/max on EACH zorder column spans
+    only a narrow slice, so predicate pushdown prunes most row groups
+    for point/range filters on ANY of the columns — the plain-parquet
+    equivalent of Delta's OPTIMIZE ZORDER BY, and the layout step that
+    turns a 100 TB full scan into a few-file read for selective
+    queries. One range shuffle (sampled bounds) + local sort; cost is
+    the rewrite, amortized over every subsequent scan."""
+    zdf = zorder_value(df, zorder_cols, bits)
+    (
+        zdf.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

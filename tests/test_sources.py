@@ -205,3 +205,74 @@ def test_csv_malformed_rows_permissive_and_drop(spark, tmp_path):
     clean_schema = T.StructType(schema.fields[:2])
     dropped = read_csv(spark, str(p), schema=clean_schema, mode="DROPMALFORMED")
     assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+
+def test_zorder_write_narrows_file_stat_ranges(spark, tmp_path):
+    """Z-order layout contract: after clustering on (k1, k2), each
+    file's min/max span on BOTH keys is a fraction of the global range
+    — the footer-stats selectivity that lets predicate pushdown skip
+    row groups. An unclustered shuffle write is the control (every
+    file spans ~the whole range on both keys)."""
+    import pyarrow.parquet as pq_
+
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        write_zordered,
+    )
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "CAST(id % 64 AS LONG) AS k1", "CAST(id DIV 64 AS LONG) AS k2",
+        "id AS payload",
+    )
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["k1", "k2"], n_files=16)
+
+    def max_span(path, col):
+        spans = []
+        import os
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq_.ParquetFile(os.path.join(path, f)).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return max(spans)
+
+    # 16 files over a 64-wide k1 range and 64-wide k2 range: a z-ordered
+    # file must cover well under half of each global range (a random
+    # layout covers ~all of it in every file)
+    assert max_span(zpath, "k1") <= 32
+    assert max_span(zpath, "k2") <= 32
+
+    # control: plain round-robin write spans nearly everything per file
+    rpath = str(tmp_path / "roundrobin")
+    df.repartition(16).write.mode("overwrite").parquet(rpath)
+    assert max_span(rpath, "k1") >= 48
+    assert max_span(rpath, "k2") >= 48
+
+
+def test_zorder_value_locality(spark):
+    """Morton interleave sanity: points identical in both dims get
+    equal _z; moving far in one dim moves _z more than moving one step
+    in the other at matched magnitudes (bit-plane dominance)."""
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (0, 1), (255, 255)], "a long, b long"
+    )
+    out = {(r.a, r.b): r._z for r in zorder_value(df, ["a", "b"], bits=8).collect()}
+    assert out[(0, 0)] == 0
+    assert out[(0, 1)] < out[(255, 255)]
