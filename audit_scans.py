@@ -52,6 +52,14 @@ Expected multi-scans (all reviewed):
   recompute per join side + vector re-attach for deduped pairs (the
   documented LSH-family convention; semantic_dedup persists its
   assignment relation, the extra scans are the pair sides)
+- r04 session-2 (reviewed): event_value_outliers ×4 — the 3-column
+  events relation feeds the median agg, the MAD agg, and the final
+  scan-side filter; the aggs are tiny and re-scanning a pruned scan
+  beats persisting corpus-wide deviations. events_heavy_hitters_cms
+  ×3 — sketch build, distinct candidate probe, exact-count proof
+  harness (production drops the third). knn_ivfpq_ann/knn_ivfpq_exact
+  ×3 — bounded training collects + the (cell, codes) encoding scan +
+  shortlist re-rank re-attach (the knn_pq_ann convention).
 
 Usage: python audit_scans.py [sf_dir]
 """

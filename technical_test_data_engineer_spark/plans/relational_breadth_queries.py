@@ -823,3 +823,86 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
         ).alias("slope"),
     ).orderBy("segment")
+
+
+@query(
+    "events_heavy_hitters_cms",
+    """
+    WITH dep AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    ex AS (
+        SELECT e.user_id, dep.d,
+               CAST(('0x' || substr(md5(
+                   CAST(dep.d AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)
+               ), 1, 8)) AS BIGINT) % 256 AS bucket
+        FROM events e CROSS JOIN dep
+    ),
+    sketch AS (SELECT d, bucket, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+    est AS (
+        SELECT u.user_id, MIN(s.cnt) AS est_count
+        FROM (SELECT DISTINCT user_id, d, bucket FROM ex) u
+        JOIN sketch s USING (d, bucket)
+        GROUP BY u.user_id
+    ),
+    ex_act AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1)
+    SELECT user_id, est_count, exact_count
+    FROM est JOIN ex_act USING (user_id)
+    QUALIFY ROW_NUMBER() OVER (ORDER BY est_count DESC, user_id) <= 20
+    ORDER BY est_count DESC, user_id
+    """,
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: per-user event counts estimated
+    from a 4×256 counter grid (seeded md5 row hashes), top-20 by
+    estimate, with the exact count alongside — CMS never
+    underestimates, so est_count ≥ exact_count row by row in the
+    output. The sketch shape is why this scales: map-side partial agg
+    collapses each scan task to ≤ 4×256 counter rows BEFORE the
+    shuffle (constant-size exchange at any event volume), the sketch
+    broadcasts, and the candidate probe is a distinct over ~users
+    rows. The exact-count join is the PROOF harness, not the operator
+    — production reads estimates straight off the broadcast grid.
+    Deterministic end-to-end (md5, no rand), so the oracle recomputes
+    sketch, estimates, and ranking bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    D, W = 4, 256
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    ex = events.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(d) for d in range(D)])).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % W,
+    )
+    sketch = ex.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
+    est = (
+        ex.select("user_id", "d", "bucket")
+        .distinct()
+        .join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    w = Window.orderBy(F.desc("est_count"), F.asc("user_id"))
+    return (
+        est.join(exact, "user_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("user_id", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), "user_id")
+    )

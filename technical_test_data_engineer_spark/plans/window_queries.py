@@ -626,3 +626,54 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["event_type"],
         tiebreak="event_id",
     ).orderBy("user_id", "valid_from")
+
+
+@query(
+    "event_value_outliers",
+    """
+    WITH med AS (
+        SELECT event_type,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value) AS m
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (
+                   ORDER BY ABS(e.value - med.m)
+               ) AS md
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - med.m) / (1.4826 * mad.md) AS robust_z
+    FROM events e
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    WHERE ABS(e.value - med.m) / (1.4826 * mad.md) > 3.5
+    ORDER BY e.event_id
+    """,
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier gate — median/MAD z-score (the
+    data-cleaning screen that, unlike mean/stddev, is not dragged by
+    the outliers it hunts): flag events whose value sits >3.5 robust
+    sigmas from its type's median. Two tiny keyed aggs (exact
+    interpolated ``percentile`` ≡ PERCENTILE_CONT, the
+    doc_above_lang_median convention) broadcast back onto one corpus
+    scan — thresholds are per-type scalars, so the filter is scan-side
+    at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    dev = events.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("md")
+    )
+    z = (F.col("value") - F.col("m")) / (F.lit(1.4826) * F.col("md"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("m")) / (F.lit(1.4826) * F.col("md")) > 3.5)
+        .select("event_id", "event_type", "value", z.alias("robust_z"))
+        .orderBy("event_id")
+    )

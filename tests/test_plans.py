@@ -168,3 +168,15 @@ def test_repeated_spans_shuffles_hashes_not_text(spark, sf_dir):
     assert m, plan
     assert any(g.strip().startswith("_h#") for g in m), m
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min structural guarantee: every estimate ≥ the exact
+    count (hash collisions only ADD)."""
+    from technical_test_data_engineer_spark.plans.relational_breadth_queries import (
+        events_heavy_hitters_cms,
+    )
+
+    rows = events_heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows
+    assert all(r.est_count >= r.exact_count for r in rows)
