@@ -713,10 +713,12 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_copurchase_triangles",
     """
     WITH e AS (
-        SELECT a.l_partkey AS pa, b.l_partkey AS pb
-        FROM lineitem a
-        JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        SELECT pa, pb FROM (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
         GROUP BY 1, 2
         HAVING COUNT(*) >= 2
     )
@@ -735,23 +737,37 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-iterator (wedge relation bounded O(m^1.5), hub-proof — a pure
     star yields zero wedges); the oracle enumerates id-ordered
     triangles directly — identical sets because each triangle is
-    emitted once either way. Edge building is itself scale-shaped: the
-    per-order self-join fans out only items-per-order² per key before
-    the support filter."""
+    emitted once either way. Edge building avoids the fact-fact
+    self-join entirely: one groupBy collapses each order to its sorted
+    distinct-part basket, then in-basket pair combinations are
+    generated SCAN-SIDE by higher-order functions (transform over
+    suffix slices) — pair fan-out is items-per-order² inside a row,
+    never a join, and the support count rides the same partial-agg
+    shuffle. Support = distinct orders containing the pair."""
     from technical_test_data_engineer_spark.operators.graph import (
         triangle_enumerate,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .select("src", "dst")
     )
     return triangle_enumerate(edges).orderBy("node_a", "node_b", "node_c")
 
@@ -905,4 +921,96 @@ def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 20)
         .select("user_id", "est_count", "exact_count")
         .orderBy(F.desc("est_count"), "user_id")
+    )
+
+
+@query(
+    "part_name_entities",
+    """
+    WITH RECURSIVE c AS (
+        SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY p_name
+    ),
+    n AS (
+        SELECT p_name, split_part(p_name, ' ', -1) AS blk,
+               LENGTH(p_name) AS len
+        FROM c
+    ),
+    pairs AS (
+        SELECT a.p_name AS ia, b.p_name AS ib
+        FROM n a
+        JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+                AND ABS(a.len - b.len) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ),
+    edges AS (
+        SELECT ia AS ea, ib AS eb FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT p_name, p_name FROM c
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+    ),
+    comp AS (SELECT src AS name, MIN(dst) AS component FROM reach GROUP BY src),
+    canon AS (
+        SELECT component, name AS canonical_name FROM (
+            SELECT comp.component, comp.name, c.n_rows,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY comp.component
+                       ORDER BY c.n_rows DESC, comp.name
+                   ) AS rn
+            FROM comp JOIN c ON c.p_name = comp.name
+        ) WHERE rn = 1
+    )
+    SELECT comp.name, canon.canonical_name, c.n_rows
+    FROM comp
+    JOIN canon USING (component)
+    JOIN c ON c.p_name = comp.name
+    ORDER BY name
+    """,
+)
+def part_name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy_pairs edges → connected
+    components → frequency-weighted canonicalization. Each distinct
+    catalog name maps to its cluster's canonical spelling (most rows
+    wins, alphabetical tiebreak) — the full record-linkage pipeline
+    (block → match → cluster → survivorship) as one declarative plan.
+    Scale: edges come from the blocked linkage (never a cross
+    product), CC is the O(log n) large-star/small-star operator over
+    distinct NAMES (vocab-sized, not row-sized), and the survivorship
+    pick is one window over vocab rows. Oracle: recursive-CTE
+    reachability + the same ranked pick."""
+    from pyspark.sql.window import Window
+
+    from technical_test_data_engineer_spark.operators.graph import (
+        connected_components,
+    )
+    from technical_test_data_engineer_spark.operators.joins import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy("p_name").agg(F.count("*").alias("n_rows"))
+    pairs = fuzzy_pairs(
+        part,
+        "p_name",
+        block=lambda col: F.element_at(F.split(col, " "), -1),
+        max_dist=2,
+    )
+    comp = connected_components(
+        counts.select(F.col("p_name").alias("id")),
+        pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst")),
+        id_col="id",
+    )
+    labeled = comp.join(counts, comp["id"] == counts["p_name"]).select(
+        F.col("id").alias("name"), "component", "n_rows"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_rows"), F.asc("name"))
+    canon = (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("component").alias("_c"), F.col("name").alias("canonical_name"))
+    )
+    return (
+        labeled.join(canon, labeled["component"] == canon["_c"])
+        .select("name", "canonical_name", "n_rows")
+        .orderBy("name")
     )
