@@ -67,3 +67,46 @@ def running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(alias, F.sum(col).over(w))
+
+
+def grouped_ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    ``y₀ = x₀;  yᵢ = α·xᵢ + (1−α)·yᵢ₋₁`` over ``order_cols`` order.
+
+    A TRUE sequential recurrence — no window frame expresses it
+    (each output depends on the full prefix through a product chain),
+    so this is the honest case for Spark's grouped-map surface:
+    ``applyInPandas`` ships each key's rows to one Arrow batch and the
+    recurrence runs there. One shuffle on the key, state bounded by
+    the longest single series (the same bound any per-key stateful
+    operator has).
+
+    The loop applies literally ``α·x + (1−α)·y`` per step — NOT
+    pandas ``ewm`` (whose running-normalization divides differently),
+    so the float64 op sequence is reproducible by any engine stepping
+    the same recurrence (the DuckDB recursive-CTE oracle matches
+    bit-for-bit)."""
+    import pandas as _pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
+    a = float(alpha)
+
+    def _fn(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        y = x.copy()
+        for i in range(1, len(y)):
+            y[i] = a * x[i] + (1.0 - a) * y[i - 1]
+        pdf[out_col] = y
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_fn, schema)

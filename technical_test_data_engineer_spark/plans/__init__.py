@@ -99,8 +99,10 @@ _FRONT_50 = [
     # to the r04 F5/F6 engine-colormap proof, otherwise unchecked)
     "priority_legend_colors",
     "customers_without_orders",
-    # event-time analytics (tumbling/session/interval-join/gap-fill)
-    "events_tumbling_30m",
+    # event-time analytics (session/interval-join/gap-fill; tumbling —
+    # green r02+r03, a floored-epoch groupBy — yields its slot to the
+    # applyInPandas EWMA, the first oracle-paired grouped-map proof)
+    "user_value_ewma",
     "events_user_sessions",
     "events_gapfilled_hourly",
     "view_click_within_30m",

@@ -677,3 +677,48 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("robust_z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "user_value_ewma",
+    """
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events WHERE user_id % 25 = 0
+    ),
+    r(user_id, event_id, value, rn, ewma) AS (
+        SELECT user_id, event_id, value, rn, value FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.value, e.rn,
+               0.3 * e.value + 0.7 * r.ewma
+        FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, ewma
+    FROM r ORDER BY user_id, event_id
+    """,
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (α=0.3) — the sequential
+    recurrence no window frame expresses, run on the grouped-map
+    ``applyInPandas`` surface (``operators.windows.grouped_ewma``) and
+    value-checked against a recursive-CTE oracle stepping the
+    IDENTICAL float64 ops: the first oracle-paired proof that the
+    engine's Python-stateful path is bit-reproducible, not just
+    row-countable. The %25 key filter bounds the proof output;
+    order is (event time, event_id) — fully deterministic."""
+    from technical_test_data_engineer_spark.operators.windows import grouped_ewma
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = grouped_ewma(
+        events, ["user_id"], ["ts", "event_id"], "value", alpha=0.3
+    )
+    return out.select("user_id", "event_id", "value", "ewma").orderBy(
+        "user_id", "event_id"
+    )

@@ -43,3 +43,28 @@ def test_running_sum(spark):
                                "g string, t int, v int")
     out = running_sum(df, "v", ["g"], [F.asc("t")], "cum")
     assert [r.cum for r in out.orderBy("t").collect()] == [10, 15, 16]
+
+
+def test_grouped_ewma_hand_values_and_partition_invariance(spark):
+    from technical_test_data_engineer_spark.operators.windows import grouped_ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        (r.k, r.t): r.ewma
+        for r in grouped_ewma(df, ["k"], ["t"], "v", alpha=0.5).collect()
+    }
+    assert out[(1, 1)] == 10.0
+    assert out[(1, 2)] == 15.0        # 0.5*20 + 0.5*10
+    assert out[(1, 3)] == 22.5        # 0.5*30 + 0.5*15
+    assert out[(2, 1)] == 5.0
+    # partitioning must not change the recurrence (one group = one batch)
+    out8 = {
+        (r.k, r.t): r.ewma
+        for r in grouped_ewma(
+            df.repartition(8), ["k"], ["t"], "v", alpha=0.5
+        ).collect()
+    }
+    assert out == out8
