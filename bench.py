@@ -104,6 +104,39 @@ def main() -> None:
     _docs.select(simhash_packed("text").alias("_s")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the numpy-backed pandas-UDF families (IVF assignment,
+    # PQ/IVF-PQ encode) + the grouped-map path: their first use pays a
+    # per-worker numpy import plus Arrow grouped-map setup — one-time
+    # session costs, not query costs. Spread across all workers.
+    from technical_test_data_engineer_spark.operators.similarity import (
+        ivf_assignment_udf,
+        ivfpq_encode_udf,
+        pq_encode_udf,
+    )
+    import numpy as _np
+
+    _cents = [[1.0 if j == i else 0.0 for j in range(64)] for i in range(4)]
+    _books = _np.zeros((8, 4, 8))
+    _vw = _vecs.repartition(int(cpus))
+    _vw.select(ivf_assignment_udf(_cents)("embedding")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    _vw.select(pq_encode_udf(_books)("embedding")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    _vw.select(ivfpq_encode_udf(_cents, _books)("embedding")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from technical_test_data_engineer_spark.operators.windows import (
+        grouped_ewma,
+    )
+
+    grouped_ewma(
+        spark.createDataFrame(
+            [(i % 8, i, float(i)) for i in range(64)], "k long, t long, v double"
+        ),
+        ["k"], ["t"], "v", alpha=0.5,
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
