@@ -847,3 +847,35 @@ def doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_tokens").cast("long").alias("span_tokens"),
     ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "doc_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars,
+           LEAST(1.0, n_chars / 2000.0) AS keep_p
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000
+          < LEAST(1.0, n_chars / 2000.0) * 10000
+    ORDER BY doc_id
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling — keep probability proportional
+    to document length (capped at 1): the mixture-shaping step that
+    up-weights long documents without rand() nondeterminism. Same
+    md5-bucket convention as the uniform split/sample family, so a
+    document's fate is a pure function of its content and the weights
+    compose with those operators (a doc kept here is kept on every
+    rerun, every partitioning, every engine). Scan-side filter —
+    nothing shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(2000.0))
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 10000
+    )
+    return (
+        docs.filter(bucket < keep_p * 10000)
+        .select("doc_id", "lang", "n_chars", keep_p.alias("keep_p"))
+        .orderBy("doc_id")
+    )
