@@ -44,18 +44,8 @@ def main() -> None:
     spark.range(int(cpus) * 4).repartition(int(cpus)).select(
         identity("id")
     ).count()
-    # ... and pyspark.ml's JVM classes (first KMeans fit in a session
-    # pays ~3 s of one-time class loading, which is not query work)
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import array, col, lit
-
-    tiny = spark.range(8).select(
-        array_to_vector(array(col("id").cast("double"), lit(0.0))).alias(
-            "features"
-        )
-    )
-    KMeans(k=2, seed=1, maxIter=1).fit(tiny)
+    # (the pyspark.ml KMeans warmup that used to live here is gone with
+    # its last caller — IVF training is driver-side numpy k-means++ now)
     # ... and the interpreter/JIT steady state for the heavy expression
     # families. Catalyst evaluates higher-order functions (aggregate /
     # zip_with / transform) OUTSIDE whole-stage codegen, so the decimal-

@@ -282,10 +282,10 @@ def train_ivf_centroids(
     max_iter: int = 10,
     max_train_vectors: int = 4096,
 ) -> list[list[float]]:
-    """Coarse quantizer via seeded k-means (``pyspark.ml.clustering.
-    KMeans``, k-means|| init): real Voronoi cells, so probe recall holds
-    when the corpus grows — the round-1 lowest-id stub degenerates at
-    scale (arbitrary early vectors make skewed cells).
+    """Coarse quantizer via seeded k-means++ (D²-weighted init +
+    Lloyd's, driver-side numpy): real Voronoi cells, so probe recall
+    holds when the corpus grows — the round-1 lowest-id stub
+    degenerates at scale (arbitrary early vectors make skewed cells).
 
     Training runs on a DETERMINISTIC subsample of ≤ ~``max_train_vectors``
     (filter on ``xxhash64(id) % stride`` — stable across runs and
@@ -297,34 +297,60 @@ def train_ivf_centroids(
     IVF query's wall-clock at sf0.1). Cell ASSIGNMENT still covers the
     full corpus, scan-side. Deterministic for a fixed seed + input.
 
-    Returns plain ``list[list[float]]`` — downstream assignment UDFs
-    broadcast the centroids as a numpy closure, no ml.Vector columns
-    leak out of this function."""
-    from pyspark import StorageLevel
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Why NOT ``pyspark.ml.KMeans`` for the fit itself: the training
+    sample is bounded at a few thousand rows by design, and a
+    distributed k-means|| fit on it is dozens of tiny Spark jobs —
+    scheduler overhead, not compute (it was the dominant cost of every
+    IVF query: 2.9 → 18 s round-over-round purely from job latency on
+    a loaded box; FAISS likewise trains coarse quantizers in-process).
+    One driver matmul per Lloyd's sweep is the honest tool at this
+    size; the DISTRIBUTED parts of IVF — sampling, assignment, probe
+    scoring — stay on the cluster.
 
+    Returns plain ``list[list[float]]`` — downstream assignment UDFs
+    broadcast the centroids as a numpy closure."""
     sample = _train_sample(corpus, id_col, max_train_vectors)
-    feats = sample.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        # the count both materializes the cache (k-means|| + maxIter
-        # sweeps then hit memory instead of re-scanning the corpus per
-        # iteration) and guards the undersample case with a clear error
-        kept = feats.count()
-        if kept < n_centroids:
-            raise ValueError(
-                f"training sample has {kept} rows < k={n_centroids} "
-                f"(max_train_vectors={max_train_vectors}); raise "
-                "max_train_vectors or shrink k"
-            )
-        model = KMeans(
-            k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
-        ).fit(feats)
-    finally:
-        feats.unpersist()
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    X = np.array(
+        [list(r[0]) for r in sample.select(vec_col).collect()], dtype=np.float64
+    )
+    if len(X) < n_centroids:
+        raise ValueError(
+            f"training sample has {len(X)} rows < k={n_centroids} "
+            f"(max_train_vectors={max_train_vectors}); raise "
+            "max_train_vectors or shrink k"
+        )
+    C = _fit_kmeans(X, n_centroids, seed, max_iter)
+    return [[float(x) for x in c] for c in C]
+
+
+def _fit_kmeans(
+    X: np.ndarray, k: int, seed: int, n_iter: int
+) -> np.ndarray:
+    """Seeded k-means++ (Arthur & Vassilvitskii 2007) + Lloyd's over an
+    in-memory matrix. D²-weighted seeding keeps well-separated clusters
+    from sharing an initial centroid (plain random-row init merges
+    clusters and strands empty cells — exactly what the IVF recall
+    tests would catch). Empty clusters keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    C = np.empty((k, X.shape[1]))
+    C[0] = X[rng.randint(n)]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot > 0:
+            C[j] = X[rng.choice(n, p=d2 / tot)]
+        else:  # all points coincide with chosen centroids
+            C[j] = X[rng.randint(n)]
+        d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return C
 
 
 def _train_sample(
