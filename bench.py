@@ -117,6 +117,24 @@ def main() -> None:
     _vw.select(ivfpq_encode_udf(_cents, _books)("embedding")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the array-of-struct HOF family (transform over suffix
+    # slices + flatten + explode — the basket-pair generator), another
+    # interpreted-eval shape HotSpot must warm
+    _bask = spark.range(512).selectExpr(
+        "id % 64 AS g", "CAST(id AS LONG) AS v"
+    ).groupBy("g").agg(F.array_sort(F.collect_set("v")).alias("items"))
+    _pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    _bask.select(F.explode(_pairs)).write.format("noop").mode(
+        "overwrite"
+    ).save()
     from technical_test_data_engineer_spark.operators.windows import (
         grouped_ewma,
     )

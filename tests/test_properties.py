@@ -260,3 +260,97 @@ def test_semantic_dedup_matches_reference(spark, rows):
                 drops.add(i if (si > sj or (si == sj and i > j)) else j)
     want = {(i, assign[i][0]) for i, _ in data if i not in drops}
     assert got == want
+
+
+scd2_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),     # key
+        st.integers(min_value=0, max_value=40),    # ts
+        st.sampled_from(["a", "b", None]),         # attr (None is a state)
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),              # one event per (key, ts)
+)
+
+
+@given(rows=scd2_strategy)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_intervals_partition_timeline(spark, rows):
+    """Structural invariants for any changelog: per key, versions are
+    1..n contiguous; valid_from < valid_to for every closed interval;
+    consecutive intervals chain exactly (no gaps, no overlaps); exactly
+    one open (is_current) interval per key — and consecutive intervals
+    always differ in the attribute (else they'd have collapsed)."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        scd2_from_changelog,
+    )
+
+    df = spark.createDataFrame(rows, "k int, t int, attr string")
+    out = sorted(
+        scd2_from_changelog(df, ["k"], "t", ["attr"]).collect(),
+        key=lambda r: (r.k, r.version),
+    )
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == {k for k, _, _ in rows}
+    for k, versions in by_key.items():
+        assert [r.version for r in versions] == list(range(1, len(versions) + 1))
+        first_ts = min(t for kk, t, _ in rows if kk == k)
+        assert versions[0].valid_from == first_ts
+        for prev, cur in zip(versions, versions[1:]):
+            assert prev.valid_to == cur.valid_from   # chain, no gap/overlap
+            assert prev.attr != cur.attr or (
+                (prev.attr is None) != (cur.attr is None)
+            )
+            assert not prev.is_current
+        assert versions[-1].is_current and versions[-1].valid_to is None
+
+
+fuzzy_strategy = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=5).map(lambda s: s + " x"),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(names=fuzzy_strategy)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_pairs_matches_bruteforce_levenshtein(spark, names):
+    """Blocked fuzzy_pairs over a single shared block must equal the
+    brute-force all-pairs edit-distance filter (blocking is pure
+    routing here — every name shares the ' x' noun), including the
+    length-band prefilter never dropping a qualifying pair."""
+    import itertools
+
+    from technical_test_data_engineer_spark.operators.joins import fuzzy_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in fuzzy_pairs(
+            df, "name",
+            block=lambda c: F.element_at(F.split(c, " "), -1),
+            max_dist=2,
+        ).collect()
+    }
+    uniq = sorted(set(names))
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if 1 <= lev(a, b) <= 2
+    }
+    assert got == want
