@@ -99,14 +99,26 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    def _sym(d: DataFrame) -> DataFrame:
+        return d.unionByName(
+            d.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
     rounds = 0
     n_prev = e.count()
     for _ in range(max_iter):
-        rounds += 1
-        sym = e.unionByName(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        # TWO star sweeps per materialization: the eager localCheckpoint
+        # and the fixpoint count are whole Spark jobs, and at ~10 sweeps
+        # per graph their scheduler latency — not the shuffles — was the
+        # dominant cost of every CC-backed query. Chaining two sweeps
+        # under one checkpoint halves that job count; the lineage stays
+        # shallow (two star ops) and the fixpoint detector is unchanged
+        # (a fixpoint of one sweep is a fixpoint of two).
+        rounds += 2
+        e_next = _small_star(_large_star(_sym(e)))
+        e_next = _small_star(_large_star(_sym(e_next))).localCheckpoint(
+            eager=True
         )
-        e_next = _small_star(_large_star(sym)).localCheckpoint(eager=True)
         # fixpoint test: both sides are distinct sets, so equal counts +
         # one empty one-sided difference proves set equality
         n_next = e_next.count()
