@@ -76,7 +76,11 @@ _FRONT_50 = [
     "q19_disjunctive_predicates",
     # windows + as-of (rank battery, RANGE frame, top-1-per-group)
     "top_order_per_customer",
-    "customer_value_ranks",
+    # customer_value_ranks (rank battery, green r02+r03) yields its
+    # slot to the constraint-audit proof — a capability class
+    # otherwise unchecked; ranking stays proven in-window by
+    # top_order_per_customer + the CMS ranking window
+    "orders_quality_audit",
     "rolling_7day_revenue",
     "asof_click_attribution",
     "rollup_acctbal",

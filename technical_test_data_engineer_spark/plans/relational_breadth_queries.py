@@ -1014,3 +1014,100 @@ def part_name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name", "canonical_name", "n_rows")
         .orderBy("name")
     )
+
+
+@query(
+    "orders_quality_audit",
+    """
+    SELECT 'orderkey_dup_rows' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS observed,
+           (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_null_frac',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*),
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_negative_rows',
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE),
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_out_of_range_rows',
+           CAST(SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
+                         OR o_orderdate >= DATE '1999-01-01'
+                    THEN 1 ELSE 0 END) AS DOUBLE),
+           SUM(CASE WHEN o_orderdate < DATE '1992-01-01'
+                    OR o_orderdate >= DATE '1999-01-01'
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_orphans',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS DOUBLE),
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    ORDER BY check_name
+    """,
+)
+def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (``operators.quality``): five
+    expectations over the orders table — key uniqueness, null
+    fraction, value-range and date-range violations in ONE aggregation
+    pass (each constraint is a column of the same partial agg, so more
+    checks ≠ more scans), plus referential integrity to customer as a
+    left-anti orphan count unioned onto the same report shape. The
+    pipeline circuit-breaker a production ingest runs before
+    publishing a snapshot."""
+    from technical_test_data_engineer_spark.operators.quality import (
+        constraint_audit,
+        referential_check,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    in_pass = constraint_audit(
+        orders,
+        [
+            (
+                "orderkey_dup_rows",
+                F.count("*") - F.countDistinct("o_orderkey"),
+                lambda o: o == 0,
+            ),
+            (
+                "custkey_null_frac",
+                F.sum(F.col("o_custkey").isNull().cast("long")) / F.count("*"),
+                lambda o: o == 0,
+            ),
+            (
+                "totalprice_negative_rows",
+                F.sum((F.col("o_totalprice") < 0).cast("long")),
+                lambda o: o == 0,
+            ),
+            (
+                "orderdate_out_of_range_rows",
+                F.sum(
+                    (
+                        (F.col("o_orderdate") < F.lit("1992-01-01"))
+                        | (F.col("o_orderdate") >= F.lit("1999-01-01"))
+                    ).cast("long")
+                ),
+                lambda o: o == 0,
+            ),
+        ],
+    )
+    ref = referential_check(
+        "custkey_orphans",
+        orders.filter(F.col("o_custkey").isNotNull()),
+        customer,
+        "o_custkey",
+        "c_custkey",
+    )
+    return in_pass.unionByName(ref).orderBy("check_name")

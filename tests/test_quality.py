@@ -1,0 +1,74 @@
+"""Constraint-audit operator: planted violations flip exactly the
+right checks; one aggregation pass serves every in-pass check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.operators.quality import (
+    constraint_audit,
+    referential_check,
+)
+
+
+def _report(df):
+    return {r.check_name: (r.observed, r.passed) for r in df.collect()}
+
+
+def test_constraint_audit_planted_violations(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, -3.0), (None, 7.0)],
+        "k long, v double",
+    )
+    checks = [
+        ("k_dup_rows", F.count("*") - F.countDistinct("k"), lambda o: o == 0),
+        ("k_null_frac", F.sum(F.col("k").isNull().cast("long")) / F.count("*"),
+         lambda o: o == 0),
+        ("v_negative_rows", F.sum((F.col("v") < 0).cast("long")),
+         lambda o: o == 0),
+        ("v_max_le_100", F.max("v"), lambda o: o <= 100),
+    ]
+    got = _report(constraint_audit(df, checks))
+    # countDistinct ignores NULL: 4 rows, distinct {1, 2} -> 2 dup rows
+    assert got["k_dup_rows"] == (2.0, False)
+    assert got["k_null_frac"] == (0.25, False)
+    assert got["v_negative_rows"] == (1.0, False)
+    assert got["v_max_le_100"] == (10.0, True)
+
+
+def test_constraint_audit_single_scan(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    checks = [
+        ("a", F.count("*"), lambda o: o > 0),
+        ("b", F.max("v"), lambda o: o < 2),
+        ("c", F.countDistinct("k"), lambda o: o == 1),
+    ]
+    plan = (
+        constraint_audit(df, checks)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one logical source: no joins/unions of repeated scans
+    assert "Join" not in plan and "Union" not in plan
+
+
+def test_referential_check_orphans_and_null_keys(spark):
+    facts = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    got = _report(
+        referential_check(
+            "orphans", facts.filter(F.col("fk").isNotNull()), dim, "fk", "pk"
+        )
+    )
+    assert got["orphans"] == (1.0, False)  # only 99; NULL excluded upstream
+    clean = _report(
+        referential_check(
+            "orphans",
+            facts.filter(F.col("fk").isin(1, 2)),
+            dim, "fk", "pk",
+        )
+    )
+    assert clean["orphans"] == (0.0, True)
