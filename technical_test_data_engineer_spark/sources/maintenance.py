@@ -201,3 +201,33 @@ def scd2_from_changelog(
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).alias("version"),
     )
+
+
+def publish_if_clean(
+    root: str,
+    tables: dict[str, DataFrame],
+    audits: dict[str, DataFrame],
+) -> int:
+    """Audit-gated atomic publish — the ingest circuit breaker: run
+    each table's constraint-audit report (``operators/quality``), and
+    only if EVERY check passes flip the snapshot pointer. On any
+    failure nothing is written and readers keep the previous snapshot;
+    the failing checks are raised with their observed values so the
+    pipeline run surfaces exactly what tripped.
+
+    ``audits`` maps table name → a (check_name, observed, passed)
+    report DataFrame (``constraint_audit`` / ``referential_check``
+    output). Reports are tiny (one row per check) — collecting them is
+    a bounded driver action per the S6 contract."""
+    failures: list[str] = []
+    for tname, report in audits.items():
+        for r in report.collect():
+            if not r.passed:
+                failures.append(
+                    f"{tname}.{r.check_name} (observed={r.observed})"
+                )
+    if failures:
+        raise ValueError(
+            "publish blocked by failed quality checks: " + ", ".join(failures)
+        )
+    return publish_tables(root, tables)

@@ -72,3 +72,35 @@ def test_referential_check_orphans_and_null_keys(spark):
         )
     )
     assert clean["orphans"] == (0.0, True)
+
+
+def test_publish_if_clean_blocks_and_publishes(spark, tmp_path):
+    import pytest
+
+    from technical_test_data_engineer_spark.sources.atomic import (
+        current_version,
+        read_published,
+    )
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        publish_if_clean,
+    )
+
+    root = str(tmp_path / "pub")
+    good = spark.createDataFrame([(1, 5.0), (2, 6.0)], "k long, v double")
+    bad = spark.createDataFrame([(1, -5.0)], "k long, v double")
+
+    def audit(df):
+        return constraint_audit(
+            df,
+            [("v_nonneg", F.sum((F.col("v") < 0).cast("long")),
+              lambda o: o == 0)],
+        )
+
+    v = publish_if_clean(root, {"t": good}, {"t": audit(good)})
+    assert read_published(spark, root, "t").count() == 2
+
+    with pytest.raises(ValueError, match="v_nonneg"):
+        publish_if_clean(root, {"t": bad}, {"t": audit(bad)})
+    # pointer untouched: readers still see the good snapshot
+    assert current_version(root) == v
+    assert read_published(spark, root, "t").count() == 2

@@ -276,3 +276,22 @@ def test_zorder_value_locality(spark):
     out = {(r.a, r.b): r._z for r in zorder_value(df, ["a", "b"], bits=8).collect()}
     assert out[(0, 0)] == 0
     assert out[(0, 1)] < out[(255, 255)]
+
+
+def test_orc_roundtrip_schema_and_values(spark, tmp_path):
+    """Format breadth: the engine's tables round-trip through ORC with
+    schema and values intact (Spark ships the ORC reader/writer
+    natively — same declarative plan, different columnar container;
+    predicate pushdown works on ORC scans the same way)."""
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    df = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    pushed = back.filter(F.col("n_nationkey") == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in pushed or "EqualTo" in pushed
