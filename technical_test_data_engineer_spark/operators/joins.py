@@ -189,3 +189,61 @@ def asof_join(
     for c in payload:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval×interval OVERLAP join ([l_start,l_end] ∩ [r_start,r_end]
+    ≠ ∅, closed bounds) via grid-bucket decomposition — the scale path
+    :func:`range_join`'s docstring defers: with two FACT-sized interval
+    sets, an inequality-only join is a nested-loop cross product, but
+    overlapping intervals must share at least one ``bucket_width`` grid
+    cell, so exploding each interval into its covered cells turns the
+    join into a plain (cells, equi_keys) HASH join + residual overlap
+    filter.
+
+    Duplicate suppression without a distinct: a qualifying pair is kept
+    only in the cell containing ``greatest(l_start, r_start)`` — each
+    overlapping pair survives in EXACTLY one cell, so no
+    dedup shuffle. Fan-out per row is interval_length/bucket_width + 1
+    (pick ``bucket_width`` ≈ typical interval length; long outliers fan
+    out proportionally — cap them upstream or bucket coarser).
+
+    Columns must be numeric (cast timestamps to epoch first). Returns
+    left columns + right columns (callers project/alias upstream to
+    avoid collisions)."""
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(l_start) / bucket_width),
+            F.floor(F.col(l_end) / bucket_width),
+        )
+    ).alias("_cell")
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.col(r_start) / bucket_width),
+            F.floor(F.col(r_end) / bucket_width),
+        )
+    ).alias("_cell")
+    lx = left.select("*", lb)
+    rx = right.select("*", rb)
+    on = ["_cell", *(equi_keys or [])]
+    anchor = F.floor(
+        F.greatest(F.col(l_start), F.col(r_start)) / bucket_width
+    )
+    return (
+        lx.join(rx, on)
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_cell") == anchor)
+        )
+        .drop("_cell")
+    )

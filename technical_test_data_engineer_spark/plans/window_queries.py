@@ -722,3 +722,79 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "ewma").orderBy(
         "user_id", "event_id"
     )
+
+
+@query(
+    "view_click_dwell_overlaps",
+    """
+    WITH v AS (
+        SELECT event_id AS view_id, user_id,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS vs,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   + value * 300 AS ve
+        FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS cs,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   + value * 300 AS ce
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, view_id, click_id,
+           LEAST(ve, ce) - GREATEST(vs, cs) AS overlap_sec
+    FROM v JOIN c ON v.user_id = c.user_id
+    WHERE vs <= ce AND cs <= ve
+    ORDER BY view_id, click_id
+    """,
+)
+def view_click_dwell_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (``operators.joins.overlap_join``)
+    — view dwell windows overlapping click dwell windows per user
+    ([ts, ts + value×300 s]). Fact×fact interval matching: the
+    inequality-only formulation the oracle runs is a nested loop, but
+    the operator decomposes each interval into 6-hour grid cells so the
+    join is hash (cell, user_id) with a residual filter, each
+    qualifying pair surviving in exactly the cell of its later start
+    (no dedup shuffle). overlap_sec is the matched pairs' dwell
+    intersection."""
+    from technical_test_data_engineer_spark.operators.joins import overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # unix_timestamp, not a raw cast: TIMESTAMP_NTZ won't ANSI-cast to
+    # long. A session-timezone offset shifts BOTH interval sets equally,
+    # and the join condition + overlap_sec are shift-invariant, so the
+    # result matches the oracle's UTC epochs in any session timezone.
+    epoch = F.unix_timestamp(F.col("ts"))
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch.alias("s"),
+        (epoch + F.col("value") * 300).alias("e"),
+    )
+    v = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("s").alias("vs"),
+        F.col("e").alias("ve"),
+    )
+    c = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("_cu"),
+        F.col("s").alias("cs"),
+        F.col("e").alias("ce"),
+    )
+    joined = overlap_join(
+        v,
+        c.withColumnRenamed("_cu", "user_id"),
+        "vs", "ve", "cs", "ce",
+        bucket_width=21600,
+        equi_keys=["user_id"],
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.least("ve", "ce") - F.greatest("vs", "cs")).alias("overlap_sec"),
+    ).orderBy("view_id", "click_id")

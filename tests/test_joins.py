@@ -114,3 +114,59 @@ def test_fuzzy_pairs_plan_is_blocked_hash_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_join_hand_intervals(spark):
+    """Pairs overlapping across MULTIPLE grid cells appear exactly once
+    (anchor-cell dedup); touching endpoints count (closed intervals);
+    disjoint intervals in a shared cell are filtered."""
+    left = spark.createDataFrame(
+        [(1, 0, 25), (2, 40, 45)], "lid long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [(10, 5, 30), (11, 25, 26), (12, 31, 39)], "rid long, rs long, re long"
+    )
+    out = J.overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=10)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    # 1:[0,25] overlaps 10:[5,30] (cells 0,1,2 shared — once!) and
+    # touches 11:[25,26] at 25; 2:[40,45] overlaps nothing
+    assert got == [(1, 10), (1, 11)]
+
+
+def test_overlap_join_is_hash_join(spark):
+    left = spark.createDataFrame([(1, 0, 5)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(2, 3, 9)], "rid long, rs long, re long")
+    plan = (
+        J.overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    """Grid decomposition equals the inequality join on random data."""
+    import random
+
+    rng = random.Random(3)
+    L = [(i, rng.randint(0, 200), 0) for i in range(40)]
+    L = [(i, s, s + rng.randint(0, 60)) for i, s, _ in L]
+    R = [(i, rng.randint(0, 200), 0) for i in range(40)]
+    R = [(i, s, s + rng.randint(0, 60)) for i, s, _ in R]
+    left = spark.createDataFrame(L, "lid long, ls long, le long")
+    right = spark.createDataFrame(R, "rid long, rs long, re long")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in J.overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=25
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls, le in L
+        for ri, rs, re in R
+        if ls <= re and rs <= le
+    )
+    assert got == want
