@@ -68,3 +68,45 @@ def coalesce_after_outer_join(df: DataFrame, col: str, default) -> DataFrame:
 def where(df: DataFrame, condition: Column) -> DataFrame:
     """General predicate entry point for composed conditions."""
     return df.filter(condition)
+
+
+def split_by_cast(
+    df: DataFrame, casts: dict[str, str]
+) -> tuple[DataFrame, DataFrame]:
+    """Typed-ingest quarantine: split a stringly-staged frame into
+    (clean, quarantine) by cast success. ``casts`` maps column →
+    target type; clean rows carry every column cast, quarantine rows
+    keep the ORIGINAL strings plus ``_bad_cols`` naming each failing
+    column — the triage key an ingest dashboard groups on.
+
+    The S1 story completed: PERMISSIVE CSV capture catches rows that
+    don't PARSE; this catches values that parse but don't TYPE
+    (``'12,5'`` in a double column, ``'0023-01-05'`` pre-repair).
+    ``try_cast`` (ANSI-safe NULL on failure) keeps the whole split
+    scan-side — two pruned passes over the stage, no UDF, no shuffle;
+    a NULL input is not a cast failure (nullability is a
+    constraint-audit concern, operators/quality.py)."""
+    fail_flags = [
+        (c, F.col(c).isNotNull() & F.col(c).try_cast(t).isNull())
+        for c, t in casts.items()
+    ]
+    any_bad = F.lit(False)
+    for _, flag in fail_flags:
+        any_bad = any_bad | flag
+    clean = df.filter(~any_bad).select(
+        *[
+            F.col(c).try_cast(casts[c]).alias(c) if c in casts else F.col(c)
+            for c in df.columns
+        ]
+    )
+    bad_cols = F.filter(
+        F.array(
+            *[
+                F.when(flag, F.lit(c)).otherwise(F.lit(None))
+                for c, flag in fail_flags
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    quarantine = df.filter(any_bad).withColumn("_bad_cols", bad_cols)
+    return clean, quarantine

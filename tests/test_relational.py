@@ -55,3 +55,28 @@ def test_coalesce_after_outer_join(spark):
     fixed = R.coalesce_after_outer_join(joined, "niveau", 0)
     got = {r.code: r.niveau for r in fixed.collect()}
     assert got == {"75": 4, "13": 0}
+
+
+def test_split_by_cast_clean_vs_quarantine(spark):
+    from technical_test_data_engineer_spark.operators.relational import (
+        split_by_cast,
+    )
+
+    staged = spark.createDataFrame(
+        [
+            ("1", "12.5", "2023-01-05"),
+            ("2", "12,5", "2023-01-06"),     # bad double
+            ("x", "3.0", "not-a-date"),      # bad long AND bad date
+            ("4", None, "2023-01-07"),       # NULL is not a cast failure
+        ],
+        "id string, amount string, day string",
+    )
+    clean, quarantine = split_by_cast(
+        staged, {"id": "long", "amount": "double", "day": "date"}
+    )
+    assert dict(clean.dtypes) == {"id": "bigint", "amount": "double", "day": "date"}
+    assert sorted(r.id for r in clean.collect()) == [1, 4]
+    q = {r.id: sorted(r._bad_cols) for r in quarantine.collect()}
+    assert q == {"2": ["amount"], "x": ["day", "id"]}
+    # quarantine keeps original strings for repair
+    assert dict(quarantine.dtypes)["amount"] == "string"
