@@ -92,3 +92,46 @@ def upsert_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def audited_publish_sink(
+    sdf: DataFrame,
+    root: str,
+    table: str,
+    checkpoint: str,
+    audit_fn,
+    output_mode: str = "complete",
+    trigger_available_now: bool = False,
+    rejected: list | None = None,
+) -> StreamingQuery:
+    """Quality-gated streaming publish: each micro-batch runs
+    ``audit_fn(batch_df)`` (a constraint_audit/referential_check
+    report) and publishes through the atomic versioned snapshot ONLY
+    if every check passes. A failing batch is skipped — readers keep
+    the last good snapshot and the stream keeps running (the failure
+    is appended to ``rejected`` with its batch id and failing checks,
+    the hook a production pipeline turns into an alert). The
+    exactly-once story composes: the publish is the atomic pointer
+    flip, so a crash mid-batch can never expose a half-written or
+    unaudited snapshot."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        publish_if_clean,
+    )
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            publish_if_clean(
+                root, {table: batch_df}, {table: audit_fn(batch_df)}
+            )
+        except ValueError as e:
+            if rejected is not None:
+                rejected.append((batch_id, str(e)))
+
+    writer = (
+        sdf.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_publish)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -104,3 +104,84 @@ def test_publish_if_clean_blocks_and_publishes(spark, tmp_path):
     # pointer untouched: readers still see the good snapshot
     assert current_version(root) == v
     assert read_published(spark, root, "t").count() == 2
+
+
+def test_observed_write_single_scan_metrics(spark, tmp_path):
+    """Observation metrics ride the write job itself — values match a
+    direct aggregate, and no second scan happens (the metric is
+    collected by the listener, not a query)."""
+    from technical_test_data_engineer_spark.operators.quality import (
+        observed_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 7.5)], "k long, v double"
+    )
+    path = str(tmp_path / "out")
+    got = observed_write(
+        df,
+        lambda d: d.write.mode("overwrite").parquet(path),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "v_nulls": F.sum(F.col("v").isNull().cast("long")),
+            "v_sum": F.sum("v"),
+        },
+    )
+    assert got["n_rows"] == 3
+    assert got["v_nulls"] == 1
+    assert got["v_sum"] == 12.5
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_audited_publish_sink_gates_bad_microbatches(spark, tmp_path):
+    """Streaming circuit breaker: a micro-batch violating its audit is
+    rejected (recorded, snapshot pointer untouched); clean batches
+    publish atomically."""
+    import json as _json
+    import os
+    import time
+
+    from technical_test_data_engineer_spark.sources.atomic import (
+        read_published,
+    )
+    from technical_test_data_engineer_spark.streaming.sinks import (
+        audited_publish_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    root = str(tmp_path / "pub")
+
+    def audit(df):
+        return constraint_audit(
+            df,
+            [("v_nonneg", F.sum((F.col("v") < 0).cast("long")),
+              lambda o: o == 0)],
+        )
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for k, v in rows:
+                f.write(_json.dumps({"k": k, "v": v}) + "\n")
+
+    write_batch("b0.json", [(1, 5.0), (2, 6.0)])
+    sdf = spark.readStream.schema("k long, v double").json(src)
+    rejected: list = []
+    q = audited_publish_sink(
+        sdf, root, "t", str(tmp_path / "ckpt"), audit,
+        output_mode="append", trigger_available_now=True, rejected=rejected,
+    )
+    q.awaitTermination(60)
+    assert read_published(spark, root, "t").count() == 2
+    assert rejected == []
+
+    write_batch("b1.json", [(3, -1.0)])   # violates v_nonneg
+    q = audited_publish_sink(
+        sdf, root, "t", str(tmp_path / "ckpt"), audit,
+        output_mode="append", trigger_available_now=True, rejected=rejected,
+    )
+    q.awaitTermination(60)
+    time.sleep(1)
+    assert len(rejected) == 1 and "v_nonneg" in rejected[0][1]
+    # readers still see the last good snapshot
+    assert sorted(r.k for r in read_published(spark, root, "t").collect()) == [1, 2]
