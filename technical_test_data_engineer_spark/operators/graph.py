@@ -204,3 +204,83 @@ def triangle_enumerate(
         F.element_at(ids, 2).alias("node_b"),
         F.element_at(ids, 3).alias("node_c"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (Page et al.
+    1999; the power-iteration formulation every distributed engine
+    ships). Node set = distinct edge endpoints; rank starts uniform at
+    1/N and each iteration applies
+
+        r'(v) = (1-d)/N + d * (Σ_{(u,v)∈E} r(u)/outdeg(u) + dangling/N)
+
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges, redistributed uniformly (the standard stochastic-matrix
+    repair — without it rank mass leaks and scores drift toward 0).
+
+    Distributed shape: one groupBy(dst) per iteration — rank flows as
+    ``rank/outdeg`` along each edge and re-aggregates at the target, a
+    single keyed shuffle over the edge list with map-side partial sums.
+    The dangling mass is a 1-row aggregate broadcast back via a scalar
+    cross join (never a driver collect), and ``localCheckpoint`` after
+    each iteration truncates the lineage so iteration k does not replay
+    iterations 1..k-1 (same discipline as ``connected_components``).
+    Fixed ``iters`` (not convergence-tested) keeps the job count
+    deterministic and the result oracle-reproducible by unrolling.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # nodes with outdeg joined left: null outdeg marks a dangling node
+    base = nodes.join(
+        outdeg.withColumnRenamed("u", "node"), "node", "left"
+    ).localCheckpoint(eager=True)
+    n_nodes = base.count()  # scalar, bounded by the node-id domain
+    ranks = base.select("node", "outdeg", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(iters):
+        dangling = ranks.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")
+        )
+        inflow = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("u"),
+                    (F.col("r") / F.col("outdeg")).alias("_c"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            base.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))

@@ -748,6 +748,18 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_enumerate,
     )
 
+    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_enumerate(edges).orderBy("node_a", "node_b", "node_c")
+
+
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Undirected frequent co-purchase edges (src < dst), built without
+    a fact-fact self-join: per-order sorted distinct baskets, then
+    scan-side pair generation via nested ``transform`` over suffix
+    slices (see ``part_copurchase_triangles``). Shared by the triangle
+    and PageRank queries."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
@@ -761,15 +773,84 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    edges = (
+    return (
         baskets.select(F.explode(pairs).alias("p"))
         .select("p.src", "p.dst")
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+        .filter(F.col("n_orders") >= min_support)
         .select("src", "dst")
     )
-    return triangle_enumerate(edges).orderBy("node_a", "node_b", "node_c")
+
+
+_PR_EDGE_CTE = """
+    pe AS (
+        SELECT pa, pb FROM (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    e AS (
+        SELECT pa AS u, pb AS v FROM pe
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM pe
+    ),
+    deg AS (SELECT u, COUNT(*) AS outdeg FROM e GROUP BY u),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)
+"""
+
+
+def _pr_iter_cte(k: int) -> str:
+    """One unrolled PageRank iteration r{k-1} -> r{k} (symmetric graph:
+    every node has out-edges, so no dangling term)."""
+    return f"""
+    r{k} AS (
+        SELECT d.u AS node,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(s.inflow, 0) AS r
+        FROM deg d LEFT JOIN (
+            SELECT e.v AS node, SUM(r{k - 1}.r / deg.outdeg) AS inflow
+            FROM e
+            JOIN r{k - 1} ON r{k - 1}.node = e.u
+            JOIN deg ON deg.u = e.u
+            GROUP BY e.v
+        ) s ON s.node = d.u
+    )"""
+
+
+@query(
+    "part_copurchase_pagerank",
+    f"""
+    WITH {_PR_EDGE_CTE},
+    r0 AS (SELECT u AS node, 1.0 / nn.n AS r FROM deg, nn),
+    {_pr_iter_cte(1)},
+    {_pr_iter_cte(2)},
+    {_pr_iter_cte(3)}
+    SELECT node, r AS pagerank FROM r3 ORDER BY pagerank DESC, node
+    """,
+)
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (``operators.graph.pagerank``) over the
+    same frequent co-purchase graph the triangle query mines: the
+    centrality ranking a recommender uses for 'anchor products'. The
+    operator runs 3 power iterations — each is ONE keyed shuffle
+    (rank/outdeg flows along edges, re-aggregates at the target with
+    map-side partial sums) with ``localCheckpoint`` lineage truncation
+    per iteration, dangling mass redistributed via a broadcast scalar
+    (a no-op here: the symmetric graph has no sinks). The oracle
+    unrolls the identical three iterations as chained CTEs; 9-sig-fig
+    value rounding absorbs summation-order float drift."""
+    from technical_test_data_engineer_spark.operators.graph import pagerank
+
+    und = _copurchase_edges(spark, sf_dir)
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(sym, iters=3).orderBy(F.desc("pagerank"), "node")
 
 
 @query(

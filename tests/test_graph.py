@@ -106,3 +106,26 @@ def test_triangle_enumerate_all_hash_joins(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_mass_conserved_and_ordering(spark):
+    from technical_test_data_engineer_spark.operators.graph import pagerank
+
+    # star: hub 1 <-> leaves 2,3,4 (symmetric). Hub must outrank leaves;
+    # total mass stays 1 (stochastic matrix, no sinks).
+    pairs = [(1, x) for x in (2, 3, 4)] + [(x, 1) for x in (2, 3, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[1] > got[2] == got[3] == got[4]
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    from technical_test_data_engineer_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3, node 3 is a sink: without the dangling repair the
+    # total mass decays below 1; with it, mass is conserved exactly.
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[3] > got[2] > got[1]  # rank accumulates down the chain
