@@ -798,3 +798,78 @@ def view_click_dwell_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         (F.least("ve", "ce") - F.greatest("vs", "cs")).alias("overlap_sec"),
     ).orderBy("view_id", "click_id")
+
+
+@query(
+    "orders_cdc_merge",
+    """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 4 <> 3
+    ),
+    ch AS (
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice * 1.1 AS o_totalprice,
+               1 AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 6 = 3
+                    THEN o_totalprice * 1.2 ELSE o_totalprice END,
+               2, CASE WHEN o_orderkey % 6 = 1 THEN 'D' ELSE 'U' END
+        FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 6 IN (1, 3)
+    ),
+    latest AS (
+        SELECT * FROM ch QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC
+        ) = 1
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
+    WHERE op <> 'D'
+    ORDER BY o_orderkey
+    """,
+)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (``sources.maintenance.apply_changelog``):
+    a synthetic multi-version changelog — every odd key gets a v1
+    price-bump upsert, keys ≡1 (mod 6) a v2 delete, keys ≡3 (mod 6) a
+    v2 second upsert — collapsed latest-wins onto a base snapshot that
+    is missing the ≡3 (mod 4) keys, so the result exercises all four
+    MERGE outcomes at once: untouched survivors, updated rows,
+    inserted new keys, and deleted keys. The changelog alone is
+    windowed (top-1-per-key by seq); the snapshot moves through a
+    single anti-join shuffle. Oracle recomputes the identical
+    changelog and QUALIFY-collapses it."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        apply_changelog,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 4 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    odd = orders.filter(k % 2 == 1)
+    v1 = odd.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    v2 = odd.filter((k % 6).isin(1, 3)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(k % 6 == 3, F.col("o_totalprice") * 1.2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+        F.when(k % 6 == 1, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    merged = apply_changelog(
+        base, v1.unionByName(v2), ["o_orderkey"], "seq", "op"
+    )
+    return merged.orderBy("o_orderkey")

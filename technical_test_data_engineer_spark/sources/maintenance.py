@@ -67,6 +67,44 @@ def merge_upsert(base: DataFrame, updates: DataFrame, key_cols: list[str]) -> Da
     return surviving.unionByName(updates)
 
 
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC apply: collapse a MULTI-version changelog onto a base
+    snapshot — the Debezium/Delta-CDF consumption pattern
+    ``merge_upsert`` cannot express (that one takes exactly one
+    pre-deduped version per key and has no delete channel).
+
+    ``changes`` = base schema + ``seq_col`` (per-key version order,
+    must be unique per key — ties would make the survivor
+    nondeterministic) + ``op_col`` ('U' upsert / 'D' delete). Per key
+    the HIGHEST seq wins: 'U' replaces-or-inserts the row, 'D' removes
+    it (a delete of a never-seen key is a no-op, per CDC convention).
+
+    Plan shape: one window shuffle on the key over the CHANGELOG only
+    (top-1-per-group — the changelog is the small, recent side), then
+    one left_anti + union against base. Base is never windowed — at
+    100 TB the snapshot moves through exactly one keyed anti-join
+    shuffle, and with both sides bucketed on the key even that is
+    shuffle-free."""
+    from technical_test_data_engineer_spark.operators.windows import (
+        top1_per_group,
+    )
+
+    data_cols = base.columns
+    extra = [c for c in (seq_col, op_col) if c not in changes.columns]
+    if extra:
+        raise ValueError(f"changelog missing columns: {extra}")
+    latest = top1_per_group(changes, key_cols, [F.desc(seq_col)])
+    surviving = base.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*data_cols)
+    return surviving.select(*data_cols).unionByName(upserts)
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, key_cols: list[str]
 ) -> DataFrame:

@@ -141,3 +141,57 @@ def test_scd2_single_shuffle(spark):
         .toString()
     )
     assert plan.count("hashpartitioning") <= 1, plan
+
+
+def test_apply_changelog_all_four_outcomes(spark):
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        apply_changelog,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    # id=2 updated twice (seq 2 wins), id=3 deleted, id=4 inserted,
+    # id=9 deleted-but-never-seen (no-op), id=1 untouched
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", 1, "U"),
+            (2, "b2", 2, "U"),
+            (3, None, 1, "D"),
+            (4, "d", 1, "U"),
+            (9, None, 1, "D"),
+        ],
+        "id long, val string, seq int, op string",
+    )
+    got = {
+        r["id"]: r["val"]
+        for r in apply_changelog(base, changes, ["id"], "seq").collect()
+    }
+    assert got == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_apply_changelog_delete_then_reinsert(spark):
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        apply_changelog,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "id long, val string")
+    changes = spark.createDataFrame(
+        [(1, None, 1, "D"), (1, "a2", 2, "U")],
+        "id long, val string, seq int, op string",
+    )
+    got = apply_changelog(base, changes, ["id"], "seq").collect()
+    assert [(r["id"], r["val"]) for r in got] == [(1, "a2")]
+
+
+def test_apply_changelog_missing_columns_raise(spark):
+    import pytest
+
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        apply_changelog,
+    )
+
+    base = spark.createDataFrame([(1, "a")], "id long, val string")
+    bad = spark.createDataFrame([(1, "a")], "id long, val string")
+    with pytest.raises(ValueError, match="missing"):
+        apply_changelog(base, bad, ["id"], "seq")
