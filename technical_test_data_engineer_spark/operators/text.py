@@ -487,3 +487,44 @@ def repeated_kgram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def bpe_merge_pair_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol-pair frequencies — the statistic the
+    first BPE merge step ranks (Sennrich et al. 2016, "Neural Machine
+    Translation of Rare Words with Subword Units"): tokenizer training
+    at character granularity, here over single characters so one pass
+    yields the first merge table.
+
+    Distributed shape (the part that matters at 100 TB): pairs are NOT
+    generated per document occurrence. Stage 1 collapses the corpus to
+    its VOCABULARY (groupBy word → count) — a keyed shuffle whose
+    output is bounded by distinct-word count, orders of magnitude
+    smaller than the token stream. Stage 2 generates character bigrams
+    per DISTINCT word scan-side (``transform`` over an index
+    ``sequence`` — no join, no Python) and weights each by the word's
+    corpus count, so the final pair aggregation shuffles vocabulary-
+    sized data only. Words shorter than 2 chars are filtered before
+    pair generation (``sequence(1, 0)`` would descend).
+
+    Returns (``pair`` string, ``n_occurrences`` bigint), unordered.
+    """
+    words = F.explode(bpe_ish_tokens(text_col)).alias("word")
+    vocab = (
+        df.select(words)
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = F.col("word")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1),
+        lambda i: w.substr(i, F.lit(2)),
+    )
+    return (
+        vocab.select(F.explode(bigrams).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
+    )

@@ -175,3 +175,74 @@ def view_click_within_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view_click_attribution_join(events, within="30 minutes").orderBy(
         "user_id", "view_ts", "click_ts"
     )
+
+
+@query(
+    "session_paths_top",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    ),
+    p AS (
+        SELECT user_id,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: the 25 most frequent within-session
+    event-type journeys ('view>click>purchase' …) — the funnel
+    discovery step product analytics runs before defining funnels.
+    Sessionization rides Spark's native ``session_window`` (same
+    30-minute-gap semantics the sessions query proves); the per-session
+    path is assembled engine-side by sorting the collected
+    (ts, event_id, event_type) structs — array_sort on a struct is a
+    lexicographic sort, giving the deterministic event_id tiebreak —
+    and joining the type field. Per-session state is bounded by
+    session length; the path aggregation shuffles one short string per
+    session. Oracle sessionizes via LAG-gap + running sum and
+    ORDER-BY-qualified STRING_AGG."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = events.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    paths = sess.select(
+        "user_id",
+        F.concat_ws(
+            ">", F.transform(F.col("evs"), lambda e: e["event_type"])
+        ).alias("path"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )

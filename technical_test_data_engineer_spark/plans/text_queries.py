@@ -879,3 +879,45 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", keep_p.alias("keep_p"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "bpe_merge_candidates",
+    """
+    WITH w AS (
+        SELECT unnest(LIST_FILTER(
+            regexp_split_to_array(text, '[^A-Za-z0-9'']+'), t -> t <> ''
+        )) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT word, COUNT(*) AS cnt FROM w
+        WHERE LENGTH(word) >= 2 GROUP BY word
+    ),
+    p AS (
+        SELECT substring(wc.word, CAST(gs.i AS INT), 2) AS pair, wc.cnt
+        FROM wc, LATERAL (
+            SELECT unnest(generate_series(1, LENGTH(wc.word) - 1)) AS i
+        ) gs
+    )
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 50
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 first-round BPE merge candidates
+    (``operators.text.bpe_merge_pair_counts``): corpus-wide adjacent
+    character-pair frequencies, computed vocabulary-first so the pair
+    shuffle is bounded by distinct-word count rather than the token
+    stream — the aggregation shape that makes tokenizer training
+    feasible on a pretraining corpus. The oracle regenerates pairs per
+    distinct word with a lateral index unnest; ties at the cut rank
+    are broken by pair text, keeping the LIMIT deterministic."""
+    docs = _docs(spark, sf_dir)
+    return (
+        TX.bpe_merge_pair_counts(docs, "text")
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(50)
+    )

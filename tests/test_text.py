@@ -195,3 +195,18 @@ def test_repeated_kgram_spans_planted(spark):
         for r in repeated_kgram_spans(df, k=5).collect()
     }
     assert spans == {1: (1, 8, 8), 2: (3, 10, 8)}
+
+
+def test_bpe_merge_pair_counts_hand_checked(spark):
+    from technical_test_data_engineer_spark.operators.text import (
+        bpe_merge_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("aa ab x abc",), ("ab",)], "text string"
+    )  # vocab: aa:1 ab:2 abc:1; 'x' dropped (len<2)
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in bpe_merge_pair_counts(df).collect()
+    }
+    assert got == {"aa": 1, "ab": 3, "bc": 1}
