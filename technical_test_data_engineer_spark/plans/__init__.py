@@ -75,7 +75,12 @@ _FRONT_50 = [
     "q18_large_orders",
     "q19_disjunctive_predicates",
     # windows + as-of (rank battery, RANGE frame, top-1-per-group)
-    "top_order_per_customer",
+    # orders_cdc_merge (new r04 session-3 operator: multi-version CDC
+    # changelog apply with deletes) takes top_order_per_customer's slot
+    # — that W1 proof was driver-green r01-r03, and top-1-per-group
+    # stays exercised in-window: the CDC collapse IS top1_per_group
+    # over the changelog, and user_type_scd2 versions the same way.
+    "orders_cdc_merge",
     # customer_value_ranks (rank battery, green r02+r03) yields its
     # slot to the constraint-audit proof — a capability class
     # otherwise unchecked; ranking stays proven in-window by
@@ -107,7 +112,11 @@ _FRONT_50 = [
     # green r02+r03, a floored-epoch groupBy — yields its slot to the
     # applyInPandas EWMA, the first oracle-paired grouped-map proof)
     "user_value_ewma",
-    "events_user_sessions",
+    # session_paths_top (new r04 session-3: per-session journey mining)
+    # takes events_user_sessions' slot — same session_window(30 min)
+    # assignment re-proven inside the path query, which additionally
+    # value-checks ordered within-session event reconstruction.
+    "session_paths_top",
     "events_gapfilled_hourly",
     "view_click_within_30m",
     # text analysis
@@ -117,7 +126,11 @@ _FRONT_50 = [
     # machinery both share stays in-window through the span query.
     "doc_repeated_spans",
     "doc_language_id",
-    "tfidf_top_terms",
+    # bpe_merge_candidates (new r04 session-3: vocabulary-first BPE
+    # merge-pair statistics) takes tfidf_top_terms' slot — tf-idf was
+    # driver-green r03 and its token-count + log-weighting machinery
+    # keeps in-window twins (doc_bpe_token_counts, dsir_en_selection).
+    "bpe_merge_candidates",
     # dsir_en_selection (new r04 operator: DSIR importance-weighted
     # selection) takes doc_repetition_stats's slot — that ratio battery
     # was driver-green in r03 and keeps two in-window ratio twins
@@ -149,7 +162,12 @@ _FRONT_50 = [
     # (knn_bruteforce is its ground truth, knn_pq_exact_rerankall the
     # same exact-in-the-limit shape).
     "semantic_dedup_keep",
-    "knn_bruteforce",
+    # part_copurchase_pagerank (new r04 session-3: fixed-iteration
+    # PageRank, unrolled-CTE oracle) takes knn_bruteforce's slot — the
+    # brute-force scorer was driver-green r03 and stays equality-proven
+    # in-window by its two exact-in-the-limit companions
+    # (knn_pq_exact_rerankall ≡ brute force, knn_ivfpq_exact ≡ too).
+    "part_copurchase_pagerank",
     "knn_pq_exact_rerankall",
     "embedding_label_centroids",
     # multimodal
