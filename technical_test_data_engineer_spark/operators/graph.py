@@ -212,6 +212,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 3,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (Page et al.
     1999; the power-iteration formulation every distributed engine
@@ -228,10 +229,14 @@ def pagerank(
     ``rank/outdeg`` along each edge and re-aggregates at the target, a
     single keyed shuffle over the edge list with map-side partial sums.
     The dangling mass is a 1-row aggregate broadcast back via a scalar
-    cross join (never a driver collect), and ``localCheckpoint`` after
-    each iteration truncates the lineage so iteration k does not replay
-    iterations 1..k-1 (same discipline as ``connected_components``).
-    Fixed ``iters`` (not convergence-tested) keeps the job count
+    cross join (never a driver collect), and ``localCheckpoint`` every
+    ``checkpoint_every`` iterations truncates the lineage so a long run
+    does not replay earlier iterations or outgrow the planner — but NOT
+    every iteration: each checkpoint is a whole materialization job,
+    and for the common 3-5 iteration case scheduler latency on those
+    jobs (not the shuffles) dominated wall-clock, so a small unrolled
+    plan of 2-3 chained iterations per job is strictly cheaper. Fixed
+    ``iters`` (not convergence-tested) keeps the job count
     deterministic and the result oracle-reproducible by unrolling.
     """
     e = (
@@ -245,13 +250,14 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    # nodes with outdeg joined left: null outdeg marks a dangling node
-    base = nodes.join(
-        outdeg.withColumnRenamed("u", "node"), "node", "left"
-    ).localCheckpoint(eager=True)
+    # nodes with outdeg joined left: null outdeg marks a dangling node.
+    # Derived from the checkpointed edge list by one tiny agg+join, so
+    # it needs no checkpoint of its own — count() materializes it once
+    # and AQE-coalesced re-runs inside later jobs are cheap.
+    base = nodes.join(outdeg.withColumnRenamed("u", "node"), "node", "left")
     n_nodes = base.count()  # scalar, bounded by the node-id domain
     ranks = base.select("node", "outdeg", F.lit(1.0 / n_nodes).alias("r"))
-    for _ in range(iters):
+    for it in range(iters):
         dangling = ranks.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("_dm")
         )
@@ -281,6 +287,9 @@ def pagerank(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage periodically, never after the final
+        # iteration (the caller's action materializes it anyway)
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("pagerank"))

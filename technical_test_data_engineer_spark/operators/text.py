@@ -528,3 +528,60 @@ def bpe_merge_pair_counts(
         .groupBy("pair")
         .agg(F.sum("cnt").cast("bigint").alias("n_occurrences"))
     )
+
+
+def corpus_mix_rates(
+    df: DataFrame,
+    shares: dict[str, float],
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group keep-rates that rebalance a corpus to target mixture
+    ``shares`` (the Pile/ROOTS corpus-mixing step: given weights per
+    language/domain, downsample over-represented groups so the output
+    matches the target distribution WITHOUT upsampling anything).
+
+    The output size is maximized subject to rates ≤ 1: budget =
+    min_g(n_g / share_g) — the scarcest group relative to its target
+    binds, gets rate 1.0, and every other group is downsampled to
+    budget·share_g rows. Two tiny aggregates (group counts, a 1-row
+    min) — nothing corpus-sized moves.
+
+    Returns (group, ``n_docs``, ``share``, ``rate``).
+    """
+    spark = df.sparkSession
+    share_df = spark.createDataFrame(
+        list(shares.items()), f"{group_col} string, share double"
+    )
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    joined = counts.join(F.broadcast(share_df), group_col)
+    budget = joined.agg(
+        F.min(F.col("n_docs") / F.col("share")).alias("_budget")
+    )
+    return joined.crossJoin(F.broadcast(budget)).select(
+        group_col,
+        "n_docs",
+        "share",
+        F.least(
+            F.lit(1.0), F.col("_budget") * F.col("share") / F.col("n_docs")
+        ).alias("rate"),
+    )
+
+
+def corpus_mix_sample(
+    df: DataFrame,
+    shares: dict[str, float],
+    group_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Apply ``corpus_mix_rates``: keep each row iff its content-hash
+    bucket falls under its group's rate — deterministic (same doc kept
+    on every run/partitioning/engine, unlike ``sample()``), consistent
+    with the md5-bucket convention every sampling/split/decontamination
+    operator here shares, and executed as a broadcast-joined SCAN-SIDE
+    filter: the corpus itself is never shuffled. Groups absent from
+    ``shares`` are dropped (target weight zero)."""
+    rates = corpus_mix_rates(df, shares, group_col)
+    return df.join(
+        F.broadcast(rates.select(group_col, "rate")), group_col
+    ).filter(md5_bucket(text_col, n_buckets) < F.col("rate") * n_buckets)

@@ -60,7 +60,12 @@ _FRONT_50 = [
     # legend pipeline stays in-window inside priority_legend_colors)
     "flagship_daily_backlog",
     "prep_orders_pipeline",
-    "customers_per_nation_left",
+    # corpus_mix_rebalance (new r04 session-3: Pile-style corpus mixing
+    # to target language shares) takes customers_per_nation_left's slot
+    # — that P6 proof was driver-green r01-r03, and left-outer +
+    # null-fill stays exercised in-window by the mix query's own
+    # rates⟕kept-counts join with COALESCE(n_kept, 0).
+    "corpus_mix_rebalance",
     "events_json_extract",
     # TPC-H shapes (multi-join, disjunctive, top-N, semi/anti).
     # Second r04 rotation: five NEW operator families (below) take the
@@ -71,7 +76,11 @@ _FRONT_50 = [
     # (grouping analytics → rollup_acctbal), orders_active_on_day
     # (point-in-interval predicate → view_click_within_30m's interval
     # condition).
-    "q5_region_revenue",
+    # incremental_daily_revenue (new r04 session-3: algebraic
+    # materialized-view maintenance, merged partials ≡ full recompute)
+    # takes q5_region_revenue's slot — q5 was driver-green r03 and the
+    # TPC-H join-chain+agg family keeps q18/q19/flagship in-window.
+    "incremental_daily_revenue",
     "q18_large_orders",
     "q19_disjunctive_predicates",
     # windows + as-of (rank battery, RANGE frame, top-1-per-group)

@@ -921,3 +921,61 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(50)
     )
+
+
+_MIX_SHARES = {"en": 0.4, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_SHARES.items())
+
+
+@query(
+    "corpus_mix_rebalance",
+    f"""
+    WITH t(lang, share) AS (VALUES {_MIX_VALUES}),
+    c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    j AS (SELECT c.lang, c.n_docs, t.share FROM c JOIN t USING (lang)),
+    b AS (SELECT MIN(n_docs / share) AS budget FROM j),
+    r AS (
+        SELECT lang, n_docs, share,
+               LEAST(1.0, (SELECT budget FROM b) * share / n_docs) AS rate
+        FROM j
+    ),
+    k AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d JOIN r USING (lang)
+        WHERE CAST('0x' || SUBSTRING(MD5(d.text), 1, 8) AS BIGINT)
+              % 1000000 < rate * 1000000
+        GROUP BY d.lang
+    )
+    SELECT r.lang,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           r.rate
+    FROM r LEFT JOIN k USING (lang)
+    ORDER BY r.lang
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to target language shares
+    (``operators.text.corpus_mix_sample``): en 40% / others 15% each.
+    The scarcest-relative-to-target language binds (rate 1.0); every
+    other language is hash-downsampled to match — output proportions
+    hit the target without upsampling, the Pile-style mixture step.
+    Per-doc keep/drop is the shared md5-bucket convention, so the
+    decision is reproducible across engines and consistent with the
+    split/decontamination operators; the corpus moves through one
+    broadcast-joined scan-side filter, never a shuffle. The summary
+    (kept counts per language) value-checks every per-row decision."""
+    docs = _docs(spark, sf_dir)
+    kept = TX.corpus_mix_sample(docs, _MIX_SHARES, "lang", "text")
+    kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    rates = TX.corpus_mix_rates(docs, _MIX_SHARES, "lang")
+    return (
+        rates.join(kept_counts, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            "rate",
+        )
+        .orderBy("lang")
+    )

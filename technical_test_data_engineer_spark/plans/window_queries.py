@@ -873,3 +873,49 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, v1.unionByName(v2), ["o_orderkey"], "seq", "op"
     )
     return merged.orderBy("o_orderkey")
+
+
+@query(
+    "incremental_daily_revenue",
+    f"""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           COUNT(*) AS n_orders,
+           {_decsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance
+    (``sources.maintenance.merge_partial_aggs``): the daily revenue
+    aggregate is built as a STORED snapshot of pre-1997 partials plus a
+    1997+ delta batch, merged by re-summing partials — the incremental
+    refresh pattern that avoids re-scanning history. Partials stay in
+    decimal through the merge so the algebraic identity is exact; the
+    oracle is the full one-pass recompute over all orders, which the
+    merged result must equal to the last bit (THE correctness statement
+    for incremental view maintenance)."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        merge_partial_aggs,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias(
+                "revenue"
+            ),
+        )
+
+    snap = partials(orders.filter(F.to_date("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.to_date("o_orderdate") >= cutoff))
+    merged = merge_partial_aggs(snap, delta, ["day"], ["n_orders", "revenue"])
+    return merged.select(
+        "day",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    ).orderBy("day")

@@ -195,3 +195,39 @@ def test_apply_changelog_missing_columns_raise(spark):
     bad = spark.createDataFrame([(1, "a")], "id long, val string")
     with pytest.raises(ValueError, match="missing"):
         apply_changelog(base, bad, ["id"], "seq")
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        merge_partial_aggs,
+    )
+
+    rows = [(i % 3, float(i)) for i in range(30)]
+    full = spark.createDataFrame(rows, "k int, v double")
+
+    def partial(df):
+        return df.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(30,10)")).alias("s"),
+        )
+
+    snap = partial(full.filter(F.col("v") < 20))
+    delta = partial(full.filter(F.col("v") >= 20))
+    merged = merge_partial_aggs(snap, delta, ["k"], ["n", "s"])
+    got = {r["k"]: (r["n"], float(r["s"])) for r in merged.collect()}
+    want = {r["k"]: (r["n"], float(r["s"])) for r in partial(full).collect()}
+    assert got == want
+
+
+def test_merge_partial_aggs_key_only_in_one_side(spark):
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        merge_partial_aggs,
+    )
+
+    snap = spark.createDataFrame([(1, 10)], "k int, n long")
+    delta = spark.createDataFrame([(2, 5)], "k int, n long")
+    got = {
+        r["k"]: r["n"]
+        for r in merge_partial_aggs(snap, delta, ["k"], ["n"]).collect()
+    }
+    assert got == {1: 10, 2: 5}

@@ -210,3 +210,44 @@ def test_bpe_merge_pair_counts_hand_checked(spark):
         for r in bpe_merge_pair_counts(df).collect()
     }
     assert got == {"aa": 1, "ab": 3, "bc": 1}
+
+
+def test_corpus_mix_rates_budget_binds_on_scarcest(spark):
+    from technical_test_data_engineer_spark.operators.text import (
+        corpus_mix_rates,
+    )
+
+    df = spark.createDataFrame(
+        [("en", f"t{i}") for i in range(80)]
+        + [("fr", f"u{i}") for i in range(20)],
+        "lang string, text string",
+    )
+    # target 50/50 but only 20 fr docs → budget 40: fr rate 1.0, en 0.25
+    rates = {
+        r["lang"]: r for r in corpus_mix_rates(df, {"en": 0.5, "fr": 0.5}).collect()
+    }
+    assert rates["fr"]["rate"] == 1.0
+    assert abs(rates["en"]["rate"] - 0.25) < 1e-12
+    assert rates["en"]["n_docs"] == 80
+
+
+def test_corpus_mix_sample_deterministic_and_bounded(spark):
+    from technical_test_data_engineer_spark.operators.text import (
+        corpus_mix_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("en", f"text number {i}") for i in range(200)]
+        + [("fr", f"texte {i}") for i in range(50)],
+        "lang string, text string",
+    )
+    kept1 = corpus_mix_sample(df, {"en": 0.5, "fr": 0.5}, "lang", "text")
+    a = sorted(r["text"] for r in kept1.collect())
+    b = sorted(r["text"] for r in kept1.collect())
+    assert a == b  # hash-deterministic, no rand()
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["fr"] == 50  # binding group keeps everything
+    assert by_lang["en"] <= 200  # others downsampled toward 50/50
