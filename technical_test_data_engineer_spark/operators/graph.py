@@ -293,3 +293,53 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Minimum hop distance from a seed set over a directed edge list —
+    frontier-at-a-time parallel BFS (the Pregel traversal primitive:
+    reachability, blast-radius, "within-N-hops" recommendation scopes).
+
+    Each round is one hash join frontier⋈edges plus one anti-join
+    against the visited set — work proportional to the frontier's
+    out-edges, never the whole graph, and the visited anti-join keeps
+    the frontier from re-expanding settled nodes (without it a cyclic
+    graph re-visits forever and walk counts explode combinatorially —
+    the reason this is NOT expressed as an unbounded self-join chain).
+    ``localCheckpoint`` per round truncates lineage; the per-round
+    driver action is a scalar emptiness probe (limit(1) count, no data
+    collect). Capped at ``max_hops`` rounds so the job count is
+    deterministic and a recursive-CTE oracle can mirror it exactly;
+    early-exits when the frontier drains.
+
+    Returns (``node_col``, ``hops``) for every node reachable within
+    ``max_hops`` (seeds at hop 0).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    visited = (
+        sources.select(F.col(node_col).alias("u"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.select("u"), "u")
+            .select(F.col("v").alias("u"))
+            .distinct()
+            .join(visited.select("u"), "u", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("hops") == h)
+        if frontier.limit(1).count() == 0:
+            break
+    return visited.select(F.col("u").alias(node_col), "hops")

@@ -585,3 +585,85 @@ def corpus_mix_sample(
     return df.join(
         F.broadcast(rates.select(group_col, "rate")), group_col
     ).filter(md5_bucket(text_col, n_buckets) < F.col("rate") * n_buckets)
+
+
+def tfidf_cosine_neighbors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df_frac: float = 0.1,
+) -> DataFrame:
+    """Sparse-vector document similarity ("more like this"): top-k
+    nearest neighbors per document under TF-IDF cosine, computed via an
+    INVERTED-INDEX join rather than any all-pairs comparison — the
+    sparse complement to the dense-embedding ANN family
+    (operators/similarity.py).
+
+    Scale shape: candidate pairs are generated ONLY through shared
+    terms (postings self-join on term), so the quadratic blowup lives
+    per-term, bounded by df² — and the df cap (terms appearing in more
+    than ``max_df_frac`` of docs are dropped) removes exactly the
+    hot terms that would dominate the join while contributing the
+    least IDF weight. This is the standard impact-ordered pruning
+    trade: similarity is DEFINED over the pruned term space (norms are
+    computed over the same kept terms, so cosine stays internally
+    consistent, ≤ 1). tf/df/idf conventions match ``tfidf_top_terms``
+    (idf = ln((N+1)/(df+1))).
+
+    Returns (``doc_a``, ``doc_b``, ``cos``, ``rank``): for every doc
+    with at least one candidate, its ≤k neighbors by descending
+    cosine, id-ascending tiebreak.
+    """
+    tok = tokens_long(df, id_col, text_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.count()  # scalar to the driver; literal in the plan
+    kept = dfreq.filter(F.col("df") <= int(n_docs * max_df_frac))
+    idf = F.log(
+        (F.lit(float(n_docs)) + F.lit(1.0))
+        / (F.col("df").cast("double") + F.lit(1.0))
+    )
+    w = tf.join(F.broadcast(kept), "term").select(
+        id_col, "term", (F.col("tf").cast("double") * idf).alias("w")
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = w.select(F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    sym = dots.unionByName(
+        dots.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "dot",
+        )
+    )
+    cos = (
+        sym.join(
+            norms.select(F.col(id_col).alias("doc_a"), F.col("norm").alias("na")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col(id_col).alias("doc_b"), F.col("norm").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("doc_a").orderBy(F.desc("cos"), F.asc("doc_b"))
+    return (
+        cos.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )

@@ -95,8 +95,17 @@ _FRONT_50 = [
     # otherwise unchecked; ranking stays proven in-window by
     # top_order_per_customer + the CMS ranking window
     "orders_quality_audit",
-    "rolling_7day_revenue",
-    "asof_click_attribution",
+    # r04 session-3 rotation, continued: views_unconverted_30m (the
+    # stream-stream LEFT OUTER half — NOT EXISTS oracle) takes
+    # rolling_7day_revenue's slot, and part_reachability_hops
+    # (frontier-parallel BFS, recursive-CTE oracle) takes
+    # asof_click_attribution's — both displaced queries were
+    # driver-green r03 and stay locally verified; the window/interval
+    # families keep in-window twins (user_value_ewma sequential state,
+    # view_click_within_30m's interval condition — whose complement the
+    # outer query is).
+    "views_unconverted_30m",
+    "part_reachability_hops",
     "rollup_acctbal",
     "salted_segment_revenue",
     # r04 session-2 additions: fuzzy record linkage (blocked
@@ -134,7 +143,10 @@ _FRONT_50 = [
     # proof was driver-green in r03, and the positional-k-gram-hash
     # machinery both share stays in-window through the span query.
     "doc_repeated_spans",
-    "doc_language_id",
+    # doc_tfidf_neighbors (new r04 session-3: inverted-index sparse
+    # cosine top-k, the lexical complement of the dense ANN family)
+    # takes doc_language_id's slot — language-ID was driver-green r03.
+    "doc_tfidf_neighbors",
     # bpe_merge_candidates (new r04 session-3: vocabulary-first BPE
     # merge-pair statistics) takes tfidf_top_terms' slot — tf-idf was
     # driver-green r03 and its token-count + log-weighting machinery

@@ -246,3 +246,36 @@ def session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
     )
+
+
+@query(
+    "views_unconverted_30m",
+    """
+    SELECT v.user_id, CAST(v.ts AS TIMESTAMP) AS view_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click'
+            AND c.user_id = v.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      )
+    ORDER BY v.user_id, view_ts
+    """,
+)
+def views_unconverted_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unconverted views (``streaming.transforms.unconverted_views``):
+    the LEFT OUTER half of the stream-stream interval join — views
+    with no same-user click in the following 30 minutes, the funnel
+    abandonment feed. Batch twin of the watermark-flushed streaming
+    outer join (state expiry = answer finality); oracle is the NOT
+    EXISTS anti form. Same time-bound condition the inner attribution
+    join proves, so the pair (view_click_within_30m /
+    views_unconverted_30m) partitions the view stream exactly."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        unconverted_views,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return unconverted_views(events).orderBy("user_id", "view_ts")

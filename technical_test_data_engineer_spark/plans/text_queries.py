@@ -979,3 +979,69 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_tfidf_neighbors",
+    """
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    kept AS (
+        SELECT term, df FROM dfq, n
+        WHERE df <= CAST(n_docs * 0.2 AS BIGINT)
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf AS DOUBLE)
+               * LN((CAST(n_docs AS DOUBLE) + 1.0)
+                    / (CAST(df AS DOUBLE) + 1.0)) AS w
+        FROM tf JOIN kept USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT doc_a, doc_b, dot FROM dots
+        UNION ALL
+        SELECT doc_b, doc_a, dot FROM dots
+    ),
+    cos AS (
+        SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS cos
+        FROM sym
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(cos, 6) AS cos, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_a ORDER BY cos DESC, doc_b
+        ) AS rn FROM cos
+    )
+    WHERE rn <= 3
+    ORDER BY doc_a, rank
+    """,
+)
+def doc_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine top-3 neighbors per document
+    (``operators.text.tfidf_cosine_neighbors``) — the inverted-index
+    "more like this" path, complementing the dense-embedding ANN
+    family: candidate pairs exist only through SHARED RARE TERMS
+    (postings self-join with a 20%-df hot-term cap), so the pair
+    relation is bounded by df² per kept term instead of n² — the
+    pruning that keeps lexical similarity feasible on a pretraining
+    corpus. Cosine rounded to 6dp in both engines (LN ulp drift, same
+    convention as tfidf_top_terms)."""
+    docs = _docs(spark, sf_dir)
+    nb = TX.tfidf_cosine_neighbors(docs, "doc_id", "text", k=3, max_df_frac=0.2)
+    return nb.select(
+        "doc_a", "doc_b", F.round("cos", 6).alias("cos"), "rank"
+    ).orderBy("doc_a", "rank")

@@ -177,3 +177,43 @@ def view_click_attribution_join(
     return views.join(clicks, cond, "inner").select(
         user_col, "view_ts", "click_ts"
     )
+
+
+def unconverted_views(
+    events: DataFrame,
+    within: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Views with NO click inside (view_ts, view_ts + ``within``] for
+    the same user — the abandonment side of the attribution join, and
+    the stream-stream OUTER join shape: on a stream, Spark can only
+    declare a view unconverted once the watermark has passed
+    view_ts + ``within`` (no earlier click can still arrive), so the
+    null-matched rows flush as state expires — bounded state, late
+    results by construction (exactly the semantics a funnel alert
+    needs). Requires watermarks on BOTH sides for streaming; on batch
+    frames the same plan is a plain left-anti-shaped outer join and
+    pairs with the NOT EXISTS oracle
+    (plans/streaming_queries.views_unconverted_30m).
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col(user_col), F.col(ts_col).alias("view_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col(user_col).alias("_c_user"), F.col(ts_col).alias("click_ts")
+    )
+    if watermark:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col(user_col) == F.col("_c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"interval {within}"))
+    )
+    return (
+        views.join(clicks, cond, "left_outer")
+        .filter(F.col("click_ts").isNull())
+        .select(user_col, "view_ts")
+    )

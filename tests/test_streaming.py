@@ -292,3 +292,39 @@ def test_stream_stream_join_equals_batch(spark, events_dir, events_batch):
     assert _rows(got, "user_id", "view_ts", "click_ts") == _rows(
         want, "user_id", "view_ts", "click_ts"
     )
+
+
+def test_stream_stream_outer_join_equals_batch(spark, events_dir, events_batch):
+    """Stream-stream LEFT OUTER interval join: unmatched (unconverted)
+    views flush only as the watermark expires their join state — the
+    no-data final micro-batch after availableNow drains must advance
+    the watermark past every view, so the streamed abandonment set
+    equals the batch NOT-EXISTS twin exactly."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        unconverted_views,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        unconverted_views(stream, watermark="1 hour"),
+        "t_ss_outer_join",
+        output_mode="append",
+    )
+    want = unconverted_views(events_batch)
+    # Finality horizon: a view's "no click" verdict flushes only once
+    # the watermark (max event time − 1 h) passes view_ts + 30 min, so
+    # the last ~1.5 h of views is legitimately still withheld when the
+    # stream drains. Below the horizon (minus a boundary margin) the
+    # sets must match EXACTLY; everywhere, every streamed row must be a
+    # true batch row (soundness — the stream never invents abandonment).
+    max_ts = events_batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    horizon = F.lit(max_ts) - F.expr("interval 100 minutes")
+    assert _rows(
+        got.filter(F.col("view_ts") < horizon), "user_id", "view_ts"
+    ) == _rows(
+        want.filter(F.col("view_ts") < horizon), "user_id", "view_ts"
+    )
+    got_all = set(_rows(got, "user_id", "view_ts"))
+    want_all = set(_rows(want, "user_id", "view_ts"))
+    assert got_all <= want_all

@@ -251,3 +251,51 @@ def test_corpus_mix_sample_deterministic_and_bounded(spark):
     }
     assert by_lang["fr"] == 50  # binding group keeps everything
     assert by_lang["en"] <= 200  # others downsampled toward 50/50
+
+
+def test_tfidf_cosine_neighbors_identical_docs_cos1(spark):
+    from technical_test_data_engineer_spark.operators.text import (
+        tfidf_cosine_neighbors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta"),
+            (4, "alpha delta common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_neighbors(df, k=2, max_df_frac=0.9).collect()
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r["doc_a"], []).append(r)
+    # identical docs are each other's rank-1 neighbor at cos ~= 1
+    top1 = {a: rows[0] for a, rows in ((a, sorted(rs, key=lambda r: r["rank"])) for a, rs in by_a.items())}
+    assert top1[1]["doc_b"] == 2 and abs(top1[1]["cos"] - 1.0) < 1e-9
+    assert top1[2]["doc_b"] == 1 and abs(top1[2]["cos"] - 1.0) < 1e-9
+    # all cosines bounded
+    assert all(-1e-9 <= r["cos"] <= 1 + 1e-9 for r in out)
+
+
+def test_tfidf_cosine_neighbors_df_cap_prunes_hot_terms(spark):
+    from technical_test_data_engineer_spark.operators.text import (
+        tfidf_cosine_neighbors,
+    )
+
+    # 'common' appears in every doc; with a tight df cap the only
+    # candidate path left is the rare shared term 'rare'
+    df = spark.createDataFrame(
+        [
+            (1, "common rare a b"),
+            (2, "common rare c d"),
+            (3, "common x y z"),
+            (4, "common p q s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_neighbors(df, k=3, max_df_frac=0.5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs and (2, 1) in pairs
+    assert all(a in (1, 2) and b in (1, 2) for a, b in pairs)
