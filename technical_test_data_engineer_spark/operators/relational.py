@@ -110,3 +110,59 @@ def split_by_cast(
     )
     quarantine = df.filter(any_bad).withColumn("_bad_cols", bad_cols)
     return clean, quarantine
+
+
+def pareto_front(
+    df: DataFrame,
+    minimize: tuple[str, ...] = (),
+    maximize: tuple[str, ...] = (),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Skyline / Pareto front: rows not dominated by any other row —
+    dominance = at-least-as-good on every criterion AND strictly better
+    on at least one (Börzsönyi et al., ICDE'01). The multi-objective
+    shortlist operator (cheapest-vs-largest, quality-vs-length, ...).
+
+    Two-phase distributed skyline (the MapReduce BNL shape): phase 1
+    computes each hash-bucket's LOCAL skyline with a vectorized numpy
+    dominance test inside ``applyInPandas`` (blocked over dominator
+    rows, so memory is O(block × bucket), not bucket²); phase 2 runs
+    the same kernel once over the union of local skylines. Correct
+    because a globally non-dominated row is non-dominated in its bucket
+    too, so phase 1 never drops a skyline row — skyline(∪ local
+    skylines) = skyline(df) — and phase-2 input is survivor-sized, not
+    corpus-sized. Ties (identical criterion vectors) dominate neither
+    way; all copies survive, deterministically.
+    """
+    crit = list(minimize) + list(maximize)
+    if not crit:
+        raise ValueError("need at least one criterion")
+    n_min = len(minimize)
+
+    def _local(pdf):
+        import numpy as np
+
+        vals = pdf[crit].to_numpy(dtype="float64").copy()
+        vals[:, n_min:] *= -1.0  # canonicalize to all-minimize
+        n = len(vals)
+        dominated = np.zeros(n, dtype=bool)
+        for s in range(0, n, 512):
+            blk = vals[s : s + 512]  # dominator candidates
+            le = (blk[:, None, :] <= vals[None, :, :]).all(-1)
+            lt = (blk[:, None, :] < vals[None, :, :]).any(-1)
+            dominated |= (le & lt).any(axis=0)
+        return pdf[~dominated]
+
+    bucketed = df.withColumn(
+        "_pb",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_buckets)),
+    )
+    local = bucketed.groupBy("_pb").applyInPandas(
+        lambda _, pdf: _local(pdf), schema=bucketed.schema
+    )
+    final = (
+        local.withColumn("_pb", F.lit(0))
+        .groupBy("_pb")
+        .applyInPandas(lambda _, pdf: _local(pdf), schema=bucketed.schema)
+    )
+    return final.drop("_pb")

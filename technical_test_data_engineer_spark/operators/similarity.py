@@ -990,3 +990,64 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "score")
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 5,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09) —
+    THE standard way hybrid retrieval merges a sparse (lexical) and a
+    dense (embedding) ranking without score calibration: each list
+    contributes 1/(k0 + rank) per candidate, candidates missing from a
+    list contribute 0, and the fused ordering depends only on RANKS —
+    immune to the incomparable score scales that make weighted-sum
+    fusion fragile.
+
+    Inputs: each DataFrame carries (query_col, cand_col, rank_col) with
+    rank 1-based within query. Shape at scale: per-query candidate sets
+    are k-bounded upstream, so the full-outer rank join and the final
+    per-query top-k window move k·|lists| rows per query — the fusion
+    itself never touches corpus-sized data.
+
+    Returns (query_col, cand_col, ``rrf_score``, ``fused_rank`` ≤ k).
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    tagged = [
+        df.select(
+            F.col(query_col),
+            F.col(cand_col),
+            F.col(rank_col).alias(f"_r{i}"),
+        )
+        for i, df in enumerate(ranked_lists)
+    ]
+    fused = reduce(
+        lambda a, b: a.join(b, [query_col, cand_col], "full_outer"), tagged
+    )
+    score = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(
+                F.lit(1.0)
+                / (F.lit(float(k0)) + F.col(f"_r{i}").cast("double")),
+                F.lit(0.0),
+            )
+            for i in range(len(tagged))
+        ],
+    )
+    win = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(cand_col)
+    )
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("fused_rank", F.row_number().over(win))
+        .filter(F.col("fused_rank") <= k)
+        .select(query_col, cand_col, "rrf_score", "fused_rank")
+    )

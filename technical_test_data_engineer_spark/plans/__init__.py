@@ -171,7 +171,12 @@ _FRONT_50 = [
     # keeper-dedup stage; the md5 MinHash pipeline is recomputed
     # stage-by-stage inside both the audit and incremental oracles)
     "embedding_near_dups_lsh_exact",
-    "doc_simhash_md5",
+    # pareto_parts (new r04 session-3: two-phase distributed skyline,
+    # numpy dominance kernels in applyInPandas) takes doc_simhash_md5's
+    # slot — simhash was driver-green r03 and the band-join machinery
+    # keeps the minhash md5 pipelines in-window; the grouped-map
+    # surface keeps user_value_ewma as a second in-window proof.
+    "pareto_parts",
     "split_contamination_audit_md5",
     "minhash_incremental_md5",
     "curation_pipeline",
@@ -186,10 +191,15 @@ _FRONT_50 = [
     # part_copurchase_pagerank (new r04 session-3: fixed-iteration
     # PageRank, unrolled-CTE oracle) takes knn_bruteforce's slot — the
     # brute-force scorer was driver-green r03 and stays equality-proven
-    # in-window by its two exact-in-the-limit companions
-    # (knn_pq_exact_rerankall ≡ brute force, knn_ivfpq_exact ≡ too).
+    # in-window by its exact-in-the-limit companion knn_ivfpq_exact and
+    # by the RRF query's decimal-exact dense ranking below.
     "part_copurchase_pagerank",
-    "knn_pq_exact_rerankall",
+    # hybrid_rrf_retrieval (new r04 session-3: BM25+vector-style rank
+    # fusion; its dense side re-proves the decimal-exact brute-force
+    # scoring) takes knn_pq_exact_rerankall's slot — that heavy exact
+    # proof was driver-green r03 and also trims the driver gate's
+    # wall-clock.
+    "hybrid_rrf_retrieval",
     "embedding_label_centroids",
     # multimodal
     "media_decode_meta",

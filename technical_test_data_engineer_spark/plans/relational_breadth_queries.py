@@ -1243,3 +1243,37 @@ def part_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("node"))
     )
     return bfs_hops(sym, seeds, max_hops=3).orderBy("hops", "node")
+
+
+@query(
+    "pareto_parts",
+    """
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part o
+        WHERE o.p_retailprice <= p.p_retailprice
+          AND o.p_size >= p.p_size
+          AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+)
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (``operators.relational.pareto_front``): parts where no
+    other part is both cheaper and larger — the classic
+    price-vs-capacity shortlist. The operator runs the two-phase
+    distributed skyline (bucket-local numpy dominance kernels, then
+    one survivor-sized pass); the oracle is the textbook NOT EXISTS
+    dominance predicate, quadratic but fine at oracle scale — exactly
+    the plan shape the distributed version exists to avoid."""
+    from technical_test_data_engineer_spark.operators.relational import (
+        pareto_front,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_front(
+        part, minimize=("p_retailprice",), maximize=("p_size",)
+    ).orderBy("p_partkey")

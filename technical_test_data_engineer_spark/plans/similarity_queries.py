@@ -446,3 +446,148 @@ def knn_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
     ).select("query_id", "vec_id", "rank", "score")
+
+
+# Hybrid-retrieval proof bounds: sparse queries restricted to doc_id <
+# RRF_QUERY_BOUND (the sparse candidate set is data-dependent; the
+# bound keeps the decimal-exact dense scoring from scaling with it),
+# dense corpus to vec_id < RRF_CORPUS_BOUND — inactive at the driver's
+# sf0.01 (500 vectors), active at bench sf0.1+, same convention as
+# EXACT_BOUND above.
+RRF_QUERY_BOUND = 100
+RRF_CORPUS_BOUND = 300
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STR_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    kept AS (
+        SELECT term, df FROM dfq, n
+        WHERE df <= CAST(n_docs * 0.2 AS BIGINT)
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf AS DOUBLE)
+               * LN((CAST(n_docs AS DOUBLE) + 1.0)
+                    / (CAST(df AS DOUBLE) + 1.0)) AS w
+        FROM tf JOIN kept USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS norm FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    cosd AS (
+        SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS cos
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+    ),
+    sparse AS (
+        SELECT doc_a AS query_id, doc_b AS cand_id, rn AS r_s
+        FROM (
+            SELECT doc_a, doc_b, ROW_NUMBER() OVER (
+                PARTITION BY doc_a ORDER BY cos DESC, doc_b
+            ) AS rn FROM cosd WHERE doc_a < {RRF_QUERY_BOUND}
+        ) WHERE rn <= 3
+    ),
+    qset AS (SELECT DISTINCT query_id FROM sparse),
+    corpus AS (
+        SELECT * FROM embeddings WHERE vec_id < {RRF_CORPUS_BOUND}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM corpus JOIN qset ON vec_id = query_id
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.embedding AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS score
+        FROM corpus e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    dense AS (
+        SELECT query_id, vec_id AS cand_id, rn AS r_d
+        FROM (
+            SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, vec_id
+            ) AS rn FROM scored
+        ) WHERE rn <= 5
+    ),
+    fused AS (
+        SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+               COALESCE(s.cand_id, d.cand_id) AS cand_id,
+               COALESCE(1.0 / (60.0 + s.r_s), 0.0)
+               + COALESCE(1.0 / (60.0 + d.r_d), 0.0) AS rrf_score
+        FROM sparse s
+        FULL JOIN dense d
+          ON d.query_id = s.query_id AND d.cand_id = s.cand_id
+    )
+    SELECT query_id, cand_id,
+           ROUND(rrf_score, 6) AS rrf_score,
+           CAST(rn AS INT) AS fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, cand_id
+        ) AS rn FROM fused
+    )
+    WHERE rn <= 5
+    ORDER BY query_id, fused_rank
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (``operators.similarity.rrf_fuse``): sparse
+    lexical ranks (inverted-index TF-IDF cosine, hot-term-capped) and
+    dense embedding ranks (decimal-exact brute-force top-5, corpus
+    bounded — the same exact-proof convention as EXACT_BOUND) merged by
+    Reciprocal Rank Fusion, 1/(60+rank) per list — the BM25+vector
+    pattern every RAG stack runs, here entirely engine-side. Query set
+    = documents with sparse candidates (bounded by RRF_QUERY_BOUND);
+    vec_id doubles as doc_id across the two synthetic tables (the
+    retrieval join key). Fusion moves only k-bounded rank rows; the
+    oracle recomputes both rankings and the same fusion arithmetic."""
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+    from technical_test_data_engineer_spark.operators.similarity import rrf_fuse
+    from technical_test_data_engineer_spark.operators.text import (
+        tfidf_cosine_neighbors,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    sparse = (
+        tfidf_cosine_neighbors(docs, "doc_id", "text", k=3, max_df_frac=0.2)
+        .filter(F.col("doc_a") < RRF_QUERY_BOUND)
+        .select(
+            F.col("doc_a").alias("query_id"),
+            F.col("doc_b").alias("cand_id"),
+            F.col("rank"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < RRF_CORPUS_BOUND
+    )
+    qset = sparse.select(F.col("query_id").alias("vec_id")).distinct()
+    qvecs = emb.join(qset, "vec_id")
+    dense = brute_force_topk(emb, qvecs, k=5).select(
+        "query_id", F.col("vec_id").alias("cand_id"), "rank"
+    )
+    out = rrf_fuse([sparse, dense], k0=60, k=5)
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "fused_rank",
+    ).orderBy("query_id", "fused_rank")

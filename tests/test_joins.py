@@ -170,3 +170,49 @@ def test_overlap_join_matches_bruteforce(spark):
         if ls <= re and rs <= le
     )
     assert got == want
+
+
+def test_pareto_front_hand_checked(spark):
+    from technical_test_data_engineer_spark.operators.relational import (
+        pareto_front,
+    )
+
+    # (price, size): (1,9) and (2,10) are non-dominated; (2,9) dominated
+    # by (1,9)... wait (1,9): price 1 <= 2, size 9 >= 9, strictly better
+    # on price -> dominates (2,9). (3,10) dominated by (2,10). Duplicate
+    # non-dominated pairs both survive.
+    rows = [(1, 1.0, 9), (2, 2.0, 10), (3, 2.0, 9), (4, 3.0, 10), (5, 1.0, 9)]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = sorted(
+        r["id"]
+        for r in pareto_front(
+            df, minimize=("price",), maximize=("size",)
+        ).collect()
+    )
+    assert got == [1, 2, 5]
+
+
+def test_pareto_front_matches_bruteforce_random(spark):
+    import random
+
+    from technical_test_data_engineer_spark.operators.relational import (
+        pareto_front,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.randint(0, 30)), rng.randint(0, 30)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b int")
+    got = sorted(
+        r["id"] for r in pareto_front(df, minimize=("a", "b")).collect()
+    )
+    want = sorted(
+        i
+        for i, a, b in rows
+        if not any(
+            (a2 <= a and b2 <= b and (a2 < a or b2 < b))
+            for _, a2, b2 in rows
+        )
+    )
+    assert got == want

@@ -376,3 +376,40 @@ def test_ivfpq_unprobed_cells_never_scored(spark):
     assert {r.vec_id for r in out} <= set(range(10)), (
         "neighbors leaked from unprobed cells"
     )
+
+
+def test_rrf_fuse_hand_checked(spark):
+    from technical_test_data_engineer_spark.operators.similarity import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, cand_id long, rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 20, 1)],
+        "query_id long, cand_id long, rank int",
+    )
+    out = {
+        (r["query_id"], r["cand_id"]): (r["rrf_score"], r["fused_rank"])
+        for r in rrf_fuse([sparse, dense], k0=60, k=5).collect()
+    }
+    # cand 11: in both lists (1/62 + 1/61) beats cand 10 (1/61 only)
+    # and cand 12 (1/62 only); cand 20 fused from both rank-1 lists
+    assert abs(out[(1, 11)][0] - (1 / 62 + 1 / 61)) < 1e-12
+    assert out[(1, 11)][1] == 1
+    assert out[(1, 10)][1] == 2 and abs(out[(1, 10)][0] - 1 / 61) < 1e-12
+    assert out[(1, 12)][1] == 3
+    assert abs(out[(2, 20)][0] - 2 / 61) < 1e-12 and out[(2, 20)][1] == 1
+
+
+def test_rrf_fuse_rank_only_no_score_scale_dependence(spark):
+    from technical_test_data_engineer_spark.operators.similarity import rrf_fuse
+
+    # identical ranks from wildly different scorers fuse identically —
+    # the property that makes RRF the calibration-free hybrid default
+    a = spark.createDataFrame([(1, 5, 1), (1, 6, 2)], "query_id long, cand_id long, rank int")
+    out1 = rrf_fuse([a, a]).collect()
+    out2 = rrf_fuse([a]).collect()
+    r1 = {(r["query_id"], r["cand_id"]): r["fused_rank"] for r in out1}
+    r2 = {(r["query_id"], r["cand_id"]): r["fused_rank"] for r in out2}
+    assert r1 == r2  # ordering identical; only magnitudes differ
