@@ -48,6 +48,20 @@ Expected multi-scans (all reviewed):
 - doc_repeated_spans ×2: gram relation feeds the occurrence-count agg
   and the repeated-hit join-back (tfidf-style self-join; scan-side
   gram recompute beats materializing a corpus-sized positional list)
+- r04 session-3 (all reviewed): orders_cdc_merge orders ×5 — the DEMO
+  derives base snapshot AND both changelog versions from one table
+  (real deployments read a separate changelog), and the collapsed
+  `latest` frame is consumed twice (anti-join keys, upsert rows) per
+  MERGE semantics; incremental_daily_revenue orders ×2 — snapshot and
+  delta partials are BOTH derived from the same table because the
+  query's whole point is proving merged-partials ≡ full recompute;
+  views_unconverted_30m events ×2 — view/click stream split (same as
+  asof_click_attribution); corpus_mix_rebalance documents ×3 — rates
+  aggregation + kept filter + the persisted rates-relation definition
+  echo (q2-style); hybrid_rrf_retrieval embeddings ×2 — corpus scan +
+  query-vector re-attach (knn family shape); doc_tfidf_neighbors now
+  scans documents ONCE (tf aggregate persisted — was ×12 before
+  review, the fix this audit exists to force)
 - embedding_near_dups_lsh_exact / semantic_dedup_keep: sig/assignment
   recompute per join side + vector re-attach for deduped pairs (the
   documented LSH-family convention; semantic_dedup persists its

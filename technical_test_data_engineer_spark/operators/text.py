@@ -573,15 +573,19 @@ def corpus_mix_sample(
     group_col: str = "lang",
     text_col: str = "text",
     n_buckets: int = 1_000_000,
+    rates: DataFrame | None = None,
 ) -> DataFrame:
-    """Apply ``corpus_mix_rates``: keep each row iff its content-hash
+    """Apply ``corpus_mix_rates`` (or a precomputed ``rates`` frame —
+    pass it when the caller also reports the rates, so the group-count
+    aggregation runs once): keep each row iff its content-hash
     bucket falls under its group's rate — deterministic (same doc kept
     on every run/partitioning/engine, unlike ``sample()``), consistent
     with the md5-bucket convention every sampling/split/decontamination
     operator here shares, and executed as a broadcast-joined SCAN-SIDE
     filter: the corpus itself is never shuffled. Groups absent from
     ``shares`` are dropped (target weight zero)."""
-    rates = corpus_mix_rates(df, shares, group_col)
+    if rates is None:
+        rates = corpus_mix_rates(df, shares, group_col)
     return df.join(
         F.broadcast(rates.select(group_col, "rate")), group_col
     ).filter(md5_bucket(text_col, n_buckets) < F.col("rate") * n_buckets)
@@ -616,7 +620,14 @@ def tfidf_cosine_neighbors(
     cosine, id-ascending tiebreak.
     """
     tok = tokens_long(df, id_col, text_col)
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # persist the tf aggregate: FIVE consumers derive from it (df
+    # counts, weights for norms and both join sides) and without
+    # materialization each re-derives the corpus scan + tokenize +
+    # shuffle — the audit measured 12 corpus scans for one query.
+    # MEMORY_AND_DISK (persist default) keeps this safe when tf
+    # outgrows executor memory; same convention as the q2/q11/q15/q20
+    # persisted intermediates.
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.count()  # scalar to the driver; literal in the plan
     kept = dfreq.filter(F.col("df") <= int(n_docs * max_df_frac))

