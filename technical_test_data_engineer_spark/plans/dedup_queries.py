@@ -18,6 +18,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from technical_test_data_engineer_spark.operators.partitioning import fan_out
 from technical_test_data_engineer_spark.operators.text import md5_bucket
 from technical_test_data_engineer_spark.operators.dedup import (
     embedding_near_dup_pairs,
@@ -914,3 +915,45 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_SEMDEDUP_THRESHOLD,
         exact_scores=True,
     ).orderBy("vec_id")
+
+
+@query(
+    "eval_substring_contamination",
+    """
+    WITH snips AS (
+        SELECT doc_id AS snip_doc, SUBSTRING(text, 50, 40) AS snip
+        FROM documents
+        WHERE doc_id % 7 = 0 AND LENGTH(text) >= 90
+    )
+    SELECT s.snip_doc, d.doc_id
+    FROM documents d, snips s
+    WHERE d.doc_id <> s.snip_doc AND CONTAINS(d.text, s.snip)
+    ORDER BY 1, 2
+    """,
+)
+def eval_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-substring decontamination: which training docs contain
+    an exact 40-char span lifted from the held-out eval slice (every
+    7th doc) — the strictest leak check, complementing the n-gram
+    overlap audit (split_contamination_audit: fuzzy, recall-oriented)
+    with literal containment (precision 1 by construction). Plan: the
+    eval snippet set is tiny and BROADCAST; containment runs scan-side
+    over the corpus in a nested-loop against that broadcast — the
+    right shape when |eval| ≪ |corpus| (at extreme eval sizes you'd
+    compile the snippets into one Aho-Corasick automaton inside a
+    mapInPandas; the data movement is identical). Non-vacuous: 8
+    contaminated pairs at sf0.01."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    snips = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.length("text") >= 90))
+        .select(
+            F.col("doc_id").alias("snip_doc"),
+            F.substring("text", 50, 40).alias("snip"),
+        )
+    )
+    hits = docs.join(
+        F.broadcast(snips),
+        (F.col("doc_id") != F.col("snip_doc"))
+        & F.col("text").contains(F.col("snip")),
+    )
+    return hits.select("snip_doc", "doc_id").orderBy("snip_doc", "doc_id")

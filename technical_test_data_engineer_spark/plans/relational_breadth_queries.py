@@ -1277,3 +1277,19 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_front(
         part, minimize=("p_retailprice",), maximize=("p_size",)
     ).orderBy("p_partkey")
+
+
+# rows-only: iterative peeling is a SHRINKING fixpoint — recursive SQL
+# cannot re-aggregate degrees per round; planted-graph unit tests
+# (tests/test_graph.py) carry the correctness proof
+@query("part_copurchase_kcore")
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the frequent co-purchase graph
+    (``operators.graph.k_core``): strips pendant products to leave the
+    cyclically-connected merchandising clusters — the subgraph the
+    triangle query's output lives in (every triangle edge survives any
+    2-core peel, asserted in tests)."""
+    from technical_test_data_engineer_spark.operators.graph import k_core
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return k_core(edges, k=2).orderBy("node")

@@ -152,3 +152,48 @@ def test_bfs_hops_cap_and_unreachable(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2}  # 4 beyond cap, 10/11 unreachable
+
+
+def test_k_core_peels_shells(spark):
+    from technical_test_data_engineer_spark.operators.graph import k_core
+
+    # triangle 1-2-3 (2-core) with pendant chain 3-4-5: the chain must
+    # peel away in cascading rounds, the triangle survives with deg 2
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_k3_dissolves_triangle(spark):
+    from technical_test_data_engineer_spark.operators.graph import k_core
+
+    pairs = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    assert k_core(edges, 3).count() == 0
+    # K4 is a 3-core
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges4 = spark.createDataFrame(k4, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(edges4, 3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_survive_2core(spark, sf_dir):
+    """Every triangle edge lives in the 2-core — consistency between
+    the two graph operators on the real fixture."""
+    from technical_test_data_engineer_spark.operators.graph import k_core
+    from technical_test_data_engineer_spark.plans.relational_breadth_queries import (
+        _copurchase_edges,
+    )
+    from technical_test_data_engineer_spark.plans import QUERIES
+
+    tri = QUERIES["part_copurchase_triangles"](spark, sf_dir)
+    tri_nodes = {
+        v
+        for r in tri.collect()
+        for v in (r["node_a"], r["node_b"], r["node_c"])
+    }
+    core = {
+        r["node"] for r in k_core(_copurchase_edges(spark, sf_dir), 2).collect()
+    }
+    assert tri_nodes <= core
