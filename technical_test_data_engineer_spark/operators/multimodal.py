@@ -182,3 +182,114 @@ def frame_sample(
             )
 
     return df.select(id_col, media_col).mapInPandas(_sample, out_schema)
+
+
+def media_ahash(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit average-hash (aHash) per media blob — the perceptual
+    near-dup signature for images: downsample the pixel plane to an
+    8×8 grid of means, threshold at the median, pack the bits.
+    Perceptually-similar images differ in a few bits (compare by
+    Hamming distance), unlike cryptographic hashes where one pixel
+    flips everything.
+
+    Decode seam: the stub treats the post-header payload bytes as the
+    luma plane (a real decoder yields exactly that — swap
+    ``decode_image_real``'s pixels in; every downstream stage is
+    unchanged). The grid/threshold/bitpack kernel is REAL and
+    vectorized per Arrow batch in numpy; output is one int64 per blob,
+    so the signature relation the near-dup join consumes is 8 bytes ×
+    corpus, never pixels.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, blob in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(blob)[12:]  # skip the 12-byte stub header
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+                if arr.size == 0:
+                    cells = np.zeros(64)
+                else:
+                    idx = np.arange(arr.size) * 64 // arr.size
+                    sums = np.bincount(idx, weights=arr, minlength=64)
+                    cnts = np.bincount(idx, minlength=64)
+                    cells = sums / np.maximum(cnts, 1)
+                bits = cells > np.median(cells)
+                sig = 0
+                for bit in bits:
+                    sig = (sig << 1) | int(bit)
+                if sig >= 1 << 63:
+                    sig -= 1 << 64  # two's-complement into int64
+                ids.append(i)
+                sigs.append(sig)
+            yield pd.DataFrame({id_col: ids, "ahash": sigs})
+
+    return df.select(id_col, media_col).mapInPandas(_hash, out_schema)
+
+
+def media_near_dups(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Perceptual media near-dup pairs: aHash signatures, banded
+    SimHash-style (two signatures within Hamming ≤ 6 of 64 bits agree
+    EXACTLY on at least one 16-bit band by pigeonhole, so the band
+    equi-join generates every qualifying candidate), then exact
+    popcount verification JVM-side (``bit_count(xor)``). Same
+    band-then-verify shape as the text SimHash path — pixels never
+    join, only 8-byte signatures. Returns (``id_a``, ``id_b``,
+    ``hamming``)."""
+    # pigeonhole: Hamming ≤ n_bands−1 GUARANTEES a shared band; the
+    # default (6 > 3) trades guaranteed recall for the conventional
+    # threshold — same knob/trade as the text SimHash operator
+    band_bits = 64 // n_bands
+    sigs = media_ahash(df, media_col, id_col)
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        F.col(id_col),
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("ahash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "ahash", "bb.band", "bb.bh")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("ahash").alias("ha"), "band", "bh"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("ahash").alias("hb"), "band", "bh"
+    )
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -19,6 +19,7 @@ from technical_test_data_engineer_spark.operators.multimodal import (
     fake_media_binary,
     frame_sample,
 )
+from technical_test_data_engineer_spark.operators.partitioning import fan_out
 from technical_test_data_engineer_spark.plans.star_queries import query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
 
@@ -86,4 +87,38 @@ def media_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("frame_bytes")).cast("bigint").alias("frame_size"),
         )
         .orderBy("doc_id")
+    )
+
+
+# rows-only: the aHash kernel (median threshold over a numpy-resampled
+# byte plane) has no DuckDB twin; planted-pair tests carry correctness
+@query("media_phash_near_dups")
+def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the media blobs
+    (``operators.multimodal.media_near_dups``): aHash signatures from
+    the stub-decoded byte plane, 16-bit band candidate join, exact
+    popcount verify — the image-dedup path of a multimodal curation
+    pipeline, with pixels confined to the Arrow-batched signature
+    kernel."""
+    from technical_test_data_engineer_spark.operators.multimodal import (
+        fake_media_binary,
+        media_near_dups,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # planted near-dup cluster: the word-soup fixture has no
+    # perceptually-close blobs (measured min Hamming 12/64), so every
+    # 50th doc's media is a shared banner plus a short doc-specific
+    # tail — the recall target the detector must find (same planted-
+    # fixture convention as the MinHash/CC agreement tests).
+    banner = "shared banner pixels " * 30
+    payload = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(F.lit(banner), F.substring("text", 1, 20)),
+    ).otherwise(F.col("text"))
+    media = docs.select(
+        "doc_id", fake_media_binary(payload).alias("media")
+    )
+    return media_near_dups(media, max_hamming=7, n_bands=8).orderBy(
+        "id_a", "id_b"
     )

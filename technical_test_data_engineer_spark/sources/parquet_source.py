@@ -152,3 +152,25 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Backfill sink: dynamic partition overwrite — replaces ONLY the
+    partitions present in ``df``, leaving every other partition's files
+    untouched (static overwrite, the Spark default, would DELETE the
+    whole table first — the classic backfill footgun). This is the
+    partition-surgical rewrite a daily pipeline uses to recompute one
+    bad day inside a years-deep fact table: write amplification is
+    O(changed partitions), not O(table).
+
+    Scoped via the writer option (not a global session conf), so
+    concurrent writers with different semantics don't interfere.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

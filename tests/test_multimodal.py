@@ -114,3 +114,46 @@ def test_decode_image_real_with_pillow(spark):
     df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
     row = decode_media_meta(df, parse=decode_image_real).collect()[0]
     assert (row.meta.format, row.meta.width, row.meta.height) == ("png", 5, 3)
+
+
+def test_media_ahash_deterministic_and_64bit(spark):
+    from technical_test_data_engineer_spark.operators.multimodal import (
+        fake_media_binary,
+        media_ahash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox " * 10), (2, "the quick brown fox " * 10), (3, "zzz completely different payload qqq " * 7)],
+        "doc_id long, text string",
+    ).select("doc_id", fake_media_binary("text").alias("media"))
+    got = {r["doc_id"]: r["ahash"] for r in media_ahash(df).collect()}
+    assert got[1] == got[2]  # identical blobs, identical signature
+    assert got[1] != got[3]
+
+
+def test_media_near_dups_planted_pair_and_hamming(spark):
+    from technical_test_data_engineer_spark.operators.multimodal import (
+        fake_media_binary,
+        media_near_dups,
+    )
+
+    base = "lorem ipsum dolor sit amet " * 20
+    rows = [
+        (1, base),
+        (2, base),  # exact dup -> hamming 0
+        (3, base[:-40] + "x" * 40),  # perturbed tail -> small distance
+        (4, "".join(reversed(base))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", fake_media_binary("text").alias("media")
+    )
+    # 8 bands x 8 bits: pigeonhole GUARANTEES any pair within
+    # Hamming <= 7 shares a band (the planted perturbation measures 7);
+    # the 4-band default would need luck for distances above 3
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_near_dups(df, max_hamming=7, n_bands=8).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 7
+    assert (1, 4) not in pairs  # reversed payload is far (hamming 32)

@@ -295,3 +295,55 @@ def test_orc_roundtrip_schema_and_values(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
     pushed = back.filter(F.col("n_nationkey") == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in pushed or "EqualTo" in pushed
+
+
+def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        overwrite_partitions,
+        write_table,
+    )
+
+    path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-02", 20.0), (3, "2024-03", 30.0)],
+        "id long, month string, v double",
+    )
+    write_table(base, path, partition_by=["month"])
+
+    # backfill month 2 only, with corrected values
+    fix = spark.createDataFrame(
+        [(2, "2024-02", 99.0), (9, "2024-02", 1.0)],
+        "id long, month string, v double",
+    )
+    overwrite_partitions(fix, path, ["month"])
+
+    got = {
+        (r["id"], r["month"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, "2024-01"): 10.0,  # untouched
+        (2, "2024-02"): 99.0,  # replaced
+        (9, "2024-02"): 1.0,  # replaced partition's new row
+        (3, "2024-03"): 30.0,  # untouched
+    }
+
+
+def test_static_overwrite_would_have_dropped_other_partitions(spark, tmp_path):
+    """Contrast case documenting WHY the dynamic mode exists: a plain
+    overwrite of one partition's rows drops every other partition."""
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        write_table,
+    )
+
+    path = str(tmp_path / "fact2")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 10.0), (2, "2024-02", 20.0)],
+        "id long, month string, v double",
+    )
+    write_table(base, path, partition_by=["month"])
+    fix = spark.createDataFrame(
+        [(2, "2024-02", 99.0)], "id long, month string, v double"
+    )
+    fix.write.mode("overwrite").partitionBy("month").parquet(path)
+    assert spark.read.parquet(path).count() == 1  # 2024-01 is gone
