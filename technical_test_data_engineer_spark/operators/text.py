@@ -678,3 +678,29 @@ def tfidf_cosine_neighbors(
         cos.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+def redact_patterns(
+    text_col: str | Column = "text",
+    patterns: dict[str, str] | None = None,
+) -> Column:
+    """C4-style PII scrub as ONE column expression: each regex family
+    is replaced by its placeholder tag, applied in deterministic
+    (sorted-tag) order so engines and reruns agree byte-for-byte. Pure
+    JVM expression — redaction at 100 TB is a scan-side rewrite, no
+    shuffle, no Python. Patterns must stay in the Java-regex ∩ RE2 ∩
+    DuckDB dialect subset (same constraint as ``pattern_count``).
+
+    Default families: EMAIL/URL/NUM (the standard scrub trio).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if patterns is None:
+        patterns = {
+            "EMAIL": EMAIL_RE,
+            "NUM": DIGIT_RUN_RE,
+            "URL": URL_RE,
+        }
+    out = c
+    for tag in sorted(patterns):
+        out = F.regexp_replace(out, patterns[tag], f"<{tag}>")
+    return out

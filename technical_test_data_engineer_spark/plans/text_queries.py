@@ -1048,3 +1048,53 @@ def doc_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb.select(
         "doc_a", "doc_b", F.round("cos", 6).alias("cos"), "rank"
     ).orderBy("doc_a", "rank")
+
+
+@query(
+    "doc_pii_redacted",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             + LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{6,}'))
+             + LEN(REGEXP_EXTRACT_ALL(text, '\b(scan|sort|join)\b'))
+             AS BIGINT) AS n_redactions,
+           MD5(
+               REGEXP_REPLACE(
+                   REGEXP_REPLACE(
+                       REGEXP_REPLACE(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{6,}', '<NUM>', 'g'),
+                   '\b(scan|sort|join)\b', '<TERM>', 'g')
+           ) AS redacted_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub pass (``operators.text.redact_patterns``): emails, long
+    digit runs, and the fixture's flagged-term stand-ins replaced by
+    placeholder tags in one scan-side JVM expression chain — the
+    redaction step a curation pipeline runs after doc_pattern_audit's
+    detection pass. Output value-checks BOTH the redaction count and
+    the md5 of the fully redacted text (byte-level agreement with the
+    oracle's replace chain, applied in the same EMAIL→NUM→TERM
+    order). Non-vacuous: the flagged-term family matches ~2.8k spans
+    at sf0.01."""
+    docs = _docs(spark, sf_dir)
+    pats = {
+        "EMAIL": TX.EMAIL_RE,
+        "NUM": TX.DIGIT_RUN_RE,
+        "TERM": r"\b(scan|sort|join)\b",
+    }
+    n_red = (
+        TX.pattern_count("text", TX.EMAIL_RE)
+        + TX.pattern_count("text", TX.DIGIT_RUN_RE)
+        + TX.pattern_count("text", r"\b(scan|sort|join)\b")
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_red.alias("n_redactions"),
+        F.md5(TX.redact_patterns("text", pats)).alias("redacted_fp"),
+    ).orderBy("doc_id")

@@ -296,3 +296,32 @@ def publish_if_clean(
             "publish blocked by failed quality checks: " + ", ".join(failures)
         )
     return publish_tables(root, tables)
+
+
+def forget_keys(
+    spark: SparkSession,
+    root: str,
+    tables: dict[str, str],
+    keys: DataFrame,
+) -> int:
+    """Right-to-be-forgotten: delete every row referencing any key in
+    ``keys`` from MULTIPLE tables in one ATOMIC versioned publish —
+    readers see all tables scrubbed or none (a half-applied GDPR
+    delete is a compliance incident, not a retry).
+
+    ``tables`` maps table name → its key column; ``keys`` is one
+    column ``key``. Each table moves through a single broadcast
+    anti-join (the deletion list is small by nature) and the rewrite
+    reuses the atomic publisher — crash-safe, previous version retained
+    for audit until compacted away. Returns the new version number.
+
+    At 100 TB you would pair this with partition pruning (delete only
+    partitions whose min/max key ranges can contain the targets) —
+    the anti-join shape is unchanged.
+    """
+    k = F.broadcast(keys.select(F.col("key")))
+    scrubbed = {}
+    for name, key_col in tables.items():
+        df = read_published(spark, root, name)
+        scrubbed[name] = df.join(k, df[key_col] == k["key"], "left_anti")
+    return publish_tables(root, scrubbed)

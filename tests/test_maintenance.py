@@ -231,3 +231,31 @@ def test_merge_partial_aggs_key_only_in_one_side(spark):
         for r in merge_partial_aggs(snap, delta, ["k"], ["n"]).collect()
     }
     assert got == {1: 10, 2: 5}
+
+
+def test_forget_keys_scrubs_all_tables_atomically(spark, tmp_path):
+    from technical_test_data_engineer_spark.sources.atomic import (
+        publish_tables,
+        read_published,
+    )
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        forget_keys,
+    )
+
+    root = str(tmp_path / "store")
+    users = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "uid long, name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 2), (13, 3)], "oid long, uid long"
+    )
+    publish_tables(root, {"users": users, "orders": orders})
+
+    keys = spark.createDataFrame([(2,)], "key long")
+    v = forget_keys(spark, root, {"users": "uid", "orders": "uid"}, keys)
+    assert v == 2
+
+    got_u = sorted(r["uid"] for r in read_published(spark, root, "users").collect())
+    got_o = sorted(r["uid"] for r in read_published(spark, root, "orders").collect())
+    assert got_u == [1, 3]
+    assert got_o == [1, 3]  # every order referencing uid=2 is gone
