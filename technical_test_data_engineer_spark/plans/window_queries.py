@@ -919,3 +919,111 @@ def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("revenue").cast("double").alias("revenue"),
     ).orderBy("day")
+
+
+@query(
+    "monthly_from_daily_rollup",
+    f"""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           {_decsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def monthly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-tree consistency
+    (the ``merge_partial_aggs`` identity one level up): the MONTHLY
+    rollup is derived from the materialized DAILY partials
+    — never from the fact table — and must equal the direct monthly
+    recompute (the oracle) exactly. This is the warehouse aggregate-
+    tree pattern: day feeds month feeds year, each level re-summing
+    the level below's decimal partials, so a year-end query touches
+    365 rows instead of the fact table. Shares the daily derivation
+    with incremental_daily_revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("revenue"),
+    )
+    monthly = (
+        daily.withColumn("month", F.trunc("day", "month"))
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue").alias("revenue"),
+        )
+    )
+    return monthly.select(
+        "month",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    ).orderBy("month")
+
+
+@query(
+    "purchase_touch_attribution",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS touch_id, user_id, CAST(ts AS TIMESTAMP) AS tts,
+               event_type
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+        SELECT p.purchase_id, p.user_id, p.value, t.touch_id, t.event_type
+        FROM p JOIN t
+          ON t.user_id = p.user_id
+         AND t.tts < p.pts
+         AND t.tts >= p.pts - INTERVAL 2 HOUR
+    )
+    SELECT purchase_id, touch_id, event_type,
+           value / (COUNT(*) OVER (PARTITION BY purchase_id)) AS credit
+    FROM j
+    ORDER BY purchase_id, touch_id
+    """,
+)
+def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the 2 hours
+    before a purchase shares the purchase value equally — the
+    marketing-analytics allocation the last-touch as-of join
+    (asof_click_attribution) is the degenerate case of. Shape: one
+    user-keyed interval join (time-bounded, so stream-capable with
+    watermarks) + one per-purchase count window over the touch set —
+    credit normalization never rescans the events. The oracle repeats
+    the join and the window division; value/COUNT in double is the
+    identical single op both engines."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("_pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = events.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    j = t.join(
+        p.withColumnRenamed("_pu", "user_id"),
+        ["user_id"],
+    ).filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("interval 2 hours"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("purchase_id")
+    return j.select(
+        "purchase_id",
+        "touch_id",
+        "event_type",
+        (F.col("value") / F.count("*").over(w)).alias("credit"),
+    ).orderBy("purchase_id", "touch_id")
