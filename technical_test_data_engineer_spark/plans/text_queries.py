@@ -1098,3 +1098,145 @@ def doc_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_red.alias("n_redactions"),
         F.md5(TX.redact_patterns("text", pats)).alias("redacted_fp"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_token_ids",
+    """
+    WITH tok AS (
+        SELECT doc_id, t.term, t.pos
+        FROM documents,
+             LATERAL (SELECT UNNEST(STR_SPLIT(text, ' ')) AS term,
+                             generate_subscripts(STR_SPLIT(text, ' '), 1)
+                                 AS pos) t
+    ),
+    vocab AS (
+        SELECT term,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS INT)
+                   AS id
+        FROM tok GROUP BY term
+        QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) <= 100
+    )
+    SELECT tok.doc_id,
+           STRING_AGG(CAST(COALESCE(vocab.id, 0) AS VARCHAR), ','
+                      ORDER BY tok.pos) AS ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM tok LEFT JOIN vocab USING (term)
+    GROUP BY tok.doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: map every token to its vocabulary id
+    (top-100 corpus words by frequency, deterministic frequency→word
+    ranking; OOV → 0) — the corpus→tensor step of a training pipeline.
+    Shape: the vocabulary is built with one aggregate and BROADCAST
+    back (a learned vocab always fits in memory — that is its point),
+    so id-mapping is a scan-side join; per-doc id sequences reassemble
+    by sorting collected (pos, id) structs, serialized to a string
+    column because the gate's canonicalizer cannot factorize list
+    cells (doc_winnow_fingerprints precedent). The global vocab
+    ranking window is a deliberate single-partition sort over
+    vocabulary-sized (not corpus-sized) data."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("id", F.row_number().over(w).cast("int"))
+        .filter(F.col("id") <= 100)
+        .select("term", "id")
+    )
+    mapped = tok.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    )
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+            ).alias("ids"),
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("int")).cast("bigint").alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_stats_card",
+    """
+    WITH per_lang AS (
+        SELECT lang, COUNT(*) AS n,
+               SUM(LEN(STR_SPLIT(text, ' '))) AS toks
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT SUM(n) AS n_docs, SUM(toks) AS n_tokens,
+               COUNT(*) AS n_langs FROM per_lang
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           (SELECT -SUM((n / CAST(t.n_docs AS DOUBLE))
+                        * LN(n / CAST(t.n_docs AS DOUBLE)))
+            FROM per_lang, tot t) AS lang_entropy,
+           (SELECT CAST(MAX(n) AS DOUBLE) / CAST(MIN(n) AS DOUBLE)
+            FROM per_lang) AS lang_imbalance
+    FROM tot
+    """,
+)
+def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary in ONE row: corpus size, token volume,
+    language count, language-distribution entropy (nats) and max/min
+    imbalance ratio — the numbers a dataset README publishes and a
+    mixing step (corpus_mix_rebalance) consumes. Two tiny aggregates
+    (per-lang, then global), no corpus-sized shuffle; entropy summed
+    over the per-lang frame with the same n/N ordering both engines."""
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(TX.tokens("text"))).alias("toks"),
+    )
+    tot = per_lang.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.count("*").alias("n_langs"),
+    )
+    ent = (
+        per_lang.crossJoin(F.broadcast(tot.select("n_docs")))
+        .select(
+            (
+                -(F.col("n") / F.col("n_docs").cast("double"))
+                * F.log(F.col("n") / F.col("n_docs").cast("double"))
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("lang_entropy"))
+    )
+    imb = per_lang.agg(
+        (F.max("n").cast("double") / F.min("n").cast("double")).alias(
+            "lang_imbalance"
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(imb))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            "lang_entropy",
+            "lang_imbalance",
+        )
+    )
