@@ -302,6 +302,7 @@ def bfs_hops(
     dst: str = "dst",
     node_col: str = "node",
     max_hops: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Minimum hop distance from a seed set over a directed edge list —
     frontier-at-a-time parallel BFS (the Pregel traversal primitive:
@@ -313,9 +314,12 @@ def bfs_hops(
     the frontier from re-expanding settled nodes (without it a cyclic
     graph re-visits forever and walk counts explode combinatorially —
     the reason this is NOT expressed as an unbounded self-join chain).
-    ``localCheckpoint`` per round truncates lineage; the per-round
-    driver action is a scalar emptiness probe (limit(1) count, no data
-    collect). Capped at ``max_hops`` rounds so the job count is
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates
+    lineage without paying a materialization job per round (each
+    checkpoint is a whole job; for shallow traversals scheduler
+    latency on those jobs dominates — same trade as ``pagerank``); the
+    per-round driver action is a scalar emptiness probe (limit(1)
+    count, no data collect). Capped at ``max_hops`` rounds so the job count is
     deterministic and a recursive-CTE oracle can mirror it exactly;
     early-exits when the frontier drains.
 
@@ -346,7 +350,9 @@ def bfs_hops(
             .join(visited.select("u"), "u", "left_anti")
             .withColumn("hops", F.lit(h))
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        if h % checkpoint_every == 0 and h < max_hops:
+            visited = visited.localCheckpoint(eager=True)
         frontier = visited.filter(F.col("hops") == h)
         if frontier.limit(1).count() == 0:
             break
