@@ -279,3 +279,62 @@ def views_unconverted_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return unconverted_views(events).orderBy("user_id", "view_ts")
+
+
+@query(
+    "daily_active_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT du.user_id) AS wau
+        FROM days d JOIN du ON du.day > d.day - 7 AND du.day <= d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau USING (day)
+    ORDER BY day
+    """,
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness — THE product-analytics
+    headline metric. Shape for a 100 TB event log: the raw stream is
+    first collapsed to the (day, user) distinct grid — the only
+    corpus-sized shuffle — then DAU is a plain count and WAU fans the
+    grid out over a BROADCAST day dimension (≤7× grid rows; a rolling
+    DISTINCT has no partial-aggregate form, so the day-grid join is
+    the exact path — swap in per-day HLL sketch merges when
+    approximate WAU is acceptable, events_approx_user_counts shows
+    that machinery). Oracle repeats grid → count → interval join."""
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        du.alias("g")
+        .join(
+            F.broadcast(days.select(F.col("day").alias("d"))),
+            (F.col("g.day") > F.col("d") - F.expr("interval 7 days"))
+            & (F.col("g.day") <= F.col("d")),
+        )
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
