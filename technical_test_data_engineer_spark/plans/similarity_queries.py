@@ -591,3 +591,64 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rrf_score", 6).alias("rrf_score"),
         "fused_rank",
     ).orderBy("query_id", "fused_rank")
+
+
+MRL_DIM = 16
+
+
+@query(
+    "knn_matryoshka_trunc",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding[1:{MRL_DIM}] AS emb
+        FROM embeddings WHERE vec_id < {EXACT_BOUND}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, emb AS qvec
+        FROM corpus WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.emb AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS score
+        FROM corpus e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, rank, score
+    FROM (
+        SELECT query_id, vec_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def knn_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated search (Kusupati et al. 2022, MRL): exact
+    top-5 using only the FIRST {16} dimensions of each embedding — the
+    cheap first stage of an MRL cascade (truncated-dim shortlist, full-
+    dim re-rank), here decimal-exact and oracle-paired on the sliced
+    vectors. 4× less arithmetic and 4× smaller scan per scored pair at
+    dim 64→16; the prefix-signal premise is asserted on planted
+    prefix-clustered vectors in tests (random fixtures rightly show
+    low truncation recall), and the same EXACT_BOUND convention
+    bounds the proof corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    sliced = emb.select(
+        "vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding")
+    )
+    probes = sliced.filter(F.col("vec_id") < N_QUERIES)
+    out = brute_force_topk(sliced, probes, k=TOP_K)
+    return (
+        out.orderBy("query_id", "rank")
+        .withColumn("rank", F.col("rank").cast("int"))
+        .select("query_id", "vec_id", "rank", "score")
+    )

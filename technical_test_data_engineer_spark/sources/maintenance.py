@@ -325,3 +325,43 @@ def forget_keys(
         df = read_published(spark, root, name)
         scrubbed[name] = df.join(k, df[key_col] == k["key"], "left_anti")
     return publish_tables(root, scrubbed)
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """Retention for the versioned store: delete all but the newest
+    ``keep_last`` published versions — never the current pointer's
+    target, never an in-flight (unpublished, > current) directory.
+    The storage-cost counterpart of crash-safe publishing: without
+    expiry every full-replace publish doubles the table's footprint
+    forever. Returns the deleted version numbers.
+
+    Same single-writer assumption as the publisher; on object stores
+    pair with a grace period so late readers of an old snapshot finish
+    before its files vanish.
+    """
+    import shutil
+
+    cur = current_version(root)
+    if cur is None:
+        return []
+    keep_last = max(1, keep_last)
+    candidates = [
+        v
+        for v in sorted(_versions_published(root))
+        if v <= cur
+    ]
+    to_drop = candidates[:-keep_last] if len(candidates) > keep_last else []
+    for v in to_drop:
+        shutil.rmtree(os.path.join(root, f"_v{v}"))
+    return to_drop
+
+
+def _versions_published(root: str) -> list[int]:
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("_v"):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)

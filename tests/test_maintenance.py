@@ -259,3 +259,29 @@ def test_forget_keys_scrubs_all_tables_atomically(spark, tmp_path):
     got_o = sorted(r["uid"] for r in read_published(spark, root, "orders").collect())
     assert got_u == [1, 3]
     assert got_o == [1, 3]  # every order referencing uid=2 is gone
+
+
+def test_expire_snapshots_keeps_current_and_n(spark, tmp_path):
+    from technical_test_data_engineer_spark.sources.atomic import (
+        publish_tables,
+        read_published,
+    )
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        expire_snapshots,
+    )
+    import os
+
+    root = str(tmp_path / "store")
+    for i in range(4):
+        df = spark.createDataFrame([(i,)], "v long")
+        publish_tables(root, {"t": df})
+    dropped = expire_snapshots(root, keep_last=2)
+    assert dropped == [1, 2]
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("_v")
+    ) == ["_v3", "_v4"]
+    # current snapshot still readable
+    assert read_published(spark, root, "t").collect()[0]["v"] == 3
+
+    # keep_last larger than history: no-op
+    assert expire_snapshots(root, keep_last=10) == []

@@ -413,3 +413,58 @@ def test_rrf_fuse_rank_only_no_score_scale_dependence(spark):
     r1 = {(r["query_id"], r["cand_id"]): r["fused_rank"] for r in out1}
     r2 = {(r["query_id"], r["cand_id"]): r["fused_rank"] for r in out2}
     assert r1 == r2  # ordering identical; only magnitudes differ
+
+
+def test_matryoshka_truncation_on_prefix_structured_vectors(spark):
+    """The MRL premise — prefixes carry the signal — holds when vectors
+    are TRAINED that way, not for arbitrary fixtures (the random test
+    corpus measures ~0.2 recall@trunc, correctly). Plant prefix-
+    clustered vectors (first 16 dims = cluster centroid, tail = small
+    id-seeded noise) and the truncated search must recover the same
+    cluster neighbors as full-dim search; slicing ALL dims must be a
+    no-op."""
+    import math
+    import random as rnd
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    r = rnd.Random(11)
+    rows = []
+    for vid in range(40):
+        cluster = vid % 4
+        head = [1.0 if d // 4 == cluster else 0.0 for d in range(16)]
+        tail = [r.uniform(-0.05, 0.05) for _ in range(48)]
+        vec = head + tail
+        norm = math.sqrt(sum(x * x for x in vec))
+        rows.append((vid, [x / norm for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 4)  # one probe per cluster
+
+    full = brute_force_topk(emb, probes, k=5)
+    sliced = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc = brute_force_topk(sliced, sliced.filter(F.col("vec_id") < 4), k=5)
+
+    def cluster_purity(df):
+        ok = n = 0
+        for row in df.collect():
+            n += 1
+            ok += int(row["vec_id"] % 4 == row["query_id"] % 4)
+        return ok / n
+
+    assert cluster_purity(full) == 1.0
+    assert cluster_purity(trunc) == 1.0  # 16 dims suffice by design
+
+    whole = brute_force_topk(
+        emb.select("vec_id", F.slice("embedding", 1, 64).alias("embedding")),
+        emb.select(
+            "vec_id", F.slice("embedding", 1, 64).alias("embedding")
+        ).filter(F.col("vec_id") < 4),
+        k=5,
+    )
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in whole.collect()} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in full.collect()
+    }
