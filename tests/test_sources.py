@@ -347,3 +347,27 @@ def test_static_overwrite_would_have_dropped_other_partitions(spark, tmp_path):
     )
     fix.write.mode("overwrite").partitionBy("month").parquet(path)
     assert spark.read.parquet(path).count() == 1  # 2024-01 is gone
+
+
+def test_merge_schema_read_unions_evolved_columns(spark, tmp_path):
+    """Schema evolution on read: a column added in later files surfaces
+    as NULL for old files under mergeSchema (additive evolution — the
+    only kind plain parquet supports safely; renames/drops need a
+    table format's column mapping)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.parquet(path)
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    v2.write.mode("append").parquet(path)
+
+    got = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    # default read (no mergeSchema) may pick either file's footer —
+    # the reason additive evolution must be read with the option on
+    default_cols = set(spark.read.parquet(path).columns)
+    assert default_cols <= {"id", "name", "score"}
