@@ -387,8 +387,11 @@ def k_core(
     a, b = F.col(src), F.col(dst)
     e = (
         edges.select(a.alias("u"), b.alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .unionByName(edges.select(b.alias("u"), a.alias("v")))
+        # self-loop filter AFTER the symmetrizing union — filtering only
+        # the forward branch lets (x, x) re-enter reversed and inflate
+        # x's degree by one, wrongly surviving a k-core peel
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

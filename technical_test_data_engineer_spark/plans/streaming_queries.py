@@ -185,7 +185,7 @@ def view_click_within_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
         SELECT user_id, event_id, ts, event_type,

@@ -997,7 +997,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     kept AS (
         SELECT term, df FROM dfq, n
-        WHERE df <= CAST(n_docs * 0.2 AS BIGINT)
+        WHERE df <= CAST(FLOOR(n_docs * 0.2) AS BIGINT)
     ),
     w AS (
         SELECT tf.doc_id, tf.term,

@@ -320,11 +320,21 @@ def forget_keys(
     the anti-join shape is unchanged.
     """
     k = F.broadcast(keys.select(F.col("key")))
-    scrubbed = {}
+    new_snapshot = {}
+    # publish_tables writes ONLY the dict it is given and then flips
+    # the pointer for the WHOLE store — tables without a key column
+    # must be carried forward unchanged or the new snapshot silently
+    # loses them (a GDPR delete must never take an unrelated table
+    # offline)
+    cur = current_version(root)
+    vdir = os.path.join(root, f"_v{cur}")
+    for name in sorted(os.listdir(vdir)):
+        if name not in tables:
+            new_snapshot[name] = read_published(spark, root, name)
     for name, key_col in tables.items():
         df = read_published(spark, root, name)
-        scrubbed[name] = df.join(k, df[key_col] == k["key"], "left_anti")
-    return publish_tables(root, scrubbed)
+        new_snapshot[name] = df.join(k, df[key_col] == k["key"], "left_anti")
+    return publish_tables(root, new_snapshot)
 
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
@@ -341,27 +351,14 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
     """
     import shutil
 
+    from technical_test_data_engineer_spark.sources.atomic import _versions
+
     cur = current_version(root)
     if cur is None:
         return []
     keep_last = max(1, keep_last)
-    candidates = [
-        v
-        for v in sorted(_versions_published(root))
-        if v <= cur
-    ]
+    candidates = [v for v in _versions(root) if v <= cur]
     to_drop = candidates[:-keep_last] if len(candidates) > keep_last else []
     for v in to_drop:
         shutil.rmtree(os.path.join(root, f"_v{v}"))
     return to_drop
-
-
-def _versions_published(root: str) -> list[int]:
-    out = []
-    for name in os.listdir(root):
-        if name.startswith("_v"):
-            try:
-                out.append(int(name[2:]))
-            except ValueError:
-                continue
-    return sorted(out)

@@ -197,3 +197,11 @@ def test_triangles_survive_2core(spark, sf_dir):
         r["node"] for r in k_core(_copurchase_edges(spark, sf_dir), 2).collect()
     }
     assert tri_nodes <= core
+
+
+def test_k_core_ignores_self_loops(spark):
+    from technical_test_data_engineer_spark.operators.graph import k_core
+
+    # node 1 has one real neighbor + a self-loop: must NOT survive k=2
+    edges = spark.createDataFrame([(1, 2), (1, 1)], "src long, dst long")
+    assert k_core(edges, 2).count() == 0

@@ -285,3 +285,26 @@ def test_expire_snapshots_keeps_current_and_n(spark, tmp_path):
 
     # keep_last larger than history: no-op
     assert expire_snapshots(root, keep_last=10) == []
+
+
+def test_forget_keys_carries_forward_unlisted_tables(spark, tmp_path):
+    from technical_test_data_engineer_spark.sources.atomic import (
+        publish_tables,
+        read_published,
+    )
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        forget_keys,
+    )
+
+    root = str(tmp_path / "store")
+    users = spark.createDataFrame([(1, "a"), (2, "b")], "uid long, name string")
+    events = spark.createDataFrame([(100, "x")], "eid long, tag string")
+    publish_tables(root, {"users": users, "events": events})
+
+    keys = spark.createDataFrame([(2,)], "key long")
+    forget_keys(spark, root, {"users": "uid"}, keys)
+    # the unlisted table must still exist in the new current snapshot
+    assert read_published(spark, root, "events").count() == 1
+    assert sorted(
+        r["uid"] for r in read_published(spark, root, "users").collect()
+    ) == [1]
