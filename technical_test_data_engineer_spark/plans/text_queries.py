@@ -1240,3 +1240,86 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_imbalance",
         )
     )
+
+
+@query(
+    "corpus_drift_psi",
+    """
+    WITH tok AS (
+        SELECT doc_id < 250 AS is_old,
+               UNNEST(STR_SPLIT(text, ' ')) AS term
+        FROM documents
+    ),
+    vocab AS (
+        SELECT term FROM tok GROUP BY term
+        ORDER BY COUNT(*) DESC, term LIMIT 200
+    ),
+    counts AS (
+        SELECT term,
+               SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+               SUM(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS c_new
+        FROM tok JOIN vocab USING (term)
+        GROUP BY term
+    ),
+    tot AS (
+        SELECT SUM(c_old) AS t_old, SUM(c_new) AS t_new FROM counts
+    ),
+    probs AS (
+        SELECT term,
+               (c_old + 0.5) / (t_old + 0.5 * 200) AS p,
+               (c_new + 0.5) / (t_new + 0.5 * 200) AS q
+        FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(200 AS BIGINT) AS n_terms,
+           SUM((p - q) * LN(p / q)) AS psi
+    FROM probs
+    """,
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor: Population Stability Index between
+    the old (doc_id < 250) and new corpus halves over the shared
+    top-200 vocabulary, add-0.5 smoothed — the token-distribution
+    alarm a training-data pipeline fires before a new crawl batch
+    shifts the mixture (PSI > 0.2 = investigate, by the usual credit-
+    scoring convention). Shape: one token pass builds counts for both
+    slices simultaneously (conditional aggregation — never two corpus
+    scans), the vocabulary ranking is vocabulary-sized, and PSI
+    reduces in a single 200-row aggregate."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        (F.col("doc_id") < 250).alias("is_old"),
+        F.explode(TX.tokens("text")).alias("term"),
+    )
+    from pyspark.sql.window import Window
+
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+        )
+        .filter(F.col("rn") <= 200)
+        .select("term")
+    )
+    counts = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c_old"),
+            F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("c_new"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        ((F.col("c_old") + 0.5) / (F.col("t_old") + 0.5 * 200)).alias("p"),
+        ((F.col("c_new") + 0.5) / (F.col("t_new") + 0.5 * 200)).alias("q"),
+    )
+    return probs.agg(
+        F.lit(200).cast("bigint").alias("n_terms"),
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
+            "psi"
+        ),
+    )

@@ -1027,3 +1027,83 @@ def purchase_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("value") / F.count("*").over(w)).alias("credit"),
     ).orderBy("purchase_id", "touch_id")
+
+
+@query(
+    "event_value_ab_test",
+    """
+    WITH g AS (
+        SELECT event_type,
+               user_id % 2 = 0 AS in_a,
+               value
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE in_a) AS n_a,
+               COUNT(*) FILTER (WHERE NOT in_a) AS n_b,
+               CAST(SUM(CAST(value AS DECIMAL(30,10))) FILTER (WHERE in_a)
+                    AS DOUBLE) AS sum_a,
+               CAST(SUM(CAST(value AS DECIMAL(30,10))) FILTER (WHERE NOT in_a)
+                    AS DOUBLE) AS sum_b,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,10)))
+                    FILTER (WHERE in_a) AS DOUBLE) AS ss_a,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,10)))
+                    FILTER (WHERE NOT in_a) AS DOUBLE) AS ss_b
+        FROM g GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           sum_a / n_a - sum_b / n_b AS mean_diff,
+           (sum_a / n_a - sum_b / n_b)
+           / SQRT(
+               ((ss_a - sum_a * sum_a / n_a) / (n_a - 1)) / n_a
+               + ((ss_b - sum_b * sum_b / n_b) / (n_b - 1)) / n_b
+             ) AS welch_t
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def event_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic per event type between the
+    even/odd-user split — the experiment-analysis readout (unequal
+    variances assumed, the safe default). One conditional-aggregation
+    pass computes both arms' count/sum/sum-of-squares simultaneously
+    (sufficient statistics — the map-side-combinable form every
+    distributed A/B platform reduces to); moments accumulate in
+    decimal so the variance subtraction doesn't cancel
+    catastrophically, and the final t arithmetic runs in double in the
+    same operation order as the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    in_a = F.col("user_id") % 2 == 0
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    s = events.groupBy("event_type").agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(~in_a, 1)).alias("n_b"),
+        F.sum(F.when(in_a, dec(F.col("value")))).cast("double").alias("sum_a"),
+        F.sum(F.when(~in_a, dec(F.col("value")))).cast("double").alias("sum_b"),
+        F.sum(F.when(in_a, dec(F.col("value") * F.col("value"))))
+        .cast("double")
+        .alias("ss_a"),
+        F.sum(F.when(~in_a, dec(F.col("value") * F.col("value"))))
+        .cast("double")
+        .alias("ss_b"),
+    )
+    mean_diff = F.col("sum_a") / F.col("n_a") - F.col("sum_b") / F.col("n_b")
+    var_a = (F.col("ss_a") - F.col("sum_a") * F.col("sum_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("ss_b") - F.col("sum_b") * F.col("sum_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return s.select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        mean_diff.alias("mean_diff"),
+        (
+            mean_diff
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+        ).alias("welch_t"),
+    ).orderBy("event_type")
