@@ -354,3 +354,124 @@ def test_fuzzy_pairs_matches_bruteforce_levenshtein(spark, names):
         if 1 <= lev(a, b) <= 2
     }
     assert got == want
+
+
+pareto_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),  # a (minimize; ties likely)
+        st.integers(min_value=0, max_value=8),  # b (maximize)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pts=pareto_strategy)
+@settings(**SETTINGS)
+def test_pareto_front_matches_bruteforce_and_is_idempotent(spark, pts):
+    from technical_test_data_engineer_spark.operators.relational import (
+        pareto_front,
+    )
+
+    rows = [(i, float(a), b) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, a double, b int")
+    sky = pareto_front(df, minimize=("a",), maximize=("b",))
+    got = sorted(r["id"] for r in sky.collect())
+    want = sorted(
+        i
+        for i, a, b in rows
+        if not any(
+            a2 <= a and b2 >= b and (a2 < a or b2 > b) for _, a2, b2 in rows
+        )
+    )
+    assert got == want
+    # idempotence: skyline(skyline(X)) == skyline(X)
+    again = sorted(
+        r["id"]
+        for r in pareto_front(sky, minimize=("a",), maximize=("b",)).collect()
+    )
+    assert again == got
+
+
+rrf_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # query
+        st.integers(min_value=0, max_value=9),   # candidate
+    ),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+
+
+@given(pairs_a=rrf_strategy, pairs_b=rrf_strategy)
+@settings(**SETTINGS)
+def test_rrf_fuse_is_list_order_invariant_and_matches_reference(
+    spark, pairs_a, pairs_b
+):
+    from technical_test_data_engineer_spark.operators.similarity import rrf_fuse
+
+    def ranked(pairs):
+        # rank candidates within each query by candidate id (any
+        # deterministic order works — RRF only consumes ranks)
+        out, seen = [], {}
+        for q, c in sorted(set(pairs)):
+            seen.setdefault(q, 0)
+            seen[q] += 1
+            out.append((q, c, seen[q]))
+        return out
+
+    ra, rb = ranked(pairs_a), ranked(pairs_b)
+    dfa = spark.createDataFrame(ra, "query_id long, cand_id long, rank int")
+    dfb = spark.createDataFrame(rb, "query_id long, cand_id long, rank int")
+    got = {
+        (r["query_id"], r["cand_id"]): r["rrf_score"]
+        for r in rrf_fuse([dfa, dfb], k0=60, k=100).collect()
+    }
+    flipped = {
+        (r["query_id"], r["cand_id"]): r["rrf_score"]
+        for r in rrf_fuse([dfb, dfa], k0=60, k=100).collect()
+    }
+    assert set(got) == set(flipped)
+    for k in got:
+        assert abs(got[k] - flipped[k]) < 1e-12  # score symmetric in lists
+    # reference scores
+    amap = {(q, c): r for q, c, r in ra}
+    bmap = {(q, c): r for q, c, r in rb}
+    for (q, c), s in got.items():
+        want = (1.0 / (60 + amap[(q, c)]) if (q, c) in amap else 0.0) + (
+            1.0 / (60 + bmap[(q, c)]) if (q, c) in bmap else 0.0
+        )
+        assert abs(s - want) < 1e-12
+
+
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=40),
+    split=st.integers(0, 39),
+    n_keys=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_merge_partial_aggs_split_invariant(spark, vals, split, n_keys):
+    """Partial-aggregate merge must equal the full recompute for ANY
+    split point of the input — the algebraic identity behind
+    incremental view maintenance."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        merge_partial_aggs,
+    )
+
+    rows = [(i % n_keys, float(v)) for i, v in enumerate(vals)]
+    split = min(split, len(rows))
+    df = spark.createDataFrame(rows, "k int, v double")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(30,10)")).alias("s"),
+        )
+
+    left = spark.createDataFrame(rows[:split] or [], "k int, v double")
+    right = spark.createDataFrame(rows[split:] or [], "k int, v double")
+    merged = merge_partial_aggs(partial(left), partial(right), ["k"], ["n", "s"])
+    got = {r["k"]: (r["n"], float(r["s"] or 0)) for r in merged.collect()}
+    want = {r["k"]: (r["n"], float(r["s"])) for r in partial(df).collect()}
+    assert got == want
