@@ -1107,3 +1107,74 @@ def event_value_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
         ).alias("welch_t"),
     ).orderBy("event_type")
+
+
+@query(
+    "event_value_ks_drift",
+    """
+    WITH g AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               DAYOFMONTH(CAST(ts AS TIMESTAMP)) % 2 = 0 AS in_a
+        FROM events
+    ),
+    tot AS (
+        SELECT COUNT(*) FILTER (WHERE in_a) AS n_a,
+               COUNT(*) FILTER (WHERE NOT in_a) AS n_b
+        FROM g
+    ),
+    pv AS (
+        SELECT v,
+               COUNT(*) FILTER (WHERE in_a) AS c_a,
+               COUNT(*) FILTER (WHERE NOT in_a) AS c_b
+        FROM g GROUP BY v
+    ),
+    cdf AS (
+        SELECT v,
+               SUM(c_a) OVER (ORDER BY v) / CAST(t.n_a AS DOUBLE) AS f_a,
+               SUM(c_b) OVER (ORDER BY v) / CAST(t.n_b AS DOUBLE) AS f_b
+        FROM pv CROSS JOIN tot t
+    )
+    SELECT MAX(ABS(f_a - f_b)) AS ks_stat,
+           (SELECT CAST(n_a AS BIGINT) FROM tot) AS n_a,
+           (SELECT CAST(n_b AS BIGINT) FROM tot) AS n_b
+    FROM cdf
+    """,
+)
+def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between even- and
+    odd-day event values — the non-parametric numeric-drift monitor
+    beside corpus_drift_psi's categorical one: max gap between the two
+    empirical CDFs, computed by collapsing the stream to per-distinct-
+    value counts for BOTH samples in one conditional-aggregation pass,
+    then one ordered prefix-sum over the (small) distinct-value
+    relation. The global ordering window runs over distinct values,
+    not events — the shape that keeps an exact KS feasible when the
+    raw stream is 100 TB but its value domain is not; for unbounded
+    domains you bin first (the histogram-sketch trade)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    g = events.select(
+        F.col("value").cast("double").alias("v"),
+        (F.dayofmonth("ts") % 2 == 0).alias("in_a"),
+    )
+    tot = g.agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+    )
+    pv = g.groupBy("v").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("c_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("c_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = pv.crossJoin(F.broadcast(tot)).select(
+        (F.sum("c_a").over(w) / F.col("n_a").cast("double")).alias("f_a"),
+        (F.sum("c_b").over(w) / F.col("n_b").cast("double")).alias("f_b"),
+        "n_a",
+        "n_b",
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("f_a") - F.col("f_b"))).alias("ks_stat"),
+        F.first("n_a").cast("bigint").alias("n_a"),
+        F.first("n_b").cast("bigint").alias("n_b"),
+    )
