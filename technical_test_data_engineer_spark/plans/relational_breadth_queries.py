@@ -1293,3 +1293,147 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _copurchase_edges(spark, sf_dir)
     return k_core(edges, k=2).orderBy("node")
+
+
+@query(
+    "part_cf_similarity",
+    """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY l_partkey),
+    cooc AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT pa, pb, c FROM cooc UNION ALL SELECT pb, pa, c FROM cooc
+    ),
+    scored AS (
+        SELECT sym.pa AS part_id, sym.pb AS other_id,
+               c / SQRT(CAST(na.n_orders AS DOUBLE)
+                        * CAST(nb.n_orders AS DOUBLE)) AS sim
+        FROM sym
+        JOIN n na ON na.l_partkey = sym.pa
+        JOIN n nb ON nb.l_partkey = sym.pb
+    )
+    SELECT part_id, other_id, ROUND(sim, 6) AS sim, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY part_id ORDER BY sim DESC, other_id
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    ORDER BY part_id, rank
+    """,
+)
+def part_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 'bought together'
+    neighbors per part under the Ochiai coefficient
+    (cooc / √(n_a·n_b) — cosine over binary order-membership vectors),
+    the classic Amazon-style recommender primitive. Co-occurrence
+    counts come from the SAME scan-side basket pair generation the
+    triangle/PageRank queries use (pair fan-out inside a row, never a
+    fact-fact join); normalization joins two vocabulary-sized count
+    relations. Support ≥ 2 prunes noise pairs before ranking."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    n = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    cooc = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = cooc.unionByName(
+        cooc.select(
+            F.col("pb").alias("pa"), F.col("pa").alias("pb"), "c"
+        )
+    )
+    scored = (
+        sym.join(
+            n.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("na")),
+            "pa",
+        )
+        .join(
+            n.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("nb")),
+            "pb",
+        )
+        .select(
+            F.col("pa").alias("part_id"),
+            F.col("pb").alias("other_id"),
+            (
+                F.col("c")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("part_id").orderBy(F.desc("sim"), F.asc("other_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("part_id", "other_id", F.round("sim", 6).alias("sim"), "rank")
+        .orderBy("part_id", "rank")
+    )
+
+
+@query(
+    "orderkey_skew_report",
+    """
+    WITH k AS (
+        SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_rows_per_key,
+           CAST(MAX(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+               AS skew_factor,
+           CAST(PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY c) AS DOUBLE)
+               AS p99_rows_per_key
+    FROM k
+    """,
+)
+def orderkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the fact table's hottest join key:
+    rows-per-key max/mean/p99 and the max/mean skew factor — the
+    number that decides between a plain hash join, AQE skew splitting,
+    and explicit salting (salted_segment_revenue demonstrates the
+    cure; this query is the thermometer). One keyed count plus a
+    key-cardinality-sized summary aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("c"))
+    return k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_rows_per_key"),
+        (F.sum("c").cast("double") / F.count("*")).alias("mean_rows_per_key"),
+        (
+            F.max("c").cast("double")
+            / (F.sum("c").cast("double") / F.count("*"))
+        ).alias("skew_factor"),
+        F.expr("percentile(c, 0.99)").cast("double").alias("p99_rows_per_key"),
+    )
