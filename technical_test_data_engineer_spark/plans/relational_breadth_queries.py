@@ -753,14 +753,23 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_edges(
-    spark: SparkSession, sf_dir: str, min_support: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = 2,
+    where=None,
+    keep_support: bool = False,
 ) -> DataFrame:
     """Undirected frequent co-purchase edges (src < dst), built without
     a fact-fact self-join: per-order sorted distinct baskets, then
     scan-side pair generation via nested ``transform`` over suffix
-    slices (see ``part_copurchase_triangles``). Shared by the triangle
-    and PageRank queries."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    slices (see ``part_copurchase_triangles``). Shared by the triangle,
+    PageRank, BFS, k-core and edge-churn queries; ``where`` filters the
+    lineitem scan (pushed down), ``keep_support`` retains the
+    ``n_orders`` support column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    if where is not None:
+        li = li.filter(where)
+    li = li.select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
@@ -779,7 +788,7 @@ def _copurchase_edges(
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= min_support)
-        .select("src", "dst")
+        .select("src", "dst", *(["n_orders"] if keep_support else []))
     )
 
 
@@ -1436,4 +1445,69 @@ def orderkey_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c").cast("double") / F.count("*"))
         ).alias("skew_factor"),
         F.expr("percentile(c, 0.99)").cast("double").alias("p99_rows_per_key"),
+    )
+
+
+@query(
+    "copurchase_edge_churn",
+    """
+    WITH e1 AS (
+        SELECT pa, pb, COUNT(*) AS c FROM (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_shipdate < DATE '1998-01-01'
+              AND b.l_shipdate < DATE '1998-01-01'
+        ) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    e2 AS (
+        SELECT pa, pb, COUNT(*) AS c FROM (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_shipdate >= DATE '1998-01-01'
+              AND b.l_shipdate >= DATE '1998-01-01'
+        ) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    d AS (
+        SELECT CASE WHEN e1.pa IS NULL THEN 'added'
+                    WHEN e2.pa IS NULL THEN 'removed'
+                    WHEN e1.c <> e2.c THEN 'changed'
+               END AS change
+        FROM e1 FULL JOIN e2 USING (pa, pb)
+    )
+    SELECT change, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM d WHERE change IS NOT NULL
+    GROUP BY change ORDER BY change
+    """,
+)
+def copurchase_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph churn between two periods
+    (``sources.maintenance.snapshot_diff`` under the oracle gate): the
+    pre-/post-1998 frequent co-purchase edge sets diffed by key with
+    support as the compared payload — added/removed/changed edge
+    counts, the drift report a recommender retrain gate reads. The
+    diff itself shuffles an 8-byte row hash per edge (null-bitmap
+    prefixed), never the payload; edge building reuses the shared
+    basket path with the period filter pushed to the scan. Both
+    populated classes (~370 added / ~140 removed at sf0.01) are
+    value-checked; the 'changed' class needs an edge persisting
+    across halves with different support — absent on this sparse
+    fixture, covered by snapshot_diff's unit tests."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        snapshot_diff,
+    )
+
+    cutoff = F.lit("1998-01-01").cast("date")
+    old = _copurchase_edges(
+        spark, sf_dir, where=F.col("l_shipdate") < cutoff, keep_support=True
+    )
+    new = _copurchase_edges(
+        spark, sf_dir, where=F.col("l_shipdate") >= cutoff, keep_support=True
+    )
+    diff = snapshot_diff(old, new, ["src", "dst"])
+    return (
+        diff.groupBy("change")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+        .orderBy("change")
     )
