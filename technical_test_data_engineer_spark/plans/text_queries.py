@@ -1323,3 +1323,59 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi"
         ),
     )
+
+
+@query(
+    "doc_novelty_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, STR_SPLIT(text, ' ') AS t FROM documents
+    ),
+    tg AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               )) AS gram
+        FROM toks
+    ),
+    gdf AS (SELECT gram, COUNT(*) AS df FROM tg GROUP BY gram)
+    SELECT tg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS novel_frac
+    FROM tg JOIN gdf USING (gram)
+    GROUP BY tg.doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous novelty signal: the fraction of each doc's DISTINCT
+    word 3-grams that appear in no other document — the graded
+    complement to binary near-dup detection (a doc with novelty 0.1
+    is template boilerplate even if no single pair crosses the
+    Jaccard threshold), and the score novelty-aware samplers weight
+    by. Shape: distinct (doc, gram) relation → one gram-keyed df agg
+    joined back — the same two-agg inverted-index pattern as tf-idf,
+    shuffling gram hashes rather than text. A doc whose every gram
+    recurs elsewhere scores 0; fully unique text scores 1."""
+    docs = _docs(spark, sf_dir)
+    tg = (
+        docs.select(
+            "doc_id", F.explode(TX.token_ngrams("text", 3)).alias("gram")
+        )
+        .distinct()
+    )
+    gdf = tg.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        tg.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("novel_frac"),
+        )
+        .orderBy("doc_id")
+    )

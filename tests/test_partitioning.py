@@ -77,3 +77,42 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
+    """Join against a partitioned fact on its partition column must
+    inject a dynamic-partition-pruning subquery: only the partitions
+    whose keys survive the dimension filter are scanned — at 100 TB
+    this is the difference between reading one year and reading the
+    table. Asserted on the physical plan's partition filters."""
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    path = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").parquet(path)
+
+    fact = spark.read.parquet(path)
+    # DPP inserts the pruning subquery only when the build side carries
+    # a selective filter it can reuse — an unfiltered dim never prunes
+    dim = spark.createDataFrame(
+        [(y, "pick" if y == 1996 else "skip") for y in range(1995, 2002)],
+        "o_year int, tag string",
+    ).filter(F.col("tag") == "pick")
+    joined = fact.join(dim, "o_year").select("o_orderkey", "tag")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is the pruned year only
+    got_years = {
+        r["y"]
+        for r in fact.join(dim, "o_year")
+        .select(F.col("o_year").alias("y"))
+        .distinct()
+        .collect()
+    }
+    assert got_years == {1996}
