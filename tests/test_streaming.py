@@ -420,3 +420,58 @@ def test_stream_restart_from_checkpoint_no_duplicates(spark, events_dir, events_
     got = spark.read.parquet(out)
     assert got.count() == events_batch.count()  # nothing lost
     assert got.select("event_id").distinct().count() == got.count()  # nothing doubled
+
+
+def test_transform_with_state_totals_equal_batch(spark, events_dir, events_batch, tmp_path):
+    """Spark 4 arbitrary-state API (transformWithStateInPandas, RocksDB
+    required): per-user lifetime totals accumulated across micro-batches
+    must equal the batch groupBy — and agree with the older
+    applyInPandasWithState operator they supersede. The TWS state
+    server speaks protobuf; without a working google.protobuf the
+    driver worker cannot start, so the test skips (the same
+    optional-dependency seam as the Pillow decode test)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "state server cannot start in this container")
+    from technical_test_data_engineer_spark.streaming.stateful import (
+        user_running_stats_tws,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        q = memory_sink(
+            user_running_stats_tws(stream), "t_tws", output_mode="update"
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    got = (
+        spark.table("t_tws")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in want.collect()}
+    assert set(g) == set(w)
+    for u in w:
+        assert g[u][0] == w[u][0], u
+        assert abs(g[u][1] - w[u][1]) < 1e-6, u
