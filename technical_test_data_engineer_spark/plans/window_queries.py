@@ -1178,3 +1178,69 @@ def event_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n_a").cast("bigint").alias("n_a"),
         F.first("n_b").cast("bigint").alias("n_b"),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    f"""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency,
+               {_decsum('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey,
+               CAST(NTILE(5) OVER (ORDER BY last_order, custkey) AS INT) AS r,
+               CAST(NTILE(5) OVER (ORDER BY frequency, custkey) AS INT) AS f,
+               CAST(NTILE(5) OVER (ORDER BY monetary, custkey) AS INT) AS m
+        FROM base
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-5 on Recency,
+    Frequency and Monetary via NTILE quintiles (deterministic custkey
+    tiebreak inside each ordering), then the 125-cell segment census —
+    the marketing-CRM workhorse. Shape: one keyed aggregate collapses
+    the fact table to one row per customer; the three ranking windows
+    run over that customer-sized relation (a deliberate global sort of
+    dimension-scale data, same note as the vocab rankings), and the
+    census is a tiny final aggregate. Oracle repeats aggregate →
+    NTILE → census."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = base.select(
+        "custkey",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "custkey"))
+        .cast("int")
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "custkey"))
+        .cast("int")
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "custkey"))
+        .cast("int")
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
