@@ -957,3 +957,60 @@ def eval_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("text").contains(F.col("snip")),
     )
     return hits.select("snip_doc", "doc_id").orderBy("snip_doc", "doc_id")
+
+
+@query(
+    "source_dedup_report",
+    """
+    WITH fp AS (
+        SELECT source,
+               MD5(ARRAY_TO_STRING(STR_SPLIT(text, ' ')[1:8], ' ')) AS fp
+        FROM documents
+    ),
+    dup AS (
+        SELECT fp, COUNT(*) AS c FROM fp GROUP BY fp
+    )
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_in_dup_groups,
+           CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS dup_frac
+    FROM fp JOIN dup USING (fp)
+    GROUP BY fp.source
+    ORDER BY fp.source
+    """,
+)
+def source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability per data source: what fraction of each
+    source's documents share their LEADING-8-TOKEN fingerprint with
+    any other doc — the boilerplate-header scoreboard that drives
+    sourcing decisions (a crawl feed where 40% of docs open with the
+    same template gets demoted before near-dup even runs; full-text
+    md5 would be the exact-dup variant of the same shape, vacuous on
+    this fixture which plants near- but not exact dups). One
+    fingerprint pass, one fingerprint-keyed count, one join back;
+    cross-source repeats count against every source holding a copy."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+        ).alias("fp"),
+    )
+    dup = fp.groupBy("fp").agg(F.count("*").alias("c"))
+    return (
+        fp.join(dup, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_dup_groups"),
+            (
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
