@@ -1290,3 +1290,73 @@ def orders_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "lineitem_measure_correlations",
+    """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sqp,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sqd,
+               CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS spd
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           (n * sqp - sq * sp)
+           / SQRT((n * sqq - sq * sq) * (n * spp - sp * sp))
+               AS corr_qty_price,
+           (n * sqd - sq * sd)
+           / SQRT((n * sqq - sq * sq) * (n * sdd - sd * sd))
+               AS corr_qty_discount,
+           (n * spd - sp * sd)
+           / SQRT((n * spp - sp * sp) * (n * sdd - sd * sd))
+               AS corr_price_discount
+    FROM s
+    """,
+)
+def lineitem_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the fact measures in ONE pass:
+    every pairwise correlation reduces to nine sufficient statistics
+    (sums, squares, cross-products), all map-side-combinable and
+    accumulated in decimal so the n·Σxy − ΣxΣy subtractions don't
+    cancel catastrophically — the same moments shape as the Welch
+    query, extended to the full covariance battery (Spark's built-in
+    corr() makes one pass PER PAIR; this is the k²-in-one-scan form a
+    profiler wants). Final arithmetic in double, same op order as the
+    oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(q)).cast("double").alias("sq"),
+        F.sum(dec(p)).cast("double").alias("sp"),
+        F.sum(dec(d)).cast("double").alias("sd"),
+        F.sum(dec(q * q)).cast("double").alias("sqq"),
+        F.sum(dec(p * p)).cast("double").alias("spp"),
+        F.sum(dec(d * d)).cast("double").alias("sdd"),
+        F.sum(dec(q * p)).cast("double").alias("sqp"),
+        F.sum(dec(q * d)).cast("double").alias("sqd"),
+        F.sum(dec(p * d)).cast("double").alias("spd"),
+    )
+    n = F.col("n")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return (n * F.col(sxy) - F.col(sx) * F.col(sy)) / F.sqrt(
+            (n * F.col(sxx) - F.col(sx) * F.col(sx))
+            * (n * F.col(syy) - F.col(sy) * F.col(sy))
+        )
+
+    return s.select(
+        n.cast("bigint").alias("n"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
+    )
