@@ -1511,3 +1511,88 @@ def copurchase_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_edges"))
         .orderBy("change")
     )
+
+
+_LP_ROUND = """
+    l{k} AS (
+        SELECT n.node,
+               COALESCE(n.label, m.label) AS label
+        FROM l{prev} n
+        LEFT JOIN (
+            SELECT e.v AS node, s.label
+            FROM e
+            JOIN l{prev} s ON s.node = e.u AND s.label IS NOT NULL
+            GROUP BY e.v, s.label
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY e.v ORDER BY COUNT(*) DESC, s.label
+            ) = 1
+        ) m ON m.node = n.node
+    )"""
+
+
+@query(
+    "part_label_propagation",
+    f"""
+    WITH {_PR_EDGE_CTE},
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    l0 AS (
+        SELECT n.node,
+               CASE WHEN n.node % 3 = 0 THEN NULL ELSE p.p_brand END AS label
+        FROM nodes n JOIN part p ON p.p_partkey = n.node
+    ),
+    {_LP_ROUND.format(k=1, prev=0)},
+    {_LP_ROUND.format(k=2, prev=1)}
+    SELECT node, label FROM l2 ORDER BY node
+    """,
+)
+def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (2 synchronous rounds): parts
+    with hidden brand labels (every 3rd node) inherit the MAJORITY
+    label of their co-purchase neighbors, lexicographic tiebreak —
+    the graph-ML primitive for propagating sparse annotations
+    (language tags, quality labels) across a similarity graph. Each
+    round is one labeled-neighbor join + one (node, label) count +
+    top-1-per-node window — the same keyed-shuffle budget as a
+    PageRank iteration; labeled nodes are fixed points. Fixed rounds
+    keep it oracle-unrollable; still-unlabeled nodes (no labeled
+    neighbor within 2 hops) stay NULL."""
+    from pyspark.sql.window import Window
+
+    und = _copurchase_edges(spark, sf_dir)
+    e = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    labels = nodes.join(part, nodes.node == part.p_partkey).select(
+        "node",
+        F.when(F.col("node") % 3 == 0, F.lit(None)).otherwise(
+            F.col("p_brand")
+        ).alias("label"),
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(2):
+        contrib = (
+            e.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        majority = (
+            contrib.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("_ml"))
+        )
+        labels = (
+            labels.join(majority, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("_ml")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")
