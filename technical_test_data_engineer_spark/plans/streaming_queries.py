@@ -338,3 +338,68 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "daily_bounce_rate",
+    """
+    WITH ordered AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               MIN(CAST(ts AS DATE)) AS day,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS bounce_rate
+    FROM per_session GROUP BY day ORDER BY day
+    """,
+)
+def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: fraction of sessions containing exactly one
+    event, attributed to the session's start day — the engagement
+    headline next to DAU/stickiness. Rides the proven
+    ``session_window`` semantics (30-minute gap); per-day reduction is
+    a tiny aggregate over session-sized data. The oracle sessionizes
+    with the LAG-gap running sum as in the sessions query."""
+    events = load_table(spark, sf_dir, "events")
+    sess = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+    ).agg(F.count("*").alias("n_events"))
+    per = sess.select(
+        F.to_date(F.col("win.start")).alias("day"), "n_events"
+    )
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            (
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )

@@ -1360,3 +1360,55 @@ def lineitem_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
     )
+
+
+@query(
+    "ship_latency_percentiles",
+    """
+    WITH lat AS (
+        SELECT o_orderpriority,
+               DATEDIFF('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY days)
+                AS DOUBLE) AS p50_days,
+           CAST(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY days)
+                AS DOUBLE) AS p95_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA readout per priority class: exact
+    p50/p95/max of the orderdate→shipdate gap — the fulfillment
+    equivalent of a service latency dashboard, and the query that
+    catches a priority class silently missing its SLA. One fact join
+    (order key, broadcast-eligible dimension side) + per-group exact
+    percentiles; at 100 TB swap in percentile_approx
+    (acctbal_quantile_sketch shows the sketch path and its tolerance
+    test)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.expr("percentile(days, 0.5)").cast("double").alias("p50_days"),
+            F.expr("percentile(days, 0.95)").cast("double").alias("p95_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
