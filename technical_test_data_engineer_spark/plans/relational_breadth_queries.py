@@ -1596,3 +1596,41 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels.orderBy("node")
+
+
+@query(
+    "copurchase_degree_stats",
+    f"""
+    WITH {_PR_EDGE_CTE}
+    SELECT CAST(FLOOR(LOG2(outdeg)) AS INT) AS degree_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(outdeg) AS BIGINT) AS min_degree,
+           CAST(MAX(outdeg) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def copurchase_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log2 buckets —
+    the heavy-tail diagnostic read before choosing graph strategies
+    (a power-law tail is why triangle enumeration degree-orders its
+    wedges and why the MinHash band join caps hot buckets; a hub
+    bucket here predicts both). Degree aggregation reuses the shared
+    symmetric edge build; the histogram is a degree-table-sized
+    aggregate."""
+    und = _copurchase_edges(spark, sf_dir)
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    return (
+        deg.groupBy(
+            F.floor(F.log2("outdeg")).cast("int").alias("degree_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("outdeg").cast("bigint").alias("min_degree"),
+            F.max("outdeg").cast("bigint").alias("max_degree"),
+        )
+        .orderBy("degree_bucket")
+    )

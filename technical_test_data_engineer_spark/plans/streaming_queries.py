@@ -403,3 +403,77 @@ def daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "time_to_first_purchase",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id,
+               DATEDIFF('second', first_seen, first_purchase) / 3600.0
+                   AS hours_to_convert
+        FROM firsts WHERE first_purchase IS NOT NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM firsts) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(COUNT(*) AS DOUBLE)
+           / (SELECT COUNT(*) FROM firsts) AS conversion_rate,
+           CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY hours_to_convert)
+                AS DOUBLE) AS p50_hours,
+           CAST(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY hours_to_convert)
+                AS DOUBLE) AS p90_hours
+    FROM conv
+    """,
+)
+def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation metric: time from a user's first event to their first
+    purchase — conversion rate plus p50/p90 latency, the onboarding
+    funnel's headline. ONE conditional-aggregation pass computes both
+    firsts per user (MIN and purchase-filtered MIN together — never
+    two event scans); the percentile reduction runs over the converted-
+    user relation."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(F.col("first_purchase").isNotNull()).select(
+        (
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_seen")
+            )
+            / 3600.0
+        ).alias("hours_to_convert")
+    )
+    n_users = firsts.agg(F.count("*").alias("n_users"))
+    return (
+        conv.agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            F.expr("percentile(hours_to_convert, 0.5)")
+            .cast("double")
+            .alias("p50_hours"),
+            F.expr("percentile(hours_to_convert, 0.9)")
+            .cast("double")
+            .alias("p90_hours"),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("n_users").cast("bigint").alias("n_users"),
+            "n_converted",
+            (
+                F.col("n_converted").cast("double") / F.col("n_users")
+            ).alias("conversion_rate"),
+            "p50_hours",
+            "p90_hours",
+        )
+    )
