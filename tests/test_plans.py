@@ -234,3 +234,64 @@ def test_pareto_phase1_is_grouped_map(spark, sf_dir):
     nodes = re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)
     assert len(nodes) == 2, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# Queries where a BroadcastNestedLoopJoin / CartesianProduct is the
+# DOCUMENTED intent: bounded all-pairs ground truths, broadcast scalar
+# attach, non-equi broadcast joins against tiny dimensions, and
+# substring containment against a broadcast snippet set. Everything
+# else must plan hash/sort-merge joins only.
+_NONEQUI_ALLOWLIST = {
+    "ngram_jaccard_pairs",        # bounded all-pairs ground truth
+    "embedding_near_dup_exact",   # bounded exact twin
+    "neardup_keeper_docs",        # bounded keeper ground truth
+    "dedup_clusters_exact",       # bounded pair join for CC proof
+    "knn_bruteforce",             # corpus x broadcast-queries scan
+    "knn_ivf_exact_probeall",
+    "knn_pq_exact_rerankall",
+    "knn_ivfpq_exact",
+    "knn_matryoshka_trunc",
+    "hybrid_rrf_retrieval",       # dense side = broadcast-queries scan
+    "knn_lsh_exact",
+    "embedding_near_dups_lsh_exact",
+    "semantic_dedup_keep",
+    "part_name_fuzzy_pairs",      # blocked non-equi length band
+    "daily_active_users",         # non-equi broadcast day grid
+    "eval_substring_contamination",  # contains() vs broadcast snippets
+    "events_campaign_attribution",   # point-in-interval vs tiny dims
+    "orders_active_on_day",
+    "corpus_drift_psi",           # 1-row totals broadcast attach
+    "corpus_stats_card",
+    "corpus_mix_rebalance",       # 1-row budget broadcast attach
+    "event_value_ks_drift",       # 1-row sample-size broadcast attach
+    "time_to_first_purchase",
+    "part_copurchase_pagerank",   # 1-row dangling-mass attach
+    "q19_disjunctive_predicates", # OR-of-ANDs join condition
+    "q11_important_parts",        # TPC-H scalar-subquery threshold
+    "q22_idle_rich_customers",    # TPC-H scalar-subquery average
+}
+
+
+def test_no_undocumented_cartesian_or_nested_loop_joins(spark, sf_dir):
+    """Global plan hygiene: every registered query must resolve its
+    joins to hash/sort-merge unless it is on the documented allowlist
+    (bounded proofs, broadcast-scalar attaches, deliberate non-equi
+    broadcasts). Catches the classic regression where a refactor drops
+    an equi-key and Catalyst silently falls back to a nested loop —
+    fine at sf0.001, catastrophic at 100 TB."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # pragma: no cover - fail loudly
+            offenders.append((name, f"build failed: {exc}"))
+            continue
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        has_nl = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        if has_nl and name not in _NONEQUI_ALLOWLIST:
+            offenders.append((name, "undocumented nested-loop/cartesian"))
+    assert not offenders, offenders
