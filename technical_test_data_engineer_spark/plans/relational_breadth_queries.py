@@ -1634,3 +1634,81 @@ def copurchase_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_bucket")
     )
+
+
+@query(
+    "nation_trade_balance",
+    f"""
+    WITH sell AS (
+        SELECT s_nationkey AS nk,
+               {_decsum('l_extendedprice * (1 - l_discount)')} AS sold
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    ),
+    buy AS (
+        SELECT c_nationkey AS nk, {_decsum('o_totalprice')} AS bought
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    )
+    SELECT n_name,
+           COALESCE(sold, 0.0) AS sold,
+           COALESCE(bought, 0.0) AS bought,
+           COALESCE(sold, 0.0) - COALESCE(bought, 0.0) AS balance
+    FROM nation
+    LEFT JOIN sell ON nk = n_nationkey
+    LEFT JOIN buy ON buy.nk = n_nationkey
+    ORDER BY n_name
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-role dimension analysis: each nation's supplier-side revenue
+    vs customer-side spend and the net balance — the same dimension
+    joined through BOTH fact paths (q7's two-role pattern turned into
+    a per-entity scoreboard). Two independent fact aggregations
+    (decimal-exact) meet at a 25-row dimension with broadcast left
+    joins; nations inactive on either side surface with 0, not NULL
+    (P6 null-fill discipline)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.expr("l_extendedprice * (1 - l_discount)").alias("rev")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    sell = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum(F.col("rev").cast("decimal(30,10)")).cast("double").alias("sold"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    buy = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("bought")
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        nation.join(sell, nation.n_nationkey == sell.nk, "left")
+        .drop("nk")
+        .join(buy, nation.n_nationkey == buy.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("sold", F.lit(0.0)).alias("sold"),
+            F.coalesce("bought", F.lit(0.0)).alias("bought"),
+            (
+                F.coalesce("sold", F.lit(0.0))
+                - F.coalesce("bought", F.lit(0.0))
+            ).alias("balance"),
+        )
+        .orderBy("n_name")
+    )
