@@ -284,6 +284,15 @@ def minhash_candidates(
         df, id_col, text_col, shingle_n, num_hashes, bands, seed, portable
     )
     banded = cap_hot_buckets(banded, ["_band", "_bh"], hot_bucket_cap)
+    # Persist the capped band frame: BOTH self-join sides consume it,
+    # and without materialization each side re-runs the cap's
+    # exchange+sort+window (the r04 driver bench measured
+    # split_contamination_audit 2.5→4.9 s from exactly that — the
+    # broadcast build side above the window defeats ReusedExchange).
+    # Rows are ~24 B (id, band, band-hash), so the cache is tiny
+    # relative to the corpus; caller-owns-cleanup contract as with
+    # ``base`` (clearCache per query in bench/verify, LRU otherwise).
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.select(F.col(id_col).alias("id_a"), "_band", "_bh")
     right = banded.select(F.col(id_col).alias("id_b"), "_band", "_bh")
     cands = (

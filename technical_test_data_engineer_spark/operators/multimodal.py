@@ -245,10 +245,13 @@ def media_near_dups(
     n_bands: int = 4,
 ) -> DataFrame:
     """Perceptual media near-dup pairs: aHash signatures, banded
-    SimHash-style (two signatures within Hamming ≤ 6 of 64 bits agree
-    EXACTLY on at least one 16-bit band by pigeonhole, so the band
-    equi-join generates every qualifying candidate), then exact
-    popcount verification JVM-side (``bit_count(xor)``). Same
+    SimHash-style, then exact popcount verification JVM-side
+    (``bit_count(xor)``). GUARANTEED recall is Hamming ≤ n_bands − 1
+    (pigeonhole: fewer differing bits than bands forces one band to
+    match exactly); with the default ``n_bands=4`` pairs at Hamming
+    4–6 can miss their band and are a recall trade — callers needing
+    certainty at ``max_hamming`` must set ``n_bands > max_hamming``
+    (the shipped query uses ``n_bands=8`` for exactly that). Same
     band-then-verify shape as the text SimHash path — pixels never
     join, only 8-byte signatures. Returns (``id_a``, ``id_b``,
     ``hamming``)."""

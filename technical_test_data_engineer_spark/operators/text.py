@@ -597,12 +597,20 @@ def tfidf_cosine_neighbors(
     text_col: str = "text",
     k: int = 3,
     max_df_frac: float = 0.1,
+    order_round: int | None = 12,
 ) -> DataFrame:
     """Sparse-vector document similarity ("more like this"): top-k
     nearest neighbors per document under TF-IDF cosine, computed via an
     INVERTED-INDEX join rather than any all-pairs comparison — the
     sparse complement to the dense-embedding ANN family
     (operators/similarity.py).
+
+    ``order_round``: decimal places the cosine is rounded to BEFORE the
+    per-doc rank ordering (the returned ``cos`` stays unrounded). A
+    sub-ulp ``log()`` difference between engines can flip a near-tie
+    neighbor ordering; ranking on a 12-dp-rounded score makes rank
+    ties break identically on any engine that applies the same
+    rounding (the DuckDB oracles do). ``None`` ranks on the raw value.
 
     Scale shape: candidate pairs are generated ONLY through shared
     terms (postings self-join on term), so the quadratic blowup lives
@@ -627,6 +635,14 @@ def tfidf_cosine_neighbors(
     # MEMORY_AND_DISK (persist default) keeps this safe when tf
     # outgrows executor memory; same convention as the q2/q11/q15/q20
     # persisted intermediates.
+    # LIFETIME CONTRACT (engine-wide, for every plan-level persist):
+    # the returned DataFrame is a lazy plan, so this function cannot
+    # unpersist without defeating the reuse — the CALLER owns cleanup.
+    # Both shipped harnesses run `spark.catalog.clearCache()` after
+    # each query materializes (bench.py:163, verify_local.py:98);
+    # long-lived sessions that skip that are still bounded because
+    # MEMORY_AND_DISK blocks are LRU-evicted under memory pressure —
+    # the leak degrades to disk spill, never to OOM.
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.count()  # scalar to the driver; literal in the plan
@@ -673,7 +689,14 @@ def tfidf_cosine_neighbors(
     )
     from pyspark.sql.window import Window
 
-    win = Window.partitionBy("doc_a").orderBy(F.desc("cos"), F.asc("doc_b"))
+    order_key = (
+        F.round(F.col("cos"), order_round)
+        if order_round is not None
+        else F.col("cos")
+    )
+    win = Window.partitionBy("doc_a").orderBy(
+        F.desc(order_key), F.asc("doc_b")
+    )
     return (
         cos.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)

@@ -55,154 +55,79 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # flagship + reference-parity pipeline (priority_status_legend —
-    # green r01-r03 — yields its slot to the robust-stats proof; its
-    # legend pipeline stays in-window inside priority_legend_colors)
+    # ---- Round-5 rotation (verdict r04 items 2 & 6) ----
+    # The r04 window went 50/50 green, but 35 registered queries had
+    # never earned a driver CORRECTNESS row (added after the r04 window
+    # froze). This rotation pins ALL 29 never-checked oracle-paired
+    # queries into the window, plus:
+    #   - embedding_near_dup_exact: its only driver row (r02) was
+    #     vacuous (0 == 0 at threshold 0.8); the r04 fix (threshold
+    #     0.3, 148 value-checked pairs) needs a non-vacuous driver row.
+    #   - events_sliding_1h_15m (last driver-checked r01) and
+    #     events_user_sessions (r03): the streaming watermark/stateful
+    #     twins keep earning fresh green rows (verdict item 6).
+    # Displaced queries are all r04-green with in-window twins for
+    # their operator families (see the r04 rotation notes in git
+    # history for the twin mapping); they stay registered and locally
+    # verified right behind the window.
     "flagship_daily_backlog",
+    # -- never-driver-checked (29), grouped by family --
+    # relational / analytic breadth
+    "customer_rfm_segments",
+    "daily_active_users",
+    "daily_bounce_rate",
+    "monthly_from_daily_rollup",
+    "nation_trade_balance",
+    "orderkey_skew_report",
+    "orders_equidepth_hist",
+    "ship_latency_percentiles",
+    "time_to_first_purchase",
+    "purchase_touch_attribution",
+    "lineitem_measure_correlations",
+    "view_click_dwell_overlaps",
+    "event_value_ab_test",
+    "event_value_ks_drift",
+    "hourly_traffic_anomalies",
+    # graph / recommendation
+    "copurchase_degree_stats",
+    "copurchase_edge_churn",
+    "part_cf_similarity",
+    "part_label_propagation",
+    "part_name_entities",
+    # text / corpus curation
+    "corpus_drift_psi",
+    "corpus_stats_card",
+    "doc_novelty_scores",
+    "doc_pii_redacted",
+    "doc_token_ids",
+    "doc_weighted_sample",
+    "eval_substring_contamination",
+    "source_dedup_report",
+    # similarity
+    "knn_matryoshka_trunc",
+    # -- de-vacuation + streaming freshness --
+    "embedding_near_dup_exact",
+    "events_sliding_1h_15m",
+    "events_user_sessions",
+    # -- backfill (r04-green, re-checked while round-5 queries land;
+    #    new round-5 oracle-paired queries take these slots first) --
     "prep_orders_pipeline",
-    # corpus_mix_rebalance (new r04 session-3: Pile-style corpus mixing
-    # to target language shares) takes customers_per_nation_left's slot
-    # — that P6 proof was driver-green r01-r03, and left-outer +
-    # null-fill stays exercised in-window by the mix query's own
-    # rates⟕kept-counts join with COALESCE(n_kept, 0).
     "corpus_mix_rebalance",
-    "events_json_extract",
-    # TPC-H shapes (multi-join, disjunctive, top-N, semi/anti).
-    # Second r04 rotation: five NEW operator families (below) take the
-    # slots of queries green in r01+r02+r03 whose operator proofs keep
-    # an in-window twin — q1 (agg battery → flagship + rollup_acctbal),
-    # q3 (join+top-N → q5 chain + q18 top-N), q21 (semi+anti →
-    # customers_without_orders anti + q18's subquery), sales_cube
-    # (grouping analytics → rollup_acctbal), orders_active_on_day
-    # (point-in-interval predicate → view_click_within_30m's interval
-    # condition).
-    # incremental_daily_revenue (new r04 session-3: algebraic
-    # materialized-view maintenance, merged partials ≡ full recompute)
-    # takes q5_region_revenue's slot — q5 was driver-green r03 and the
-    # TPC-H join-chain+agg family keeps q18/q19/flagship in-window.
-    "incremental_daily_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    # windows + as-of (rank battery, RANGE frame, top-1-per-group)
-    # orders_cdc_merge (new r04 session-3 operator: multi-version CDC
-    # changelog apply with deletes) takes top_order_per_customer's slot
-    # — that W1 proof was driver-green r01-r03, and top-1-per-group
-    # stays exercised in-window: the CDC collapse IS top1_per_group
-    # over the changelog, and user_type_scd2 versions the same way.
     "orders_cdc_merge",
-    # customer_value_ranks (rank battery, green r02+r03) yields its
-    # slot to the constraint-audit proof — a capability class
-    # otherwise unchecked; ranking stays proven in-window by
-    # top_order_per_customer + the CMS ranking window
-    "orders_quality_audit",
-    # r04 session-3 rotation, continued: views_unconverted_30m (the
-    # stream-stream LEFT OUTER half — NOT EXISTS oracle) takes
-    # rolling_7day_revenue's slot, and part_reachability_hops
-    # (frontier-parallel BFS, recursive-CTE oracle) takes
-    # asof_click_attribution's — both displaced queries were
-    # driver-green r03 and stay locally verified; the window/interval
-    # families keep in-window twins (user_value_ewma sequential state,
-    # view_click_within_30m's interval condition — whose complement the
-    # outer query is).
-    "views_unconverted_30m",
-    "part_reachability_hops",
-    "rollup_acctbal",
-    "salted_segment_revenue",
-    # r04 session-2 additions: fuzzy record linkage (blocked
-    # Levenshtein), SCD2 changelog collapse, degree-ordered triangle
-    # enumeration, grouped OLS trend, IVF-PQ exact-limit companion
-    "part_name_fuzzy_pairs",
     "user_type_scd2",
-    "part_copurchase_triangles",
-    "segment_revenue_trend",
-    "knn_ivfpq_exact",
-    # robust median/MAD outlier gate + count-min heavy hitters
-    # (nation_orderstatus_pivot — green r02+r03, plan-level pivot
-    # sugar — yields the second slot)
-    "event_value_outliers",
-    "events_heavy_hitters_cms",
-    # filters/aggregates with unique operator proofs (P4 IN-list's
-    # in-window twin is q19's IN/OR predicate battery — its slot goes
-    # to the r04 F5/F6 engine-colormap proof, otherwise unchecked)
-    "priority_legend_colors",
-    "customers_without_orders",
-    # event-time analytics (session/interval-join/gap-fill; tumbling —
-    # green r02+r03, a floored-epoch groupBy — yields its slot to the
-    # applyInPandas EWMA, the first oracle-paired grouped-map proof)
-    "user_value_ewma",
-    # session_paths_top (new r04 session-3: per-session journey mining)
-    # takes events_user_sessions' slot — same session_window(30 min)
-    # assignment re-proven inside the path query, which additionally
-    # value-checks ordered within-session event reconstruction.
-    "session_paths_top",
-    "events_gapfilled_hourly",
-    "view_click_within_30m",
-    # text analysis
-    # doc_repeated_spans (new r04 operator: substring-level exact-dedup
-    # spans) takes doc_winnow_fingerprints_md5's slot — the winnowing
-    # proof was driver-green in r03, and the positional-k-gram-hash
-    # machinery both share stays in-window through the span query.
     "doc_repeated_spans",
-    # doc_tfidf_neighbors (new r04 session-3: inverted-index sparse
-    # cosine top-k, the lexical complement of the dense ANN family)
-    # takes doc_language_id's slot — language-ID was driver-green r03.
-    "doc_tfidf_neighbors",
-    # bpe_merge_candidates (new r04 session-3: vocabulary-first BPE
-    # merge-pair statistics) takes tfidf_top_terms' slot — tf-idf was
-    # driver-green r03 and its token-count + log-weighting machinery
-    # keeps in-window twins (doc_bpe_token_counts, dsir_en_selection).
-    "bpe_merge_candidates",
-    # dsir_en_selection (new r04 operator: DSIR importance-weighted
-    # selection) takes doc_repetition_stats's slot — that ratio battery
-    # was driver-green in r03 and keeps two in-window ratio twins
-    # (doc_charclass_stats, doc_gopher_filter).
+    "semantic_dedup_keep",
+    "dedup_clusters",
+    "neardup_keeper_docs",
+    "part_copurchase_pagerank",
+    "hybrid_rrf_retrieval",
+    "knn_ivfpq_exact",
     "dsir_en_selection",
-    "doc_charclass_stats",
-    "doc_pattern_audit",
-    "doc_gopher_filter",
-    "doc_bpe_token_counts",
-    "doc_greedy_packing",
-    "doc_above_lang_median",
-    # sampling / splits
-    "doc_stratified_sample",
-    "doc_hash_sample",
-    # dedup / curation / similarity (generated-oracle md5 + LSH
-    # companions; exact dedup's in-window twin is curation_pipeline's
-    # keeper-dedup stage; the md5 MinHash pipeline is recomputed
-    # stage-by-stage inside both the audit and incremental oracles)
-    "embedding_near_dups_lsh_exact",
-    # pareto_parts (new r04 session-3: two-phase distributed skyline,
-    # numpy dominance kernels in applyInPandas) takes doc_simhash_md5's
-    # slot — simhash was driver-green r03 and the band-join machinery
-    # keeps the minhash md5 pipelines in-window; the grouped-map
-    # surface keeps user_value_ewma as a second in-window proof.
-    "pareto_parts",
+    "user_value_ewma",
+    "view_click_within_30m",
     "split_contamination_audit_md5",
     "minhash_incremental_md5",
     "curation_pipeline",
-    "dedup_clusters",
-    "neardup_keeper_docs",
-    # semantic_dedup_keep (new r04 operator: cluster-scoped SemDeDup)
-    # takes knn_ivf_exact_probeall's slot — that exact-ANN proof earned
-    # its driver-green row in r03 and keeps two in-window twins
-    # (knn_bruteforce is its ground truth, knn_pq_exact_rerankall the
-    # same exact-in-the-limit shape).
-    "semantic_dedup_keep",
-    # part_copurchase_pagerank (new r04 session-3: fixed-iteration
-    # PageRank, unrolled-CTE oracle) takes knn_bruteforce's slot — the
-    # brute-force scorer was driver-green r03 and stays equality-proven
-    # in-window by its exact-in-the-limit companion knn_ivfpq_exact and
-    # by the RRF query's decimal-exact dense ranking below.
-    "part_copurchase_pagerank",
-    # hybrid_rrf_retrieval (new r04 session-3: BM25+vector-style rank
-    # fusion; its dense side re-proves the decimal-exact brute-force
-    # scoring) takes knn_pq_exact_rerankall's slot — that heavy exact
-    # proof was driver-green r03 and also trims the driver gate's
-    # wall-clock.
-    "hybrid_rrf_retrieval",
-    "embedding_label_centroids",
-    # multimodal
-    "media_decode_meta",
 ]
 
 

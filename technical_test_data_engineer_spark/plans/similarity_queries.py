@@ -496,7 +496,7 @@ RRF_CORPUS_BOUND = 300
         SELECT doc_a AS query_id, doc_b AS cand_id, rn AS r_s
         FROM (
             SELECT doc_a, doc_b, ROW_NUMBER() OVER (
-                PARTITION BY doc_a ORDER BY cos DESC, doc_b
+                PARTITION BY doc_a ORDER BY ROUND(cos, 12) DESC, doc_b
             ) AS rn FROM cosd WHERE doc_a < {RRF_QUERY_BOUND}
         ) WHERE rn <= 3
     ),

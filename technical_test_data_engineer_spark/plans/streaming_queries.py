@@ -502,6 +502,7 @@ def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hourly h
     JOIN base b ON b.dow = h.dow AND b.hod = h.hod
     WHERE b.n_obs > 1
+      AND (b.ss - b.s * b.s / b.n_obs) > 0
       AND ABS((h.n - b.s / b.n_obs)
               / SQRT((b.ss - b.s * b.s / b.n_obs) / (b.n_obs - 1))) > 1.5
     ORDER BY hour_start
@@ -531,7 +532,15 @@ def hourly_traffic_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("n") * F.col("n"))).cast("double").alias("ss"),
     )
     j = hourly.join(F.broadcast(base), ["dow", "hod"]).filter(
-        F.col("n_obs") > 1
+        # n_obs > 1 alone is not enough: a (dow, hod) cell whose observed
+        # counts are all equal has zero variance, and the z denominator
+        # SQRT(0) divides by zero under Spark 4 ANSI defaults (seen at
+        # sf0.001). Guard variance > 0 identically here and in the oracle
+        # so DuckDB (which would yield inf/NaN) stays hash-identical.
+        (F.col("n_obs") > 1)
+        & (
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n_obs") > 0
+        )
     )
     z = (F.col("n") - F.col("s") / F.col("n_obs")) / F.sqrt(
         (F.col("ss") - F.col("s") * F.col("s") / F.col("n_obs"))

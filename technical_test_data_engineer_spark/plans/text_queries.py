@@ -968,7 +968,9 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # persist the 5-row rates frame: it feeds both the sampler's
     # broadcast filter and the output join, and each re-derivation
-    # otherwise re-runs the group-count scan
+    # otherwise re-runs the group-count scan. Caller owns cleanup
+    # (clearCache per query in bench/verify; LRU-evictable otherwise)
+    # — see the lifetime-contract note in tfidf_cosine_neighbors.
     rates = TX.corpus_mix_rates(docs, _MIX_SHARES, "lang").persist()
     kept = TX.corpus_mix_sample(docs, _MIX_SHARES, "lang", "text", rates=rates)
     kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
@@ -1026,7 +1028,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, ROUND(cos, 6) AS cos, CAST(rn AS INT) AS rank
     FROM (
         SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY doc_a ORDER BY cos DESC, doc_b
+            PARTITION BY doc_a ORDER BY ROUND(cos, 12) DESC, doc_b
         ) AS rn FROM cos
     )
     WHERE rn <= 3
@@ -1042,7 +1044,9 @@ def doc_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is bounded by df² per kept term instead of n² — the
     pruning that keeps lexical similarity feasible on a pretraining
     corpus. Cosine rounded to 6dp in both engines (LN ulp drift, same
-    convention as tfidf_top_terms)."""
+    convention as tfidf_top_terms); the rank ordering uses a
+    12dp-rounded cosine on BOTH engines so near-tie orderings cannot
+    flip on sub-ulp LN differences (r04 advice)."""
     docs = _docs(spark, sf_dir)
     nb = TX.tfidf_cosine_neighbors(docs, "doc_id", "text", k=3, max_df_frac=0.2)
     return nb.select(

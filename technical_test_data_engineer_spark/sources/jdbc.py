@@ -66,3 +66,68 @@ def write_jdbc_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+# ---------------------------------------------------------------------------
+# Postgres dialect pin (r04 verdict item 7)
+# ---------------------------------------------------------------------------
+# The reference's actual store is Postgres 16.2
+# (/root/reference/docker-compose.yml:15); the sandboxed e2e tests run
+# against embedded Derby because its jars ship inside Spark and no
+# network exists here. The two dialects differ exactly where Spark's
+# built-in JdbcDialects diverge — these helpers pin the Postgres-facing
+# choices so a production deploy is a URL swap, not a re-tune.
+
+
+def postgres_write_options(
+    df: DataFrame | None = None,
+    batchsize: int = 10000,
+    replace_via_truncate: bool = True,
+) -> dict[str, str]:
+    """Production option set for a full-replace write to Postgres 16.
+
+    Dialect deltas vs the Derby the tests run on:
+
+    - **String DDL**: Spark's PostgresDialect maps ``StringType`` to
+      ``TEXT`` (unbounded, TOAST-backed); DerbyDialect maps it to
+      ``CLOB``. No action needed on Postgres — but pin it explicitly
+      via ``createTableColumnTypes`` when a column must be ``VARCHAR(n)``
+      for index/constraint reasons.
+    - **Replace semantics**: ``truncate=true`` makes ``overwrite``
+      issue ``TRUNCATE TABLE`` instead of drop+recreate, preserving
+      grants/indexes/FKs — Postgres supports it transactionally; Derby
+      has no TRUNCATE fast path in Spark's dialect, so the tests
+      exercise drop+recreate (which is also exactly the reference's
+      ``if_exists='replace'`` behavior).
+    - **Batch sizing**: the Postgres driver turns ``batchsize`` row
+      batches into single round-trips only with
+      ``reWriteBatchedInserts=true`` on the URL — without it each
+      batched row is still its own INSERT statement server-side.
+      10k rows/batch is the conventional sweet spot (bounded by
+      ``max_allowed_packet``-free Postgres, driver memory per task).
+    """
+    opts = {
+        "batchsize": str(batchsize),
+        # URL-level driver knob; harmless if repeated on the URL itself
+        "reWriteBatchedInserts": "true",
+        "isolationLevel": "READ_COMMITTED",
+    }
+    if replace_via_truncate:
+        opts["truncate"] = "true"
+    return opts
+
+
+def postgres_read_options(fetchsize: int = 10000) -> dict[str, str]:
+    """Production option set for partitioned Postgres reads.
+
+    ``fetchsize`` matters on Postgres specifically: the driver defaults
+    to fetching the ENTIRE result set into executor memory unless a
+    cursor fetch size is set (Derby streams by default) — at a 100 TB
+    table even one unpartitioned range query would OOM the task.
+    Combine with ``partition_column`` bounds in :func:`jdbc_reader`;
+    ``prepareThreshold=0`` avoids server-side prepared-statement
+    re-plans across the per-partition range queries."""
+    return {
+        "fetchsize": str(fetchsize),
+        "prepareThreshold": "0",
+    }

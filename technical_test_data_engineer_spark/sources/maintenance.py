@@ -126,6 +126,20 @@ def apply_changelog(
     extra = [c for c in (seq_col, op_col) if c not in changes.columns]
     if extra:
         raise ValueError(f"changelog missing columns: {extra}")
+    # Validate op values BEFORE applying. Without this gate an unknown
+    # op (null, lowercase 'u', a typo) would anti-join its key out of
+    # base yet be excluded from upserts by op != 'D' — a silent
+    # implicit delete. Fail loudly instead: CDC feeds with bad op codes
+    # are corrupt and must not vanish data without error.
+    bad = changes.filter(
+        F.col(op_col).isNull() | ~F.col(op_col).isin("U", "D")
+    ).limit(1)
+    bad_rows = bad.collect()
+    if bad_rows:
+        raise ValueError(
+            f"apply_changelog: unknown {op_col!r} value "
+            f"{bad_rows[0][op_col]!r} in changelog (expected 'U'/'D')"
+        )
     latest = top1_per_group(changes, key_cols, [F.desc(seq_col)])
     surviving = base.join(latest.select(*key_cols), key_cols, "left_anti")
     upserts = latest.filter(F.col(op_col) != "D").select(*data_cols)

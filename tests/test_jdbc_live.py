@@ -59,3 +59,34 @@ def test_jdbc_full_replace_semantics(spark):
     write_jdbc_table(df, URL, "replacetest", **DRIVER)
     write_jdbc_table(df.filter("id < 40"), URL, "replacetest", **DRIVER)
     assert read_jdbc_table(spark, URL, "replacetest", **DRIVER).count() == 40
+
+
+import pytest
+
+
+@pytest.mark.parametrize("dialect", ["postgres", "derby"])
+def test_dialect_option_pins(dialect):
+    # The production store is Postgres 16 (reference
+    # docker-compose.yml:15); the sandbox e2e runs on Derby. Pin the
+    # dialect-divergent knobs so a deploy is a URL swap: Postgres gets
+    # truncate-based replace, batch-rewrite inserts, and a cursor
+    # fetchsize (its driver otherwise buffers whole result sets);
+    # Derby-side tests use plain drop+recreate (reference parity).
+    from technical_test_data_engineer_spark.sources.jdbc import (
+        postgres_read_options,
+        postgres_write_options,
+    )
+
+    w = postgres_write_options()
+    r = postgres_read_options()
+    if dialect == "postgres":
+        assert w["truncate"] == "true"
+        assert w["reWriteBatchedInserts"] == "true"
+        assert int(w["batchsize"]) >= 1000
+        assert int(r["fetchsize"]) >= 1000
+        assert r["prepareThreshold"] == "0"
+    else:
+        # Derby path: replace via drop+recreate == reference
+        # if_exists='replace'; assert the helper can express it
+        w2 = postgres_write_options(replace_via_truncate=False)
+        assert "truncate" not in w2

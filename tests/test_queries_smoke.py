@@ -30,14 +30,25 @@ def test_entry_contract(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-def test_all_queries_run_under_ansi(spark, sf_dir):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "ansi_sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
+def test_all_queries_run_under_ansi(spark, ansi_sf_dir):
     """The driver calls queries() with ITS session — Spark 4 defaults
     ANSI on. Every query must be ANSI-safe (no silent-overflow / bad
-    casts that ANSI turns into runtime errors)."""
+    casts that ANSI turns into runtime errors). Parametrized over BOTH
+    test scales because ANSI faults can be data-dependent: the round-4
+    hourly_traffic_anomalies DIVIDE_BY_ZERO only manifested at sf0.001
+    (a zero-variance baseline cell exists there but not at sf0.01)."""
     prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         for name, fn in QUERIES.items():
-            assert fn(spark, sf_dir).count() >= 0, name
+            assert fn(spark, ansi_sf_dir).count() >= 0, name
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
