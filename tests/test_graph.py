@@ -3,38 +3,52 @@ edges) against known components."""
 
 from __future__ import annotations
 
+import pytest
+
 from technical_test_data_engineer_spark.operators.graph import connected_components
 
 
-def _cc(spark, node_ids, edge_pairs):
+@pytest.fixture(params=[0, 10**6], ids=["star-path", "union-find"])
+def driver_max(request):
+    """Run each hand-graph test through BOTH the distributed
+    large-star/small-star path (driver_max_edges=0) and the
+    small-edge driver union-find fast path."""
+    return request.param
+
+
+def _cc(spark, node_ids, edge_pairs, driver_max=None):
     nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
     if edge_pairs:
         edges = spark.createDataFrame(edge_pairs, "src long, dst long")
     else:
         edges = spark.createDataFrame([], "src long, dst long")
-    out = connected_components(nodes, edges)
+    if driver_max is None:
+        from technical_test_data_engineer_spark.operators.graph import (
+            DRIVER_UNION_FIND_MAX_EDGES as driver_max,
+        )
+    out = connected_components(nodes, edges, driver_max_edges=driver_max)
     return {r["id"]: r["component"] for r in out.collect()}
 
 
-def test_chain_collapses_to_min(spark):
+def test_chain_collapses_to_min(spark, driver_max):
     # 1-2, 2-3, 3-4 ... one component rooted at 1; 9 isolated
-    got = _cc(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)])
+    got = _cc(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)], driver_max)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
 
 
-def test_two_components_and_triangle(spark):
-    got = _cc(spark, list(range(1, 8)), [(5, 6), (6, 7), (5, 7), (2, 4)])
+def test_two_components_and_triangle(spark, driver_max):
+    got = _cc(spark, list(range(1, 8)), [(5, 6), (6, 7), (5, 7), (2, 4)], driver_max)
     assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5, 6: 5, 7: 5}
 
 
-def test_no_edges_all_singletons(spark):
-    got = _cc(spark, [3, 1, 2], [])
+def test_no_edges_all_singletons(spark, driver_max):
+    got = _cc(spark, [3, 1, 2], [], driver_max)
     assert got == {1: 1, 2: 2, 3: 3}
 
 
-def test_long_chain_needs_iterations(spark):
+def test_long_chain_needs_iterations(spark, driver_max):
     n = 20  # diameter 19 → several label-propagation rounds
-    got = _cc(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    got = _cc(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)], driver_max)
     assert set(got.values()) == {0}
 
 
@@ -48,7 +62,7 @@ def test_planted_chain_converges_logarithmically(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
     stats: dict = {}
-    out = connected_components(nodes, edges, stats=stats)
+    out = connected_components(nodes, edges, stats=stats, driver_max_edges=0)
     got = {r["id"]: r["component"] for r in out.collect()}
     assert got == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 11, f"too many rounds: {stats['rounds']}"
@@ -62,7 +76,7 @@ def test_unconverged_raises(spark):
     import pytest
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, max_iter=1)
+        connected_components(nodes, edges, max_iter=1, driver_max_edges=0)
 
 
 def test_triangle_enumerate_k4_and_star(spark):
