@@ -109,12 +109,17 @@ _FRONT_50 = [
     "embedding_near_dup_exact",
     "events_sliding_1h_15m",
     "events_user_sessions",
+    # -- round-5 new queries (never driver-checked; each takes a
+    #    backfill slot as it lands) --
+    # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
+    # (EXISTS-gated priority counts, conditional-CASE aggregation,
+    # promo revenue share ratio, NOT-IN distinct-supplier counts)
+    "q4_order_priority",
+    "q12_ship_class_priority",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
-    "prep_orders_pipeline",
-    "corpus_mix_rebalance",
-    "orders_cdc_merge",
-    "user_type_scd2",
     "doc_repeated_spans",
     "semantic_dedup_keep",
     "dedup_clusters",

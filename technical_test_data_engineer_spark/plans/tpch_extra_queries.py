@@ -1,4 +1,5 @@
-"""The remaining TPC-H operator shapes (Q2/Q8/Q9/Q11/Q13/Q15/Q20/Q21),
+"""The remaining TPC-H operator shapes (Q2/Q4/Q8/Q9/Q11/Q12/Q13/Q14/
+Q15/Q16/Q20/Q21 — with tpch_queries.py this completes all 22),
 adapted to the driver star schema — there is no ``partsupp`` table and
 lineitem carries no receipt/commit dates, so each query keeps its
 DISTINCTIVE plan shape (correlated scalar min, share-of-total, scalar
@@ -442,3 +443,178 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
     )
 
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                   WHERE l_orderkey = o_orderkey
+                     AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-windowed order counts per priority, gated
+    by a correlated EXISTS against the fact table — the classic
+    semi-join-then-aggregate. Adapted: "commit date missed" becomes
+    "a lineitem shipped more than 30 days after the order date" (the
+    star schema carries no commit/receipt dates). The EXISTS is a
+    left-semi join: lineitem never duplicates orders rows, so the
+    count stays per-order; the quarter filter is parquet-pushable on
+    the orders scan and the semi join shuffles only (orderkey, dates).
+    Cites reference capability surface: SURVEY.md §2.3 (J-family) —
+    the reference itself has no semi join; this is the engine-breadth
+    extension the TPC-H battery proves."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = semi_join(
+        orders,
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr("INTERVAL 30 DAY")
+        ),
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q12_ship_class_priority",
+    """
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 20 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_ship_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-fact join + CONDITIONAL aggregation
+    (priority split via CASE inside SUM) over a shipping-delay
+    predicate. Adapted: l_returnflag stands in for l_shipmode and
+    "shipped >20 days after order" for the receipt/commit lag. The
+    year filter pushes to the lineitem scan; the join shuffles on
+    orderkey with partial aggregation before the final group on the
+    3-value flag."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 20 DAY")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT 100.0 * {_decsum("CASE WHEN p_type = 'PROMO' "
+                            "THEN l_extendedprice * (1 - l_discount) "
+                            "ELSE 0 END")}
+           / {_decsum('l_extendedprice * (1 - l_discount)')}
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01'
+      AND l_shipdate < DATE '1997-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month — a
+    broadcast dim join feeding TWO conditional exact-decimal sums whose
+    ratio is taken in double (same final-op-identical discipline as
+    exact_avg, so both engines agree bit-for-bit). The month filter
+    pushes to the fact scan; part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast(_DEC)).cast("double")
+                / F.sum(rev.cast(_DEC)).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 14, 23, 45)
+      AND p_type <> 'PROMO'
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can deliver each
+    (brand, type, size) combo, excluding a complained-about supplier
+    set via NOT IN — anti join + multi-attribute distinct aggregation.
+    Adapted: the (part, supplier) relation comes from lineitem (no
+    partsupp table) and negative account balance stands in for
+    complaints. The excluded-supplier side is tiny and broadcast-anti;
+    distinct-count shuffles once on the grouping key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 14, 23, 45) & (F.col("p_type") != "PROMO")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        anti_join(li, bad, li.l_suppkey == bad.s_suppkey)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
