@@ -1,0 +1,168 @@
+"""Distributed linear algebra over embedding columns — covariance and
+PCA projection.
+
+The 100 TB shape: a covariance matrix is a D×D AGGREGATE of a corpus
+that never fits anywhere, while D (embedding width, 64 here) is tiny —
+so the corpus flows through one pass that emits per-(i, j) moment
+contributions, the D(D+1)/2 sums reduce with partial aggregation, and
+everything downstream of the D×D matrix (eigendecomposition, component
+selection) is driver-side numpy on a few KB. Projection then rides a
+broadcast of the component matrix back over the corpus in one
+Arrow-batched pass. This is the same small-side/large-side discipline
+as a broadcast join: the corpus is only ever scanned, never collected.
+
+Exactness: moment sums go through the house decimal convention
+(cast each product to DECIMAL(30,10), sum exactly, cast the total to
+double) so the covariance is order-independent and bit-identical to
+the DuckDB oracle — float addition order would otherwise vary with
+partitioning and flake the hash gate.
+
+No counterpart in the reference (its analytics are 2-D pandas,
+/root/reference/tasks/visualization/src/visualization.py); this is
+part of the LLM-data-pipeline extension surface (embedding curation:
+whitening, redundancy analysis, dimensionality reduction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,10)"
+
+
+def _as_double(vec_col: str) -> str:
+    return f"transform({vec_col}, x -> cast(x as double))"
+
+
+def embedding_moments(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """First and second moments of a vector column.
+
+    Returns ``(sums, cross, n)``: ``sums`` = (i, s) per-dimension exact
+    sums; ``cross`` = (i, j, sxy) upper-triangle (i ≤ j) exact sums of
+    x_i·x_j; ``n`` = row count. The cross products are generated
+    scan-side as ONE nested-transform expression (no self-join: each
+    row emits its D(D+1)/2 products inside its task), then reduced by
+    a single partial+final aggregation keyed on (i, j) — D²-bounded
+    state, corpus-sized input, one shuffle of tiny rows."""
+    v = _as_double(vec_col)
+    pairs = F.expr(
+        f"""
+        flatten(transform({v}, (xi, i) ->
+            transform(slice({v}, i + 1, size({vec_col}) - i), (xj, j) ->
+                struct(i AS i, i + j AS j,
+                       cast(xi * xj AS {_DEC}) AS p))))
+        """
+    )
+    cross = (
+        df.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("double").alias("sxy"))
+    )
+    sums = (
+        df.select(F.posexplode(F.expr(v)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast(_DEC)).cast("double").alias("s"))
+    )
+    n = df.count()
+    return sums, cross, n
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Sample covariance of the vector column as an upper-triangle
+    long-form relation (``i`` ≤ ``j``, ``cov``): cov(i,j) =
+    (Σx_ix_j − Σx_i·Σx_j / n) / (n − 1), all sums exact-decimal, the
+    final arithmetic in double on both engines (the exact_avg
+    discipline). D(D+1)/2 output rows — driver/broadcast-sized for any
+    sane embedding width."""
+    sums, cross, n = embedding_moments(df, vec_col, id_col)
+    si = sums.select(F.col("i").alias("_i"), F.col("s").alias("_si"))
+    sj = sums.select(F.col("i").alias("_j"), F.col("s").alias("_sj"))
+    return (
+        cross.join(F.broadcast(si), F.col("i") == F.col("_i"))
+        .join(F.broadcast(sj), F.col("j") == F.col("_j"))
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("sxy")
+                    - F.col("_si") * F.col("_sj") / F.lit(float(n))
+                )
+                / F.lit(float(n - 1))
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+):
+    """Top-k principal components from the distributed covariance.
+
+    The D×D matrix (a few KB) collects to the driver; ``numpy.linalg
+    .eigh`` factorizes it there — the textbook split: O(corpus) work
+    distributed, O(D³) work local. Sign convention: each eigenvector is
+    flipped so its largest-|entry| coordinate is positive, making the
+    output deterministic across LAPACK builds. Returns
+    ``(mean, components, eigenvalues)`` as numpy arrays with
+    components[r] = r-th PC (descending eigenvalue)."""
+    # one moments pipeline feeds BOTH the covariance and the mean —
+    # the D²-bounded relations collect; the cov assembles driver-side
+    sums, cross, n = embedding_moments(df, vec_col, id_col)
+    s_rows = sums.collect()
+    d = max(r["i"] for r in s_rows) + 1
+    s = np.zeros(d)
+    for r in s_rows:
+        s[r["i"]] = r["s"]
+    mean = s / n
+    cov = np.zeros((d, d))
+    for r in cross.collect():
+        c = (r["sxy"] - s[r["i"]] * s[r["j"]] / n) / (n - 1)
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for r in range(comps.shape[0]):
+        pivot = int(np.argmax(np.abs(comps[r])))
+        if comps[r, pivot] < 0:
+            comps[r] = -comps[r]
+    return mean, comps, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Project every vector onto the top-k PCs: (x − mean) @ Wᵀ.
+
+    The (k × D) component matrix broadcasts inside an Arrow-batched
+    ``pandas_udf`` closure (numpy matmul per batch — the vectorized
+    slow-path rule: Python only where Spark lacks the operator, and
+    then always batched). Returns (id_col, ``pc`` array<double>).
+    One corpus scan, zero shuffles."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    mean, comps, _ = pca_components(df, vec_col, id_col, k)
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _proj(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        out = (m - mean) @ comps.T
+        return pd.Series(list(out))
+
+    return df.select(F.col(id_col), _proj(F.col(vec_col)).alias("pc"))

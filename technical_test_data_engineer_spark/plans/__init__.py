@@ -118,6 +118,10 @@ _FRONT_50 = [
     "q12_ship_class_priority",
     "q14_promo_revenue",
     "q16_supplier_part_counts",
+    # distributed covariance (exact-decimal moments; PCA front half)
+    # and the native unpivot/melt reshape proof
+    "embedding_covariance",
+    "lineitem_measures_unpivot",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
     "doc_repeated_spans",

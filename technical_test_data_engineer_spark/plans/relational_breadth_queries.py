@@ -1712,3 +1712,45 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "lineitem_measures_unpivot",
+    f"""
+    SELECT measure, COUNT(*) AS n, {_decsum('value')} AS total
+    FROM (
+        SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', l_tax FROM lineitem
+    )
+    GROUP BY measure
+    ORDER BY measure
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot``, the melt/stack
+    operator) over the four lineitem measures, then a per-measure
+    exact-decimal rollup that value-checks EVERY melted row. Unpivot is
+    a zero-shuffle scan-side transpose (each input row emits 4 narrow
+    rows inside the same task — the oracle's UNION ALL shape is what
+    Spark executes as Expand), so at 100 TB the cost is the one fact
+    scan plus a 4-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value", "total"),
+        )
+        .orderBy("measure")
+    )

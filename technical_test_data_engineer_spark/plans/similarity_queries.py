@@ -652,3 +652,86 @@ def knn_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("rank").cast("int"))
         .select("query_id", "vec_id", "rank", "score")
     )
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+        SELECT vec_id, u.x, u.i - 1 AS i
+        FROM e, LATERAL (
+            SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS i
+        ) u
+    ),
+    n AS (SELECT COUNT(*) AS n FROM e),
+    s AS (
+        SELECT i, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS s
+        FROM x GROUP BY i
+    ),
+    p AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j,
+           (sxy - si.s * sj.s / n) / (n - 1) AS cov
+    FROM p
+    JOIN s si ON si.i = p.i
+    JOIN s sj ON sj.i = p.j
+    CROSS JOIN n
+    ORDER BY p.i, p.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding corpus
+    (``operators.linalg.covariance_matrix``): one corpus scan emits
+    each row's D(D+1)/2 upper-triangle products scan-side (nested
+    transform — no self-join), a single partial+final aggregation
+    reduces them to the 2080-row D×D triangle, and the mean correction
+    applies in double from exact-decimal moments. The oracle recomputes
+    the same moments via an index self-join. This is the corpus-sized
+    front half of PCA/whitening; everything after it is driver numpy
+    (embedding_pca_project). Int indices cast for schema parity."""
+    from technical_test_data_engineer_spark.operators.linalg import (
+        covariance_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        covariance_matrix(emb, "embedding", "vec_id")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            "cov",
+        )
+        .orderBy("i", "j")
+    )
+
+
+# rows-only: eigendecomposition has no SQL form; exactness is proven by
+# tests/test_linalg.py (projected variance == eigenvalues, parity with
+# numpy PCA on the collected corpus) and the oracle-paired covariance
+# the components derive from.
+@query("embedding_pca_project")
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection (``operators.linalg.pca_project``): top-8
+    principal components from the distributed covariance (driver
+    ``eigh`` on the D×D matrix — O(corpus) stays distributed, O(D³)
+    stays local), then one Arrow-batched projection pass with the k×D
+    component matrix broadcast in the UDF closure. Deterministic sign
+    convention (largest-|entry| coordinate positive) keeps output
+    stable across LAPACK builds. Output rounded to 6dp."""
+    from technical_test_data_engineer_spark.operators.linalg import (
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "embedding", "vec_id", k=8)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pc"), lambda x: F.round(x, 6)).alias("pc"),
+    ).orderBy("vec_id")

@@ -1,0 +1,79 @@
+"""Linalg operators: distributed covariance vs numpy.cov, PCA
+projection vs numpy eigendecomposition on the collected corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from technical_test_data_engineer_spark.operators.linalg import (
+    covariance_matrix,
+    pca_components,
+    pca_project,
+)
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    emb = load_table(spark, SF, "embeddings")
+    mat = np.asarray(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    return emb, mat
+
+
+def test_covariance_matches_numpy(spark):
+    emb, mat = _corpus(spark)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(emb).collect()
+    }
+    want = np.cov(mat, rowvar=False)  # ddof=1, same as (n-1) divisor
+    d = mat.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), c in got.items():
+        assert i <= j
+        assert abs(c - want[i, j]) < 1e-9, (i, j)
+
+
+def test_pca_components_orthonormal_and_ordered(spark):
+    emb, mat = _corpus(spark)
+    mean, comps, vals = pca_components(emb, k=8)
+    assert comps.shape == (8, mat.shape[1])
+    # orthonormal rows
+    g = comps @ comps.T
+    assert np.allclose(g, np.eye(8), atol=1e-9)
+    # eigenvalues descending and matching numpy's top-8
+    want = np.sort(np.linalg.eigvalsh(np.cov(mat, rowvar=False)))[::-1][:8]
+    assert np.all(np.diff(vals) <= 1e-12)
+    assert np.allclose(vals, want, atol=1e-9)
+    # deterministic sign convention
+    for r in range(8):
+        assert comps[r, int(np.argmax(np.abs(comps[r])))] > 0
+
+
+def test_pca_projection_variance_equals_eigenvalues(spark):
+    emb, mat = _corpus(spark)
+    _, _, vals = pca_components(emb, k=4)
+    proj = {
+        r["vec_id"]: r["pc"] for r in pca_project(emb, k=4).collect()
+    }
+    p = np.asarray([proj[i] for i in sorted(proj)], dtype=np.float64)
+    assert p.shape == (mat.shape[0], 4)
+    # per-PC sample variance of the projected corpus == eigenvalue
+    got_var = p.var(axis=0, ddof=1)
+    assert np.allclose(got_var, vals, rtol=1e-6)
+    # parity with a direct numpy projection
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    comps = v[:, order].T
+    for r in range(4):
+        piv = int(np.argmax(np.abs(comps[r])))
+        if comps[r, piv] < 0:
+            comps[r] = -comps[r]
+    want = (mat - mean) @ comps.T
+    assert np.allclose(p, want, atol=1e-8)
