@@ -122,6 +122,11 @@ _FRONT_50 = [
     # and the native unpivot/melt reshape proof
     "embedding_covariance",
     "lineitem_measures_unpivot",
+    # SCD2 point-in-time lookup, bigram LM scoring, and the FULL OUTER
+    # member of the stream-stream interval-join family
+    "purchase_tier_at_time",
+    "doc_bigram_logprob",
+    "view_click_full_outer_30m",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
     "doc_repeated_spans",

@@ -555,3 +555,44 @@ def hourly_traffic_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 1.5)
         .orderBy("hour_start")
     )
+
+
+@query(
+    "view_click_full_outer_30m",
+    """
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+           v.view_ts, c.click_ts
+    FROM v FULL JOIN c
+      ON v.user_id = c.user_id
+     AND c.click_ts > v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+    ORDER BY user_id, view_ts, click_ts
+    """,
+)
+def view_click_full_outer_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream FULL OUTER interval join
+    (``streaming.transforms.attribution_full_outer``): one relation
+    holding converted pairs, unconverted views (NULL click), and
+    orphan clicks (NULL view) — the third member of the join family
+    whose inner and left-outer halves are already oracle-anchored
+    (view_click_within_30m / views_unconverted_30m). The three are
+    mutually consistent by construction: this query's non-null pairs
+    equal the inner join, its NULL-click rows equal the left-outer
+    complement. Value hash is order-insensitive, so engine NULL-sort
+    differences cannot flake the gate."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        attribution_full_outer,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return attribution_full_outer(events, within="30 minutes").orderBy(
+        "user_id", "view_ts", "click_ts"
+    )

@@ -1383,3 +1383,70 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_bigram_logprob",
+    """
+    WITH tok AS (
+        SELECT doc_id, u.term, u.pos
+        FROM documents,
+        LATERAL (SELECT UNNEST(STR_SPLIT(text, ' ')) AS term,
+                        generate_subscripts(STR_SPLIT(text, ' '), 1) AS pos) u
+    ),
+    bg AS (
+        SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1)
+    SELECT doc_id,
+           CAST(SUM(CAST(ROUND(-LN(CAST(c2 AS DOUBLE) / c1), 9)
+                         AS DECIMAL(20,9))) AS DOUBLE)
+               / COUNT(*) AS avg_neg_logprob,
+           COUNT(*) AS n_bigrams
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — mean −ln p(wᵢ | wᵢ₋₁) under the
+    corpus MLE bigram model (CCNet/KenLM-style perplexity filtering,
+    one order up from doc_unigram_logprob's context-free proxy; the
+    conditional catches word-salad text a unigram model scores as
+    fluent). Bigrams extract scan-side from the token array (slice +
+    transform — no positional self-join on Spark's side; the oracle
+    uses the pos+1 join form), the two count models reduce corpus-wide
+    and broadcast back, and per-bigram ln is 9dp-rounded then
+    decimal-summed — order-independent, libm-proof, same convention as
+    the unigram twin. Docs under 2 tokens have no bigrams and drop on
+    both engines."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(w, i) -> struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    neg_ln = F.round(
+        -F.log(F.col("c2").cast("double") / F.col("c1")), 9
+    ).cast("decimal(20,9)")
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(neg_ln).cast("double") / F.count("*")).alias(
+                "avg_neg_logprob"
+            ),
+            F.count("*").alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1412,3 +1412,118 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "purchase_tier_at_time",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CASE
+                   WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 25
+                       THEN 'bronze'
+                   WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 50
+                       THEN 'silver'
+                   WHEN CAST(json_extract(props, '$.k') AS INTEGER) < 75
+                       THEN 'gold'
+                   ELSE 'platinum'
+               END AS tier
+        FROM events WHERE user_id % 25 = 0
+    ),
+    d AS (
+        SELECT *,
+               LAG(tier) OVER w AS prev,
+               LAG(1) OVER w AS notfirst
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+        SELECT user_id, event_id, ts, tier FROM d
+        WHERE notfirst IS NULL OR prev IS DISTINCT FROM tier
+    ),
+    dim AS (
+        SELECT user_id, tier,
+               ts AS valid_from,
+               LEAD(ts) OVER w2 AS valid_to,
+               CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+        FROM ch WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.user_id, p.event_id, p.ts AS purchase_ts,
+           dim.tier AS tier_at_purchase, dim.version
+    FROM e p
+    JOIN dim ON dim.user_id = p.user_id
+            AND p.ts >= dim.valid_from
+            AND (dim.valid_to IS NULL OR p.ts < dim.valid_to)
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.user_id, p.ts, p.event_id
+    """,
+)
+def purchase_tier_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension lookup — the consumption half of SCD2
+    that user_type_scd2 only builds: each purchase event joined to the
+    tier version valid AT ITS TIMESTAMP (valid_from ≤ ts < valid_to,
+    open current interval). The tier dimension derives from the same
+    stream (props.k bucketed) via scd2_from_changelog, so the proof
+    value-checks build + temporal join end to end. Join shape at
+    scale: equality on user_id carries the shuffle, the interval
+    predicate rides as a join filter — never a cross product; the
+    half-open intervals partition each user's timeline, so the lookup
+    is provably 1:1 (a zero-length [t, t) version from same-timestamp
+    changes matches nothing, its successor covers). The %25 key filter
+    bounds the proof output, pushed to both scans."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        scd2_from_changelog,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    tiered = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(k < 25, "bronze")
+        .when(k < 50, "silver")
+        .when(k < 75, "gold")
+        .otherwise("platinum")
+        .alias("tier"),
+    )
+    dim = scd2_from_changelog(
+        tiered.select("user_id", "event_id", "ts", "tier"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["tier"],
+        tiebreak="event_id",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        "tier",
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    purchases = (
+        tiered.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
+        .alias("p")
+    )
+    dim = dim.alias("d")
+    return (
+        purchases.join(
+            dim,
+            (F.col("p.user_id") == F.col("d.d_user"))
+            & (F.col("p.ts") >= F.col("d.valid_from"))
+            & (
+                F.col("d.valid_to").isNull()
+                | (F.col("p.ts") < F.col("d.valid_to"))
+            ),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"),
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.ts").alias("purchase_ts"),
+            F.col("d.tier").alias("tier_at_purchase"),
+            F.col("d.version").alias("version"),
+        )
+        .orderBy("user_id", "purchase_ts", "event_id")
+    )

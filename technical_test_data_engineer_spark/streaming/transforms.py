@@ -217,3 +217,46 @@ def unconverted_views(
         .filter(F.col("click_ts").isNull())
         .select(user_col, "view_ts")
     )
+
+
+def attribution_full_outer(
+    events: DataFrame,
+    within: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """The COMPLETE attribution picture in one relation — stream-stream
+    FULL OUTER interval join: matched (view, click) pairs, views with
+    no click in (view_ts, view_ts + ``within``] (click side NULL), and
+    clicks with no preceding view in the window (view side NULL).
+    Completes the join family next to the inner
+    (:func:`view_click_attribution_join`) and left-outer
+    (:func:`unconverted_views`) halves.
+
+    Streaming semantics: Spark supports full-outer stream-stream joins
+    when both sides are watermarked and the condition is time-bounded —
+    each side's null-matched rows flush as the watermark passes the
+    window end, exactly like the left-outer case but symmetric. On
+    batch the same plan is a sort-merge full-outer with the interval
+    predicate as join filter; user_id equality carries the shuffle, so
+    there is never a cross product."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col(user_col).alias("_v_user"), F.col(ts_col).alias("view_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col(user_col).alias("_c_user"), F.col(ts_col).alias("click_ts")
+    )
+    if watermark:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("_v_user") == F.col("_c_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"interval {within}"))
+    )
+    return views.join(clicks, cond, "full_outer").select(
+        F.coalesce(F.col("_v_user"), F.col("_c_user")).alias(user_col),
+        "view_ts",
+        "click_ts",
+    )

@@ -475,3 +475,54 @@ def test_transform_with_state_totals_equal_batch(spark, events_dir, events_batch
     for u in w:
         assert g[u][0] == w[u][0], u
         assert abs(g[u][1] - w[u][1]) < 1e-6, u
+
+
+def test_stream_stream_full_outer_join_equals_batch(
+    spark, events_dir, events_batch
+):
+    """Stream-stream FULL OUTER interval join: both sides' unmatched
+    rows flush on watermark expiry. Same finality-horizon discipline as
+    the left-outer test, applied symmetrically: below the horizon the
+    streamed relation equals the batch full outer exactly; everywhere,
+    matched pairs must agree with the inner join (the full outer never
+    invents or loses a match)."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        attribution_full_outer,
+        view_click_attribution_join,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = _run_stream(
+        spark,
+        attribution_full_outer(stream, watermark="1 hour"),
+        "t_ss_full_outer_join",
+        output_mode="append",
+    )
+    want = attribution_full_outer(events_batch)
+    max_ts = events_batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    # Finality horizon, wider than the left-outer test's: full-outer
+    # null emission happens on STATE EVICTION, and with availableNow's
+    # single no-data batch the click side's eviction pass runs one
+    # watermark update behind — measured withheld rows sit up to ~3 h
+    # behind max event time (a production stream flushes them on the
+    # next arriving data). 5 h bounds that with margin; the fixture
+    # spans a month, so the horizon still checks >98% of rows exactly.
+    horizon = F.lit(max_ts) - F.expr("interval 5 hours")
+    below = (
+        F.coalesce(F.col("view_ts"), F.col("click_ts")) < horizon
+    ) & (
+        F.coalesce(F.col("click_ts"), F.col("view_ts")) < horizon
+    )
+    assert _rows(
+        got.filter(below), "user_id", "view_ts", "click_ts"
+    ) == _rows(want.filter(below), "user_id", "view_ts", "click_ts")
+    # matched pairs are final as soon as both rows exist — they must
+    # equal the inner join everywhere, stream and batch alike
+    inner = view_click_attribution_join(events_batch)
+    got_pairs = _rows(
+        got.filter(
+            F.col("view_ts").isNotNull() & F.col("click_ts").isNotNull()
+        ),
+        "user_id", "view_ts", "click_ts",
+    )
+    assert got_pairs == _rows(inner, "user_id", "view_ts", "click_ts")
