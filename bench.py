@@ -94,6 +94,15 @@ def main() -> None:
     _docs.select(simhash_packed("text").alias("_s")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # the covariance moments' nested-transform decimal products are yet
+    # another HOF shape (measured ~6 s interpreted on first use)
+    from technical_test_data_engineer_spark.operators.linalg import (
+        embedding_moments,
+    )
+
+    _sums, _cross, _ = embedding_moments(_vecs)
+    _cross.write.format("noop").mode("overwrite").save()
+    _sums.write.format("noop").mode("overwrite").save()
     # ... and the numpy-backed pandas-UDF families (IVF assignment,
     # PQ/IVF-PQ encode) + the grouped-map path: their first use pays a
     # per-worker numpy import plus Arrow grouped-map setup — one-time

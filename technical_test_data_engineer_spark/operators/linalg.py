@@ -49,6 +49,14 @@ def embedding_moments(
     row emits its D(D+1)/2 products inside its task), then reduced by
     a single partial+final aggregation keyed on (i, j) — D²-bounded
     state, corpus-sized input, one shuffle of tiny rows."""
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+
+    # fan_out: the local fixture is one parquet row-group, so without
+    # it the D(D+1)/2-products-per-row expression runs on ONE task
+    # (measured 7.4 s single-threaded at sf0.1 vs ~1.5 s spread)
+    df = fan_out(df.select(id_col, vec_col))
     v = _as_double(vec_col)
     pairs = F.expr(
         f"""

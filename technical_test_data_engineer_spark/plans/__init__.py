@@ -127,11 +127,12 @@ _FRONT_50 = [
     "purchase_tier_at_time",
     "doc_bigram_logprob",
     "view_click_full_outer_30m",
+    # exact running-distinct (acquisition curve) and the MapType proof
+    "monthly_new_customers_cumulative",
+    "user_event_type_map",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
     "doc_repeated_spans",
-    "semantic_dedup_keep",
-    "dedup_clusters",
     "neardup_keeper_docs",
     "part_copurchase_pagerank",
     "hybrid_rrf_retrieval",

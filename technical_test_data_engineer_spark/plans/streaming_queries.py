@@ -596,3 +596,58 @@ def view_click_full_outer_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_full_outer(events, within="30 minutes").orderBy(
         "user_id", "view_ts", "click_ts"
     )
+
+
+@query(
+    "user_event_type_map",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events WHERE user_id % 50 = 0
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, n,
+           CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
+    FROM counts
+    ORDER BY user_id, event_type
+    """,
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip — the one Spark container type the engine had
+    not yet value-checked (SURVEY §1 notes the reference's only map is
+    a driver-side dict). Per-user event-type counts assemble into a
+    map<string,bigint> column (``map_from_entries``), a map-level HOF
+    computes the per-user total (``aggregate`` over ``map_values``),
+    and ``explode`` unpacks the map back to rows — so the oracle's
+    plain GROUP BY + window twin value-checks BOTH the map's contents
+    and the map-HOF arithmetic. Maps stay per-row-bounded (≤4 event
+    types); the %50 key filter bounds the proof output."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0
+    )
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    with_total = mapped.select(
+        "user_id",
+        "type_counts",
+        F.aggregate(
+            F.map_values("type_counts"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("user_total"),
+    )
+    return (
+        with_total.select(
+            "user_id",
+            F.explode("type_counts").alias("event_type", "n"),
+            "user_total",
+        )
+        .select("user_id", "event_type", "n", "user_total")
+        .orderBy("user_id", "event_type")
+    )

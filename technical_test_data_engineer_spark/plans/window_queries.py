@@ -1527,3 +1527,59 @@ def purchase_tier_at_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_ts", "event_id")
     )
+
+
+@query(
+    "monthly_new_customers_cumulative",
+    """
+    WITH first_seen AS (
+        SELECT o_custkey,
+               MIN(DATE_TRUNC('month', CAST(o_orderdate AS DATE)))
+                   AS first_month
+        FROM orders GROUP BY o_custkey
+    ),
+    per_month AS (
+        SELECT first_month AS month, COUNT(*) AS new_customers
+        FROM first_seen GROUP BY first_month
+    )
+    SELECT CAST(month AS DATE) AS month, new_customers,
+           CAST(SUM(new_customers) OVER (
+               ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_customers
+    FROM per_month
+    ORDER BY month
+    """,
+)
+def monthly_new_customers_cumulative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running DISTINCT cardinality done exactly at scale (the customer
+    acquisition curve): "cumulative distinct customers through month m"
+    has no partial-aggregate form, but "first month each customer
+    ordered" does — one keyed MIN collapses the fact table, per-month
+    new-customer counts are tiny, and the running total windows over
+    ≤12 rows/year. The exact companion to the HLL sketch path
+    (events_approx_user_counts): same question shape, sketch-free, the
+    corpus passing through a single customer-keyed shuffle instead of
+    a per-period distinct-union blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_seen = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "first_month"
+        )
+    )
+    per_month = first_seen.groupBy(
+        F.col("first_month").alias("month")
+    ).agg(F.count("*").alias("new_customers"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_month.select(
+        F.col("month").cast("date").alias("month"),
+        "new_customers",
+        F.sum("new_customers")
+        .over(w)
+        .cast("bigint")
+        .alias("cumulative_customers"),
+    ).orderBy("month")
