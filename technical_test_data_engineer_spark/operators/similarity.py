@@ -1051,3 +1051,74 @@ def rrf_fuse(
         .filter(F.col("fused_rank") <= k)
         .select(query_col, cand_col, "rrf_score", "fused_rank")
     )
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR'98) — the diversity-aware final stage of a retrieval stack:
+    iteratively pick argmax of λ·relevance − (1−λ)·max-similarity-to-
+    already-selected, so near-duplicate candidates (which plain top-k
+    happily returns k times over) cost their redundancy. λ=1 reduces to
+    plain top-k; λ→0 maximizes spread.
+
+    Inputs: ``shortlist`` = (query_id, vec_id, score) from ANY upstream
+    ranker (brute force, LSH, IVF-PQ — k-bounded per query by
+    construction); ``corpus`` supplies candidate vectors via one hash
+    join. The greedy loop is inherently sequential per query, so it
+    runs as an Arrow-batched grouped map (``applyInPandas`` per
+    query_id) over shortlist-sized groups — corpus-scale work stays in
+    the upstream ranker, this stage touches ≤ shortlist × D floats per
+    query. Deterministic: float64 arithmetic with an id-ascending
+    tiebreak.
+
+    Returns (query_id, vec_id, ``mmr_rank`` 1..k, score).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = shortlist.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec")), id_col
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([score_col, id_col], ascending=[False, True])
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        vecs = np.asarray(pdf["_cvec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        n = len(ids)
+        chosen: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        available = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1 - lam) * np.where(
+                np.isfinite(max_sim), max_sim, 0.0
+            )
+            mmr[~available] = -np.inf
+            # argmax with id-ascending tiebreak: ids are sorted within
+            # equal scores already, and np.argmax takes the first max
+            best = int(np.argmax(mmr))
+            chosen.append(best)
+            available[best] = False
+            sims = unit @ unit[best]
+            max_sim = np.maximum(max_sim, sims)
+        out = pdf.iloc[chosen][[query_id_col, id_col, score_col]].copy()
+        out.insert(2, "mmr_rank", np.arange(1, len(chosen) + 1))
+        return out
+
+    out_schema = (
+        f"{query_id_col} long, {id_col} long, mmr_rank int, "
+        f"{score_col} double"
+    )
+    return cands.groupBy(query_id_col).applyInPandas(_mmr, out_schema)

@@ -735,3 +735,34 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("pc"), lambda x: F.round(x, 6)).alias("pc"),
     ).orderBy("vec_id")
+
+
+# rows-only: the greedy MMR selection is iterative (no SQL form); the
+# selection is value-checked against a pure-numpy reference and the
+# diversity property is asserted in tests/test_similarity.py, and its
+# relevance inputs come from the oracle-anchored brute-force ranker.
+@query("knn_mmr_rerank")
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval (``operators.similarity.mmr_rerank``):
+    brute-force top-25 shortlist per query, then Maximal Marginal
+    Relevance greedily picks 5 — near-duplicate candidates pay for
+    their redundancy (λ=0.7). The two-stage shape is the production
+    norm: corpus-scale scoring in the ranker (oracle-anchored), the
+    sequential greedy loop as an Arrow-batched grouped map over
+    25-row groups. Scores rounded to 6dp for cross-run stability."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    shortlist = brute_force_topk(emb, probes, k=25).select(
+        "query_id", "vec_id", "score"
+    )
+    out = mmr_rerank(shortlist, emb, k=TOP_K, lam=0.7)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "mmr_rank",
+        F.round("score", 6).alias("score"),
+    ).orderBy("query_id", "mmr_rank")

@@ -468,3 +468,119 @@ def test_matryoshka_truncation_on_prefix_structured_vectors(spark):
     assert {(r["query_id"], r["vec_id"], r["rank"]) for r in whole.collect()} == {
         (r["query_id"], r["vec_id"], r["rank"]) for r in full.collect()
     }
+
+
+def test_mmr_rerank_matches_numpy_reference(spark):
+    """MMR grouped-map selection == a straightforward numpy reference
+    on the same shortlist; λ=1 degenerates to plain top-k order."""
+    import numpy as np
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    short = brute_force_topk(emb, probes, k=10).select(
+        "query_id", "vec_id", "score"
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): r["vec_id"]
+        for r in mmr_rerank(short, emb, k=4, lam=0.6).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    rows = short.collect()
+    for q in {r["query_id"] for r in rows}:
+        cand = sorted(
+            [(r["score"], r["vec_id"]) for r in rows if r["query_id"] == q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        ids = [c[1] for c in cand]
+        rel = {c[1]: c[0] for c in cand}
+        unit = {
+            i: vecs[i] / (np.linalg.norm(vecs[i]) or 1.0) for i in ids
+        }
+        chosen: list = []
+        avail = set(ids)
+        while len(chosen) < 4 and avail:
+            best, best_v = None, -np.inf
+            for i in ids:
+                if i not in avail:
+                    continue
+                pen = max(
+                    (float(unit[i] @ unit[j]) for j in chosen),
+                    default=0.0,
+                )
+                v = 0.6 * rel[i] - 0.4 * pen
+                if v > best_v + 1e-12:
+                    best, best_v = i, v
+            chosen.append(best)
+            avail.discard(best)
+        for rank, i in enumerate(chosen, 1):
+            assert got[(q, rank)] == i, (q, rank)
+    # λ=1 ≡ plain top-k
+    top = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in brute_force_topk(emb, probes, k=4).collect()
+    }
+    lam1 = {
+        (r["query_id"], r["mmr_rank"]): r["vec_id"]
+        for r in mmr_rerank(short, emb, k=4, lam=1.0).collect()
+    }
+    assert lam1 == top
+
+
+def test_mmr_rerank_increases_diversity(spark):
+    """With λ<1 the selected set's mean pairwise cosine must not exceed
+    plain top-k's on a corpus with planted near-duplicates."""
+    import numpy as np
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(5):  # 5 near-copies of each of 4 prototypes
+            v = b + rng.randn(16) * 0.01
+            v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") == 0)
+    short = brute_force_topk(emb, probes, k=12).select(
+        "query_id", "vec_id", "score"
+    )
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+
+    def mean_pair_cos(ids):
+        u = [vecs[i] / np.linalg.norm(vecs[i]) for i in ids]
+        sims = [
+            float(u[a] @ u[b])
+            for a in range(len(u))
+            for b in range(a + 1, len(u))
+        ]
+        return sum(sims) / len(sims)
+
+    plain = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, probes, k=4).collect()
+    ]
+    mmr = [
+        r["vec_id"]
+        for r in mmr_rerank(short, emb, k=4, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert mean_pair_cos(mmr) < mean_pair_cos(plain) - 0.05
