@@ -75,6 +75,31 @@ Expected multi-scans (all reviewed):
   ×3 — bounded training collects + the (cell, codes) encoding scan +
   shortlist re-rank re-attach (the knn_pq_ann convention).
 
+- r05 review: part_copurchase_triangles was lineitem ×18 — every
+  triangle_enumerate consumer (deg, both degree-attach sides, e1/e2
+  wedge sides, closing re-emit) replayed the basket edge-build from
+  the fact scan; the operator now persists its symmetric and oriented
+  edge relations (two-int rows) → ×2 (the persisted-definition echo).
+  doc_bigram_logprob ×3 → ×1 the same way (bg persisted, the tf
+  convention). Remaining reviewed multi-scans: daily_active_users ×3
+  (day grid + DAU + WAU broadcast fan-out over one distinct grid —
+  grid is derived once, the echo is the persisted/reused definition),
+  corpus_drift_psi / corpus_stats_card ×4 (multi-statistic report
+  cards: each section is a tiny pruned agg over a different column
+  subset; persisting a corpus-wide intermediate would cost more),
+  part_cf_similarity / part_name_entities ×4 (blocked self-join pair
+  sides + attribute re-attach, the LSH-family convention),
+  two-sided stream splits ×2 (time_to_first_purchase,
+  purchase_touch_attribution, view_click_dwell_overlaps,
+  event_value_ks_drift, hourly_traffic_anomalies, purchase_tier_at_
+  time, view_click_full_outer_30m — view/click/purchase roles of one
+  events scan), embedding_covariance ×3 (cross moments + dim sums +
+  count over a skinny fan_out scan; D²-bounded outputs),
+  knn_mmr_rerank ×3 (knn family: corpus scan + query re-attach +
+  candidate-vector re-attach), doc_novelty_scores / doc_token_ids /
+  eval_substring_contamination / source_dedup_report ×2 (gram/token
+  relation feeding an agg + a join-back, the repeated-spans shape).
+
 Usage: python audit_scans.py [sf_dir]
 """
 

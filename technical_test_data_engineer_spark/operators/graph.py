@@ -230,9 +230,19 @@ def triangle_enumerate(
     each triangle is produced exactly once (its lowest-order vertex
     owns it).
     """
+    from pyspark import StorageLevel
+
     a, b = F.col(src), F.col(dst)
-    sym = edges.select(a.alias("u"), b.alias("v")).unionAll(
-        edges.select(b.alias("u"), a.alias("v"))
+    # persist the symmetric edge list: deg and the two degree-attach
+    # joins all consume it, and each re-derivation otherwise replays
+    # the caller's full edge-build lineage (the co-purchase query's
+    # basket pipeline re-scanned the fact table 18× before this).
+    # Rows are two ints — negligible storage, caller-owns-cleanup
+    # convention (clearCache per query in bench/verify).
+    sym = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .unionAll(edges.select(b.alias("u"), a.alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
     with_deg = (
@@ -245,9 +255,12 @@ def triangle_enumerate(
     )
     # total order (deg, id): keep only edges pointing "up" the order —
     # each undirected edge survives exactly once, oriented.
-    oriented = with_deg.filter(
-        F.struct("deg_u", "u") < F.struct("deg_v", "v")
-    ).select("u", "v")
+    # persisted: e1, e2 and the closing-edge re-emit all read it
+    oriented = (
+        with_deg.filter(F.struct("deg_u", "u") < F.struct("deg_v", "v"))
+        .select("u", "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     e1 = oriented.select(F.col("u").alias("w_src"), F.col("v").alias("w_a"))
     e2 = oriented.select(F.col("u").alias("w_src"), F.col("v").alias("w_b"))
     wedges = e1.join(e2, "w_src").filter(F.col("w_a") < F.col("w_b"))

@@ -1433,6 +1433,10 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
+    # persist the bigram relation: the two count models and the scoring
+    # join-back all consume it (3 corpus scans + re-tokenize otherwise;
+    # the tfidf tf-persist convention — caller owns cleanup)
+    bg = bg.persist()
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     neg_ln = F.round(
