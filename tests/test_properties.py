@@ -475,3 +475,54 @@ def test_merge_partial_aggs_split_invariant(spark, vals, split, n_keys):
     got = {r["k"]: (r["n"], float(r["s"] or 0)) for r in merged.collect()}
     want = {r["k"]: (r["n"], float(r["s"])) for r in partial(df).collect()}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(**SETTINGS)
+def test_connected_components_paths_agree(spark, edges):
+    """The distributed large-star/small-star path and the driver
+    union-find fast path must label ANY random graph identically
+    (self-loops and duplicate edges included) — and both must satisfy
+    the contract: component = min reachable id."""
+    from technical_test_data_engineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(25)], "id long")
+    e = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    fast = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, e).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes, e, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == star
+    # contract check against a plain reference union-find
+    parent = list(range(25))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(25)}
+    assert fast == want
