@@ -296,3 +296,53 @@ def media_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def chunk_media(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    chunk_size: int = 256,
+    header_bytes: int = 12,
+) -> DataFrame:
+    """Fixed-window byte chunking of a binary media column — the
+    preprocessing shape every audio/ASR and video pipeline needs
+    (windowed segments + per-chunk integrity checksum) expressed for
+    Spark: an Arrow-batched ``mapInPandas`` slices each blob's payload
+    (header stripped) into ``chunk_size`` windows and emits
+    (id, ``chunk_idx``, ``chunk_len``, ``chunk_md5``) — explode-shaped
+    output, rows-per-input bounded by payload/chunk_size, blobs never
+    shuffled (chunking happens in the scan task; only the ~50-byte
+    checksum rows move). The md5 is over raw payload bytes, so an
+    oracle that knows the payload construction can recompute every
+    checksum (plans/multimodal_queries.media_chunk_checksums does, via
+    substring arithmetic on the source text)."""
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, chunk_idx int, chunk_len int, chunk_md5 string"
+    )
+
+    def _chunks(batches):
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(blob)[header_bytes:]
+                for c in range(0, max(len(payload), 1), chunk_size):
+                    piece = payload[c : c + chunk_size]
+                    ids.append(i)
+                    idxs.append(c // chunk_size)
+                    lens.append(len(piece))
+                    sums.append(hashlib.md5(piece).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "chunk_idx": idxs,
+                    "chunk_len": lens,
+                    "chunk_md5": sums,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(_chunks, out_schema)

@@ -130,10 +130,12 @@ _FRONT_50 = [
     # exact running-distinct (acquisition curve) and the MapType proof
     "monthly_new_customers_cumulative",
     "user_event_type_map",
+    # byte-window media chunking with hash-gated checksums (the
+    # ASR/video segment-prep shape; replaces a backfill slot)
+    "media_chunk_checksums",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
     "doc_repeated_spans",
-    "neardup_keeper_docs",
     "part_copurchase_pagerank",
     "hybrid_rrf_retrieval",
     "knn_ivfpq_exact",

@@ -122,3 +122,50 @@ def media_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_near_dups(media, max_hamming=7, n_bands=8).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "media_chunk_checksums",
+    """
+    WITH docs2 AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS plen
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, text, plen, g.i AS chunk_idx
+        FROM docs2, LATERAL (
+            SELECT UNNEST(GENERATE_SERIES(
+                0, CAST(GREATEST(CEIL(plen / 256.0) - 1, 0) AS BIGINT)
+            )) AS i
+        ) g
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(LEAST(256, plen - chunk_idx * 256) AS INTEGER) AS chunk_len,
+           MD5(SUBSTR(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256))
+               AS chunk_md5
+    FROM spans
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def media_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window byte chunking with integrity checksums
+    (``operators.multimodal.chunk_media``): blobs slice into 256-byte
+    windows inside their scan task (mapInPandas — only checksum rows
+    ever move), the ASR/video segment-prep shape. The fake-media
+    convention makes it fully value-checkable: payload = UTF-8 text,
+    so the oracle recomputes every chunk's md5 from text substrings —
+    the Python byte slicing, header stripping, window arithmetic AND
+    hashing are all hash-gated, not just row counts. ASCII fixture
+    text keeps byte and character offsets identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = fan_out(
+        docs.select("doc_id", fake_media_binary("text").alias("media"))
+    )
+    from technical_test_data_engineer_spark.operators.multimodal import (
+        chunk_media,
+    )
+
+    return chunk_media(media, chunk_size=256).orderBy(
+        "doc_id", "chunk_idx"
+    )

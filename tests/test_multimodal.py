@@ -157,3 +157,32 @@ def test_media_near_dups_planted_pair_and_hamming(spark):
     assert pairs.get((1, 2)) == 0
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 7
     assert (1, 4) not in pairs  # reversed payload is far (hamming 32)
+
+
+def test_chunk_media_boundaries_and_checksums(spark):
+    """Chunk windows tile the payload exactly (header stripped), the
+    final partial chunk keeps its true length, and each md5 matches a
+    direct hash of the expected byte slice."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from technical_test_data_engineer_spark.operators.multimodal import (
+        chunk_media,
+        fake_media_binary,
+    )
+
+    text = "x" * 300  # payload 300 bytes -> chunks of 256 + 44
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    media = df.select("doc_id", fake_media_binary("text").alias("media"))
+    rows = sorted(
+        chunk_media(media, chunk_size=256).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["chunk_idx"], r["chunk_len"]) for r in rows] == [
+        (0, 256),
+        (1, 44),
+    ]
+    payload = text.encode()
+    assert rows[0]["chunk_md5"] == hashlib.md5(payload[:256]).hexdigest()
+    assert rows[1]["chunk_md5"] == hashlib.md5(payload[256:]).hexdigest()
