@@ -133,11 +133,13 @@ _FRONT_50 = [
     # byte-window media chunking with hash-gated checksums (the
     # ASR/video segment-prep shape; replaces a backfill slot)
     "media_chunk_checksums",
+    # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
+    # Python shape)
+    "segment_price_geomean",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
     "doc_repeated_spans",
     "part_copurchase_pagerank",
-    "hybrid_rrf_retrieval",
     "knn_ivfpq_exact",
     "dsir_en_selection",
     "user_value_ewma",

@@ -7,6 +7,8 @@ concrete and oracle-checked).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1753,4 +1755,60 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value", "total"),
         )
         .orderBy("measure")
+    )
+
+
+@query(
+    "segment_price_geomean",
+    """
+    SELECT c_mktsegment,
+           ROUND(EXP(AVG(LN(o_totalprice))), 6) AS geomean_price,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_price_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface proof — the one vectorized-Python shape the
+    engine had not yet exercised: a GROUPED_AGG ``pandas_udf``
+    (Arrow-batched partial aggregation, the Spark-Python UDAF form)
+    computing the per-segment geometric mean of order prices. The UDAF
+    receives each group's values as a pandas Series and reduces to one
+    scalar JVM-side per group; at scale the shuffle carries raw rows to
+    their group (grouped-agg UDAFs have no partial-combine form — the
+    documented trade vs built-in aggregates, which is why the engine
+    reserves them for semantics built-ins lack). Numerically the UDAF
+    computes exp(mean(ln x)) exactly as the oracle does; 6dp rounding
+    absorbs the one libm-vs-numpy mean difference."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(prices: pd.Series) -> float:
+        return float(np.exp(np.log(prices.to_numpy(dtype=np.float64)).mean()))
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a
+    # second vectorized UDAF instead
+    @pandas_udf("long")
+    def n_rows(prices: pd.Series) -> int:
+        return int(len(prices))
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(geomean("o_totalprice"), 6).alias("geomean_price"),
+            n_rows("o_totalprice").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
     )
