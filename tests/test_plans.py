@@ -247,6 +247,9 @@ _NONEQUI_ALLOWLIST = {
     "neardup_keeper_docs",        # bounded keeper ground truth
     "dedup_clusters_exact",       # bounded pair join for CC proof
     "knn_bruteforce",             # corpus x broadcast-queries scan
+    "knn_mmr_rerank",             # shortlist from the same broadcast-
+                                  # queries brute-force scan (MMR stage
+                                  # itself joins hash-equi on vec_id)
     "knn_ivf_exact_probeall",
     "knn_pq_exact_rerankall",
     "knn_ivfpq_exact",
