@@ -377,6 +377,7 @@ def bfs_hops(
     node_col: str = "node",
     max_hops: int = 3,
     checkpoint_every: int = 2,
+    driver_max_edges: int = DRIVER_UNION_FIND_MAX_EDGES,
 ) -> DataFrame:
     """Minimum hop distance from a seed set over a directed edge list —
     frontier-at-a-time parallel BFS (the Pregel traversal primitive:
@@ -409,6 +410,39 @@ def bfs_hops(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if e.count() <= driver_max_edges:
+        # small-edge fast path — the connected_components discipline
+        # applied to traversal: each BFS round costs several Spark jobs
+        # of scheduler latency regardless of frontier size, so a
+        # bounded edge set (one collect) traverses on the driver and
+        # the hop table broadcast-joins back implicitly via
+        # createDataFrame (it IS the result). Same output contract.
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r["u"], []).append(r["v"])
+        hops = {
+            r[node_col]: 0 for r in sources.select(node_col).collect()
+        }
+        frontier_ids = list(hops)
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier_ids:
+                for v in adj.get(u, ()):
+                    if v not in hops:
+                        hops[v] = h
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier_ids = nxt
+        spark = edges.sparkSession
+        if hops:
+            out = spark.createDataFrame(
+                list(hops.items()),
+                schema=f"{node_col} long, hops int",
+            )
+        else:
+            out = spark.createDataFrame([], f"{node_col} long, hops int")
+        return out
     visited = (
         sources.select(F.col(node_col).alias("u"))
         .distinct()

@@ -145,7 +145,7 @@ def test_pagerank_dangling_mass_redistributed(spark):
     assert got[3] > got[2] > got[1]  # rank accumulates down the chain
 
 
-def test_bfs_hops_chain_and_cycle(spark):
+def test_bfs_hops_chain_and_cycle(spark, driver_max):
     from technical_test_data_engineer_spark.operators.graph import bfs_hops
 
     # cycle 1-2-3-4-1 plus tail 4-5; seed 1. Cycle must not loop.
@@ -153,18 +153,28 @@ def test_bfs_hops_chain_and_cycle(spark):
     sym = pairs + [(b, a) for a, b in pairs]
     edges = spark.createDataFrame(sym, "src long, dst long")
     seeds = spark.createDataFrame([(1,)], "node long")
-    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=5).collect()}
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            edges, seeds, max_hops=5, driver_max_edges=driver_max
+        ).collect()
+    }
     assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
 
 
-def test_bfs_hops_cap_and_unreachable(spark):
+def test_bfs_hops_cap_and_unreachable(spark, driver_max):
     from technical_test_data_engineer_spark.operators.graph import bfs_hops
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
     )
     seeds = spark.createDataFrame([(1,)], "node long")
-    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            edges, seeds, max_hops=2, driver_max_edges=driver_max
+        ).collect()
+    }
     assert got == {1: 0, 2: 1, 3: 2}  # 4 beyond cap, 10/11 unreachable
 
 
