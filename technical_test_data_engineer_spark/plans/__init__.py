@@ -136,9 +136,10 @@ _FRONT_50 = [
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
     # Python shape)
     "segment_price_geomean",
+    # ISO calendar feature battery (date-dimension engineering)
+    "order_calendar_features",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
-    "doc_repeated_spans",
     "part_copurchase_pagerank",
     "knn_ivfpq_exact",
     "dsir_en_selection",

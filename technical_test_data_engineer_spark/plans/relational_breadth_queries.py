@@ -1812,3 +1812,64 @@ def segment_price_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "order_calendar_features",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS year,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS quarter,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS month,
+           CAST(WEEKOFYEAR(CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS iso_week,
+           CAST(ISODOW(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(ISODOW(o_orderdate) >= 6 AS BOOLEAN) AS is_weekend,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) =
+                LAST_DAY(CAST(o_orderdate AS DATE)) AS BOOLEAN)
+               AS is_month_end,
+           CAST(DATE_TRUNC('week', CAST(o_orderdate AS DATE)) AS DATE)
+               AS week_start,
+           CAST(DATEDIFF('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS INTEGER)
+               AS days_since_epoch0
+    FROM orders
+    WHERE o_orderkey % 199 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar feature engineering — the date-dimension battery a
+    training pipeline derives before temporal models (seasonality
+    one-hots, weekend flags, ISO week joins): year/quarter/month,
+    ISO week + ISO day-of-week (both engines use ISO-8601 here —
+    Spark's ``weekofyear`` and ``weekday``+1 match DuckDB's
+    ``weekofyear``/``isodow``, unlike the Sunday-based ``dayofweek``),
+    month-end flags, Monday week-start, and an epoch-anchored day
+    index. Pure scan-side expressions — at 100 TB this is a free ride
+    on whatever scan already runs; the bounded key filter keeps the
+    proof output small while every function still evaluates per-row
+    pre-filter-pushdown."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 199 == 0
+    )
+    d = F.to_date("o_orderdate")
+    iso_dow = (F.weekday(d) + 1).cast("int")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).cast("int").alias("year"),
+        F.quarter(d).cast("int").alias("quarter"),
+        F.month(d).cast("int").alias("month"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        iso_dow.alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.last_day(d).alias("month_end"),
+        (d == F.last_day(d)).alias("is_month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch0"),
+    ).orderBy("o_orderkey")
