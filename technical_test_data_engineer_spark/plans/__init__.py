@@ -138,10 +138,12 @@ _FRONT_50 = [
     "segment_price_geomean",
     # ISO calendar feature battery (date-dimension engineering)
     "order_calendar_features",
+    # association rules (support/confidence/lift) + per-group
+    # winsorization (the feature-prep clamp)
+    "basket_rules_lift",
+    "acctbal_winsorized_stats",
     # -- backfill (r04-green, re-checked while round-5 queries land;
     #    new round-5 oracle-paired queries take these slots first) --
-    "part_copurchase_pagerank",
-    "knn_ivfpq_exact",
     "dsir_en_selection",
     "user_value_ewma",
     "view_click_within_30m",

@@ -1873,3 +1873,162 @@ def order_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_since_epoch0"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "basket_rules_lift",
+    """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (
+        SELECT l_partkey, COUNT(*) AS supp_item FROM op GROUP BY l_partkey
+    ),
+    pair AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS supp_pair
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, supp_pair FROM pair
+        UNION ALL
+        SELECT pb, pa, supp_pair FROM pair
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.supp_pair AS BIGINT) AS supp_pair,
+           CAST(r.supp_pair AS DOUBLE) / ia.supp_item AS confidence,
+           CAST(r.supp_pair AS DOUBLE) * n.n_orders
+               / (ia.supp_item * ic.supp_item) AS lift
+    FROM rules r
+    JOIN item ia ON ia.l_partkey = r.antecedent
+    JOIN item ic ON ic.l_partkey = r.consequent
+    CROSS JOIN n
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 50
+    """,
+)
+def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over market baskets — support / confidence /
+    lift for frequent co-purchase pairs (the Apriori output a
+    recommender or merchandiser reads): both rule directions of every
+    pair with support ≥ 3, top 50 by lift. Plan shape at scale: the
+    pair relation comes from the SAME scan-side basket-HOF build as
+    the co-purchase graph (never a fact×fact self-join — the oracle's
+    self-join is ground truth only), item supports are one keyed
+    partial+final agg, and the rule join touches only pair-bounded
+    rows with item supports broadcast. Doubles enter only in the final
+    confidence/lift divisions with identical expression trees on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("supp_item"))
+    pairs = _copurchase_edges(
+        spark, sf_dir, min_support=3, keep_support=True
+    ).select(
+        F.col("src").alias("pa"),
+        F.col("dst").alias("pb"),
+        F.col("n_orders").alias("supp_pair"),
+    )
+    rules = pairs.selectExpr(
+        "pa AS antecedent", "pb AS consequent", "supp_pair"
+    ).unionByName(
+        pairs.selectExpr(
+            "pb AS antecedent", "pa AS consequent", "supp_pair"
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("supp_item").alias("_sa"),
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("supp_item").alias("_sc"),
+    )
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("supp_pair").cast("bigint").alias("supp_pair"),
+            (F.col("supp_pair").cast("double") / F.col("_sa")).alias(
+                "confidence"
+            ),
+            (
+                F.col("supp_pair").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("_sa") * F.col("_sc"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(50)
+    )
+
+
+@query(
+    "acctbal_winsorized_stats",
+    """
+    WITH fences AS (
+        SELECT c_mktsegment,
+               PERCENTILE_CONT(0.05) WITHIN GROUP (ORDER BY c_acctbal)
+                   AS lo,
+               PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY c_acctbal)
+                   AS hi
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS mean_raw,
+           CAST(SUM(CAST(
+               LEAST(GREATEST(c.c_acctbal, f.lo), f.hi)
+               AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mean_winsor,
+           CAST(SUM(CASE WHEN c.c_acctbal < f.lo OR c.c_acctbal > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM customer c JOIN fences f USING (c_mktsegment)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def acctbal_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the feature-prep clamp applied before
+    scale-sensitive models (clip each segment's balances to its own
+    [p05, p95] fence, report raw vs winsorized means + clip counts).
+    Two passes at scale: a tiny keyed exact-percentile agg (Spark
+    ``percentile`` ≡ PERCENTILE_CONT — the per-group-quantile-gate
+    convention) broadcast back, then one scan-side clamp feeding
+    exact-decimal means. Complements the MAD outlier gate
+    (event_value_outliers): that one FLAGS, this one CAPS."""
+    customer = load_table(spark, sf_dir, "customer")
+    fences = customer.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("lo"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("hi"),
+    )
+    dec = "decimal(30,10)"
+    clamped = F.least(
+        F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")
+    )
+    clipped = (
+        (F.col("c_acctbal") < F.col("lo"))
+        | (F.col("c_acctbal") > F.col("hi"))
+    ).cast("int")
+    return (
+        customer.join(F.broadcast(fences), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("c_acctbal").cast(dec)).cast("double")
+                / F.count("*")
+            ).alias("mean_raw"),
+            (
+                F.sum(clamped.cast(dec)).cast("double") / F.count("*")
+            ).alias("mean_winsor"),
+            F.sum(clipped).cast("bigint").alias("n_clipped"),
+        )
+        .orderBy("c_mktsegment")
+    )
