@@ -526,3 +526,53 @@ def test_connected_components_paths_agree(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {i: find(i) for i in range(25)}
     assert fast == want
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 3),      # key
+            st.integers(0, 50),     # ts offset
+            st.sampled_from(["a", "b", "c", None]),  # attribute state
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_scd2_interval_invariants(spark, log):
+    """For ANY changelog (duplicate timestamps, NULL states, repeats):
+    each key's SCD2 intervals are contiguous (valid_to == next
+    valid_from), exactly one row per key is current (NULL valid_to),
+    versions are dense from 1, and consecutive versions always differ
+    in the attribute (null-safely)."""
+    from technical_test_data_engineer_spark.sources.maintenance import (
+        scd2_from_changelog,
+    )
+
+    rows = [
+        (k, i, float(ts), v)  # i = unique tiebreak id
+        for i, (k, ts, v) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, seq long, ts double, state string"
+    )
+    out = scd2_from_changelog(
+        df, key_cols=["k"], ts_col="ts", attr_cols=["state"],
+        tiebreak="seq",
+    ).collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        currents = [r for r in versions if r["valid_to"] is None]
+        assert len(currents) == 1 and currents[0] is versions[-1]
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, a, b)
+            assert a["state"] != b["state"] or (
+                (a["state"] is None) != (b["state"] is None)
+            ), (k, a, b)
