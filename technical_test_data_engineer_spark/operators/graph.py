@@ -473,6 +473,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_max_edges: int = DRIVER_UNION_FIND_MAX_EDGES,
 ) -> DataFrame:
     """The k-core: the maximal subgraph where every node has degree ≥ k
     (undirected; one input row per edge, symmetrized internally) — the
@@ -504,6 +505,32 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_prev = e.count()
+    if n_prev <= driver_max_edges:
+        # small-edge fast path — the CC/BFS discipline applied to
+        # peeling: each round is several Spark jobs of scheduler
+        # latency; a bounded symmetric edge set peels on the driver.
+        # Same output contract (surviving nodes + in-core degree).
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r["u"], set()).add(r["v"])
+        changed = True
+        while changed:
+            changed = False
+            for u in [u for u, nb in adj.items() if len(nb) < k]:
+                for v in adj.pop(u):
+                    nb = adj.get(v)
+                    if nb is not None:
+                        nb.discard(u)
+                changed = True
+        spark = edges.sparkSession
+        if adj:
+            out = spark.createDataFrame(
+                [(u, len(nb)) for u, nb in adj.items()],
+                schema="node long, degree long",
+            )
+        else:
+            out = spark.createDataFrame([], "node long, degree long")
+        return out
     for _ in range(max_iter):
         deg = e.groupBy("u").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("u")

@@ -178,27 +178,33 @@ def test_bfs_hops_cap_and_unreachable(spark, driver_max):
     assert got == {1: 0, 2: 1, 3: 2}  # 4 beyond cap, 10/11 unreachable
 
 
-def test_k_core_peels_shells(spark):
+def test_k_core_peels_shells(spark, driver_max):
     from technical_test_data_engineer_spark.operators.graph import k_core
 
     # triangle 1-2-3 (2-core) with pendant chain 3-4-5: the chain must
     # peel away in cascading rounds, the triangle survives with deg 2
     pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
     edges = spark.createDataFrame(pairs, "src long, dst long")
-    got = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(edges, 2, driver_max_edges=driver_max).collect()
+    }
     assert got == {1: 2, 2: 2, 3: 2}
 
 
-def test_k_core_k3_dissolves_triangle(spark):
+def test_k_core_k3_dissolves_triangle(spark, driver_max):
     from technical_test_data_engineer_spark.operators.graph import k_core
 
     pairs = [(1, 2), (2, 3), (1, 3)]
     edges = spark.createDataFrame(pairs, "src long, dst long")
-    assert k_core(edges, 3).count() == 0
+    assert k_core(edges, 3, driver_max_edges=driver_max).count() == 0
     # K4 is a 3-core
     k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
     edges4 = spark.createDataFrame(k4, "src long, dst long")
-    got = {r["node"]: r["degree"] for r in k_core(edges4, 3).collect()}
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(edges4, 3, driver_max_edges=driver_max).collect()
+    }
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
