@@ -39,13 +39,68 @@ def _norm_cell(v):
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "f:nan"
+            # On the driver's pandas path a NULL in a float column is
+            # indistinguishable from NaN on BOTH engines (toPandas and
+            # .df() each coerce to NaN), so NaN folds to the null token.
+            # Integer columns are unaffected: a NULL there floats the
+            # whole column to float64, which the type-strict i:/f: tags
+            # still catch on every non-null value.
+            return "␀"
         if v == 0:
             return "f:0"
         return f"f:{v:.9g}"
     if isinstance(v, int):
         return f"i:{v}"
     return str(v)
+
+
+def _rows_from_pandas(pdf, date_idx=frozenset()):
+    """Extract plain-Python row tuples from a pandas frame, preserving
+    exactly the type information the driver's canonicalizer hashes:
+    numpy scalars unbox via ``.item()`` (int64 stays int, float64 stays
+    float — the q12 class), ndarray cells (array columns) become lists,
+    NaT becomes None, and midnight Timestamps in ``date_idx`` columns
+    fold back to ``datetime.date`` (DuckDB ``.df()`` widens DATE to
+    datetime64; Spark's Arrow ``toPandas`` keeps dates as ``date``
+    objects, so only the oracle side passes a non-empty ``date_idx``).
+    """
+    import numpy as np  # noqa: PLC0415 — verify harness only
+    import pandas as pd  # noqa: PLC0415
+
+    rows = []
+    for raw in pdf.itertuples(index=False, name=None):
+        out = []
+        for i, v in enumerate(raw):
+            if v is None or v is pd.NaT:
+                v = None
+            elif isinstance(v, np.ndarray):
+                v = v.tolist()
+            elif i in date_idx and isinstance(v, pd.Timestamp):
+                v = v.date()
+            elif type(v).__module__ == "numpy" and hasattr(v, "item"):
+                v = v.item()
+            out.append(v)
+        rows.append(tuple(out))
+    return rows
+
+
+def _oracle_fetch(con, sql):
+    """Fetch an oracle result the way the DRIVER does: through
+    ``con.execute(sql).df()`` (pandas), NOT the raw DB-API cursor.
+
+    The raw cursor returns Python ints for DuckDB HUGEINT, hiding the
+    exact failure class that hit ``q12_ship_class_priority`` in round 5:
+    pandas coerces HUGEINT (any un-cast ``SUM(int)``) to float64 while
+    Spark returns bigint, so the driver's type-strict hash differs on
+    every row. Fetching via ``.df()`` makes that drift fail locally
+    first (r5 verdict item 2).
+    """
+    cur = con.execute(sql)
+    date_idx = frozenset(
+        i for i, d in enumerate(cur.description) if str(d[1]) == "Date"
+    )
+    pdf = cur.df()
+    return _rows_from_pandas(pdf, date_idx), list(pdf.columns)
 
 
 def fingerprint(rows, colnames):
@@ -102,8 +157,15 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # toPandas, NOT collect: the driver canonicalizes the SPARK
+            # side through pandas too — proven by order_gap_days /
+            # asof_click_attribution, driver-green in r02/r03 with
+            # NULL-bearing int columns (both sides coerce to float64
+            # and match; a collect() fetch keeps Spark ints and
+            # false-fails them locally).
+            s_pdf = sdf.toPandas()
+            s_cols = list(s_pdf.columns)
+            s_rows = _rows_from_pandas(s_pdf)
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             n_fail += 1
@@ -117,9 +179,7 @@ def main() -> int:
                 n_vacuous += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_rows, d_cols = _oracle_fetch(con, oracles[name])
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             n_fail += 1
