@@ -74,8 +74,6 @@ _FRONT_50 = [
     # -- never-driver-checked (29), grouped by family --
     # relational / analytic breadth
     "customer_rfm_segments",
-    "daily_active_users",
-    "daily_bounce_rate",
     "monthly_from_daily_rollup",
     "nation_trade_balance",
     "orderkey_skew_report",
@@ -96,19 +94,13 @@ _FRONT_50 = [
     "part_name_entities",
     # text / corpus curation
     "corpus_drift_psi",
-    "corpus_stats_card",
     "doc_novelty_scores",
     "doc_pii_redacted",
     "doc_token_ids",
-    "doc_weighted_sample",
     "eval_substring_contamination",
     "source_dedup_report",
-    # similarity
-    "knn_matryoshka_trunc",
-    # -- de-vacuation + streaming freshness --
+    # -- de-vacuation (r05 non-vacuous green; keep one more round) --
     "embedding_near_dup_exact",
-    "events_sliding_1h_15m",
-    "events_user_sessions",
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
@@ -142,20 +134,59 @@ _FRONT_50 = [
     # winsorization (the feature-prep clamp)
     "basket_rules_lift",
     "acctbal_winsorized_stats",
-    # -- backfill (r04-green, re-checked while round-5 queries land;
-    #    new round-5 oracle-paired queries take these slots first) --
-    "dsir_en_selection",
-    "user_value_ewma",
-    "view_click_within_30m",
-    "split_contamination_audit_md5",
-    "minhash_incremental_md5",
-    "curation_pipeline",
+    # -- Round-6 rotation (r5 verdict item 5): the 8 rows-only queries
+    #    that have NEVER been in a driver window rotate in. They earn
+    #    only row-count credit, but that proves each executes under the
+    #    driver's vanilla ANSI session (each already has a driver-green
+    #    oracle-paired exact companion for its VALUES: knn_pq_ann →
+    #    knn_pq_exact_rerankall, knn_ivfpq_ann → knn_ivfpq_exact,
+    #    knn_lsh_multiprobe → knn_lsh_exact, knn_mmr_rerank → numpy
+    #    parity tests + knn_bruteforce, embedding_pca_project →
+    #    embedding_covariance, media_phash_near_dups → planted-recall
+    #    test, minhash_incremental_dedup → minhash_incremental_md5,
+    #    part_copurchase_kcore → parametrized dual-path tests).
+    #    Displaced (all r04/r05 driver-green, in-window twins persist):
+    #    dsir_en_selection, user_value_ewma, view_click_within_30m
+    #    (→ view_click_full_outer_30m), split_contamination_audit_md5
+    #    (→ eval_substring_contamination), minhash_incremental_md5
+    #    (→ minhash_incremental_dedup, same pipeline),
+    #    curation_pipeline, events_sliding_1h_15m / events_user_sessions
+    #    (streaming family keeps view_click_full_outer_30m in-window),
+    #    daily_active_users / daily_bounce_rate (A-family kept by
+    #    monthly_from_daily_rollup + event_value_ab_test),
+    #    knn_matryoshka_trunc, corpus_stats_card, doc_weighted_sample.
+    "knn_pq_ann",
+    "knn_ivfpq_ann",
+    "knn_lsh_multiprobe",
+    "knn_mmr_rerank",
+    "embedding_pca_project",
+    "media_phash_near_dups",
+    "minhash_incremental_dedup",
+    "part_copurchase_kcore",
 ]
+
+# Rows-only queries deliberately pinned into the driver window (weaker
+# rows-only driver check; each has an oracle-paired exact companion —
+# see the rotation note above). Every other _FRONT_50 entry must be
+# oracle-paired.
+_FRONT_ROWS_ONLY = {
+    "knn_pq_ann",
+    "knn_ivfpq_ann",
+    "knn_lsh_multiprobe",
+    "knn_mmr_rerank",
+    "embedding_pca_project",
+    "media_phash_near_dups",
+    "minhash_incremental_dedup",
+    "part_copurchase_kcore",
+}
 
 
 def _reorder() -> None:
     missing = [n for n in _FRONT_50 if n not in QUERIES]
-    unpaired = [n for n in _FRONT_50 if n not in ORACLE]
+    unpaired = [
+        n for n in _FRONT_50
+        if n not in ORACLE and n not in _FRONT_ROWS_ONLY
+    ]
     if missing or unpaired:
         raise RuntimeError(
             f"registry front-window broken: missing={missing} unpaired={unpaired}"
