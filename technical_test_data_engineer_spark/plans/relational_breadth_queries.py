@@ -767,7 +767,45 @@ def _copurchase_edges(
     slices (see ``part_copurchase_triangles``). Shared by the triangle,
     PageRank, BFS, k-core and edge-churn queries; ``where`` filters the
     lineitem scan (pushed down), ``keep_support`` retains the
-    ``n_orders`` support column."""
+    ``n_orders`` support column.
+
+    Session-scoped materialization (r5 verdict item 6): the unfiltered
+    variant is built ONCE per SparkSession as a temp-parquet relation
+    (``operators.materialize``) at the base support of 2 WITH the
+    support column; every consumer — including higher ``min_support``
+    callers, which filter ``n_orders`` on the materialized frame —
+    starts from a columnar scan instead of replaying the lineitem
+    basket pipeline (~2-4 s × 7 consumers per full sweep). ``where``-
+    filtered variants (edge churn's two date slices) bypass the cache:
+    each filter is used by exactly one query, so materializing them
+    would pay the write for zero reuse."""
+    if where is None and min_support >= 2:
+        from technical_test_data_engineer_spark.operators.materialize import (
+            materialized_relation,
+        )
+
+        base = materialized_relation(
+            spark,
+            f"copurchase_edges_s2_{sf_dir}",
+            lambda: _copurchase_edges_build(spark, sf_dir, 2, None),
+        )
+        if min_support > 2:
+            base = base.filter(F.col("n_orders") >= min_support)
+        return base.select(
+            "src", "dst", *(["n_orders"] if keep_support else [])
+        )
+    return _copurchase_edges_build(spark, sf_dir, min_support, where).select(
+        "src", "dst", *(["n_orders"] if keep_support else [])
+    )
+
+
+def _copurchase_edges_build(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int,
+    where,
+) -> DataFrame:
+    """The raw basket-HOF edge pipeline (always keeps ``n_orders``)."""
     li = load_table(spark, sf_dir, "lineitem")
     if where is not None:
         li = li.filter(where)
@@ -790,7 +828,6 @@ def _copurchase_edges(
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= min_support)
-        .select("src", "dst", *(["n_orders"] if keep_support else []))
     )
 
 
