@@ -247,3 +247,101 @@ def overlap_join(
         )
         .drop("_cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filter (the scan-side half of a semi join)
+# ---------------------------------------------------------------------------
+
+# Fixed odd seeds for the k xxhash64 probes (literals on both build and
+# probe side, so the filter is deterministic across runs/partitionings).
+_BLOOM_SEEDS = (0x9E3779B1, 0xC2B2AE35, 0x165667B1, 0x27D4EB2F)
+
+
+def _bloom_positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    # xxhash64 is TYPE-sensitive: a plain F.lit types small seeds int
+    # and large ones long, silently desyncing build vs probe — pin
+    # every seed to bigint.
+    return [
+        F.pmod(F.xxhash64(F.lit(seed).cast("bigint"), key), F.lit(n_bits))
+        for seed in _BLOOM_SEEDS[:n_hashes]
+    ]
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+    prefilter_only: bool = False,
+) -> DataFrame:
+    """Semi join with a bloom-filter runtime pre-filter on the big side.
+
+    Spark's own runtime row-level filtering exists but its
+    ``bloom_filter_agg`` is not in the public function registry, so
+    this builds the same structure from public expressions:
+
+    1. **Build** — each small-side key sets ``n_hashes`` bits in an
+       ``n_bits``-wide bitmap. Bit positions come from seeded
+       ``xxhash64``; the bitmap is packed 64 positions per long via a
+       ``bit_or`` aggregation keyed on the word index, then collapsed
+       to ONE row holding a ``map<long,long>`` of non-zero words. Build
+       cost is one keyed shuffle of 16-byte rows bounded by
+       ``n_bits/64`` words — independent of small-side row count.
+    2. **Probe** — the 1-row map broadcasts to every task (the same
+       broadcast-scalar attach convention as the dangling-mass
+       PageRank term); each big-side row recomputes its ``n_hashes``
+       positions and requires every probed word to have the bit set
+       (``try_element_at`` → missing word = definite miss). All JVM
+       expressions inside the scan stage: rows that miss die BEFORE
+       the join shuffle.
+    3. **Verify** — a normal left-semi hash join removes the
+       ~``(1 - e^(-kn/m))^k`` false positives, so the result is EXACTLY
+       the semi join (the bloom only thins the shuffle), and the
+       operator stays oracle-checkable against plain ``IN``.
+
+    At 100 TB this is the difference between shuffling the full fact
+    scan into the semi join and shuffling only ~the matching fraction:
+    the filter costs one broadcast of ≤ ``n_bits/8`` bytes. Size
+    ``n_bits`` ≈ 10× the expected distinct-key count for ~1% fpp
+    (bits/key=10, k=3); an undersized filter degrades to pass-through,
+    never to wrong answers. ``prefilter_only=True`` returns the thinned
+    (superset) frame for callers that chain their own join.
+    """
+    positions = _bloom_positions(F.col(small_key), n_bits, n_hashes)
+    words = small.select(
+        F.explode(F.array(*positions)).alias("_pos")
+    ).select(
+        F.shiftright(F.col("_pos"), 6).alias("_w"),
+        F.expr("shiftleft(1L, CAST(pmod(_pos, 64) AS INT))").alias("_m"),
+    )
+    bloom = (
+        words.groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_w", "_bits"))
+            ).alias("_bloom")
+        )
+    )
+    probes = _bloom_positions(F.col(big_key), n_bits, n_hashes)
+    hit = None
+    for p in probes:
+        word = F.coalesce(
+            F.try_element_at(F.col("_bloom"), F.shiftright(p, 6)), F.lit(0)
+        )
+        mask = F.expr(
+            f"shiftleft(1L, CAST(pmod({p._jc.toString()}, 64) AS INT))"
+        )
+        this = word.bitwiseAND(mask) != 0
+        hit = this if hit is None else (hit & this)
+    pruned = big.crossJoin(F.broadcast(bloom)).filter(hit).drop("_bloom")
+    if prefilter_only:
+        return pruned
+    return pruned.join(
+        F.broadcast(small.select(F.col(small_key).alias(big_key)).distinct()),
+        on=big_key,
+        how="left_semi",
+    )

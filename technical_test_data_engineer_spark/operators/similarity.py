@@ -1122,3 +1122,65 @@ def mmr_rerank(
         f"{score_col} double"
     )
     return cands.groupBy(query_id_col).applyInPandas(_mmr, out_schema)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the top-k most similar corpus vectors whose label
+    DIFFERS from the anchor's (the negatives closest to the decision
+    boundary — the pairs that actually move an InfoNCE loss).
+
+    Same distribution discipline as :func:`brute_force_topk`: anchors
+    broadcast whole with their labels, the corpus is never shuffled
+    (each scan task scores its partition, the label inequality prunes
+    scan-side before any scoring), and :func:`local_topk` bounds the
+    ranking window's shuffle to k × partitions rows per anchor. The
+    decimal-exact dot keeps the output oracle-checkable; scores round
+    to 12 digits before ranking on both engines (the r05 cosine
+    convention) so float formatting can't flip a rank tie. Output:
+    (anchor_id, vec_id, rank, score).
+
+    Production path at corpus scale: ANN-shortlist each anchor
+    (knn_lsh_ann / knn_ivf_ann), filter same-label from the shortlist,
+    exact re-rank the survivors — identical tail to this operator, the
+    shortlist just replaces the full scan.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias(anchor_id_col),
+            F.col(vec_col).alias("_avec"),
+            F.col(label_col).alias("_albl"),
+        )
+    )
+    paired = (
+        fan_out(corpus)
+        .crossJoin(a)
+        .filter(
+            (F.col(id_col) != F.col(anchor_id_col))
+            & (F.col(label_col) != F.col("_albl"))
+        )
+    )
+    scored = paired.select(
+        anchor_id_col,
+        id_col,
+        nan_safe_score(
+            F.round(exact_dot(F.col("_avec"), F.col(vec_col)), 12)
+        ).alias("score"),
+    )
+    pruned = local_topk(scored, k, anchor_id_col, id_col)
+    w = Window.partitionBy(anchor_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(anchor_id_col, id_col, "rank", "score")
+    )

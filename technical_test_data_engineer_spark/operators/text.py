@@ -727,3 +727,89 @@ def redact_patterns(
     for tag in sorted(patterns):
         out = F.regexp_replace(out, patterns[tag], f"<{tag}>")
     return out
+
+
+def template_key(col: str | Column = "text") -> Column:
+    """Structural (template-level) fingerprint: md5 of the text after
+    lowercasing, mapping every digit to ``0``, collapsing whitespace
+    runs, and trimming. Boilerplate that differs only in numbers, ids,
+    timestamps, or spacing (receipts, log lines, templated product
+    pages) collapses to one key — the cheap first pass a curation
+    pipeline runs before fuzzy dedup, as one scan-side expression
+    chain + one keyed groupBy (exact-dedup cost, near-dup recall on
+    slot-varying templates).
+
+    ASCII-equivalent regex classes (``[0-9]``, ``\\s``) keep the chain
+    reproducible in DuckDB (``regexp_replace(..., 'g')``), so the
+    md5 keys are oracle-checkable byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), "[0-9]", "0"), "\\s+", " "
+            )
+        )
+    )
+
+
+def template_dup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group documents by :func:`template_key`; emit one row per
+    template with >1 member: (template_md5, n_docs, keep_id) where
+    ``keep_id`` is the lowest member id (the deterministic keeper, the
+    exact-dedup convention). One keyed shuffle of (32-byte key, id)
+    rows — text never moves."""
+    keyed = df.select(
+        F.col(id_col), template_key(text_col).alias("template_md5")
+    )
+    return (
+        keyed.groupBy("template_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def epoch_shard_plan(
+    df: DataFrame,
+    n_epochs: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic multi-epoch shard plan for a training dataloader:
+    epoch e assigns each document to shard
+    ``md5_bucket(text || ':' || e, n_shards)`` — a fresh pseudo-random
+    but fully reproducible permutation per epoch (any worker can
+    recompute its shard membership from the data alone, no shuffle
+    files to ship). Emits one row per (epoch, shard) with the doc
+    count, total whitespace tokens, and a BIT_XOR of the 60-bit doc
+    hashes — an order-independent integrity checksum a resuming job
+    can verify against without re-listing members. Cost: the epoch
+    fan-out is scan-side (``explode`` of a literal range); one keyed
+    shuffle of ~24-byte rows to the (epoch, shard) histogram."""
+    e = F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch")
+    fanned = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("_ntok"),
+        md5_hash64(F.col(text_col)).alias("_h64"),
+        F.col(text_col).alias("_t"),
+    ).select("*", e)
+    assigned = fanned.select(
+        # bigint to match the oracle's UNNEST(RANGE(...)) epoch type
+        F.col("epoch").cast("bigint").alias("epoch"),
+        md5_bucket(
+            F.concat(F.col("_t"), F.lit(":"), F.col("epoch").cast("string")),
+            n_shards,
+        ).alias("shard"),
+        "_ntok",
+        "_h64",
+    )
+    return assigned.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("total_tokens"),
+        F.bit_xor("_h64").alias("checksum64"),
+    )

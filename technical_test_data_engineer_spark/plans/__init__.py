@@ -74,15 +74,10 @@ _FRONT_50 = [
     # -- never-driver-checked (29), grouped by family --
     # relational / analytic breadth
     "customer_rfm_segments",
-    "monthly_from_daily_rollup",
-    "nation_trade_balance",
     "orderkey_skew_report",
-    "orders_equidepth_hist",
     "ship_latency_percentiles",
-    "time_to_first_purchase",
     "purchase_touch_attribution",
     "lineitem_measure_correlations",
-    "view_click_dwell_overlaps",
     "event_value_ab_test",
     "event_value_ks_drift",
     "hourly_traffic_anomalies",
@@ -99,8 +94,18 @@ _FRONT_50 = [
     "doc_token_ids",
     "eval_substring_contamination",
     "source_dedup_report",
-    # -- de-vacuation (r05 non-vacuous green; keep one more round) --
-    "embedding_near_dup_exact",
+    # -- round-6 new queries (each displaces an r05-green slot whose
+    #    operator family keeps other in-window coverage; displaced this
+    #    block: embedding_near_dup_exact (de-vacuation goal met with
+    #    its r05 non-vacuous green row), monthly_from_daily_rollup,
+    #    nation_trade_balance, orders_equidepth_hist,
+    #    time_to_first_purchase, view_click_dwell_overlaps) --
+    "lineitem_bloom_prune_revenue",   # bloom runtime pre-filter
+    "hard_negative_mining",           # contrastive negative mining
+    "doc_template_keys",              # structural/template fingerprint
+    "doc_epoch_shards",               # deterministic dataloader shards
+    "event_transition_probs",         # Markov session model
+    "source_score_calibration",       # cross-source quantile calib
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery

@@ -2069,3 +2069,58 @@ def acctbal_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "lineitem_bloom_prune_revenue",
+    f"""
+    SELECT l_returnflag,
+           {_decsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def lineitem_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filter ahead of a fact semi join
+    (``operators.joins.bloom_semi_join``): revenue of lineitems
+    belonging to high-value urgent orders. The filter-key side (urgent
+    orders ≥ 150k) builds a 128 Ki-bit / 3-hash bloom bitmap (ONE
+    broadcast row, ≤ 16 KiB of non-zero words); the lineitem scan
+    probes it with pure JVM expressions so non-matching rows die
+    scan-side, BEFORE any join shuffle; the trailing exact semi join
+    removes the ~1% false positives. Result is therefore exactly the
+    plain ``IN`` subquery the oracle runs — the bloom changes shuffle
+    volume, never the answer. This is Spark's own runtime-filter
+    strategy made explicit (its ``bloom_filter_agg`` is not publicly
+    registered), sized per README §Production knobs: n_bits ≈ 10× the
+    expected key count."""
+    from technical_test_data_engineer_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") >= 150000)
+        )
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return (
+        picked.groupBy("l_returnflag")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

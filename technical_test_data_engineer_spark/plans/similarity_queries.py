@@ -766,3 +766,58 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_rank",
         F.round("score", 6).alias("score"),
     ).orderBy("query_id", "mmr_rank")
+
+
+N_ANCHORS = 10
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH corpus AS (SELECT * FROM embeddings WHERE vec_id < {EXACT_BOUND}),
+    a AS (
+        SELECT vec_id AS anchor_id, embedding AS avec, label AS albl
+        FROM corpus WHERE vec_id < {N_ANCHORS}
+    ),
+    scored AS (
+        SELECT a.anchor_id, e.vec_id,
+               ROUND(CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(a.avec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.embedding AS DOUBLE[])) AS y)
+               ) AS DOUBLE), 12) AS score
+        FROM corpus e CROSS JOIN a
+        WHERE e.vec_id <> a.anchor_id AND e.label <> a.albl
+    )
+    SELECT anchor_id, vec_id, rank, score
+    FROM (
+        SELECT anchor_id, vec_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id ORDER BY score DESC, vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY anchor_id, rank
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (``operators.similarity.hard_negatives``):
+    per anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the contrastive-training pairs closest to the decision
+    boundary. Anchors broadcast with labels; the label inequality
+    prunes scan-side before any scoring; ``local_topk`` bounds the
+    ranking shuffle to k × partitions rows per anchor. Corpus bounded
+    to EXACT_BOUND (inactive at sf0.01 — README §bounds); production
+    swaps the full scan for an ANN shortlist with the same re-rank
+    tail. Scores are decimal-exact dots rounded to 12 on both engines
+    (the RRF convention), so rank ties cannot diverge."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    anchors = emb.filter(F.col("vec_id") < N_ANCHORS)
+    return hard_negatives(emb, anchors, k=TOP_K).orderBy("anchor_id", "rank")

@@ -1454,3 +1454,140 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_template_keys",
+    """
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+               '[0-9]', '0', 'g'), '\\s+', ' ', 'g'))) AS template_md5,
+           CAST(COUNT(*) OVER (
+               PARTITION BY MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                   LOWER(text), '[0-9]', '0', 'g'), '\\s+', ' ', 'g')))
+           ) > 1 AS BOOLEAN) AS is_template_dup
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_template_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-level structural fingerprints
+    (``operators.text.template_key``): lowercase → digits→0 →
+    whitespace-collapse → md5, the cheap boilerplate-collapse pass a
+    curation pipeline runs before fuzzy dedup (receipts/log-lines/
+    templated pages differing only in numbers or spacing share a key).
+    The oracle value-checks every md5 byte-for-byte, proving the whole
+    normalization chain (regex + lower + trim semantics) agrees across
+    engines; the dup flag comes from a window count on the key (this
+    synthetic fixture has no digit-varying templates, so flags are
+    false here — ``template_dup_clusters``'s grouping is proven by the
+    planted-duplicate pytest in tests/test_text_extra.py). Scan-side
+    expressions + one window on the 32-byte key; text never shuffles
+    beyond the key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("template_md5")
+    return (
+        docs.select(
+            "doc_id", TX.template_key("text").alias("template_md5")
+        )
+        .withColumn("is_template_dup", F.count("*").over(w) > 1)
+        .orderBy("doc_id")
+    )
+
+
+_N_EPOCHS = 3
+_N_SHARDS = 8
+
+
+@query(
+    "doc_epoch_shards",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ntok,
+               CAST('0x' || SUBSTRING(MD5(text), 1, 15) AS BIGINT) AS h64
+        FROM documents
+    ),
+    f AS (
+        SELECT d.*, e.epoch
+        FROM d CROSS JOIN (SELECT UNNEST(RANGE(0, {_N_EPOCHS})) AS epoch) e
+    ),
+    a AS (
+        SELECT epoch,
+               CAST('0x' || SUBSTRING(MD5(text || ':' ||
+                   CAST(epoch AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {_N_SHARDS} AS shard,
+               ntok, h64
+        FROM f
+    )
+    SELECT epoch, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           BIT_XOR(h64) AS checksum64
+    FROM a
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """,
+)
+def doc_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch dataloader shard plan
+    (``operators.text.epoch_shard_plan``): epoch e sends each document
+    to shard md5(text:e) % S — a reproducible per-epoch permutation any
+    worker can recompute from the data alone. Output is the (epoch,
+    shard) histogram with token totals and an order-independent
+    BIT_XOR checksum of the 60-bit doc hashes, the integrity record a
+    resuming trainer verifies its shard against. Epoch fan-out is
+    scan-side (explode of a literal range); the only shuffle is
+    ~24-byte rows into the histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TX.epoch_shard_plan(docs, _N_EPOCHS, _N_SHARDS)
+        .orderBy("epoch", "shard")
+    )
+
+
+@query(
+    "source_score_calibration",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS DOUBLE)
+                   / LEN(string_split(text, ' ')) AS raw_score
+        FROM documents
+    )
+    SELECT doc_id, source, raw_score,
+           PERCENT_RANK() OVER (
+               PARTITION BY source ORDER BY raw_score
+           ) AS calibrated
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration: raw scores from
+    different sources are NOT comparable (each source has its own
+    length/style distribution), so mixing pipelines threshold on the
+    within-source quantile instead — percent_rank inside each source
+    maps every score onto [0,1] where 0.9 means "top decile OF ITS
+    SOURCE". Raw score here is lexical diversity (distinct/total
+    whitespace tokens — the doc_quality_scores battery's ratio). One
+    scan-side expression + one window keyed by source: the shuffle
+    carries (source, score, id) triples only. Ties share a rank on
+    both engines, and the ratio is an exact int/int division, so
+    calibrated values hash identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (
+            TX.unique_token_count("text").cast("double")
+            / TX.token_count("text")
+        ).alias("raw_score"),
+    )
+    w = Window.partitionBy("source").orderBy("raw_score")
+    return scored.select(
+        "doc_id",
+        "source",
+        "raw_score",
+        F.percent_rank().over(w).alias("calibrated"),
+    ).orderBy("doc_id")

@@ -1583,3 +1583,62 @@ def monthly_new_customers_cumulative(
         .cast("bigint")
         .alias("cumulative_customers"),
     ).orderBy("month")
+
+
+@query(
+    "event_transition_probs",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev
+        FROM events
+    ),
+    pc AS (
+        SELECT prev AS from_type, event_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(SUM(n_transitions) OVER (
+                     PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM pc
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the session-model input
+    for funnel simulation and anomaly scoring. One lag window per user
+    (ordered by event time with the event_id tiebreak — the µs-
+    truncated timestamp on BOTH engines, so nanosecond ties cannot
+    reorder the lag), then a vocabulary-sized count relation and a
+    row-normalizing window over ≤ |types|² rows. The only full-data
+    shuffle is the per-user window; everything after is
+    vocabulary-sized. Probabilities are exact bigint/bigint divisions
+    — identical doubles on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    pc = seq.groupBy(
+        F.col("prev").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count("*").alias("n_transitions"))
+    wt = Window.partitionBy("from_type")
+    return pc.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt).cast("double")
+        ).alias("prob"),
+    ).orderBy("from_type", "to_type")

@@ -3,6 +3,8 @@ extensions."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from technical_test_data_engineer_spark.operators import joins as J
 
 
@@ -216,3 +218,55 @@ def test_pareto_front_matches_bruteforce_random(spark):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filter (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_exact_for_all_hash_counts(spark):
+    """The trailing exact semi join makes the result identical to a
+    plain left-semi regardless of bloom sizing — an undersized filter
+    degrades to pass-through, never to wrong answers."""
+    from technical_test_data_engineer_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    small = spark.range(0, 300).select((F.col("id") * 7).alias("k"))
+    big = spark.range(0, 10000).select(F.col("id").alias("k"))
+    want = sorted(
+        r.k for r in big.join(small.distinct(), "k", "left_semi").collect()
+    )
+    for n_hashes in (2, 3, 4):
+        for n_bits in (1 << 8, 1 << 14):  # grossly undersized and sane
+            got = sorted(
+                r.k
+                for r in bloom_semi_join(
+                    big, small, "k", "k", n_bits=n_bits, n_hashes=n_hashes
+                ).collect()
+            )
+            assert got == want, (n_hashes, n_bits)
+
+
+def test_bloom_prefilter_prunes_and_is_superset(spark):
+    """prefilter_only returns a small superset of the true matches:
+    every true match passes (no false negatives — the correctness
+    half) and the false-positive rate is near the (1-e^(-kn/m))^k
+    design point (the pruning half: at 100 TB this is the shuffle
+    volume saved)."""
+    from technical_test_data_engineer_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    small = spark.range(0, 500).select((F.col("id") * 13).alias("k"))
+    big = spark.range(0, 50000).select(F.col("id").alias("k"))
+    pre = bloom_semi_join(
+        big, small, "k", "k", n_bits=1 << 14, prefilter_only=True
+    )
+    passed = {r.k for r in pre.collect()}
+    true = {r.k for r in big.join(small.distinct(), "k", "left_semi").collect()}
+    assert true <= passed  # zero false negatives, ever
+    # m=16384, n=500, k=3 -> fpp ~ (1-e^(-1500/16384))^3 ~ 6.6e-4;
+    # allow 5x slack over the expectation on ~49.5k non-matching keys
+    assert len(passed - true) < 5 * 0.00066 * 50000

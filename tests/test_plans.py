@@ -258,6 +258,10 @@ _NONEQUI_ALLOWLIST = {
     "knn_lsh_exact",
     "embedding_near_dups_lsh_exact",
     "semantic_dedup_keep",
+    "hard_negative_mining",       # corpus x broadcast-anchors scan
+    "lineitem_bloom_prune_revenue",  # 1-row bloom-bitmap broadcast
+                                  # attach (the semi join itself is
+                                  # hash-equi on l_orderkey)
     "part_name_fuzzy_pairs",      # blocked non-equi length band
     "daily_active_users",         # non-equi broadcast day grid
     "eval_substring_contamination",  # contains() vs broadcast snippets

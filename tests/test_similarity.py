@@ -584,3 +584,73 @@ def test_mmr_rerank_increases_diversity(spark):
         .collect()
     ]
     assert mean_pair_cos(mmr) < mean_pair_cos(plain) - 0.05
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    """Planted geometry: the anchor's nearest vector shares its label
+    (must be excluded); the returned negatives are exactly the
+    nearest different-label vectors in similarity order."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),   # anchor, label 0
+        (1, [0.99, 0.14, 0.0], 0),  # same label, closest — excluded
+        (2, [0.9, 0.43, 0.0], 1),   # hard negative (closest other-label)
+        (3, [0.5, 0.86, 0.0], 1),
+        (4, [0.0, 1.0, 0.0], 2),
+        (5, [-1.0, 0.0, 0.0], 1),   # easy negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = emb.filter(F.col("vec_id") == 0)
+    got = [
+        (r.vec_id, r.rank)
+        for r in hard_negatives(emb, anchors, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(2, 1), (3, 2), (4, 3)]
+    assert 1 not in {v for v, _ in got}
+
+
+def test_hard_negatives_matches_numpy_reference(spark):
+    """Random corpus: operator output equals the numpy argsort of
+    dot products restricted to other-label rows, per anchor."""
+    import numpy as np
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = random.Random(7)
+    n, d = 80, 8
+    vecs = [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)]
+    labels = [rng.randrange(3) for _ in range(n)]
+    emb = spark.createDataFrame(
+        [(i, vecs[i], labels[i]) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = emb.filter(F.col("vec_id") < 4)
+    got = {
+        (r.anchor_id, r.rank): r.vec_id
+        for r in hard_negatives(emb, anchors, k=5).collect()
+    }
+    V = np.array(vecs, dtype=np.float32).astype(np.float64)
+    for a in range(4):
+        scores = V @ V[a]
+        cand = [
+            (round(scores[j], 12), j)
+            for j in range(n)
+            if j != a and labels[j] != labels[a]
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, j) in enumerate(cand[:5], start=1):
+            assert got[(a, rank)] == j, (a, rank)
