@@ -558,17 +558,13 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id doubles as doc_id across the two synthetic tables (the
     retrieval join key). Fusion moves only k-bounded rank rows; the
     oracle recomputes both rankings and the same fusion arithmetic."""
-    from technical_test_data_engineer_spark.operators.partitioning import (
-        fan_out,
-    )
     from technical_test_data_engineer_spark.operators.similarity import rrf_fuse
-    from technical_test_data_engineer_spark.operators.text import (
-        tfidf_cosine_neighbors,
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        shared_tfidf_neighbors,
     )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sparse = (
-        tfidf_cosine_neighbors(docs, "doc_id", "text", k=3, max_df_frac=0.2)
+        shared_tfidf_neighbors(spark, sf_dir)
         .filter(F.col("doc_a") < RRF_QUERY_BOUND)
         .select(
             F.col("doc_a").alias("query_id"),

@@ -48,6 +48,27 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def shared_tfidf_neighbors(spark, sf_dir):
+    """The ONE TF-IDF top-3 neighbor relation (k=3, max_df_frac=0.2)
+    behind doc_tfidf_neighbors and hybrid_rrf_retrieval's sparse side,
+    session-scoped-materialized (operators/materialize): the
+    inverted-index pipeline builds once per SparkSession and both
+    consumers scan the temp parquet. Values are one realization of the
+    same plan written/read bit-exactly, so oracle hashes are untouched;
+    SPARK_GRAFT_NO_MATERIALIZE=1 rebuilds raw."""
+    from technical_test_data_engineer_spark.operators.materialize import (
+        materialized_relation,
+    )
+
+    return materialized_relation(
+        spark,
+        f"tfidf_nb_k3_df02_{sf_dir}",
+        lambda: TX.tfidf_cosine_neighbors(
+            _docs(spark, sf_dir), "doc_id", "text", k=3, max_df_frac=0.2
+        ),
+    )
+
+
 _STOP_SQL = "['the','a','of','and','to','in']"
 
 
@@ -1047,8 +1068,7 @@ def doc_tfidf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention as tfidf_top_terms); the rank ordering uses a
     12dp-rounded cosine on BOTH engines so near-tie orderings cannot
     flip on sub-ulp LN differences (r04 advice)."""
-    docs = _docs(spark, sf_dir)
-    nb = TX.tfidf_cosine_neighbors(docs, "doc_id", "text", k=3, max_df_frac=0.2)
+    nb = shared_tfidf_neighbors(spark, sf_dir)
     return nb.select(
         "doc_a", "doc_b", F.round("cos", 6).alias("cos"), "rank"
     ).orderBy("doc_a", "rank")

@@ -202,9 +202,13 @@ def test_corpus_mix_rates_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_tfidf_neighbors_df_side_broadcast(spark, sf_dir):
+def test_tfidf_neighbors_df_side_broadcast(spark, sf_dir, monkeypatch):
     """The kept-terms (df-capped) relation joins the tf postings as a
-    broadcast — vocabulary-sized, never a corpus shuffle."""
+    broadcast — vocabulary-sized, never a corpus shuffle. Asserts the
+    BUILD plan: the query normally serves from the session-scoped
+    materialized relation (a plain parquet scan), so force the raw
+    pipeline via the audit opt-out."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
     plan = _plan(spark, sf_dir, "doc_tfidf_neighbors")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
