@@ -7,6 +7,14 @@ figures before hashing — the engine's exact-aggregate convention should
 make even raw values bit-identical; the rounding only absorbs
 formatting noise).
 
+BOTH result sets are fetched through pandas — Spark via ``toPandas()``,
+DuckDB via ``con.execute(sql).df()`` — because that is provably what the
+driver's canonicalizer does (round 6): DuckDB HUGEINT reaches pandas as
+float64 (the q12 red row), and NULL-bearing int columns float to
+float64 on BOTH engines and match (order_gap_days /
+asof_click_attribution, driver-green r02/r03). Fetching either side
+through the raw cursor / ``collect()`` hides or inverts those cases.
+
 Usage: python verify_local.py [sf_dir] [query ...]
 """
 
