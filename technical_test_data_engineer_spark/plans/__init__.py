@@ -77,7 +77,6 @@ _FRONT_50 = [
     "orderkey_skew_report",
     "ship_latency_percentiles",
     "purchase_touch_attribution",
-    "lineitem_measure_correlations",
     "event_value_ab_test",
     "event_value_ks_drift",
     "hourly_traffic_anomalies",
@@ -106,6 +105,9 @@ _FRONT_50 = [
     "doc_epoch_shards",               # deterministic dataloader shards
     "event_transition_probs",         # Markov session model
     "source_score_calibration",       # cross-source quantile calib
+    # displaces lineitem_measure_correlations (moments family keeps
+    # embedding_covariance in-window)
+    "eval_ngram_contamination",       # gram-join decontamination
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery

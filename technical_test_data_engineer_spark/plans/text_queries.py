@@ -1611,3 +1611,87 @@ def source_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_score",
         F.percent_rank().over(w).alias("calibrated"),
     ).orderBy("doc_id")
+
+
+_NGRAM_N = 5          # contamination gram width (GPT-3 used 13; the
+                      # synthetic docs are 30-120 tokens, 5 keeps the
+                      # planted cross-split dups detectable)
+_NGRAM_DF_CAP = 50    # grams in more docs than this are boilerplate:
+                      # dropped from BOTH sides before the join (the
+                      # hot-key cap that keeps the gram join linear)
+
+
+@query(
+    "eval_ngram_contamination",
+    f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT) % 100
+                   < 90 AS is_train
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id, is_train,
+               UNNEST(LIST_DISTINCT([array_to_string(toks[i:i+{_NGRAM_N - 1}], ' ')
+                   FOR i IN RANGE(1, GREATEST(LEN(toks) - {_NGRAM_N - 2}, 2))]))
+                   AS gram
+        FROM d
+    ),
+    g AS (SELECT doc_id, is_train, MD5(gram) AS gh FROM g0),
+    keep AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= {_NGRAM_DF_CAP}),
+    k AS (SELECT g.* FROM g JOIN keep USING (gh))
+    SELECT t.doc_id AS train_id, v.doc_id AS val_id,
+           COUNT(*) AS n_shared_grams
+    FROM k t JOIN k v USING (gh)
+    WHERE t.is_train AND NOT v.is_train
+    GROUP BY 1, 2
+    ORDER BY train_id, val_id
+    """,
+)
+def eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-join eval decontamination (GPT-3 appendix-C style): a
+    val document is contaminated if it shares any rare word 5-gram
+    with a train document under the md5 content split. This is the
+    EQUI-JOIN decontamination shape — the scalable complement to
+    eval_substring_contamination's broadcast-contains (which needs the
+    eval snippet set to fit in a broadcast): both corpus sides explode
+    to distinct per-doc grams, grams above a document-frequency cap
+    are dropped from BOTH sides (boilerplate carries no contamination
+    signal and is exactly the hot key that would quadratic the join),
+    and the join shuffles 32-byte (gram-md5, doc_id) rows only — text
+    never moves. Output: one row per (train, val) pair with the shared
+    rare-gram count. At 100 TB each side is a scan + one keyed
+    shuffle; the df-cap is enforced by an aggregate on the same keys,
+    so no all-pairs shape exists anywhere."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        (md5_bucket("text") < 90).alias("is_train"),
+        F.explode(
+            F.array_distinct(TX.token_ngrams("text", _NGRAM_N))
+        ).alias("gram"),
+    ).select("doc_id", "is_train", F.md5("gram").alias("gh"))
+    # g feeds the df-cap aggregate AND the join probe; k feeds both
+    # sides of the contamination join — persist each or the full
+    # scan+gram pipeline replays per consumer (the band-frame lesson;
+    # caller-owned cleanup per the engine-wide lifetime contract).
+    g = g.persist()
+    keep = (
+        g.groupBy("gh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _NGRAM_DF_CAP)
+        .select("gh")
+    )
+    k = g.join(keep, "gh").persist()
+    t = k.filter(F.col("is_train")).select(
+        F.col("gh"), F.col("doc_id").alias("train_id")
+    )
+    v = k.filter(~F.col("is_train")).select(
+        F.col("gh"), F.col("doc_id").alias("val_id")
+    )
+    return (
+        t.join(v, "gh")
+        .groupBy("train_id", "val_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("train_id", "val_id")
+    )
