@@ -1184,3 +1184,86 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(anchor_id_col, id_col, "rank", "score")
     )
+
+
+def as_token_matrix(vec: Column, n_tokens: int) -> Column:
+    """Reinterpret a flat D-dim vector as ``n_tokens`` contiguous
+    sub-vectors of D/n_tokens dims (array<array<...>>) — the
+    multi-vector ("late interaction" / ColBERT) document
+    representation. On the synthetic fixture this is a deterministic
+    stand-in for real per-token embeddings; production feeds an actual
+    ``array<array<float>>`` token-embedding column into
+    :func:`maxsim_topk` directly and skips this reshape."""
+    sub = F.size(vec) / n_tokens
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        lambda t: F.slice(vec, (t * sub + 1).cast("int"), sub.cast("int")),
+    )
+
+
+def maxsim_score(qmat: Column, dmat: Column) -> Column:
+    """Late-interaction MaxSim: Σ_i max_j dot(q_i, d_j) over token
+    sub-vectors. Inner dots are decimal-exact (:func:`exact_dot`
+    composition), the per-query-token max is over identical doubles on
+    any engine, and the outer sum folds in DECIMAL — fully
+    order-independent, so the score is oracle-checkable bit-for-bit."""
+    per_q = F.transform(
+        qmat,
+        lambda qv: F.array_max(
+            F.transform(dmat, lambda dv: exact_dot(qv, dv))
+        ),
+    )
+    return F.aggregate(
+        per_q, F.lit(0).cast(_DEC), lambda acc, x: (acc + x.cast(_DEC)).cast(_DEC)
+    ).cast("double")
+
+
+def maxsim_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_tokens: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-vector (late-interaction) top-k retrieval: each document
+    and query is a BAG of token sub-vectors; relevance is MaxSim
+    (every query token finds its best-matching document token, scores
+    sum). This is the retrieval shape single-vector ANN cannot
+    express — token-level matching survives pooling loss.
+
+    Distribution is the :func:`brute_force_topk` discipline unchanged:
+    queries broadcast whole (token matrices included), every corpus
+    scan task scores its partition scan-side — the token×token grid
+    lives INSIDE a row expression, never as a join — and
+    :func:`local_topk` bounds the ranking shuffle to k × partitions
+    rows per query. Production at corpus scale replaces the full scan
+    with token-level ANN candidate generation (each query token probes
+    the index; union of hits re-scores under full MaxSim) — the same
+    shortlist-then-exact tail as the PQ/IVF family.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(query_id_col),
+            as_token_matrix(F.col(vec_col), n_tokens).alias("_qmat"),
+        )
+    )
+    c = fan_out(corpus).select(
+        id_col, as_token_matrix(F.col(vec_col), n_tokens).alias("_dmat")
+    )
+    paired = c.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
+    scored = paired.select(
+        query_id_col,
+        id_col,
+        nan_safe_score(maxsim_score(F.col("_qmat"), F.col("_dmat"))).alias(
+            "score"
+        ),
+    )
+    pruned = local_topk(scored, k, query_id_col, id_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )

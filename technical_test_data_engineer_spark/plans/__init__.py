@@ -78,7 +78,6 @@ _FRONT_50 = [
     "ship_latency_percentiles",
     "purchase_touch_attribution",
     "event_value_ab_test",
-    "event_value_ks_drift",
     "hourly_traffic_anomalies",
     # graph / recommendation
     "copurchase_degree_stats",
@@ -108,6 +107,9 @@ _FRONT_50 = [
     # displaces lineitem_measure_correlations (moments family keeps
     # embedding_covariance in-window)
     "eval_ngram_contamination",       # gram-join decontamination
+    # displaces event_value_ks_drift (drift family keeps
+    # corpus_drift_psi in-window)
+    "knn_maxsim_late_interaction",    # ColBERT-style MaxSim
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery

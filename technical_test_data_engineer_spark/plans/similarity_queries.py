@@ -817,3 +817,78 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     anchors = emb.filter(F.col("vec_id") < N_ANCHORS)
     return hard_negatives(emb, anchors, k=TOP_K).orderBy("anchor_id", "rank")
+
+
+MAXSIM_BOUND = 300
+MAXSIM_TOKENS = 8  # 64-d fixture vector -> 8 token sub-vectors of 8 dims
+
+
+@query(
+    "knn_maxsim_late_interaction",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id < {MAXSIM_BOUND}
+    ),
+    q AS (
+        SELECT vec_id AS query_id, emb AS qemb
+        FROM corpus WHERE vec_id < {N_QUERIES}
+    ),
+    grid AS (
+        SELECT q.query_id, e.vec_id, i.i, j.j,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(q.qemb[i.i*8+1 : i.i*8+8]) AS x,
+                                UNNEST(e.emb[j.j*8+1 : j.j*8+8]) AS y)
+               ) AS DOUBLE) AS dot
+        FROM corpus e
+        CROSS JOIN q
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {MAXSIM_TOKENS})) AS i) i
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {MAXSIM_TOKENS})) AS j) j
+        WHERE e.vec_id <> q.query_id
+    ),
+    mx AS (
+        SELECT query_id, vec_id, i, MAX(dot) AS m
+        FROM grid GROUP BY 1, 2, 3
+    ),
+    sc AS (
+        SELECT query_id, vec_id,
+               CAST(SUM(CAST(m AS DECIMAL(38,30))) AS DOUBLE) AS score
+        FROM mx GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, rank, score
+    FROM (
+        SELECT query_id, vec_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM sc
+    )
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def knn_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) multi-vector retrieval
+    (``operators.similarity.maxsim_topk``): documents and queries are
+    bags of token sub-vectors (the 64-d fixture vector reinterpreted
+    as 8×8 — a deterministic stand-in; production feeds real
+    ``array<array<float>>`` token embeddings); relevance is MaxSim
+    Σ_i max_j dot(q_i, d_j). The token×token grid is a row-local
+    expression (never a join); queries broadcast; ``local_topk``
+    bounds the ranking shuffle. Inner dots decimal-exact, outer sum a
+    decimal fold — bit-identical to the oracle's grid recomputation.
+    Corpus bounded to MAXSIM_BOUND (inactive at sf0.01 — README
+    §bounds); production path is token-level ANN candidates + full
+    MaxSim re-rank on the shortlist."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < MAXSIM_BOUND
+    )
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    return maxsim_topk(emb, qs, MAXSIM_TOKENS, k=TOP_K).orderBy(
+        "query_id", "rank"
+    )

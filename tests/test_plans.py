@@ -263,6 +263,7 @@ _NONEQUI_ALLOWLIST = {
     "embedding_near_dups_lsh_exact",
     "semantic_dedup_keep",
     "hard_negative_mining",       # corpus x broadcast-anchors scan
+    "knn_maxsim_late_interaction",  # corpus x broadcast-queries scan
     "lineitem_bloom_prune_revenue",  # 1-row bloom-bitmap broadcast
                                   # attach (the semi join itself is
                                   # hash-equi on l_orderkey)

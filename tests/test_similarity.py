@@ -654,3 +654,69 @@ def test_hard_negatives_matches_numpy_reference(spark):
         cand.sort(key=lambda t: (-t[0], t[1]))
         for rank, (_, j) in enumerate(cand[:5], start=1):
             assert got[(a, rank)] == j, (a, rank)
+
+
+def test_maxsim_matches_numpy_reference(spark):
+    """Late-interaction MaxSim equals the numpy token-grid computation
+    (reshape → pairwise dots → per-query-token max → sum), rank for
+    rank."""
+    import numpy as np
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    rng = random.Random(11)
+    n, d, t = 60, 16, 4  # 4 token sub-vectors of 4 dims
+    vecs = [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)]
+    emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    qs = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.score)
+        for r in maxsim_topk(emb, qs, t, k=4).collect()
+    }
+    V = np.array(vecs, dtype=np.float32).astype(np.float64).reshape(n, t, d // t)
+    for q in range(3):
+        scores = []
+        for j in range(n):
+            if j == q:
+                continue
+            grid = V[q] @ V[j].T           # (t, t) token dots
+            scores.append((grid.max(axis=1).sum(), j))
+        scores.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (s, j) in enumerate(scores[:4], start=1):
+            vid, sc = got[(q, rank)]
+            assert vid == j, (q, rank)
+            assert abs(sc - s) < 1e-9
+
+
+def test_maxsim_token_matching_beats_pooled_on_planted_case(spark):
+    """The discriminating property of late interaction: a document
+    whose tokens each match ONE query token strongly outranks a
+    document that is a uniform mediocre match, even when their pooled
+    (mean-vector) similarity is identical-or-reversed."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    # query: two orthogonal token vectors e0, e1 (4-d sub-vectors)
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    # doc A: tokens exactly e0 and e1 (perfect per-token matches)
+    da = [1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+    # doc B: both tokens the pooled mean direction (same mean as A!)
+    db = [0.5, 0.5, 0.0, 0.0, 0.5, 0.5, 0.0, 0.0]
+    emb = spark.createDataFrame(
+        [(0, q), (1, da), (2, db)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r.vec_id, r.score)
+        for r in maxsim_topk(emb, emb.filter(F.col("vec_id") == 0), 2, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got[0][0] == 1 and got[1][0] == 2
+    assert got[0][1] > got[1][1]
