@@ -76,7 +76,6 @@ _FRONT_50 = [
     "customer_rfm_segments",
     "orderkey_skew_report",
     "ship_latency_percentiles",
-    "purchase_touch_attribution",
     "event_value_ab_test",
     "hourly_traffic_anomalies",
     # graph / recommendation
@@ -110,6 +109,9 @@ _FRONT_50 = [
     # displaces event_value_ks_drift (drift family keeps
     # corpus_drift_psi in-window)
     "knn_maxsim_late_interaction",    # ColBERT-style MaxSim
+    # displaces purchase_touch_attribution (attribution family keeps
+    # asof_click_attribution's r02/r03 greens + view_click in-window)
+    "vocab_growth_curve",             # Heaps-law corpus curve
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery

@@ -1695,3 +1695,63 @@ def eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_grams"))
         .orderBy("train_id", "val_id")
     )
+
+
+@query(
+    "vocab_growth_curve",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(string_split(text, ' '))) AS term
+        FROM documents
+    ),
+    f AS (SELECT term, MIN(doc_id) AS first_doc FROM t GROUP BY term),
+    n AS (SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(n.n_new, 0) AS n_new_terms,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+               ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS vocab_size
+    FROM documents d LEFT JOIN n ON n.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law) curve: per document in ingest
+    order, how many never-before-seen terms it contributes and the
+    running vocabulary size — the corpus-analysis curve that tells a
+    tokenizer team when vocab saturates and flags corpus-order
+    anomalies (a growth spike mid-ingest = a new domain arriving).
+    Plan: per-doc distinct terms explode scan-side, ONE vocab-keyed
+    shuffle finds each term's first document (min doc_id), the
+    per-doc new-term counts are vocabulary-sized, and the cumulative
+    window runs over |docs| rows. The full-data shuffle is bounded by
+    the vocabulary, never the token stream. The unpartitioned running
+    sum is inherently sequential — at corpus scale the same plan runs
+    at TRANCHE granularity (group doc_id DIV tranche_size before the
+    window), so the single-task window is bounded by curve RESOLUTION,
+    not corpus size; per-doc resolution here matches the oracle."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens("text"))).alias("term"),
+    )
+    first = t.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    n = first.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_new"), F.lit(0).cast("bigint")).alias(
+                "n_new_terms"
+            ),
+        )
+        .withColumn("vocab_size", F.sum("n_new_terms").over(w))
+        .orderBy("doc_id")
+    )
