@@ -18,6 +18,7 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
     dedup_queries,
     multimodal_queries,
     parity_queries,
+    privacy_queries,
     relational_breadth_queries,
     similarity_queries,
     streaming_queries,
@@ -80,13 +81,11 @@ _FRONT_50 = [
     "hourly_traffic_anomalies",
     # graph / recommendation
     "copurchase_degree_stats",
-    "copurchase_edge_churn",
     "part_cf_similarity",
     "part_label_propagation",
     "part_name_entities",
     # text / corpus curation
     "corpus_drift_psi",
-    "doc_novelty_scores",
     "doc_pii_redacted",
     "doc_token_ids",
     "eval_substring_contamination",
@@ -112,6 +111,21 @@ _FRONT_50 = [
     # displaces purchase_touch_attribution (attribution family keeps
     # asof_click_attribution's r02/r03 greens + view_click in-window)
     "vocab_growth_curve",             # Heaps-law corpus curve
+    # -- round-6 session-2 additions (never driver-checked; each
+    #    displaces an r05-green slot; displaced: copurchase_edge_churn
+    #    (graph family keeps degree_stats/cf_similarity/label_prop/
+    #    kcore in-window), doc_novelty_scores (text family retains 6+
+    #    in-window rows), q14_promo_revenue (TPC-H family keeps
+    #    q4/q12/q16; promo ratio also r03-green as
+    #    promo_revenue_ratio), monthly_new_customers_cumulative and
+    #    user_event_type_map (both uniquely r05-green; the cumulative
+    #    proof persists via vocab_growth_curve's running sum, the
+    #    MapType proof's green row stands) --
+    "customer_k_anonymity",           # privacy: group-size floor
+    "nation_l_diversity",             # privacy: sensitive diversity
+    "dp_noisy_counts",                # seeded-Laplace DP release
+    "source_loo_impact",              # leave-one-out data valuation
+    "matryoshka_recall_curve",        # ANN eval: truncation recall
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
@@ -119,7 +133,6 @@ _FRONT_50 = [
     # promo revenue share ratio, NOT-IN distinct-supplier counts)
     "q4_order_priority",
     "q12_ship_class_priority",
-    "q14_promo_revenue",
     "q16_supplier_part_counts",
     # distributed covariance (exact-decimal moments; PCA front half)
     # and the native unpivot/melt reshape proof
@@ -130,9 +143,6 @@ _FRONT_50 = [
     "purchase_tier_at_time",
     "doc_bigram_logprob",
     "view_click_full_outer_30m",
-    # exact running-distinct (acquisition curve) and the MapType proof
-    "monthly_new_customers_cumulative",
-    "user_event_type_map",
     # byte-window media chunking with hash-gated checksums (the
     # ASR/video segment-prep shape; replaces a backfill slot)
     "media_chunk_checksums",

@@ -1,0 +1,179 @@
+"""Privacy / governance queries (the release-audit side of a training
+corpus: k-anonymity, l-diversity, differentially-private releases).
+
+The reference pipeline publishes scraped per-entity aggregates straight
+to a store (`/root/reference/scraper.py`); a production corpus release
+adds a privacy gate in front of that publish. These queries are that
+gate, each as one keyed-shuffle aggregation with the noise / flagging
+arithmetic scan-side, and each oracle-paired via the repo's
+engine-portable md5 conventions (operators/text.md5_hash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from technical_test_data_engineer_spark.plans.star_queries import query
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+# k-anonymity group-size floor and l-diversity distinct-sensitive floor
+# (Sweeney 2002; Machanavajjhala et al. 2007).
+K_ANON = 5
+L_DIV = 3
+# DP release: Laplace(sensitivity/eps) on counting queries (Dwork 2006).
+DP_EPS = 1.0
+# 15 hex digits of md5 = 60 bits — the repo's engine-portable hash.
+_TWO_60 = float(1 << 60)
+
+# Quasi-identifier banding: coarse account-balance band so the
+# quasi-id tuple is realistic (exact balances would make every row its
+# own group). FLOOR of a negative quotient agrees across engines.
+_BAND_WIDTH = 2000
+
+
+def _acct_band(col: str = "c_acctbal") -> F.Column:
+    return F.floor(F.col(col) / _BAND_WIDTH).cast("bigint")
+
+
+_ACCT_BAND_SQL = f"CAST(FLOOR(c_acctbal / {_BAND_WIDTH}) AS BIGINT)"
+
+
+@query(
+    "customer_k_anonymity",
+    f"""
+    SELECT c_nationkey,
+           c_mktsegment,
+           {_ACCT_BAND_SQL} AS acct_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           COUNT(*) < {K_ANON} AS at_risk
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, acct_band
+    ORDER BY c_nationkey, c_mktsegment, acct_band
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group the table by its
+    quasi-identifier tuple (nation, market segment, account-balance
+    band) and flag every group smaller than k={K_ANON} — those rows are
+    re-identifiable by linking the quasi-ids to an external dataset,
+    so a release gate must suppress or generalize them. One keyed
+    shuffle over the quasi-id tuple; the flag is a scan-side
+    comparison on the aggregated counts. At 100 TB the group-key
+    cardinality is the product of quasi-id domains (bounded, ~10^4
+    here), never the row count — the aggregation is the classic
+    map-side-combine shape AQE handles without help."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey", "c_mktsegment", _acct_band().alias("acct_band")
+        )
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("at_risk", F.col("group_size") < K_ANON)
+        .orderBy("c_nationkey", "c_mktsegment", "acct_band")
+    )
+
+
+@query(
+    "nation_l_diversity",
+    f"""
+    SELECT c_nationkey,
+           {_ACCT_BAND_SQL} AS acct_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT c_mktsegment) >= {L_DIV} AS l_diverse
+    FROM customer
+    GROUP BY c_nationkey, acct_band
+    ORDER BY c_nationkey, acct_band
+    """,
+)
+def nation_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    complement — a group can be large yet still leak if every member
+    shares the same SENSITIVE value (homogeneity attack). Per
+    quasi-id group (nation, balance band), count distinct values of
+    the sensitive attribute (market segment) and flag groups with
+    fewer than l={L_DIV}. COUNT(DISTINCT) inside a group-by is the
+    two-phase partial-distinct shape Spark plans natively (expand +
+    two-stage agg) — no extra shuffle beyond the group key at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", _acct_band().alias("acct_band"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct("c_mktsegment").alias("n_sensitive"),
+        )
+        .withColumn("l_diverse", F.col("n_sensitive") >= L_DIV)
+        .orderBy("c_nationkey", "acct_band")
+    )
+
+
+@query(
+    "dp_noisy_counts",
+    f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS true_count
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    ),
+    u AS (
+        SELECT *,
+               (CAST(('0x' || SUBSTRING(MD5(
+                    CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+                ), 1, 15)) AS BIGINT) + 0.5) / {_TWO_60!r} AS u
+        FROM g
+    )
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(true_count AS BIGINT) AS true_count,
+           ROUND(
+               true_count
+               - (1.0 / {DP_EPS!r})
+                 * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                 * LN(1.0 - 2.0 * ABS(u - 0.5)),
+               6
+           ) AS noisy_count
+    FROM u
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (Dwork 2006): per
+    (nation, segment) cell count plus Laplace(1/eps) noise, eps=
+    {DP_EPS} (sensitivity 1 for a counting query). The noise draw is
+    DETERMINISTIC: the uniform comes from the repo's engine-portable
+    md5 convention on the group key ((h + 0.5) / 2^60, so u is in the
+    open interval and LN never sees 0), pushed through the inverse
+    Laplace CDF -b*sign(u-1/2)*ln(1-2|u-1/2|). Seeded-by-key noise is
+    how a distributed DP release stays reproducible across retries and
+    engines — rand() would break both the oracle pairing and
+    re-computation on task retry (a correctness bug in a real
+    release, not just a test artifact). Rounded to 6 decimals so both
+    engines' libm ulp differences cannot reach the hash. true_count is
+    retained HERE because the proof checks calibration; a production
+    release projects it away. Plan: one keyed shuffle; the noise is
+    scan-side arithmetic on the aggregated (vocabulary-sized) frame."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("true_count")
+    )
+    key = F.concat_ws(
+        "|", F.col("c_nationkey").cast("string"), F.col("c_mktsegment")
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_TWO_60)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (
+        F.lit(-1.0 / DP_EPS)
+        * sign
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return (
+        g.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -892,3 +892,141 @@ def knn_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(emb, qs, MAXSIM_TOKENS, k=TOP_K).orderBy(
         "query_id", "rank"
     )
+
+
+# Truncation-recall curve: which embedding prefix lengths preserve the
+# exact top-k? Shares EXACT_BOUND / N_QUERIES / TOP_K with the other
+# exact proofs.
+RECALL_DIMS = (8, 16, 32)
+_FULL_DIM = 64
+
+
+def _recall_curve_oracle() -> str:
+    """Generated oracle: one decimal-exact brute-force block per
+    truncation dim (same machinery as knn_matryoshka_trunc), then the
+    overlap-with-full-dim recall grid."""
+    blocks = []
+    for d in (*RECALL_DIMS, _FULL_DIM):
+        blocks.append(
+            f"""
+    c{d} AS (
+        SELECT vec_id, embedding[1:{d}] AS emb
+        FROM embeddings WHERE vec_id < {EXACT_BOUND}
+    ),
+    q{d} AS (
+        SELECT vec_id AS query_id, emb AS qvec
+        FROM c{d} WHERE vec_id < {N_QUERIES}
+    ),
+    s{d} AS (
+        SELECT q.query_id, e.vec_id,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.emb AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS score
+        FROM c{d} e CROSS JOIN q{d} q
+        WHERE e.vec_id <> q.query_id
+    ),
+    t{d} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC
+                   ) AS rank
+            FROM s{d}
+        ) WHERE rank <= {TOP_K}
+    )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT {d} AS dim, query_id, vec_id FROM t{d}" for d in RECALL_DIMS
+    )
+    return f"""
+    WITH {",".join(blocks)},
+    tr AS (
+        {union}
+    ),
+    ov AS (
+        SELECT tr.dim, tr.query_id, COUNT(*) AS n_overlap
+        FROM tr JOIN t{_FULL_DIM} f
+          ON f.query_id = tr.query_id AND f.vec_id = tr.vec_id
+        GROUP BY tr.dim, tr.query_id
+    ),
+    grid AS (
+        SELECT d.dim, q.query_id
+        FROM (VALUES {",".join(f"({d})" for d in RECALL_DIMS)}) AS d(dim)
+        CROSS JOIN (SELECT DISTINCT query_id FROM t{_FULL_DIM}) q
+    )
+    SELECT CAST(grid.dim AS INTEGER) AS dim,
+           grid.query_id AS query_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / {TOP_K},
+                 6) AS recall_at_k
+    FROM grid LEFT JOIN ov ON ov.dim = grid.dim
+                          AND ov.query_id = grid.query_id
+    ORDER BY grid.dim, grid.query_id
+    """
+
+
+@query("matryoshka_recall_curve", _recall_curve_oracle())
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN EVAL harness: recall@k of prefix-truncated exact search
+    (dims 8/16/32) against the full-dim exact top-k — the curve that
+    tells an MRL / dimension-reduction rollout which truncation is
+    safe (the measurement behind knn_matryoshka_trunc's design
+    premise). Per (dim, query) overlap counts, zero-filled via the
+    dim x query grid so empty overlaps are visible rows, not silent
+    holes (no-silent-caps discipline). All four rankings are
+    decimal-exact and share the EXACT_BOUND proof corpus; each
+    truncated pass is brute_force_topk — query-side broadcast,
+    local_topk pre-prune, no corpus shuffle — so the whole eval is
+    4 bounded scans at 100 TB, and in production the same grid is
+    computed on a sampled query set against the ANN index instead of
+    the exact ranking (identical plan shape)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    full = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
+    ).select("query_id", "vec_id")
+
+    parts = []
+    for d in RECALL_DIMS:
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        t = brute_force_topk(
+            sliced, sliced.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
+        ).select(
+            F.lit(d).alias("dim"), "query_id", "vec_id"
+        )
+        parts.append(t)
+    trunc = parts[0]
+    for p in parts[1:]:
+        trunc = trunc.unionByName(p)
+
+    ov = (
+        trunc.join(full, ["query_id", "vec_id"])
+        .groupBy("dim", "query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    dims = spark.createDataFrame(
+        [(d,) for d in RECALL_DIMS], "dim int"
+    )
+    grid = dims.crossJoin(full.select("query_id").distinct())
+    return (
+        grid.join(ov, ["dim", "query_id"], "left")
+        .select(
+            "dim",
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / TOP_K,
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("dim", "query_id")
+    )

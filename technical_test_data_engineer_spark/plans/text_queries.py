@@ -1755,3 +1755,72 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vocab_size", F.sum("n_new_terms").over(w))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "source_loo_impact",
+    """
+    WITH t AS (
+        SELECT source, LEN(STR_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS sum_tokens
+        FROM t GROUP BY source
+    ),
+    g AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+               CAST(SUM(sum_tokens) AS BIGINT) AS sum_all
+        FROM s
+    )
+    SELECT s.source, s.n_docs, s.sum_tokens,
+           ROUND(CAST(g.sum_all AS DOUBLE) / g.n_all, 6) AS mean_all,
+           ROUND(CAST(g.sum_all - s.sum_tokens AS DOUBLE)
+                 / NULLIF(g.n_all - s.n_docs, 0), 6) AS mean_without,
+           ROUND(CAST(g.sum_all - s.sum_tokens AS DOUBLE)
+                 / NULLIF(g.n_all - s.n_docs, 0)
+                 - CAST(g.sum_all AS DOUBLE) / g.n_all, 6) AS loo_delta
+    FROM s CROSS JOIN g
+    ORDER BY s.source
+    """,
+)
+def source_loo_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out data valuation at SOURCE granularity: for each
+    ingest source, how would the corpus-level quality metric (mean
+    tokens per document) move if that source were dropped? The LOO
+    mean needs NO per-source re-scan — it's algebra on the global and
+    per-source sufficient statistics ((S - s_i) / (N - n_i)), which is
+    why this is the standard first-pass valuation at 100 TB where
+    actually retraining without each source is impossible (the same
+    sufficient-statistic trick Shapley approximations build on). Plan:
+    one keyed shuffle to per-source moments (a sources-sized frame),
+    a single-row global agg broadcast back via crossJoin — the scan
+    runs once. NULLIF guards the degenerate single-source corpus
+    (ANSI-safe at every scale). Deltas rounded to 6 decimals for
+    engine-portable hashing."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("source", F.size(TX.tokens("text")).alias("n_tokens"))
+    s = t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    g = s.agg(
+        F.sum("n_docs").cast("bigint").alias("n_all"),
+        F.sum("sum_tokens").cast("bigint").alias("sum_all"),
+    )
+    joined = s.crossJoin(F.broadcast(g))
+    denom = F.nullif(
+        (F.col("n_all") - F.col("n_docs")).cast("double"), F.lit(0.0)
+    )
+    mean_all = F.col("sum_all").cast("double") / F.col("n_all")
+    mean_wo = (F.col("sum_all") - F.col("sum_tokens")).cast("double") / denom
+    return joined.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        F.round(mean_all, 6).alias("mean_all"),
+        F.round(mean_wo, 6).alias("mean_without"),
+        F.round(mean_wo - mean_all, 6).alias("loo_delta"),
+    ).orderBy("source")

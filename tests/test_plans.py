@@ -258,6 +258,11 @@ _NONEQUI_ALLOWLIST = {
     "knn_pq_exact_rerankall",
     "knn_ivfpq_exact",
     "knn_matryoshka_trunc",
+    "matryoshka_recall_curve",    # 4 broadcast-queries brute-force
+                                  # passes + 3x5 dim/query eval grid
+                                  # (overlap join is hash-equi)
+    "source_loo_impact",          # 1-row global-moments broadcast
+                                  # attach (corpus_drift_psi pattern)
     "hybrid_rrf_retrieval",       # dense side = broadcast-queries scan
     "knn_lsh_exact",
     "embedding_near_dups_lsh_exact",

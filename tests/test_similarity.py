@@ -720,3 +720,33 @@ def test_maxsim_token_matching_beats_pooled_on_planted_case(spark):
     ]
     assert got[0][0] == 1 and got[1][0] == 2
     assert got[0][1] > got[1][1]
+
+
+def test_recall_curve_grid_and_monotonicity(spark):
+    """matryoshka_recall_curve invariants the oracle can't state: the
+    (dim x query) grid is complete with zero-filled holes, recall is
+    n_overlap / TOP_K in [0, 1], and on the fixed fixture mean recall
+    rises with prefix length (0.08 / 0.12 / 0.28 at dims 8/16/32 —
+    random vectors rightly score LOW truncation recall; the planted
+    prefix-structured case is covered by the matryoshka test above)."""
+    from technical_test_data_engineer_spark.plans.similarity_queries import (
+        N_QUERIES,
+        RECALL_DIMS,
+        TOP_K,
+        matryoshka_recall_curve,
+    )
+
+    out = matryoshka_recall_curve(spark, "/root/testdata/sf0.01").collect()
+    assert len(out) == len(RECALL_DIMS) * N_QUERIES
+    assert {(r.dim, r.query_id) for r in out} == {
+        (d, q) for d in RECALL_DIMS for q in range(N_QUERIES)
+    }
+    means = {}
+    for d in RECALL_DIMS:
+        rs = [r.recall_at_k for r in out if r.dim == d]
+        for r in out:
+            if r.dim == d:
+                assert 0.0 <= r.recall_at_k <= 1.0
+                assert r.recall_at_k == round(r.n_overlap / TOP_K, 6)
+        means[d] = sum(rs) / len(rs)
+    assert means[8] <= means[16] <= means[32]
