@@ -126,6 +126,15 @@ _FRONT_50 = [
     "dp_noisy_counts",                # seeded-Laplace DP release
     "source_loo_impact",              # leave-one-out data valuation
     "matryoshka_recall_curve",        # ANN eval: truncation recall
+    # second batch; displaced: doc_bigram_logprob and
+    # embedding_covariance (both r05-green; the bigram LM's relation
+    # is shared with in-window event_transition_probs' lag-window
+    # machinery, covariance's execution path persists in-window via
+    # embedding_pca_project), purchase_tier_at_time (r05-green; SCD2
+    # family's user_type_scd2 holds an r04 green)
+    "customer_pseudonymized",         # salted-hash row-level release
+    "source_token_js_divergence",     # distribution drift (JS)
+    "doc_neyman_sample",              # variance-optimal stratified
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
@@ -134,14 +143,9 @@ _FRONT_50 = [
     "q4_order_priority",
     "q12_ship_class_priority",
     "q16_supplier_part_counts",
-    # distributed covariance (exact-decimal moments; PCA front half)
-    # and the native unpivot/melt reshape proof
-    "embedding_covariance",
+    # the native unpivot/melt reshape proof and the FULL OUTER member
+    # of the stream-stream interval-join family
     "lineitem_measures_unpivot",
-    # SCD2 point-in-time lookup, bigram LM scoring, and the FULL OUTER
-    # member of the stream-stream interval-join family
-    "purchase_tier_at_time",
-    "doc_bigram_logprob",
     "view_click_full_outer_30m",
     # byte-window media chunking with hash-gated checksums (the
     # ASR/video segment-prep shape; replaces a backfill slot)

@@ -177,3 +177,61 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# Pseudonymization salt: a FIXED literal here so the proof is
+# reproducible and oracle-pairable. A production deployment injects a
+# keyed secret (HMAC) from a vault instead — the plan shape is
+# identical, only the key expression changes.
+_PSEUDO_SALT = "spark-graft-v1"
+
+
+@query(
+    "customer_pseudonymized",
+    f"""
+    SELECT 'cust-' || SUBSTRING(
+               MD5('{_PSEUDO_SALT}|' || CAST(c_custkey AS VARCHAR)), 1, 12
+           ) AS pseudo_id,
+           'p-' || SUBSTRING(
+               MD5('{_PSEUDO_SALT}|' || c_name), 1, 12
+           ) AS pseudo_name,
+           c_nationkey,
+           c_mktsegment,
+           {_ACCT_BAND_SQL} AS acct_band
+    FROM customer
+    ORDER BY pseudo_id
+    """,
+)
+def customer_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymized publish view — the third leg of the privacy
+    family (audit: customer_k_anonymity / nation_l_diversity; noisy
+    aggregate release: dp_noisy_counts; row-level release: THIS).
+    Direct identifiers are replaced by salted-hash pseudonyms
+    (deterministic, so joins across published tables still link —
+    the GDPR 'pseudonymisation' standard, reversible only with the
+    salt), and the quantitative quasi-identifier is generalized to the
+    same band the k-anonymity audit groups by, so the audit's group
+    sizes apply verbatim to this view. Pure scan-side expressions —
+    zero shuffle at any scale (the ORDER BY is presentation-only); the
+    erasure complement (actually deleting on request) is
+    sources/maintenance.rtbf_delete."""
+    cust = load_table(spark, sf_dir, "customer")
+    salted = lambda c: F.concat(F.lit(_PSEUDO_SALT + "|"), c)  # noqa: E731
+    return (
+        cust.select(
+            F.concat(
+                F.lit("cust-"),
+                F.substring(
+                    F.md5(salted(F.col("c_custkey").cast("string"))), 1, 12
+                ),
+            ).alias("pseudo_id"),
+            F.concat(
+                F.lit("p-"),
+                F.substring(F.md5(salted(F.col("c_name"))), 1, 12),
+            ).alias("pseudo_name"),
+            "c_nationkey",
+            "c_mktsegment",
+            _acct_band().alias("acct_band"),
+        )
+        .orderBy("pseudo_id")
+    )

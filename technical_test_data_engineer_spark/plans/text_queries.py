@@ -1824,3 +1824,189 @@ def source_loo_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_wo, 6).alias("mean_without"),
         F.round(mean_wo - mean_all, 6).alias("loo_delta"),
     ).orderBy("source")
+
+
+@query(
+    "source_token_js_divergence",
+    """
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    st AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    s  AS (SELECT source, SUM(c) AS n FROM st GROUP BY 1),
+    ct AS (SELECT term, SUM(c) AS c FROM st GROUP BY 1),
+    g  AS (SELECT SUM(c) AS n FROM ct),
+    grid AS (
+        SELECT s.source, s.n AS sn, ct.term, ct.c AS cc, g.n AS gn,
+               COALESCE(st.c, 0) AS sc
+        FROM s CROSS JOIN ct CROSS JOIN g
+        LEFT JOIN st ON st.source = s.source AND st.term = ct.term
+    ),
+    contrib AS (
+        SELECT source,
+               CAST(sc AS DOUBLE) / sn AS p,
+               CAST(cc AS DOUBLE) / gn AS q
+        FROM grid
+    )
+    SELECT source,
+           ROUND(CAST(SUM(CAST(
+               0.5 * (CASE WHEN p > 0
+                           THEN p * LN(p / ((p + q) / 2.0)) ELSE 0 END)
+               + 0.5 * q * LN(q / ((p + q) / 2.0))
+           AS DECIMAL(30,15))) AS DOUBLE), 6) AS js_divergence
+    FROM contrib
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the corpus distribution — the symmetric, bounded
+    (≤ ln 2) drift measure a mixing pipeline uses to rank how
+    off-distribution each ingest source is (complements
+    corpus_drift_psi's banded PSI and event_value_ks_drift's KS: JS
+    compares full token distributions, not binned scalars). Plan: the
+    token stream collapses to (source, term) counts in one keyed
+    shuffle; the JS grid is (sources x vocabulary) — vocabulary-sized,
+    never corpus-sized — built by broadcasting the tiny per-source and
+    global totals onto the corpus term table, with absent terms
+    zero-filled so the q-side mass (q*ln 2) is counted, not silently
+    dropped. Per-term contributions are summed through DECIMAL so
+    accumulation order can't drift the hash; the only doubles are the
+    ratios and LN, absorbed by round-6."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(TX.tokens("text")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    s = st.groupBy("source").agg(F.sum("c").alias("sn"))
+    ct = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    g = ct.agg(F.sum("cc").alias("gn"))
+    grid = (
+        F.broadcast(s)
+        .crossJoin(ct)
+        .crossJoin(F.broadcast(g))
+        .join(st, ["source", "term"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("sn")).alias("p"),
+            (F.col("cc").cast("double") / F.col("gn")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    contrib = (
+        F.lit(0.5)
+        * F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(0.5) * F.col("q") * F.log(F.col("q") / m)
+    )
+    return (
+        grid.select("source", contrib.cast("decimal(30,15)").alias("x"))
+        .groupBy("source")
+        .agg(F.round(F.sum("x").cast("double"), 6).alias("js_divergence"))
+        .orderBy("source")
+    )
+
+
+# Neyman sampling budget: fixed so the allocation is a checkable
+# constant across scales (at sf0.01 the 500-doc corpus yields strata
+# allocations summing to ≤ budget; FLOOR keeps it under).
+NEYMAN_BUDGET = 100
+
+
+@query(
+    "doc_neyman_sample",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS x
+        FROM documents
+    ),
+    h AS (
+        SELECT lang,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+        FROM t GROUP BY lang
+    ),
+    w AS (
+        SELECT lang, n,
+               n * SQRT(CASE WHEN n < 2 THEN 0.0
+                             ELSE (sxx - sx * sx / n) / (n - 1) END) AS wt
+        FROM h
+    ),
+    a AS (
+        SELECT lang, n,
+               CAST(FLOOR({NEYMAN_BUDGET} * wt
+                          / (SELECT SUM(wt) FROM w)) AS BIGINT) AS alloc
+        FROM w
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(('0x' || SUBSTRING(MD5(text), 1, 15))
+                                 AS BIGINT), doc_id
+               ) AS rk
+        FROM t
+    )
+    SELECT r.doc_id, r.lang, a.alloc
+    FROM r JOIN a ON a.lang = r.lang
+    WHERE r.rk <= a.alloc
+    ORDER BY r.doc_id
+    """,
+)
+def doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample: the {NEYMAN_BUDGET}-doc
+    budget is split across language strata proportional to N_h * S_h
+    (stratum size x stratum std-dev of token count) — the allocation
+    that minimizes the variance of the estimated corpus mean, vs the
+    equal- or size-proportional allocation doc_stratified_sample uses.
+    Within each stratum the members are the first alloc_h docs by
+    content-hash rank (md5 order = the repo's deterministic sampling
+    convention — reproducible across engines and partitionings, no
+    rand()). The stratum std-dev comes from EXACT decimal moments
+    ((Σx² - (Σx)²/n)/(n-1)) so both engines floor identical doubles —
+    an inexact stddev_samp could flip a FLOOR boundary and desync the
+    per-stratum row counts. Plan: one keyed shuffle for moments (a
+    strata-sized frame broadcast back), one window over the stratum
+    key for the rank; the corpus never moves twice."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "lang", "text",
+        F.size(TX.tokens("text")).cast("bigint").alias("x"),
+    )
+    h = t.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = F.when(F.col("n") < 2, F.lit(0.0)).otherwise(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    w = h.select("lang", "n", (F.col("n") * F.sqrt(var)).alias("wt"))
+    tot = w.agg(F.sum("wt").alias("twt"))
+    a = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.floor(F.lit(NEYMAN_BUDGET) * F.col("wt") / F.col("twt"))
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(TX.md5_hash64(F.col("text")), "doc_id")
+    )
+    r = t.select("doc_id", "lang", rk.alias("rk"))
+    return (
+        r.join(F.broadcast(a), "lang")
+        .filter(F.col("rk") <= F.col("alloc"))
+        .select("doc_id", "lang", "alloc")
+        .orderBy("doc_id")
+    )

@@ -263,6 +263,11 @@ _NONEQUI_ALLOWLIST = {
                                   # (overlap join is hash-equi)
     "source_loo_impact",          # 1-row global-moments broadcast
                                   # attach (corpus_drift_psi pattern)
+    "source_token_js_divergence", # vocabulary-sized JS grid: tiny
+                                  # per-source/global totals broadcast
+                                  # onto the corpus term table
+    "doc_neyman_sample",          # 1-row allocation-total broadcast
+                                  # attach
     "hybrid_rrf_retrieval",       # dense side = broadcast-queries scan
     "knn_lsh_exact",
     "embedding_near_dups_lsh_exact",

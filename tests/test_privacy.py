@@ -80,3 +80,61 @@ def test_source_loo_single_source_corpus_is_null_safe(spark, tmp_path):
     out = source_loo_impact(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0].mean_without is None and out[0].loo_delta is None
+
+
+def test_pseudonymization_is_deterministic_and_linkable(spark):
+    from technical_test_data_engineer_spark.plans.privacy_queries import (
+        customer_pseudonymized,
+    )
+
+    out = customer_pseudonymized(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/customer.parquet").count()
+    # bijective on ids: same row count, no pseudo_id collisions — the
+    # property that keeps cross-table joins linkable after release
+    assert len(out) == n
+    assert len({r.pseudo_id for r in out}) == n
+    again = {r.pseudo_id for r in customer_pseudonymized(spark, SF).collect()}
+    assert {r.pseudo_id for r in out} == again  # deterministic
+    # no direct identifier survives
+    cols = customer_pseudonymized(spark, SF).columns
+    assert "c_name" not in cols and "c_custkey" not in cols
+
+
+def test_js_divergence_bounds_and_self_zero(spark, tmp_path):
+    import math
+
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        source_token_js_divergence,
+    )
+
+    out = source_token_js_divergence(spark, SF).collect()
+    assert len(out) > 1
+    for r in out:
+        assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+    # a single-source corpus IS the corpus distribution -> JS == 0
+    docs = spark.createDataFrame(
+        [(1, "a b b c", "en", "only", 7), (2, "a c", "en", "only", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    solo = source_token_js_divergence(spark, str(tmp_path)).collect()
+    assert len(solo) == 1 and solo[0].js_divergence == 0.0
+
+
+def test_neyman_allocation_sums_within_budget_and_ranks_hold(spark):
+    from collections import Counter
+
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        NEYMAN_BUDGET,
+        doc_neyman_sample,
+    )
+
+    out = doc_neyman_sample(spark, SF).collect()
+    per_lang = Counter(r.lang for r in out)
+    allocs = {r.lang: r.alloc for r in out}
+    # emitted rows per stratum == its allocation; floor keeps the
+    # total at or under budget
+    for lang, n in per_lang.items():
+        assert n == allocs[lang], (lang, n, allocs[lang])
+    assert sum(per_lang.values()) <= NEYMAN_BUDGET
+    assert len(out) == len({r.doc_id for r in out})  # no doc twice
