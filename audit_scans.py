@@ -99,6 +99,16 @@ Expected multi-scans (all reviewed):
   candidate-vector re-attach), doc_novelty_scores / doc_token_ids /
   eval_substring_contamination / source_dedup_report ×2 (gram/token
   relation feeding an agg + a join-back, the repeated-spans shape).
+- r06 additions (reviewed; all three persist their shared frame, so
+  the printed counts are the unpersisted-definition echo):
+  source_token_js_divergence ×4 (persisted (source,term) counts feed
+  per-source totals, corpus term table, and the grid left-join),
+  doc_neyman_sample ×3 (persisted 4-column (id, lang, tokens, hash)
+  frame feeds moments + rank; text is dropped pre-persist),
+  matryoshka_recall_curve ×10 (persisted <=EXACT_BOUND proof corpus
+  feeds 4 brute-force passes, corpus + broadcast-query side each);
+  source_loo_impact / vocab_growth_curve / eval_ngram_contamination
+  ×2 (agg + join-back over one token/gram relation).
 
 Usage: python audit_scans.py [sf_dir]
 """

@@ -983,8 +983,16 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bounded scans at 100 TB, and in production the same grid is
     computed on a sampled query set against the ANN index instead of
     the exact ranking (identical plan shape)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") < EXACT_BOUND
+    from pyspark import StorageLevel
+
+    # persist: the bounded proof corpus feeds FOUR brute-force passes
+    # (corpus + broadcast-query side each) — unpersisted that is 10
+    # scans of the embeddings table (audit_scans); cached it is one
+    # scan of <= EXACT_BOUND vectors.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < EXACT_BOUND)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     full = brute_force_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K

@@ -1875,9 +1875,19 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped. Per-term contributions are summed through DECIMAL so
     accumulation order can't drift the hash; the only doubles are the
     ratios and LN, absorbed by round-6."""
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir)
     tok = docs.select("source", F.explode(TX.tokens("text")).alias("term"))
-    st = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    # persist: st feeds the per-source totals, the corpus term table,
+    # AND the grid's left-join side — unpersisted, each consumer
+    # replays the tokenize+count lineage (4 document scans measured by
+    # audit_scans). The frame is (sources x vocabulary)-sized.
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     s = st.groupBy("source").agg(F.sum("c").alias("sn"))
     ct = st.groupBy("term").agg(F.sum("c").alias("cc"))
     g = ct.agg(F.sum("cc").alias("gn"))
@@ -1971,11 +1981,19 @@ def doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stratum row counts. Plan: one keyed shuffle for moments (a
     strata-sized frame broadcast back), one window over the stratum
     key for the rank; the corpus never moves twice."""
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir)
+    # hash + token count computed ONCE and text dropped before the
+    # persist: the cached frame is 4 narrow columns, not the corpus,
+    # and the moments/rank consumers then share one document scan
+    # (unpersisted this was 3 full tokenize passes).
     t = docs.select(
-        "doc_id", "lang", "text",
+        "doc_id",
+        "lang",
         F.size(TX.tokens("text")).cast("bigint").alias("x"),
-    )
+        TX.md5_hash64(F.col("text")).alias("hkey"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     h = t.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("sx"),
@@ -2001,7 +2019,7 @@ def doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     rk = F.row_number().over(
-        W.partitionBy("lang").orderBy(TX.md5_hash64(F.col("text")), "doc_id")
+        W.partitionBy("lang").orderBy("hkey", "doc_id")
     )
     r = t.select("doc_id", "lang", rk.alias("rk"))
     return (
