@@ -651,3 +651,51 @@ def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "n", "user_total")
         .orderBy("user_id", "event_type")
     )
+
+
+# rows-only: the DataSketches HLL binary is engine-specific; the
+# merge-vs-rescan equivalence and the error floor vs exact distinct
+# are asserted in tests (and the exact count rides in the output)
+@query("monthly_users_hll_merge")
+def monthly_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE rollup — the piece approx_count_distinct alone
+    doesn't prove: per-DAY HLL sketches (``hll_sketch_agg``,
+    DataSketches HLL_8, lgK=14) union into per-month estimates
+    (``hll_union_agg`` + ``hll_sketch_estimate``) WITHOUT touching the
+    event stream again. This is the 100 TB daily→monthly→quarterly
+    distinct-users pattern: materialize day-level sketches once
+    (kilobytes per day), and every coarser rollup is a union over
+    sketches — re-aggregating raw events per rollup level would re-scan
+    the fact table per level and re-shuffle user ids each time. The
+    exact per-month distinct rides along (one COUNT(DISTINCT) pass)
+    so the estimate's error is visible in the row itself, not hidden
+    in a test log — no-silent-caps discipline; tests pin rel_err
+    ≤ 2% (lgK=14 standard error ~0.8%)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    monthly_est = daily.groupBy(
+        F.trunc("day", "month").alias("month")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count("*").alias("n_days_merged"),
+    )
+    exact = events.groupBy(
+        F.trunc(F.to_date("ts"), "month").alias("month")
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        monthly_est.join(exact, "month")
+        .select(
+            "month",
+            "n_days_merged",
+            "est_users",
+            "exact_users",
+            F.round(
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("month")
+    )

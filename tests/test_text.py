@@ -299,3 +299,35 @@ def test_tfidf_cosine_neighbors_df_cap_prunes_hot_terms(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in out}
     assert (1, 2) in pairs and (2, 1) in pairs
     assert all(a in (1, 2) and b in (1, 2) for a, b in pairs)
+
+
+def test_hll_merge_equals_rescan_and_error_floor(spark, sf_dir):
+    """The merge path (day sketches unioned to month) must estimate
+    within lgK=14 error of exact, AND agree with sketching the month
+    directly from raw events — the property that makes materialized
+    day-level sketches a safe substitute for re-scanning the stream."""
+    from technical_test_data_engineer_spark.plans.streaming_queries import (
+        monthly_users_hll_merge,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+    out = monthly_users_hll_merge(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.rel_err <= 0.02, (r.month, r.est_users, r.exact_users)
+
+    events = load_table(spark, sf_dir, "events")
+    direct = {
+        r["month"]: r["est"]
+        for r in events.groupBy(
+            F.trunc(F.to_date("ts"), "month").alias("month")
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("est")
+        )
+        .collect()
+    }
+    for r in out:
+        assert direct[r.month] == r.est_users  # merge == one-shot
