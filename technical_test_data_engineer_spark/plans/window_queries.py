@@ -1642,3 +1642,118 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wt).cast("double")
         ).alias("prob"),
     ).orderBy("from_type", "to_type")
+
+
+# rows-only: the absorbing-chain solve is matrix algebra DuckDB SQL
+# cannot express; exactness is proven by a hand-computed-chain parity
+# test plus determinism (exact bigint counts -> one numpy solve)
+@query("channel_removal_effect")
+def channel_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    principled upgrade of last-touch/position attribution already in
+    the family (purchase_touch_attribution): model per-user journeys
+    as a first-order chain over channel touches with absorbing
+    CONVERSION/DROP states, then credit each channel by how much the
+    corpus conversion probability falls when that channel is removed
+    (its incoming transitions redirected to DROP).
+
+    Scale split: everything data-sized is distributed — journeys
+    truncate at the first purchase with one per-user window, the
+    lag-window transition counts collapse to a (channels+3)²-bounded
+    relation (the event_transition_probs shape). ONLY the
+    vocabulary-sized count matrix is collected (bounded by the channel
+    vocabulary, never by rows — same bounded-collect discipline as the
+    PCA driver eigh), and the (I-Q)x = R absorption solves run on a
+    ≤(channels+1)² numpy system per removal. Effects are exact-count
+    deterministic, rounded to 6."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("conv_ts"))
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id", "left")
+        .filter(F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = touches.select(
+        "user_id",
+        "conv_ts",
+        F.col("event_type").alias("ch"),
+        F.lag("event_type").over(w).alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    mid = seq.select(
+        F.coalesce("prev", F.lit("START")).alias("src"),
+        F.col("ch").alias("dst"),
+    )
+    last = seq.filter(F.col("nxt").isNull()).select(
+        F.col("ch").alias("src"),
+        F.when(F.col("conv_ts").isNotNull(), F.lit("CONV"))
+        .otherwise(F.lit("DROP"))
+        .alias("dst"),
+    )
+    # converters who purchased with zero prior touches: START -> CONV
+    no_touch = (
+        conv.join(
+            touches.select("user_id").distinct(), "user_id", "left_anti"
+        ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+    )
+    counts = (
+        mid.unionByName(last)
+        .unionByName(no_touch)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: <= (channels+3)^2 rows
+    )
+
+    channels = sorted(
+        {r.src for r in counts if r.src != "START"}
+        | {r.dst for r in counts if r.dst not in ("CONV", "DROP")}
+    )
+
+    def absorption(removed: str | None) -> float:
+        trans = ["START"] + [c for c in channels if c != removed]
+        idx = {s: i for i, s in enumerate(trans)}
+        Q = np.zeros((len(trans), len(trans)))
+        R = np.zeros(len(trans))
+        out = np.zeros(len(trans))
+        for r in counts:
+            if r.src == removed or r.src not in idx:
+                continue
+            out[idx[r.src]] += r.n
+        for r in counts:
+            if r.src == removed or r.src not in idx:
+                continue
+            i = idx[r.src]
+            if r.dst == "CONV":
+                R[i] += r.n / out[i]
+            elif r.dst == "DROP" or r.dst == removed:
+                pass  # removed channel's incoming mass -> DROP
+            else:
+                Q[i, idx[r.dst]] += r.n / out[i]
+        live = out > 0
+        # states with no outgoing mass absorb into DROP (p=0 rows)
+        A = np.eye(len(trans)) - Q
+        p = np.linalg.solve(A, R)
+        return float(p[idx["START"]]) if live[idx["START"]] else 0.0
+
+    p_full = absorption(None)
+    effects = []
+    for c in channels:
+        p_c = absorption(c)
+        effects.append((c, 1.0 - (p_c / p_full) if p_full > 0 else 0.0))
+    total = sum(e for _, e in effects)
+    rows = [
+        (
+            c,
+            round(e, 6),
+            round(e / total, 6) if total > 0 else 0.0,
+        )
+        for c, e in effects
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, removal_effect double, attribution_share double"
+    ).orderBy("channel")

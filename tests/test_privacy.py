@@ -138,3 +138,4 @@ def test_neyman_allocation_sums_within_budget_and_ranks_hold(spark):
         assert n == allocs[lang], (lang, n, allocs[lang])
     assert sum(per_lang.values()) <= NEYMAN_BUDGET
     assert len(out) == len({r.doc_id for r in out})  # no doc twice
+

@@ -68,3 +68,54 @@ def test_grouped_ewma_hand_values_and_partition_invariance(spark):
         ).collect()
     }
     assert out == out8
+
+
+def test_removal_effect_hand_computed_chain(spark, tmp_path):
+    """Hand-solvable chain: A view->click->purchase, B view->(drop),
+    C purchase with no touches. p_full = 1/3 + 2/3 * 1/2 = 2/3;
+    removing view: p = 1/3 -> effect 0.5; removing click: same
+    (view's only converting continuation) -> equal shares."""
+    import datetime as dt
+
+    from technical_test_data_engineer_spark.plans.window_queries import (
+        channel_removal_effect,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(1), 100, "view", 1.0, "{}"),
+        (2, ts(2), 100, "click", 1.0, "{}"),
+        (3, ts(3), 100, "purchase", 1.0, "{}"),
+        (4, ts(1), 200, "view", 1.0, "{}"),
+        (5, ts(1), 300, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.channel: (r.removal_effect, r.attribution_share)
+        for r in channel_removal_effect(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"view", "click"}
+    assert out["view"] == (0.5, 0.5)
+    assert out["click"] == (0.5, 0.5)
+
+
+def test_removal_effect_is_deterministic_and_bounded(spark):
+    from technical_test_data_engineer_spark.plans.window_queries import (
+        channel_removal_effect,
+    )
+
+    a = channel_removal_effect(spark, "/root/testdata/sf0.01").collect()
+    b = channel_removal_effect(spark, "/root/testdata/sf0.01").collect()
+    assert a == b
+    share = sum(r.attribution_share for r in a)
+    assert abs(share - 1.0) < 1e-5
+    for r in a:
+        assert 0.0 <= r.removal_effect <= 1.0
