@@ -1657,103 +1657,102 @@ def channel_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus conversion probability falls when that channel is removed
     (its incoming transitions redirected to DROP).
 
-    Scale split: everything data-sized is distributed — journeys
-    truncate at the first purchase with one per-user window, the
-    lag-window transition counts collapse to a (channels+3)²-bounded
-    relation (the event_transition_probs shape). ONLY the
-    vocabulary-sized count matrix is collected (bounded by the channel
-    vocabulary, never by rows — same bounded-collect discipline as the
-    PCA driver eigh), and the (I-Q)x = R absorption solves run on a
-    ≤(channels+1)² numpy system per removal. Effects are exact-count
-    deterministic, rounded to 6."""
-    import numpy as np
+    Scale split lives in operators/attribution.py: journeys truncate
+    and transitions count DISTRIBUTED (per-user window + vocabulary-
+    sized groupBy); only the (channels+3)²-bounded count matrix is
+    collected, and each removal is one ≤(channels+1)² numpy solve.
+    Effects are exact-count deterministic, rounded to 6."""
+    from technical_test_data_engineer_spark.operators.attribution import (
+        absorption_probability,
+        channels_of,
+        journey_transition_counts,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    conv = ev.filter(F.col("event_type") == "purchase").groupBy(
-        "user_id"
-    ).agg(F.min("ts").alias("conv_ts"))
-    touches = (
-        ev.filter(F.col("event_type") != "purchase")
-        .join(conv, "user_id", "left")
-        .filter(F.col("conv_ts").isNull() | (F.col("ts") < F.col("conv_ts")))
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = touches.select(
-        "user_id",
-        "conv_ts",
-        F.col("event_type").alias("ch"),
-        F.lag("event_type").over(w).alias("prev"),
-        F.lead("event_type").over(w).alias("nxt"),
-    )
-    mid = seq.select(
-        F.coalesce("prev", F.lit("START")).alias("src"),
-        F.col("ch").alias("dst"),
-    )
-    last = seq.filter(F.col("nxt").isNull()).select(
-        F.col("ch").alias("src"),
-        F.when(F.col("conv_ts").isNotNull(), F.lit("CONV"))
-        .otherwise(F.lit("DROP"))
-        .alias("dst"),
-    )
-    # converters who purchased with zero prior touches: START -> CONV
-    no_touch = (
-        conv.join(
-            touches.select("user_id").distinct(), "user_id", "left_anti"
-        ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
-    )
-    counts = (
-        mid.unionByName(last)
-        .unionByName(no_touch)
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n"))
-        .collect()  # bounded: <= (channels+3)^2 rows
-    )
-
-    channels = sorted(
-        {r.src for r in counts if r.src != "START"}
-        | {r.dst for r in counts if r.dst not in ("CONV", "DROP")}
-    )
-
-    def absorption(removed: str | None) -> float:
-        trans = ["START"] + [c for c in channels if c != removed]
-        idx = {s: i for i, s in enumerate(trans)}
-        Q = np.zeros((len(trans), len(trans)))
-        R = np.zeros(len(trans))
-        out = np.zeros(len(trans))
-        for r in counts:
-            if r.src == removed or r.src not in idx:
-                continue
-            out[idx[r.src]] += r.n
-        for r in counts:
-            if r.src == removed or r.src not in idx:
-                continue
-            i = idx[r.src]
-            if r.dst == "CONV":
-                R[i] += r.n / out[i]
-            elif r.dst == "DROP" or r.dst == removed:
-                pass  # removed channel's incoming mass -> DROP
-            else:
-                Q[i, idx[r.dst]] += r.n / out[i]
-        live = out > 0
-        # states with no outgoing mass absorb into DROP (p=0 rows)
-        A = np.eye(len(trans)) - Q
-        p = np.linalg.solve(A, R)
-        return float(p[idx["START"]]) if live[idx["START"]] else 0.0
-
-    p_full = absorption(None)
-    effects = []
-    for c in channels:
-        p_c = absorption(c)
-        effects.append((c, 1.0 - (p_c / p_full) if p_full > 0 else 0.0))
-    total = sum(e for _, e in effects)
-    rows = [
+    counts = journey_transition_counts(ev).collect()  # vocab-bounded
+    channels = channels_of(counts)
+    p_full = absorption_probability(counts, set(channels))
+    effects = [
         (
             c,
-            round(e, 6),
-            round(e / total, 6) if total > 0 else 0.0,
+            1.0 - absorption_probability(counts, set(channels) - {c}) / p_full
+            if p_full > 0
+            else 0.0,
         )
+        for c in channels
+    ]
+    total = sum(e for _, e in effects)
+    rows = [
+        (c, round(e, 6), round(e / total, 6) if total > 0 else 0.0)
         for c, e in effects
     ]
     return spark.createDataFrame(
         rows, "channel string, removal_effect double, attribution_share double"
+    ).orderBy("channel")
+
+
+# Exact Shapley is 2^k absorption solves — fine for real marketing
+# channel vocabularies (k ≤ ~15); the guard raises past 12 where the
+# production answer is permutation-sampling approximation.
+SHAPLEY_MAX_CHANNELS = 12
+
+
+# rows-only: same matrix-algebra reasoning as channel_removal_effect
+@query("channel_shapley_attribution")
+def channel_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the Markov conversion game
+    (Shapley 1953 applied to the absorbing-chain characteristic
+    function v(S) = conversion probability using only channels in S,
+    all others redirected to DROP): each channel's credit is its
+    average marginal contribution over all subsets — the
+    axiomatically-fair split that removal effects only approximate
+    (removal double-counts channels that substitute for each other).
+    Efficiency axiom Σφ = v(all) - v(∅) is asserted in tests, and
+    v(∅) — direct no-touch conversions — is reported so the attributed
+    mass is explicit.
+
+    Cost: one distributed transition-count pass (shared machinery,
+    operators/attribution.py), then 2^k driver solves on
+    vocabulary-sized systems — exact up to SHAPLEY_MAX_CHANNELS
+    ({SHAPLEY_MAX_CHANNELS}), raising loudly past it (the 100 TB-and-
+    many-channels answer is permutation sampling over the same
+    machinery, an approximation this proof query refuses to silently
+    substitute)."""
+    from itertools import combinations
+    from math import factorial
+
+    from technical_test_data_engineer_spark.operators.attribution import (
+        absorption_probability,
+        channels_of,
+        journey_transition_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = journey_transition_counts(ev).collect()  # vocab-bounded
+    channels = channels_of(counts)
+    k = len(channels)
+    if k > SHAPLEY_MAX_CHANNELS:
+        raise ValueError(
+            f"exact Shapley is 2^{k} solves; use permutation sampling "
+            f"above {SHAPLEY_MAX_CHANNELS} channels"
+        )
+    v = {}
+    for r in range(k + 1):
+        for s in combinations(channels, r):
+            v[frozenset(s)] = absorption_probability(counts, set(s))
+    phi = {}
+    for c in channels:
+        acc = 0.0
+        for s in v:
+            if c in s:
+                continue
+            w = factorial(len(s)) * factorial(k - len(s) - 1) / factorial(k)
+            acc += w * (v[s | {c}] - v[s])
+        phi[c] = acc
+    base = v[frozenset()]
+    rows = [
+        (c, round(phi[c], 6), round(base, 6)) for c in channels
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, shapley_value double, v_empty double"
     ).orderBy("channel")

@@ -119,3 +119,61 @@ def test_removal_effect_is_deterministic_and_bounded(spark):
     assert abs(share - 1.0) < 1e-5
     for r in a:
         assert 0.0 <= r.removal_effect <= 1.0
+
+
+def test_shapley_efficiency_axiom_and_hand_case(spark, tmp_path):
+    """Efficiency: Σφ == v(all) - v(∅) exactly (up to rounding). Hand
+    case (A view->click->purchase, B view->drop, C direct purchase):
+    v(∅)=1/3, v({view})=1/3 (click removed kills the chain),
+    v({click})=1/3, v(both)=2/3 -> φ_view = φ_click = 1/6."""
+    import datetime as dt
+
+    from technical_test_data_engineer_spark.plans.window_queries import (
+        channel_shapley_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(1), 100, "view", 1.0, "{}"),
+        (2, ts(2), 100, "click", 1.0, "{}"),
+        (3, ts(3), 100, "purchase", 1.0, "{}"),
+        (4, ts(1), 200, "view", 1.0, "{}"),
+        (5, ts(1), 300, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.channel: (r.shapley_value, r.v_empty)
+        for r in channel_shapley_attribution(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"view", "click"}
+    assert abs(out["view"][0] - 1 / 6) < 1e-6
+    assert abs(out["click"][0] - 1 / 6) < 1e-6
+    assert abs(out["view"][1] - 1 / 3) < 1e-6
+
+
+def test_shapley_efficiency_on_fixture(spark):
+    from technical_test_data_engineer_spark.operators.attribution import (
+        absorption_probability,
+        channels_of,
+        journey_transition_counts,
+    )
+    from technical_test_data_engineer_spark.plans.window_queries import (
+        channel_shapley_attribution,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = channel_shapley_attribution(spark, sf).collect()
+    counts = journey_transition_counts(load_table(spark, sf, "events")).collect()
+    chans = set(channels_of(counts))
+    v_all = absorption_probability(counts, chans)
+    v_empty = absorption_probability(counts, set())
+    assert abs(sum(r.shapley_value for r in out) - (v_all - v_empty)) < 5e-6
