@@ -135,6 +135,13 @@ _FRONT_50 = [
     "customer_pseudonymized",         # salted-hash row-level release
     "source_token_js_divergence",     # distribution drift (JS)
     "doc_neyman_sample",              # variance-optimal stratified
+    # third batch; displaced: order_calendar_features and
+    # acctbal_winsorized_stats (both r05-green; the ISO-calendar F2
+    # family keeps order_gap_days' r02 green + the date battery's
+    # pytest coverage, the robust-stats family keeps
+    # ship_latency_percentiles in-window)
+    "ab_test_cuped",                  # CUPED variance reduction
+    "embedding_silhouette",           # clustering-eval margins
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
@@ -153,12 +160,8 @@ _FRONT_50 = [
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
     # Python shape)
     "segment_price_geomean",
-    # ISO calendar feature battery (date-dimension engineering)
-    "order_calendar_features",
-    # association rules (support/confidence/lift) + per-group
-    # winsorization (the feature-prep clamp)
+    # association rules (support/confidence/lift)
     "basket_rules_lift",
-    "acctbal_winsorized_stats",
     # -- Round-6 rotation (r5 verdict item 5): the 8 rows-only queries
     #    that have NEVER been in a driver window rotate in. They earn
     #    only row-count credit, but that proves each executes under the

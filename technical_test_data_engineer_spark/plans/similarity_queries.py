@@ -1038,3 +1038,145 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim", "query_id")
     )
+
+
+@query(
+    "embedding_silhouette",
+    """
+    WITH x AS (
+        SELECT vec_id, label, u.i - 1 AS dim, CAST(u.x AS DOUBLE) AS x
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings) e,
+             LATERAL (SELECT UNNEST(v) AS x,
+                             generate_subscripts(v, 1) AS i) u
+    ),
+    c AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM x GROUP BY label, dim
+    ),
+    nv AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,30))) AS DOUBLE) AS na
+        FROM x GROUP BY vec_id
+    ),
+    nc AS (
+        SELECT label,
+               CAST(SUM(CAST(c * c AS DECIMAL(38,30))) AS DOUBLE) AS ncv
+        FROM c GROUP BY label
+    ),
+    dots AS (
+        SELECT x.vec_id, x.label AS vlabel, c.label AS clabel,
+               CAST(SUM(CAST(x.x * c.c AS DECIMAL(38,30))) AS DOUBLE) AS dot
+        FROM x JOIN c ON c.dim = x.dim
+        GROUP BY x.vec_id, x.label, c.label
+    ),
+    sc AS (
+        SELECT d.vec_id, d.vlabel, d.clabel,
+               ROUND(d.dot / (SQRT(nv.na) * SQRT(nc.ncv)), 12) AS score
+        FROM dots d
+        JOIN nv ON nv.vec_id = d.vec_id
+        JOIN nc ON nc.label = d.clabel
+    ),
+    m AS (
+        SELECT vec_id, vlabel,
+               MAX(CASE WHEN clabel = vlabel THEN score END) AS own,
+               MAX(CASE WHEN clabel <> vlabel THEN score END) AS best_other
+        FROM sc GROUP BY vec_id, vlabel
+    )
+    SELECT vlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(own - best_other AS DECIMAL(30,15)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+           ROUND(CAST(SUM(CASE WHEN own < best_other THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_misassigned
+    FROM m
+    GROUP BY vlabel
+    ORDER BY label
+    """,
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-approximate silhouette — the CLUSTERING-EVAL member of
+    the eval harness (matryoshka_recall_curve evals retrieval, this
+    evals the label structure semantic dedup and per-label centroids
+    rely on): per vector, cosine to its OWN label centroid vs the best
+    OTHER centroid; per label, the mean margin and the fraction of
+    vectors sitting closer to a foreign centroid (the misassignment
+    rate a k-means/sem-dedup rollout watches). Exact-silhouette's
+    all-pairs a/b terms are O(n²) — the centroid approximation is the
+    standard scalable form and reuses the scan-side argmax-centroid
+    shape of semantic_dedup_keep. Plan: per-dim decimal-exact centroid
+    means (one vocabulary-sized shuffle), a labels-sized centroid
+    table broadcast onto one corpus scan, cosines decimal-exact and
+    rounded to 12 (the house ranking convention) before the max
+    comparison, margins decimal-summed. At 100 TB: one scan, one
+    (labels x dims) shuffle, nothing else moves."""
+    from pyspark.sql.types import DecimalType
+
+    from technical_test_data_engineer_spark.operators.similarity import cosine
+
+    dec = DecimalType(38, 30)
+    emb = load_table(spark, sf_dir, "embeddings")
+    xl = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent_long = xl.groupBy("label", "dim").agg(
+        (F.sum(F.col("val").cast(dec)).cast("double") / F.count("*")).alias(
+            "c"
+        )
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s.c,
+        ).alias("centroid")
+    ).select(F.col("label").alias("clabel"), "centroid")
+
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(
+                cosine(
+                    F.transform(
+                        F.col("embedding"), lambda v: v.cast("double")
+                    ),
+                    F.col("centroid"),
+                ),
+                12,
+            ).alias("score"),
+        )
+    )
+    m = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("score"))).alias(
+            "own"
+        ),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("score"))).alias(
+            "best_other"
+        ),
+    )
+    margin = F.col("own") - F.col("best_other")
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(margin.cast("decimal(30,15)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_margin"),
+            F.round(
+                F.sum(
+                    F.when(F.col("own") < F.col("best_other"), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("frac_misassigned"),
+        )
+        .orderBy("label")
+    )

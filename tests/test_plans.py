@@ -268,6 +268,9 @@ _NONEQUI_ALLOWLIST = {
                                   # onto the corpus term table
     "doc_neyman_sample",          # 1-row allocation-total broadcast
                                   # attach
+    "ab_test_cuped",              # 1-row pooled-theta broadcast attach
+    "embedding_silhouette",       # labels-sized centroid table
+                                  # broadcast onto one corpus scan
     "hybrid_rrf_retrieval",       # dense side = broadcast-queries scan
     "knn_lsh_exact",
     "embedding_near_dups_lsh_exact",

@@ -750,3 +750,43 @@ def test_recall_curve_grid_and_monotonicity(spark):
                 assert r.recall_at_k == round(r.n_overlap / TOP_K, 6)
         means[d] = sum(rs) / len(rs)
     assert means[8] <= means[16] <= means[32]
+
+
+def test_silhouette_separates_planted_clusters(spark, tmp_path):
+    """Tight planted clusters: every vector's own-centroid cosine must
+    beat every foreign centroid -> misassignment 0 and positive
+    margins for all labels; a deliberately mislabeled vector flips its
+    label's misassignment fraction above 0."""
+    import math
+    import random as rnd
+
+    from technical_test_data_engineer_spark.plans.similarity_queries import (
+        embedding_silhouette,
+    )
+
+    r = rnd.Random(7)
+    rows = []
+    for vid in range(60):
+        cluster = vid % 3
+        base = [0.0] * 64
+        for d in range(cluster * 8, cluster * 8 + 8):
+            base[d] = 1.0
+        vec = [b + r.uniform(-0.05, 0.05) for b in base]
+        norm = math.sqrt(sum(x * x for x in vec))
+        label = cluster
+        if vid == 59:  # plant one mislabeled vector
+            label = (cluster + 1) % 3
+        rows.append((vid, [x / norm for x in vec], label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = {r_.label: r_ for r_ in
+           embedding_silhouette(spark, str(tmp_path)).collect()}
+    planted_label = (59 % 3 + 1) % 3
+    for label, row in out.items():
+        if label == planted_label:
+            assert row.frac_misassigned > 0.0
+        else:
+            assert row.frac_misassigned == 0.0
+            assert row.mean_margin > 0.5

@@ -177,3 +177,40 @@ def test_shapley_efficiency_on_fixture(spark):
     v_all = absorption_probability(counts, chans)
     v_empty = absorption_probability(counts, set())
     assert abs(sum(r.shapley_value for r in out) - (v_all - v_empty)) < 5e-6
+
+
+def test_cuped_reduces_variance_on_correlated_outcome(spark, tmp_path):
+    """Planted strong covariate (y ~ 2x + small deterministic noise):
+    CUPED must cut each arm's outcome variance by >70% while the
+    POOLED adjusted mean equals the pooled raw mean exactly (the
+    adjustment sums to zero by construction of theta/x-bar)."""
+    import datetime as dt
+
+    from technical_test_data_engineer_spark.plans.window_queries import (
+        ab_test_cuped,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(60):
+        x = 10.0 + (uid % 7) * 5.0       # covariate: view spend
+        noise = ((uid * 13) % 5) - 2.0   # deterministic, mean ~0
+        y = 2.0 * x + noise              # outcome: purchase spend
+        eid += 1
+        rows.append((eid, t0, uid, "view", x, "{}"))
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(hours=1), uid, "purchase", y, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+
+    out = {r.in_a: r for r in ab_test_cuped(spark, str(tmp_path)).collect()}
+    assert set(out) == {True, False}
+    for arm in out.values():
+        assert arm.var_reduction > 0.7, arm
+    pooled_raw = sum(r.mean_y * r.n_users for r in out.values())
+    pooled_adj = sum(r.mean_y_cuped * r.n_users for r in out.values())
+    assert abs(pooled_raw - pooled_adj) < 1e-3
