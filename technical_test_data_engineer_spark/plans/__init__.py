@@ -142,6 +142,15 @@ _FRONT_50 = [
     # ship_latency_percentiles in-window)
     "ab_test_cuped",                  # CUPED variance reduction
     "embedding_silhouette",           # clustering-eval margins
+    # fourth batch; displaced (all r05-green with coverage held
+    # elsewhere): media_chunk_checksums (multimodal keeps
+    # media_phash_near_dups in-window), lineitem_measures_unpivot
+    # (unpivot/melt also green as nation_status_unpivot r03),
+    # basket_rules_lift (HOF basket machinery shared with the
+    # in-window graph family's edge build)
+    "user_conversion_survival",       # Kaplan-Meier with censoring
+    "customer_revenue_gini",          # concentration coefficient
+    "orders_benford_audit",           # first-digit forensic screen
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
@@ -150,18 +159,11 @@ _FRONT_50 = [
     "q4_order_priority",
     "q12_ship_class_priority",
     "q16_supplier_part_counts",
-    # the native unpivot/melt reshape proof and the FULL OUTER member
-    # of the stream-stream interval-join family
-    "lineitem_measures_unpivot",
+    # the FULL OUTER member of the stream-stream interval-join family
     "view_click_full_outer_30m",
-    # byte-window media chunking with hash-gated checksums (the
-    # ASR/video segment-prep shape; replaces a backfill slot)
-    "media_chunk_checksums",
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
     # Python shape)
     "segment_price_geomean",
-    # association rules (support/confidence/lift)
-    "basket_rules_lift",
     # -- Round-6 rotation (r5 verdict item 5): the 8 rows-only queries
     #    that have NEVER been in a driver window rotate in. They earn
     #    only row-count credit, but that proves each executes under the

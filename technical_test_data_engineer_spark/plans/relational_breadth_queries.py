@@ -2124,3 +2124,137 @@ def lineitem_bloom_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "customer_revenue_gini",
+    f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               {_decsum('o_totalprice')} AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT x,
+               ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i,
+               COUNT(*) OVER () AS n
+        FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS total_revenue,
+           ROUND(
+               2.0 * CAST(SUM(CAST(i * x AS DECIMAL(30,10))) AS DOUBLE)
+               / (MAX(n) * CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE))
+               - (MAX(n) + 1.0) / MAX(n),
+               6
+           ) AS gini
+    FROM ranked
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the scalar
+    companion to pareto_parts' 80/20 curve (a mixing/curation pipeline
+    watches the same statistic over per-source token counts to see how
+    concentrated the corpus is). Exact rank formula on ascending spend
+    (G = 2·Σi·x_i/(n·Σx) − (n+1)/n), deterministic tiebreak on
+    custkey, both Σ accumulated in DECIMAL so neither engine's sum
+    order reaches the hash. Plan: one keyed shuffle to per-customer
+    spend, then a single global sort-rank over the CUSTOMER relation —
+    at 100 TB the same statistic computes from a value-histogram
+    (Lorenz curve on equi-depth bins) without the global sort; the
+    exact rank form here is the oracle-checkable proof."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        exact_sum(F.col("o_totalprice")).alias("x")
+    )
+    w = W.orderBy(F.asc("x"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum(dec(F.col("x"))).cast("double"), 2).alias(
+            "total_revenue"
+        ),
+        F.round(
+            F.lit(2.0)
+            * F.sum(dec(F.col("i") * F.col("x"))).cast("double")
+            / (F.max("n") * F.sum(dec(F.col("x"))).cast("double"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "orders_benford_audit",
+    """
+    WITH d AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM d),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    grid AS (SELECT UNNEST(RANGE(1, 10)) AS digit)
+    SELECT CAST(grid.digit AS INTEGER) AS digit,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / n.n_total, 6)
+               AS observed_frac,
+           ROUND(LOG10(1.0 + 1.0 / grid.digit), 6) AS benford_frac,
+           ROUND(POWER(CAST(COALESCE(c.n, 0) AS DOUBLE) / n.n_total
+                       - LOG10(1.0 + 1.0 / grid.digit), 2)
+                 / LOG10(1.0 + 1.0 / grid.digit) * n.n_total, 6)
+               AS chi2_term
+    FROM grid LEFT JOIN c ON c.digit = grid.digit CROSS JOIN n
+    ORDER BY digit
+    """,
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit on order amounts — the
+    classic forensic data-quality screen (fabricated or truncated
+    monetary data drifts from the log-uniform digit law; a synthetic
+    uniform fixture rightly FAILS it, which the test asserts — the
+    audit detects non-Benford data, it doesn't assume conformance).
+    The digit comes from the DECIMAL(18,2) string rendering, not
+    FLOOR(x/10^FLOOR(LOG10 x)) — float log at exact powers of 10 can
+    flip the floor on one engine and not the other, strings cannot.
+    Per digit: observed vs expected share and the chi-square term,
+    zero-filled over the 1-9 grid. One scan-side digit extraction +
+    a 9-row aggregation; nothing else moves at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    n = d.agg(F.count("*").alias("n_total"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("n_total")
+    return (
+        grid.join(c, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(obs, 6).alias("observed_frac"),
+            F.round(expected, 6).alias("benford_frac"),
+            F.round(
+                F.pow(obs - expected, F.lit(2.0))
+                / expected
+                * F.col("n_total"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
@@ -699,3 +700,139 @@ def monthly_users_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "user_conversion_survival",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_purchase,
+               MAX(CAST(ts AS TIMESTAMP)) AS last_seen
+        FROM events GROUP BY user_id
+    ),
+    dur AS (
+        SELECT user_id,
+               CASE WHEN first_purchase IS NOT NULL
+                    THEN CAST(date_diff('second', first_seen, first_purchase)
+                              AS BIGINT)
+                    ELSE CAST(date_diff('second', first_seen, last_seen)
+                              AS BIGINT) END AS t,
+               CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM dur),
+    g AS (
+        SELECT t, COUNT(*) AS removed, SUM(ev) AS d
+        FROM dur GROUP BY t
+    ),
+    r AS (
+        SELECT t, d,
+               n.n_total
+               - COALESCE(SUM(removed) OVER (
+                     ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_risk
+        FROM g CROSS JOIN n
+    ),
+    k AS (
+        SELECT t, d, n_risk,
+               CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dies_out,
+               CASE WHEN d < n_risk
+                    THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk)
+                    ELSE 0.0 END AS lnf
+        FROM r WHERE d > 0
+    )
+    SELECT t AS t_seconds,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN MAX(dies_out) OVER (
+                    ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) = 1
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(lnf) OVER (
+                         ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )), 6) END AS survival
+    FROM k
+    ORDER BY t_seconds
+    """,
+)
+def user_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase WITH
+    censoring — the statistically-correct upgrade of
+    time_to_first_purchase's converted-only percentiles (those are
+    biased optimistic: users who never purchased are evidence too, and
+    KM counts them at-risk until their last observed event). Per user:
+    entry = first event, event = first purchase, censor = last seen;
+    durations in exact integer seconds so distinct event times group
+    identically on both engines. S(t) = Π(1 - d_i/n_i) computed as
+    exp of a cumulative sum of logs (exact count ratios → identical
+    doubles; round-6 absorbs libm ulps), with the d = n_at_risk
+    boundary pinned to exactly 0 via a cumulative flag instead of
+    LN(0). Plan: one user-keyed shuffle to (duration, event), then
+    everything is distinct-duration-sized; the unpartitioned
+    cumulative window runs over event times only — at corpus scale the
+    same curve runs at time-bucket granularity (the vocab_growth_curve
+    tranche note), bounded by curve resolution."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+        F.max("ts").alias("last_seen"),
+    )
+    converted = F.col("first_purchase").isNotNull()
+    dur = per_user.select(
+        F.when(
+            converted,
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_seen"),
+        )
+        .otherwise(F.unix_timestamp("last_seen") - F.unix_timestamp("first_seen"))
+        .cast("bigint")
+        .alias("t"),
+        converted.cast("int").alias("ev"),
+    )
+    n = dur.agg(F.count("*").alias("n_total"))
+    g = dur.groupBy("t").agg(
+        F.count("*").alias("removed"), F.sum("ev").alias("d")
+    )
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = (
+        g.crossJoin(F.broadcast(n))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("removed").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("d") > 0)
+    )
+    k = r.select(
+        "t",
+        "d",
+        "n_risk",
+        (F.col("d") == F.col("n_risk")).cast("int").alias("dies_out"),
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lnf"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return k.select(
+        F.col("t").alias("t_seconds"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.max("dies_out").over(w_cum) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("lnf").over(w_cum)), 6))
+        .alias("survival"),
+    ).orderBy("t_seconds")

@@ -269,6 +269,8 @@ _NONEQUI_ALLOWLIST = {
     "doc_neyman_sample",          # 1-row allocation-total broadcast
                                   # attach
     "ab_test_cuped",              # 1-row pooled-theta broadcast attach
+    "user_conversion_survival",   # 1-row cohort-size broadcast attach
+    "orders_benford_audit",       # 1-row total-count broadcast attach
     "embedding_silhouette",       # labels-sized centroid table
                                   # broadcast onto one corpus scan
     "hybrid_rrf_retrieval",       # dense side = broadcast-queries scan

@@ -214,3 +214,81 @@ def test_cuped_reduces_variance_on_correlated_outcome(spark, tmp_path):
     pooled_raw = sum(r.mean_y * r.n_users for r in out.values())
     pooled_adj = sum(r.mean_y_cuped * r.n_users for r in out.values())
     assert abs(pooled_raw - pooled_adj) < 1e-3
+
+
+def test_kaplan_meier_invariants(spark):
+    """KM invariants the oracle can't state: survival is non-increasing
+    in t, within (0, 1] until a die-out, and at each event time equals
+    the running product of (1 - d/n) recomputed in Python."""
+    from technical_test_data_engineer_spark.plans.streaming_queries import (
+        user_conversion_survival,
+    )
+
+    out = user_conversion_survival(spark, "/root/testdata/sf0.01").collect()
+    assert out
+    prev = 1.0
+    running = 1.0
+    for r in out:
+        assert r.n_events >= 1
+        assert r.n_at_risk >= r.n_events
+        running *= 1.0 - r.n_events / r.n_at_risk
+        assert abs(r.survival - round(running, 6)) < 1e-9
+        assert r.survival <= prev + 1e-12
+        prev = r.survival
+
+
+def test_benford_uniform_fixture_fails_the_law(spark):
+    """The synthetic uniform prices are NOT Benford — the audit must
+    say so (large chi2), and the bookkeeping must hold: fractions sum
+    to 1, expected fractions sum to 1, counts sum to the filtered
+    row count."""
+    from technical_test_data_engineer_spark.plans.relational_breadth_queries import (
+        orders_benford_audit,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = orders_benford_audit(spark, sf).collect()
+    assert len(out) == 9
+    assert abs(sum(r.observed_frac for r in out) - 1.0) < 1e-4
+    assert abs(sum(r.benford_frac for r in out) - 1.0) < 1e-4
+    n = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .count()
+    )
+    assert sum(r.n for r in out) == n
+    chi2 = sum(r.chi2_term for r in out)
+    assert chi2 > 15.51  # chi2(8, 0.05) — uniform prices reject Benford
+
+
+def test_gini_bounds_and_known_values(spark, tmp_path):
+    """Equal spends -> G = 0 exactly (up to the (n+1)/n finite-sample
+    term); one customer holding everything -> G -> (n-1)/n."""
+    import datetime as dt
+
+    from technical_test_data_engineer_spark.plans.relational_breadth_queries import (
+        customer_revenue_gini,
+    )
+
+    d = dt.date(2024, 1, 1)
+    equal = [(i, i, "O", 100.0, d, "1-URGENT", "c", 0, "x") for i in range(10)]
+    spark.createDataFrame(
+        equal,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.parquet(f"{tmp_path}/e/orders.parquet")
+    g0 = customer_revenue_gini(spark, f"{tmp_path}/e").collect()[0]
+    assert g0.gini == 0.0
+
+    skew = [(i, i, "O", 0.01 if i else 10000.0, d, "1-URGENT", "c", 0, "x")
+            for i in range(10)]
+    spark.createDataFrame(
+        skew,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority int, o_comment string",
+    ).write.parquet(f"{tmp_path}/s/orders.parquet")
+    g1 = customer_revenue_gini(spark, f"{tmp_path}/s").collect()[0]
+    assert g1.gini > 0.85
