@@ -77,7 +77,6 @@ _FRONT_50 = [
     "customer_rfm_segments",
     "orderkey_skew_report",
     "ship_latency_percentiles",
-    "event_value_ab_test",
     "hourly_traffic_anomalies",
     # graph / recommendation
     "copurchase_degree_stats",
@@ -151,14 +150,20 @@ _FRONT_50 = [
     "user_conversion_survival",       # Kaplan-Meier with censoring
     "customer_revenue_gini",          # concentration coefficient
     "orders_benford_audit",           # first-digit forensic screen
+    # fifth batch; displaced (all r05-green): q4_order_priority and
+    # q16_supplier_part_counts (TPC-H family keeps q12 in-window for
+    # its re-earn + 20 greens behind the window), event_value_ab_test
+    # (experiment family now represented by ab_test_cuped, whose
+    # moments machinery supersets the Welch readout)
+    "price_quantity_elasticity",      # one-pass OLS elasticity
+    "vocab_zipf_slope",               # Zipf rank-frequency fit
+    "doc_readability",                # Flesch quality axis
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
     # (EXISTS-gated priority counts, conditional-CASE aggregation,
     # promo revenue share ratio, NOT-IN distinct-supplier counts)
-    "q4_order_priority",
     "q12_ship_class_priority",
-    "q16_supplier_part_counts",
     # the FULL OUTER member of the stream-stream interval-join family
     "view_click_full_outer_30m",
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-

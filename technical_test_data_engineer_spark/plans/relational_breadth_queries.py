@@ -2258,3 +2258,83 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "price_quantity_elasticity",
+    """
+    WITH p AS (
+        SELECT LN(l_extendedprice / l_quantity) AS x,
+               LN(l_quantity) AS y
+        FROM lineitem
+        WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0), 6)
+               AS elasticity,
+           ROUND(sy / n - (sxy - sx * sy / n)
+                          / NULLIF(sxx - sx * sx / n, 0) * sx / n,
+                 6) AS intercept,
+           ROUND(POWER(sxy - sx * sy / n, 2)
+                 / NULLIF((sxx - sx * sx / n) * (syy - sy * sy / n), 0),
+                 6) AS r2
+    FROM m
+    """,
+)
+def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS price elasticity of demand — univariate regression
+    as ONE aggregation pass of sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²), the map-side-combinable form every distributed
+    regression reduces to (the same moments trick as ab_test_cuped's
+    θ and embedding_covariance): slope = cov(x,y)/var(x), plus
+    intercept and r². No MLlib, no iteration, no second scan — at
+    100 TB this is a single partial-aggregated scan. Per-row LN runs
+    on identical doubles (unit price is one exact-rounded division);
+    moments accumulate in DECIMAL so partition order can't drift the
+    hash; NULLIF guards degenerate zero-variance fixtures. The
+    synthetic fixture's slope ≈ 0 is itself the correct readout
+    (price and quantity are drawn independently) — asserted in
+    tests, alongside an exact-slope planted-line fixture."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    p = li.select(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.log(F.col("l_quantity")).alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    m = p.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.nullif(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
+    )
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = cov / varx
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
+        F.round(
+            F.pow(cov, F.lit(2.0))
+            / F.nullif(varx * vary, F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )

@@ -2028,3 +2028,153 @@ def doc_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "alloc")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "vocab_zipf_slope",
+    """
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+    rk AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+        FROM tf
+    ),
+    p AS (SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+          FROM rk),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           ROUND((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0), 6)
+               AS zipf_slope,
+           ROUND(POWER(sxy - sx * sy / n, 2)
+                 / NULLIF((sxx - sx * sx / n) * (syy - sy * sy / n), 0),
+                 6) AS r2
+    FROM m
+    """,
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of ln(frequency) on ln(rank)
+    over the term table — natural text sits near −1, and a corpus
+    whose slope drifts is boilerplate-heavy (too flat: templated
+    spam) or truncation-damaged (too steep). The corpus-statistics
+    companion to vocab_growth_curve's Heaps law, sharing its scale
+    shape: one token shuffle to term counts, then everything is
+    VOCABULARY-sized (the rank window orders terms, never tokens),
+    and the fit is the same one-pass sufficient-statistics OLS as
+    price_quantity_elasticity. Deterministic rank tiebreak on term;
+    DECIMAL moments; round-6."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    rk = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("term")))
+        .alias("r"),
+    )
+    p = rk.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    m = p.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.nullif(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
+    )
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return m.select(
+        F.col("n").cast("bigint").alias("vocab_size"),
+        F.round(cov / varx, 6).alias("zipf_slope"),
+        F.round(
+            F.pow(cov, F.lit(2.0)) / F.nullif(varx * vary, F.lit(0.0)), 6
+        ).alias("r2"),
+    )
+
+
+@query(
+    "doc_readability",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               LEN(string_split(text, ' ')) AS n_words,
+               GREATEST(LEN(list_filter(
+                   string_split_regex(text, '[.!?]'),
+                   s -> TRIM(s) <> ''
+               )), 1) AS n_sentences,
+               LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                 - 84.6 * CAST(n_syllables AS DOUBLE)
+                        / NULLIF(n_words, 0),
+                 6) AS flesch_score
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability axis of
+    quality filtering (edu-value / complexity screens): word count,
+    sentence count (non-empty [.!?] segments, floored at 1 so
+    punctuation-free text degrades to words-per-doc rather than
+    dividing by zero), and the standard vowel-group syllable
+    approximation (regexp_extract_all — the same heuristic both
+    engines compute identically, since exact syllabification needs a
+    dictionary). Pure scan-side expressions, one row per document,
+    zero shuffle at any scale; the formula's divisions run on exact
+    integer counts so round-6 is formality."""
+    docs = _docs(spark, sf_dir)
+    words = F.size(TX.tokens("text"))
+    sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words.cast("double") / sentences
+            - F.lit(84.6)
+            * syllables.cast("double")
+            / F.nullif(words.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")

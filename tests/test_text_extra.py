@@ -93,3 +93,45 @@ def test_epoch_shards_checksum_detects_membership_drift(spark):
     }
     changed = {k for k in full if full[k] != dropped.get(k)}
     assert len(changed) == 1
+
+
+def test_zipf_slope_on_planted_power_law(spark, tmp_path):
+    """Planted exact power law (term_r repeated round(1000/r) times,
+    one doc): the log-log fit must recover slope ~ -1 with r2 ~ 1;
+    the random fixture's flatter slope is asserted only for sign."""
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        vocab_zipf_slope,
+    )
+
+    words = []
+    for r in range(1, 51):
+        words += [f"t{r:03d}"] * round(1000 / r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = vocab_zipf_slope(spark, str(tmp_path)).collect()[0]
+    assert out.vocab_size == 50
+    assert abs(out.zipf_slope + 1.0) < 0.02
+    assert out.r2 > 0.999
+
+    real = vocab_zipf_slope(spark, "/root/testdata/sf0.01").collect()[0]
+    assert real.zipf_slope < 0  # frequencies fall with rank, always
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    """'the cat sat. it ran fast!' -> 6 words, 2 sentences, 6 vowel
+    groups: flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19."""
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        doc_readability,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it ran fast!", "en", "s", 25)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = doc_readability(spark, str(tmp_path)).collect()[0]
+    assert (out.n_words, out.n_sentences, out.n_syllables) == (6, 2, 6)
+    assert abs(out.flesch_score - 119.19) < 1e-6

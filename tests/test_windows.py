@@ -292,3 +292,32 @@ def test_gini_bounds_and_known_values(spark, tmp_path):
     ).write.parquet(f"{tmp_path}/s/orders.parquet")
     g1 = customer_revenue_gini(spark, f"{tmp_path}/s").collect()[0]
     assert g1.gini > 0.85
+
+
+def test_elasticity_recovers_planted_line(spark, tmp_path):
+    """Exact planted relation y = -2x + 3 (quantity = e^3 * price^-2):
+    the one-pass OLS must return slope -2, intercept 3, r2 = 1."""
+    import math
+
+    from technical_test_data_engineer_spark.plans.relational_breadth_queries import (
+        price_quantity_elasticity,
+    )
+
+    rows = []
+    for i, price in enumerate([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]):
+        qty = math.exp(3.0) * price ** -2.0
+        rows.append((i, i, i, i, qty, qty * price, 0.0, 0.0,
+                     "N", "O", None, None, None, "x", "y", "z"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate date, l_commitdate date, l_receiptdate date, "
+        "l_shipinstruct string, l_shipmode string, l_comment string",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = price_quantity_elasticity(spark, str(tmp_path)).collect()[0]
+    assert out.n_rows == 6
+    assert abs(out.elasticity + 2.0) < 1e-6
+    assert abs(out.intercept - 3.0) < 1e-6
+    assert out.r2 == 1.0
