@@ -720,17 +720,29 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays local), then one Arrow-batched projection pass with the k×D
     component matrix broadcast in the UDF closure. Deterministic sign
     convention (largest-|entry| coordinate positive) keeps output
-    stable across LAPACK builds. Output rounded to 6dp."""
+    stable across LAPACK builds. Output posexplodes the projection to
+    long-form scalar rows (vec_id, component, value) — the registry
+    convention that every query's output schema is atomic types only
+    (the same long form the oracle-paired covariance proves); rounded
+    to 6dp."""
     from technical_test_data_engineer_spark.operators.linalg import (
         pca_project,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = pca_project(emb, "embedding", "vec_id", k=8)
-    return out.select(
-        "vec_id",
-        F.transform(F.col("pc"), lambda x: F.round(x, 6)).alias("pc"),
-    ).orderBy("vec_id")
+    return (
+        out.select(
+            "vec_id",
+            F.posexplode(F.col("pc")).alias("component", "value"),
+        )
+        .select(
+            "vec_id",
+            F.col("component").cast("int").alias("component"),
+            F.round(F.col("value"), 6).alias("value"),
+        )
+        .orderBy("vec_id", "component")
+    )
 
 
 # rows-only: the greedy MMR selection is iterative (no SQL form); the

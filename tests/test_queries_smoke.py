@@ -22,6 +22,24 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_all_query_schemas_are_atomic(spark, sf_dir):
+    """No registered query may return a container-typed top-level
+    column (r6 verdict item 2): the driver's pandas canonicalizer
+    hash-uniques every column and dies on list/dict cells
+    (``embedding_pca_project``'s r06 row: ``TypeError: unhashable
+    type: 'list'``). Long-form (posexplode) is the house convention
+    for vector-valued results; maps round-trip through explode
+    (``user_event_type_map``)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        for field in fn(spark, sf_dir).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, field.name, field.dataType.simpleString()))
+    assert not offenders, offenders
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
