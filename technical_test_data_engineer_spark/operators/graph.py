@@ -549,3 +549,44 @@ def k_core(
     return e.groupBy("u").agg(F.count("*").alias("degree")).select(
         F.col("u").alias("node"), "degree"
     )
+
+
+def k_core_peel_rounds(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exactly ``rounds`` iterations of the k-core peel — the
+    fixed-depth twin of ``k_core`` (which runs to the fixpoint).
+
+    A shrinking fixpoint cannot be expressed in recursive SQL (degrees
+    must re-aggregate inside the recursion), but a FIXED number of
+    peel rounds unrolls into plain chained CTEs — the same convention
+    that makes PageRank/label-propagation oracle-pairable. Each round
+    is one degree aggregation over the surviving edge set plus two
+    semi joins; the edge set only shrinks, so round cost is bounded by
+    the first round at any scale. Returns every node still carrying an
+    edge after the last round with its CURRENT degree (nodes a further
+    round would peel are reported as-is — this is the state after
+    ``rounds`` peels, not the core)."""
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .unionByName(edges.select(b.alias("u"), a.alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("u").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        e = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy("u").agg(F.count("*").cast("bigint").alias("degree")).select(
+        F.col("u").alias("node"), "degree"
+    )

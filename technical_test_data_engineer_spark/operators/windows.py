@@ -110,3 +110,56 @@ def grouped_ewma(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(_fn, schema)
+
+
+def grouped_holt(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    level_col: str = "lvl",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt's linear exponential smoothing per key — the level+trend
+    extension of ``grouped_ewma``'s recurrence discipline:
+
+    ``l₀ = x₀;  b₀ = 0``
+    ``lᵢ = α·xᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁)``
+    ``bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁``
+
+    Like the EWMA this is a true sequential recurrence (each step
+    depends on the full prefix through coupled products), so it runs
+    as an Arrow-batched grouped map: one shuffle on the key, per-key
+    state bounded by the longest single series. The loop applies the
+    textbook float64 ops LITERALLY and in this exact order — NOT a
+    fitted statsmodels variant — so a DuckDB recursive CTE stepping
+    the identical expressions reproduces every bit (the
+    ``user_value_ewma`` precedent, extended to a 2-state recurrence).
+    Forecast-at-horizon-1 is ``l + b`` and is left to the caller."""
+    import numpy as np
+    import pandas as _pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_col, DoubleType()), StructField(trend_col, DoubleType())]
+    )
+    a, bt = float(alpha), float(beta)
+
+    def _fn(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        lvl = x.copy()
+        trd = np.zeros_like(x) if len(x) else x
+        for i in range(1, len(x)):
+            new_l = a * x[i] + (1.0 - a) * (lvl[i - 1] + trd[i - 1])
+            trd[i] = bt * (new_l - lvl[i - 1]) + (1.0 - bt) * trd[i - 1]
+            lvl[i] = new_l
+        pdf[level_col] = lvl
+        pdf[trend_col] = trd
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(_fn, schema)

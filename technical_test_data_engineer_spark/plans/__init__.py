@@ -169,51 +169,28 @@ _FRONT_50 = [
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
     # Python shape)
     "segment_price_geomean",
-    # -- Round-6 rotation (r5 verdict item 5): the 8 rows-only queries
-    #    that have NEVER been in a driver window rotate in. They earn
-    #    only row-count credit, but that proves each executes under the
-    #    driver's vanilla ANSI session (each already has a driver-green
-    #    oracle-paired exact companion for its VALUES: knn_pq_ann →
-    #    knn_pq_exact_rerankall, knn_ivfpq_ann → knn_ivfpq_exact,
-    #    knn_lsh_multiprobe → knn_lsh_exact, knn_mmr_rerank → numpy
-    #    parity tests + knn_bruteforce, embedding_pca_project →
-    #    embedding_covariance, media_phash_near_dups → planted-recall
-    #    test, minhash_incremental_dedup → minhash_incremental_md5,
-    #    part_copurchase_kcore → parametrized dual-path tests).
-    #    Displaced (all r04/r05 driver-green, in-window twins persist):
-    #    dsir_en_selection, user_value_ewma, view_click_within_30m
-    #    (→ view_click_full_outer_30m), split_contamination_audit_md5
-    #    (→ eval_substring_contamination), minhash_incremental_md5
-    #    (→ minhash_incremental_dedup, same pipeline),
-    #    curation_pipeline, events_sliding_1h_15m / events_user_sessions
-    #    (streaming family keeps view_click_full_outer_30m in-window),
-    #    daily_active_users / daily_bounce_rate (A-family kept by
-    #    monthly_from_daily_rollup + event_value_ab_test),
-    #    knn_matryoshka_trunc, corpus_stats_card, doc_weighted_sample.
-    "knn_pq_ann",
-    "knn_ivfpq_ann",
-    "knn_lsh_multiprobe",
-    "knn_mmr_rerank",
-    "embedding_pca_project",
-    "media_phash_near_dups",
-    "minhash_incremental_dedup",
-    "part_copurchase_kcore",
+    # -- Round-7 rotation (r6 verdict items 1, 5-8): the r6 experiment
+    #    proved the driver grants ZERO credit (err=no_oracle) to window
+    #    entries without an oracle, so the 8 rows-only queries rotate
+    #    back OUT (their oracle-paired exact companions all hold driver
+    #    greens; their values stay verified). Their slots go to the 4
+    #    new round-7 oracle-paired queries plus the 4 displaced-longest
+    #    re-earns the verdict named.
+    "customer_segment_target_encoding",  # out-of-fold K-fold encoding
+    "user_value_holtwinters",            # level+trend grouped recurrence
+    "ab_test_sprt",                      # always-valid sequential readout
+    "part_copurchase_kcore_r3",          # unrolled 3-round peel twin
+    "events_sliding_1h_15m",             # re-earn (displaced r06)
+    "events_user_sessions",              # re-earn (displaced r06)
+    "user_value_ewma",                   # re-earn (displaced r06)
+    "dsir_en_selection",                 # re-earn (displaced r06)
 ]
 
-# Rows-only queries deliberately pinned into the driver window (weaker
-# rows-only driver check; each has an oracle-paired exact companion —
-# see the rotation note above). Every other _FRONT_50 entry must be
-# oracle-paired.
-_FRONT_ROWS_ONLY = {
-    "knn_pq_ann",
-    "knn_ivfpq_ann",
-    "knn_lsh_multiprobe",
-    "knn_mmr_rerank",
-    "embedding_pca_project",
-    "media_phash_near_dups",
-    "minhash_incremental_dedup",
-    "part_copurchase_kcore",
-}
+# Rows-only queries deliberately pinned into the driver window: NONE
+# since round 7 — the r6 rotation proved the driver scores rows-only
+# window entries err=no_oracle (zero credit). Every _FRONT_50 entry
+# must be oracle-paired; this set stays for the mechanism.
+_FRONT_ROWS_ONLY: set[str] = set()
 
 
 def _reorder() -> None:

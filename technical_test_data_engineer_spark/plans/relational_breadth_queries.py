@@ -1344,6 +1344,46 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_copurchase_kcore_r3",
+    f"""
+    WITH {_PR_EDGE_CTE},
+    s1 AS (SELECT u FROM (SELECT u, COUNT(*) AS c FROM e GROUP BY u)
+           WHERE c >= 2),
+    e1 AS (SELECT e.u, e.v FROM e
+           JOIN s1 a ON e.u = a.u JOIN s1 b ON e.v = b.u),
+    s2 AS (SELECT u FROM (SELECT u, COUNT(*) AS c FROM e1 GROUP BY u)
+           WHERE c >= 2),
+    e2 AS (SELECT e1.u, e1.v FROM e1
+           JOIN s2 a ON e1.u = a.u JOIN s2 b ON e1.v = b.u),
+    s3 AS (SELECT u FROM (SELECT u, COUNT(*) AS c FROM e2 GROUP BY u)
+           WHERE c >= 2),
+    e3 AS (SELECT e2.u, e2.v FROM e2
+           JOIN s3 a ON e2.u = a.u JOIN s3 b ON e2.v = b.u)
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY u ORDER BY node
+    """,
+)
+def part_copurchase_kcore_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peel rounds toward the 2-core
+    (``operators.graph.k_core_peel_rounds``) — the oracle-pairable twin
+    of ``part_copurchase_kcore``: the shrinking fixpoint has no SQL
+    form, but a FIXED iteration count unrolls into chained CTEs (the
+    PageRank / label-propagation convention), so the driver
+    value-checks the peel machinery itself — per-round degree
+    aggregation, survivor semi joins, and the post-round degree report
+    — on the same shared co-purchase edge relation. On this graph most
+    pendant shells strip in the first rounds, so r3 is already close
+    to (and a superset of) the fixpoint core the rows-only query
+    reports."""
+    from technical_test_data_engineer_spark.operators.graph import (
+        k_core_peel_rounds,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return k_core_peel_rounds(edges, k=2, rounds=3).orderBy("node")
+
+
+@query(
     "part_cf_similarity",
     """
     WITH li AS (
@@ -2338,3 +2378,105 @@ def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "customer_segment_target_encoding",
+    f"""
+    WITH cu AS (
+        SELECT o_custkey AS ck,
+               COUNT(*) AS n,
+               {_decsum('o_totalprice')} AS s
+        FROM orders GROUP BY o_custkey
+    ),
+    rows_ AS (
+        SELECT c_mktsegment AS segment,
+               CAST('0x' || SUBSTRING(MD5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 5 AS fold,
+               n, s
+        FROM customer JOIN cu ON ck = c_custkey
+    ),
+    sf AS (
+        SELECT segment, fold,
+               CAST(SUM(n) AS BIGINT) AS n_f,
+               CAST(SUM(CAST(s AS DECIMAL(30,10))) AS DOUBLE) AS s_f
+        FROM rows_ GROUP BY segment, fold
+    ),
+    st AS (
+        SELECT segment,
+               CAST(SUM(n_f) AS BIGINT) AS n_tot,
+               CAST(SUM(CAST(s_f AS DECIMAL(30,10))) AS DOUBLE) AS s_tot
+        FROM sf GROUP BY segment
+    ),
+    g AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS gmean
+        FROM orders
+    )
+    SELECT sf.segment, sf.fold, sf.n_f AS n_rows,
+           ROUND((st.s_tot - sf.s_f) / (st.n_tot - sf.n_f), 6) AS oof_mean,
+           ROUND((st.s_tot - sf.s_f + 10.0 * g.gmean)
+                 / (st.n_tot - sf.n_f + 10.0), 6) AS oof_mean_smoothed
+    FROM sf JOIN st USING (segment) CROSS JOIN g
+    ORDER BY segment, fold
+    """,
+)
+def customer_segment_target_encoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding — THE categorical
+    feature-engineering op of every tabular training pipeline: encode
+    ``c_mktsegment`` by the mean order value computed from the OTHER
+    folds only, so a row never sees its own target. Fold assignment is
+    the house md5-bucket convention on the entity key (per-CUSTOMER
+    folds — all of one customer's orders share a fold, the grouped
+    K-fold that prevents entity leakage). The complement means come
+    from sufficient statistics: orders pre-aggregate to per-customer
+    (n, Σ) — the only fact-sized shuffle — join the customer dim
+    co-keyed on custkey, then one tiny (segment × 5-fold) aggregate;
+    fold f's encoding is (Σ_tot − Σ_f)/(n_tot − n_f), so there is no
+    per-fold re-scan. The smoothed variant shrinks toward the global
+    mean with m=10 pseudo-observations (the Micci-Barreca estimator).
+    All sums ride the DECIMAL exact path; fold arithmetic is
+    engine-portable md5."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cu = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").alias("n"),
+        exact_sum("o_totalprice").alias("s"),
+    )
+    rows = customer.join(cu, customer.c_custkey == cu.ck).select(
+        F.col("c_mktsegment").alias("segment"),
+        md5_bucket(F.col("c_custkey").cast("string"), 5).alias("fold"),
+        "n",
+        "s",
+    )
+    dec = lambda c: F.col(c).cast("decimal(30,10)")  # noqa: E731
+    sf = rows.groupBy("segment", "fold").agg(
+        F.sum("n").cast("bigint").alias("n_f"),
+        F.sum(dec("s")).cast("double").alias("s_f"),
+    )
+    st = sf.groupBy("segment").agg(
+        F.sum("n_f").cast("bigint").alias("n_tot"),
+        F.sum(dec("s_f")).cast("double").alias("s_tot"),
+    )
+    g = orders.agg(
+        (exact_sum("o_totalprice") / F.count("*")).alias("gmean")
+    )
+    out = sf.join(st, "segment").crossJoin(F.broadcast(g))
+    return out.select(
+        "segment",
+        "fold",
+        F.col("n_f").alias("n_rows"),
+        F.round(
+            (F.col("s_tot") - F.col("s_f")) / (F.col("n_tot") - F.col("n_f")),
+            6,
+        ).alias("oof_mean"),
+        F.round(
+            (F.col("s_tot") - F.col("s_f") + F.lit(10.0) * F.col("gmean"))
+            / (F.col("n_tot") - F.col("n_f") + F.lit(10.0)),
+            6,
+        ).alias("oof_mean_smoothed"),
+    ).orderBy("segment", "fold")

@@ -1896,3 +1896,190 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_reduction"),
     ).orderBy("in_a")
+
+
+@query(
+    "user_value_holtwinters",
+    """
+    WITH RECURSIVE e AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS rn
+        FROM events WHERE user_id % 30 = 0
+    ),
+    r(user_id, event_id, value, rn, lvl, trend) AS (
+        SELECT user_id, event_id, value, rn, value, CAST(0.0 AS DOUBLE)
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.value, e.rn,
+               0.5 * e.value + 0.5 * (r.lvl + r.trend),
+               0.3 * ((0.5 * e.value + 0.5 * (r.lvl + r.trend)) - r.lvl)
+                   + 0.7 * r.trend
+        FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, value, lvl, trend,
+           lvl + trend AS forecast_1
+    FROM r ORDER BY user_id, event_id
+    """,
+)
+def user_value_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear (level+trend) exponential smoothing
+    (α=0.5, β=0.3) with the one-step forecast l+b — the time-series
+    twin of ``user_value_ewma`` extended to a TWO-state recurrence
+    (``operators.windows.grouped_holt``): the grouped-map Arrow path
+    steps the textbook float64 ops literally, and the recursive-CTE
+    oracle steps the IDENTICAL expressions in the identical order, so
+    the driver value-hashes the stateful Python surface bit-for-bit —
+    now with coupled state, not just a single accumulator. The %30
+    key filter bounds the proof output; (event time, event_id) order
+    is fully deterministic."""
+    from technical_test_data_engineer_spark.operators.windows import (
+        grouped_holt,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 30 == 0)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = grouped_holt(
+        events, ["user_id"], ["ts", "event_id"], "value", alpha=0.5, beta=0.3
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        "lvl",
+        "trend",
+        (F.col("lvl") + F.col("trend")).alias("forecast_1"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "ab_test_sprt",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               SUM(CASE WHEN user_id % 2 = 0
+                        THEN CAST(value AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS sa,
+               SUM(CASE WHEN user_id % 2 = 0
+                        THEN CAST(value * value AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS ssa,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               SUM(CASE WHEN user_id % 2 = 1
+                        THEN CAST(value AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS sb,
+               SUM(CASE WHEN user_id % 2 = 1
+                        THEN CAST(value * value AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS ssb
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT day,
+               CAST(SUM(na)  OVER w AS BIGINT) AS cna,
+               CAST(SUM(sa)  OVER w AS DOUBLE) AS csa,
+               CAST(SUM(ssa) OVER w AS DOUBLE) AS cssa,
+               CAST(SUM(nb)  OVER w AS BIGINT) AS cnb,
+               CAST(SUM(sb)  OVER w AS DOUBLE) AS csb,
+               CAST(SUM(ssb) OVER w AS DOUBLE) AS cssb
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    stat AS (
+        SELECT day, cna, cnb,
+               csa / cna - csb / cnb AS diff,
+               (cssa - csa * csa / cna) / (cna - 1) / cna
+                   + (cssb - csb * csb / cnb) / (cnb - 1) / cnb AS v
+        FROM cum WHERE cna >= 2 AND cnb >= 2
+    )
+    SELECT day, cna AS n_treat, cnb AS n_control,
+           ROUND(diff, 6) AS mean_diff,
+           ROUND(0.5 * LN(v / (v + 1.0))
+                 + diff * diff / (2.0 * v * (v + 1.0)), 6) AS llr,
+           (0.5 * LN(v / (v + 1.0))
+                 + diff * diff / (2.0 * v * (v + 1.0))) > LN(20.0)
+               AS reject_null
+    FROM stat ORDER BY day
+    """,
+)
+def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring — the mixture SPRT
+    (Johari et al., "Peeking at A/B tests") readout that lets an
+    experimenter peek daily without inflating false positives, closing
+    the experimentation family (Welch → CUPED → Kaplan-Meier → this).
+    Per day, each arm's purchase-value sufficient statistics (n, Σx,
+    Σx²) accumulate in DECIMAL (exact, order-independent); ONE
+    cumulative window over the bounded day spine turns them into
+    running moments, and the mSPRT log-likelihood ratio with a N(0,τ²)
+    mixture (τ²=1) is pure scalar algebra on each row:
+    llr = ½·ln(V/(V+τ²)) + Δ²τ²/(2V(V+τ²)), rejecting when
+    Λ > 1/α (α=.05 → ln 20). The corpus-sized work is one scan + one
+    day-keyed aggregation; the window runs over days only. Rounded to
+    6dp — ln() may differ in the last ulp across libm builds."""
+    import math
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(30,10)")
+    in_a = F.col("user_id") % 2 == 0
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(in_a, dec(F.col("value"))).otherwise(zero)).alias("sa"),
+        F.sum(
+            F.when(in_a, dec(F.col("value") * F.col("value"))).otherwise(zero)
+        ).alias("ssa"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).cast("bigint").alias("nb"),
+        F.sum(F.when(~in_a, dec(F.col("value"))).otherwise(zero)).alias("sb"),
+        F.sum(
+            F.when(~in_a, dec(F.col("value") * F.col("value"))).otherwise(zero)
+        ).alias("ssb"),
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        F.sum("na").over(w).cast("bigint").alias("cna"),
+        F.sum("sa").over(w).cast("double").alias("csa"),
+        F.sum("ssa").over(w).cast("double").alias("cssa"),
+        F.sum("nb").over(w).cast("bigint").alias("cnb"),
+        F.sum("sb").over(w).cast("double").alias("csb"),
+        F.sum("ssb").over(w).cast("double").alias("cssb"),
+    )
+    stat = cum.filter((F.col("cna") >= 2) & (F.col("cnb") >= 2)).select(
+        "day",
+        "cna",
+        "cnb",
+        (F.col("csa") / F.col("cna") - F.col("csb") / F.col("cnb")).alias(
+            "diff"
+        ),
+        (
+            (F.col("cssa") - F.col("csa") * F.col("csa") / F.col("cna"))
+            / (F.col("cna") - 1)
+            / F.col("cna")
+            + (F.col("cssb") - F.col("csb") * F.col("csb") / F.col("cnb"))
+            / (F.col("cnb") - 1)
+            / F.col("cnb")
+        ).alias("v"),
+    )
+    llr = 0.5 * F.log(F.col("v") / (F.col("v") + 1.0)) + F.col("diff") * F.col(
+        "diff"
+    ) / (2.0 * F.col("v") * (F.col("v") + 1.0))
+    return stat.select(
+        "day",
+        F.col("cna").alias("n_treat"),
+        F.col("cnb").alias("n_control"),
+        F.round(F.col("diff"), 6).alias("mean_diff"),
+        F.round(llr, 6).alias("llr"),
+        (llr > math.log(20.0)).alias("reject_null"),
+    ).orderBy("day")

@@ -235,3 +235,32 @@ def test_k_core_ignores_self_loops(spark):
     # node 1 has one real neighbor + a self-loop: must NOT survive k=2
     edges = spark.createDataFrame([(1, 2), (1, 1)], "src long, dst long")
     assert k_core(edges, 2).count() == 0
+
+
+def test_k_core_peel_rounds_converges_to_fixpoint(spark):
+    """A pendant chain hanging off a triangle: round 1 peels the chain
+    tip, round 2 the next link, etc. — fixed-rounds output must equal
+    the fixpoint once rounds >= chain length, and earlier rounds must
+    be supersets of the core."""
+    from technical_test_data_engineer_spark.operators.graph import (
+        k_core,
+        k_core_peel_rounds,
+    )
+
+    # triangle 1-2-3 with chain 3-4, 4-5, 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    core = {r.node for r in k_core(edges, 2, driver_max_edges=0).collect()}
+    assert core == {1, 2, 3}
+    r1 = {r.node for r in k_core_peel_rounds(edges, 2, 1).collect()}
+    r3 = {r.node for r in k_core_peel_rounds(edges, 2, 3).collect()}
+    assert r1 == {1, 2, 3, 4, 5}      # only the tip (6) peeled
+    assert r3 == core                  # chain fully stripped by round 3
+    assert core <= r1
+    # in-core degrees: every triangle node keeps degree 2
+    degs = {
+        r.node: r.degree for r in k_core_peel_rounds(edges, 2, 3).collect()
+    }
+    assert degs == {1: 2, 2: 2, 3: 2}

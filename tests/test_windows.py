@@ -321,3 +321,32 @@ def test_elasticity_recovers_planted_line(spark, tmp_path):
     assert abs(out.elasticity + 2.0) < 1e-6
     assert abs(out.intercept - 3.0) < 1e-6
     assert out.r2 == 1.0
+
+
+def test_grouped_holt_hand_values(spark):
+    from technical_test_data_engineer_spark.operators.windows import grouped_holt
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 7.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        (r.k, r.t): (r.lvl, r.trend)
+        for r in grouped_holt(
+            df, ["k"], ["t"], "v", alpha=0.5, beta=0.5
+        ).collect()
+    }
+    # l0=10, b0=0; l1=0.5*20+0.5*10=15, b1=0.5*(15-10)+0.5*0=2.5
+    # l2=0.5*30+0.5*(15+2.5)=23.75, b2=0.5*(23.75-15)+0.5*2.5=5.625
+    assert out[(1, 1)] == (10.0, 0.0)
+    assert out[(1, 2)] == (15.0, 2.5)
+    assert out[(1, 3)] == (23.75, 5.625)
+    assert out[(2, 1)] == (7.0, 0.0)
+    # partitioning must not change the recurrence
+    out8 = {
+        (r.k, r.t): (r.lvl, r.trend)
+        for r in grouped_holt(
+            df.repartition(8), ["k"], ["t"], "v", alpha=0.5, beta=0.5
+        ).collect()
+    }
+    assert out == out8
