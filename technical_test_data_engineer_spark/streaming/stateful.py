@@ -134,6 +134,8 @@ def _make_totals_processor():
             )
 
         def close(self) -> None:
+            # TWS contract requires close(); all state lives in the
+            # store-backed ValueState, so there is nothing to release.
             pass
 
     return _UserTotals()
