@@ -82,13 +82,19 @@ _FRONT_50 = [
     "copurchase_degree_stats",
     "part_cf_similarity",
     "part_label_propagation",
-    "part_name_entities",
     # text / corpus curation
-    "corpus_drift_psi",
     "doc_pii_redacted",
-    "doc_token_ids",
     "eval_substring_contamination",
-    "source_dedup_report",
+    # -- round-7 batch 2 (each displaces an r06-green slot whose family
+    #    keeps other in-window coverage; displaced: corpus_drift_psi
+    #    (drift family keeps source_token_js_divergence in-window),
+    #    doc_token_ids + part_name_entities (text family retains 6+
+    #    in-window rows), source_dedup_report (dedup/contamination
+    #    family keeps both eval_* queries + doc_template_keys)) --
+    "daily_revenue_decomposition",   # trend/seasonal/residual split
+    "customer_acctbal_woe_iv",       # WOE / information-value binning
+    "order_value_poisson_bootstrap", # single-pass distributed bootstrap
+    "order_value_conformal",         # split-conformal intervals
     # -- round-6 new queries (each displaces an r05-green slot whose
     #    operator family keeps other in-window coverage; displaced this
     #    block: embedding_near_dup_exact (de-vacuation goal met with

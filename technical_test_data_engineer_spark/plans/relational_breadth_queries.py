@@ -2480,3 +2480,330 @@ def customer_segment_target_encoding(
             6,
         ).alias("oof_mean_smoothed"),
     ).orderBy("segment", "fold")
+
+
+@query(
+    "customer_acctbal_woe_iv",
+    """
+    WITH lab AS (
+        SELECT c_custkey, c_acctbal,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey
+                     AND o_orderpriority = '1-URGENT'
+               ) THEN 1 ELSE 0 END AS bad
+        FROM customer
+    ),
+    binned AS (
+        SELECT c_acctbal, bad,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bin
+        FROM lab
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(bad) AS BIGINT) AS n_bad,
+               CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good,
+               ROUND(MIN(c_acctbal), 2) AS bal_min,
+               ROUND(MAX(c_acctbal), 2) AS bal_max
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT SUM(n_bad) AS tb, SUM(n_good) AS tg FROM per_bin
+    )
+    SELECT CAST(bin AS INT) AS bin, n, n_bad, n_good, bal_min, bal_max,
+           ROUND(LN((CAST(n_good AS DOUBLE) / tg)
+                    / NULLIF(CAST(n_bad AS DOUBLE) / tb, 0)), 6) AS woe,
+           ROUND((CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+                 * LN((CAST(n_good AS DOUBLE) / tg)
+                      / NULLIF(CAST(n_bad AS DOUBLE) / tb, 0)), 6) AS iv_term
+    FROM per_bin CROSS JOIN tot
+    ORDER BY bin
+    """,
+)
+def customer_acctbal_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature audit — the
+    credit-scoring-lineage binning diagnostic every tabular feature
+    pipeline runs before model training: decile-bin the continuous
+    feature (account balance), and per bin report WOE =
+    ln(%good/%bad) and its IV contribution, which rank features by
+    predictive power against the binary label (customer has placed an
+    URGENT-priority order — computed as a semi/anti-join pair, not a
+    per-row subquery). NTILE over a deterministic (value, key) order
+    is identically defined on both engines (equal buckets, remainder
+    to the first). Scale shape: the label join is one keyed semi join,
+    the NTILE is the only full sort — the same cost as any global
+    quantile binning — and everything after is a 10-row frame.
+    Rounded to 6dp (ln ulp)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    lab = customer.join(urgent.withColumn("bad", F.lit(1)), "c_custkey", "left").select(
+        "c_custkey", "c_acctbal", F.coalesce("bad", F.lit(0)).alias("bad")
+    )
+    from pyspark.sql.window import Window
+
+    binned = lab.select(
+        "c_acctbal",
+        "bad",
+        F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+        (F.count("*") - F.sum("bad")).cast("bigint").alias("n_good"),
+        F.round(F.min("c_acctbal"), 2).alias("bal_min"),
+        F.round(F.max("c_acctbal"), 2).alias("bal_max"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    pg = F.col("n_good").cast("double") / F.col("tg")
+    pb = F.col("n_bad").cast("double") / F.col("tb")
+    woe = F.log(pg / F.nullif(pb, F.lit(0.0)))
+    return j.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_bad",
+        "n_good",
+        "bal_min",
+        "bal_max",
+        F.round(woe, 6).alias("woe"),
+        F.round((pg - pb) * woe, 6).alias("iv_term"),
+    ).orderBy("bin")
+
+
+_POIS_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+]
+_N_BOOT = 50
+
+
+def _pois_case_sql(u: str) -> str:
+    """CASE ladder inverting the Poisson(1) CDF at literal constants —
+    the SAME literals the Spark side uses, so both engines draw the
+    identical integer weight from the identical md5 uniform."""
+    branches = "".join(
+        f" WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE{branches} ELSE 9 END"
+
+
+@query(
+    "order_value_poisson_bootstrap",
+    f"""
+    WITH fanned AS (
+        SELECT o_orderkey, o_totalprice, r.rep
+        FROM orders
+        CROSS JOIN (SELECT UNNEST(RANGE(0, {_N_BOOT})) AS rep) r
+    ),
+    drawn AS (
+        SELECT rep, o_totalprice,
+               {_pois_case_sql(
+                   "(CAST('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)"
+                   " || ':' || CAST(rep AS VARCHAR)), 1, 8) AS BIGINT)"
+                   " % 1000000) / 1000000.0"
+               )} AS w
+        FROM fanned
+    )
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(SUM(w) AS BIGINT) AS n_draws,
+           ROUND(CAST(SUM(CAST(w * o_totalprice AS DECIMAL(30,10)))
+                      AS DOUBLE) / SUM(w), 6) AS boot_mean
+    FROM drawn GROUP BY rep ORDER BY rep
+    """,
+)
+def order_value_poisson_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google) of the mean order
+    value — THE bootstrap that scales: classical resampling needs
+    sampling-with-replacement coordination across the cluster, but
+    drawing each row's multiplicity as an independent Poisson(1)
+    weight per replicate makes every replicate a single weighted
+    aggregation — one scan fans out {_N_BOOT} replicates scan-side
+    (explode of a literal range) and one keyed agg yields all
+    replicate means; the caller reads its CI off the replicate
+    quantiles. Determinism: the uniform is the house md5 convention on
+    (orderkey:rep) at 1e-6 granularity, inverted through a LITERAL
+    Poisson CDF ladder shared verbatim with the oracle, so both
+    engines draw identical weights. Weighted sums ride DECIMAL."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    fanned = orders.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BOOT - 1))).alias("rep"),
+    )
+    u = (
+        md5_bucket(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            ),
+            1000000,
+        )
+        / F.lit(1000000.0)
+    )
+    w = F.lit(9)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    drawn = fanned.select("rep", "o_totalprice", w.alias("w"))
+    return (
+        drawn.groupBy(F.col("rep").cast("bigint").alias("rep"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_draws"),
+            F.round(
+                F.sum(
+                    (F.col("w") * F.col("o_totalprice")).cast(
+                        "decimal(30,10)"
+                    )
+                ).cast("double")
+                / F.sum("w"),
+                6,
+            ).alias("boot_mean"),
+        )
+        .orderBy("rep")
+    )
+
+
+@query(
+    "order_value_conformal",
+    f"""
+    WITH feat AS (
+        SELECT o_orderkey, o_totalprice AS y,
+               CAST(n_items AS DOUBLE) AS x,
+               CAST('0x' || SUBSTRING(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100 AS bucket
+        FROM orders JOIN (
+            SELECT l_orderkey, COUNT(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey
+        ) li ON l_orderkey = o_orderkey
+    ),
+    fit AS (
+        SELECT COUNT(*) AS n,
+               {_decsum('x')} AS sx, {_decsum('y')} AS sy,
+               {_decsum('x * y')} AS sxy, {_decsum('x * x')} AS sxx
+        FROM feat WHERE bucket < 80
+    ),
+    ab AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+        FROM fit
+    ),
+    cal AS (
+        SELECT COUNT(*) AS n_cal,
+               PERCENTILE_CONT(0.9) WITHIN GROUP (
+                   ORDER BY ABS(y - (a + b * x))
+               ) AS q90
+        FROM feat CROSS JOIN ab
+        WHERE bucket >= 80 AND bucket < 90
+        GROUP BY a, b
+    ),
+    test AS (
+        SELECT COUNT(*) AS n_test,
+               CAST(SUM(CASE WHEN ABS(y - (a + b * x)) <= q90
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS coverage
+        FROM feat CROSS JOIN ab CROSS JOIN cal
+        WHERE bucket >= 90
+        GROUP BY q90
+    )
+    SELECT CAST(ab.n AS BIGINT) AS n_train,
+           CAST(cal.n_cal AS BIGINT) AS n_cal,
+           CAST(test.n_test AS BIGINT) AS n_test,
+           ROUND(ab.a, 6) AS intercept,
+           ROUND(ab.b, 6) AS slope,
+           ROUND(cal.q90, 6) AS q90_residual,
+           ROUND(test.coverage, 6) AS test_coverage
+    FROM ab CROSS JOIN cal CROSS JOIN test
+    """,
+)
+def order_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al.) — the
+    distribution-free uncertainty wrapper a training pipeline puts
+    around ANY point model: fit on the train split, take the 90th
+    percentile of absolute residuals on a held-out calibration split,
+    and ship ŷ ± q̂ — finite-sample ~90% coverage with no Gaussian
+    assumption, audited here on the test split. Model: OLS of order
+    value on item count via the one-pass sufficient-statistics
+    reduction (the elasticity convention); splits are the house
+    md5-bucket convention (80/10/10) so membership is recomputable
+    from the data alone. Scale shape: one fact-fact co-keyed join for
+    the feature, then three scans reduce to scalars (moments,
+    interpolated ``percentile`` ≡ PERCENTILE_CONT, coverage) with the
+    fitted scalars broadcast. Rounded to 6dp at output only —
+    comparisons run on unrounded doubles built from identical
+    expression order on both engines."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_items"))
+    )
+    feat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_totalprice").alias("y"),
+        F.col("n_items").cast("double").alias("x"),
+        md5_bucket(F.col("o_orderkey").cast("string"), 100).alias("bucket"),
+    )
+    train = feat.filter(F.col("bucket") < 80)
+    fit = train.agg(
+        F.count("*").alias("n"),
+        exact_sum("x").alias("sx"),
+        exact_sum("y").alias("sy"),
+        exact_sum(F.col("x") * F.col("y")).alias("sxy"),
+        exact_sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = fit.select("n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"))
+    resid = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+    cal = (
+        feat.filter((F.col("bucket") >= 80) & (F.col("bucket") < 90))
+        .crossJoin(F.broadcast(ab))
+        .agg(
+            F.count("*").alias("n_cal"),
+            F.percentile(resid, F.lit(0.9)).alias("q90"),
+        )
+    )
+    test = (
+        feat.filter(F.col("bucket") >= 90)
+        .crossJoin(F.broadcast(ab))
+        .crossJoin(F.broadcast(cal.select("q90")))
+        .agg(
+            F.count("*").alias("n_test"),
+            (
+                F.sum(F.when(resid <= F.col("q90"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("coverage"),
+        )
+    )
+    return (
+        ab.crossJoin(F.broadcast(cal))
+        .crossJoin(F.broadcast(test))
+        .select(
+            F.col("n").cast("bigint").alias("n_train"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round("a", 6).alias("intercept"),
+            F.round("b", 6).alias("slope"),
+            F.round("q90", 6).alias("q90_residual"),
+            F.round("coverage", 6).alias("test_coverage"),
+        )
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from technical_test_data_engineer_spark.functions.scalars import exact_sum
 from technical_test_data_engineer_spark.operators.joins import asof_join
 from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
@@ -2083,3 +2084,92 @@ def ab_test_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(llr, 6).alias("llr"),
         (llr > math.log(20.0)).alias("reject_null"),
     ).orderBy("day")
+
+
+@query(
+    "daily_revenue_decomposition",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_decsum('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT day, rev,
+               CAST(SUM(CAST(rev AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT day, rev, trend, rev - trend AS detrended,
+               ISODOW(day) AS dow
+        FROM tr
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(SUM(CAST(detrended AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*) AS seasonal
+        FROM det GROUP BY dow
+    )
+    SELECT day, CAST(dow AS INT) AS dow,
+           ROUND(rev, 6) AS revenue,
+           ROUND(trend, 6) AS trend,
+           ROUND(seasonal, 6) AS seasonal,
+           ROUND(rev - trend - seasonal, 6) AS residual
+    FROM det JOIN seas USING (dow)
+    ORDER BY day
+    """,
+)
+def daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive time-series decomposition of daily revenue —
+    trend (centered 7-row moving average), day-of-week seasonality
+    (mean of the detrended series per ISO weekday), and the residual
+    an anomaly monitor would threshold: the moving-average
+    decomposition STL refines, and the standard pre-model step for any
+    calendar-driven KPI. Scale shape: ONE fact-sized aggregation to the
+    day spine, then every window/group runs over days only. The
+    sliding-frame mean rides a DECIMAL SUM (exact, so Spark's
+    recompute-per-frame and DuckDB's segment-tree accumulation cannot
+    drift) and Spark's ``weekday()+1`` is defined identical to DuckDB's
+    ``ISODOW``. Edge days average their partial frame on both engines
+    (ROWS frame semantics). Rounded to 6dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(30,10)")  # noqa: E731
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "rev",
+        (
+            F.sum(dec("rev")).over(w).cast("double") / F.count("*").over(w)
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day",
+        "rev",
+        "trend",
+        (F.col("rev") - F.col("trend")).alias("detrended"),
+        (F.weekday("day") + F.lit(1)).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        (F.sum(dec("detrended")).cast("double") / F.count("*")).alias(
+            "seasonal"
+        )
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            F.round("rev", 6).alias("revenue"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("rev") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
