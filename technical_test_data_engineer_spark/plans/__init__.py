@@ -74,10 +74,18 @@ _FRONT_50 = [
     "flagship_daily_backlog",
     # -- never-driver-checked (29), grouped by family --
     # relational / analytic breadth
-    "customer_rfm_segments",
     "orderkey_skew_report",
     "ship_latency_percentiles",
-    "hourly_traffic_anomalies",
+    # -- round-7 batch 3 (displaced: customer_rfm_segments (r06-green;
+    #    its NTILE segmentation machinery is in-window via
+    #    customer_acctbal_woe_iv), hourly_traffic_anomalies (r06-green;
+    #    seasonal-baseline anomaly machinery in-window via
+    #    daily_revenue_decomposition's residual), source_loo_impact
+    #    (r06-green; valuation/drift family keeps
+    #    source_token_js_divergence + source_score_calibration)) --
+    "elasticity_kfold_cv",           # zero-re-scan k-fold CV
+    "daily_revenue_forecast_backtest",  # MAPE/sMAPE baseline race
+    "source_temperature_mixing",     # n^tau pre-training mixer
     # graph / recommendation
     "copurchase_degree_stats",
     "part_cf_similarity",
@@ -129,7 +137,6 @@ _FRONT_50 = [
     "customer_k_anonymity",           # privacy: group-size floor
     "nation_l_diversity",             # privacy: sensitive diversity
     "dp_noisy_counts",                # seeded-Laplace DP release
-    "source_loo_impact",              # leave-one-out data valuation
     "matryoshka_recall_curve",        # ANN eval: truncation recall
     # second batch; displaced: doc_bigram_logprob and
     # embedding_covariance (both r05-green; the bigram LM's relation

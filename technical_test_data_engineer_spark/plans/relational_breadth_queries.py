@@ -2807,3 +2807,149 @@ def order_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("coverage", 6).alias("test_coverage"),
         )
     )
+
+
+@query(
+    "elasticity_kfold_cv",
+    """
+    WITH p AS (
+        SELECT LN(l_extendedprice / l_quantity) AS x,
+               LN(l_quantity) AS y,
+               CAST('0x' || SUBSTRING(MD5(CAST(l_orderkey AS VARCHAR)
+                    || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 5 AS fold
+        FROM lineitem
+        WHERE l_quantity > 0 AND l_extendedprice > 0
+    ),
+    m AS (
+        SELECT fold, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        FROM p GROUP BY fold
+    ),
+    t AS (
+        SELECT SUM(n) AS n,
+               CAST(SUM(CAST(sx AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(sy AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(sxy AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(sxx AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(syy AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        FROM m
+    ),
+    tr AS (
+        SELECT m.fold, t.n - m.n AS n, t.sx - m.sx AS sx,
+               t.sy - m.sy AS sy, t.sxy - m.sxy AS sxy,
+               t.sxx - m.sxx AS sxx
+        FROM m CROSS JOIN t
+    ),
+    ab AS (
+        SELECT fold, b, (sy - b * sx) / n AS a
+        FROM (
+            SELECT fold, n, sx, sy,
+                   (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS b
+            FROM tr
+        )
+    )
+    SELECT CAST(m.fold AS INT) AS fold,
+           CAST(m.n AS BIGINT) AS n_test,
+           ROUND(ab.b, 6) AS slope,
+           ROUND(ab.a, 6) AS intercept,
+           ROUND((m.syy - 2 * ab.a * m.sy - 2 * ab.b * m.sxy
+                  + ab.a * ab.a * m.n + 2 * ab.a * ab.b * m.sx
+                  + ab.b * ab.b * m.sxx) / m.n, 6) AS test_mse
+    FROM m JOIN ab ON m.fold = ab.fold
+    ORDER BY fold
+    """,
+)
+def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS — model evaluation with ZERO re-scan:
+    the out-of-fold discipline (customer_segment_target_encoding)
+    applied to regression. One pass collects per-fold sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²); each fold's model fits on
+    the COMPLEMENT moments (totals − fold, plain algebra on a 5-row
+    frame) and its held-out MSE expands entirely in the fold's own
+    moments: E[(y−a−bx)²] = (Σy² − 2aΣy − 2bΣxy + a²n + 2abΣx +
+    b²Σx²)/n. At 100 TB, k-fold CV costs exactly one partial-
+    aggregated scan — the reason sufficient-statistics form matters.
+    Folds are the house md5-bucket convention on the row key; fold and
+    total moments both ride DECIMAL so neither partition order nor
+    fold-summation order can drift the hash."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    p = li.select(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.log("l_quantity").alias("y"),
+        md5_bucket(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            5,
+        ).alias("fold"),
+    )
+    m = p.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    t = m.agg(
+        F.sum("n").alias("tn"),
+        F.sum(dec(F.col("sx"))).cast("double").alias("tsx"),
+        F.sum(dec(F.col("sy"))).cast("double").alias("tsy"),
+        F.sum(dec(F.col("sxy"))).cast("double").alias("tsxy"),
+        F.sum(dec(F.col("sxx"))).cast("double").alias("tsxx"),
+        F.sum(dec(F.col("syy"))).cast("double").alias("tsyy"),
+    )
+    tr = m.crossJoin(F.broadcast(t)).select(
+        "fold",
+        (F.col("tn") - F.col("n")).alias("trn"),
+        (F.col("tsx") - F.col("sx")).alias("trsx"),
+        (F.col("tsy") - F.col("sy")).alias("trsy"),
+        (F.col("tsxy") - F.col("sxy")).alias("trsxy"),
+        (F.col("tsxx") - F.col("sxx")).alias("trsxx"),
+    )
+    b = (
+        F.col("trn") * F.col("trsxy") - F.col("trsx") * F.col("trsy")
+    ) / F.nullif(
+        F.col("trn") * F.col("trsxx") - F.col("trsx") * F.col("trsx"),
+        F.lit(0.0),
+    )
+    ab = tr.select("fold", b.alias("b")).join(
+        tr.select("fold", "trn", "trsx", "trsy"), "fold"
+    ).select(
+        "fold",
+        "b",
+        ((F.col("trsy") - F.col("b") * F.col("trsx")) / F.col("trn")).alias(
+            "a"
+        ),
+    )
+    mse = (
+        F.col("syy")
+        - 2 * F.col("a") * F.col("sy")
+        - 2 * F.col("b") * F.col("sxy")
+        + F.col("a") * F.col("a") * F.col("n")
+        + 2 * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    ) / F.col("n")
+    return (
+        m.join(ab, "fold")
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n").cast("bigint").alias("n_test"),
+            F.round("b", 6).alias("slope"),
+            F.round("a", 6).alias("intercept"),
+            F.round(mse, 6).alias("test_mse"),
+        )
+        .orderBy("fold")
+    )

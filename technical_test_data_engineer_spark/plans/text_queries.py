@@ -2178,3 +2178,77 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch_score"),
     ).orderBy("doc_id")
+
+
+@query(
+    "source_temperature_mixing",
+    """
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    p AS (
+        SELECT source, n_docs, n_tokens,
+               POWER(CAST(n_tokens AS DOUBLE), 0.7) AS pw
+        FROM s
+    ),
+    t AS (
+        SELECT CAST(SUM(CAST(n_tokens AS DECIMAL(30,10))) AS DOUBLE)
+                   AS tot_tokens,
+               CAST(SUM(CAST(pw AS DECIMAL(30,10))) AS DOUBLE) AS tot_pw
+        FROM p
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / tot_tokens, 6) AS p_raw,
+           ROUND(pw / tot_pw, 6) AS p_temp,
+           ROUND((pw / tot_pw) * tot_tokens / n_tokens, 6) AS epochs_per_pass
+    FROM p CROSS JOIN t
+    ORDER BY source
+    """,
+)
+def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based dataset mixing (the mC4/XLM-R multilingual
+    recipe, τ=0.7): raw token shares over-sample the biggest source
+    and starve the tail, so the sampling weight is n^τ renormalized —
+    the standard up-sampling schedule a pre-training mixer feeds its
+    dataloader. ``epochs_per_pass`` is the implied per-source repeat
+    factor (weight ÷ natural share): >1 means the source is seen more
+    than once per effective pass — the over-fitting lever the mixing
+    literature tunes against. One scan to source-level sufficient
+    stats, then scalar algebra on the source-count-sized frame; the
+    POWER() outputs sum through DECIMAL so engine summation order
+    cannot drift; shares rounded to 6dp (pow ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    p = s.select(
+        "*", F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)).alias("pw")
+    )
+    dec = lambda c: F.col(c).cast("decimal(30,10)")  # noqa: E731
+    t = p.agg(
+        F.sum(dec("n_tokens")).cast("double").alias("tot_tokens"),
+        F.sum(dec("pw")).cast("double").alias("tot_pw"),
+    )
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias(
+                "p_raw"
+            ),
+            F.round(F.col("pw") / F.col("tot_pw"), 6).alias("p_temp"),
+            F.round(
+                (F.col("pw") / F.col("tot_pw"))
+                * F.col("tot_tokens")
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs_per_pass"),
+        )
+        .orderBy("source")
+    )

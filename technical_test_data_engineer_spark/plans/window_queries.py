@@ -2173,3 +2173,97 @@ def daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "daily_revenue_forecast_backtest",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_decsum('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, rev,
+               LAG(rev, 1) OVER (ORDER BY day) AS naive,
+               LAG(rev, 7) OVER (ORDER BY day) AS snaive
+        FROM daily
+    ),
+    scored AS (
+        SELECT * FROM lagged WHERE snaive IS NOT NULL
+    ),
+    m AS (
+        SELECT 'naive_lag1' AS model, COUNT(*) AS n,
+               CAST(SUM(CAST(ABS(rev - naive) / rev AS DECIMAL(30,12)))
+                    AS DOUBLE) / COUNT(*) AS mape,
+               CAST(SUM(CAST(2.0 * ABS(rev - naive)
+                             / (ABS(rev) + ABS(naive)) AS DECIMAL(30,12)))
+                    AS DOUBLE) / COUNT(*) AS smape
+        FROM scored
+        UNION ALL
+        SELECT 'seasonal_lag7' AS model, COUNT(*) AS n,
+               CAST(SUM(CAST(ABS(rev - snaive) / rev AS DECIMAL(30,12)))
+                    AS DOUBLE) / COUNT(*) AS mape,
+               CAST(SUM(CAST(2.0 * ABS(rev - snaive)
+                             / (ABS(rev) + ABS(snaive)) AS DECIMAL(30,12)))
+                    AS DOUBLE) / COUNT(*) AS smape
+        FROM scored
+    )
+    SELECT model, CAST(n AS BIGINT) AS n_days,
+           ROUND(mape, 6) AS mape, ROUND(smape, 6) AS smape
+    FROM m ORDER BY model
+    """,
+)
+def daily_revenue_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-accuracy backtest — the model-selection readout every
+    forecasting pipeline runs before trusting a model: score the two
+    canonical baselines (naive = yesterday, seasonal-naive = same
+    weekday last week) on the daily revenue series with MAPE and
+    sMAPE, restricted to the days where BOTH are defined so the
+    comparison is on a common support. Any real model must beat the
+    seasonal-naive row to earn deployment (the M-competition
+    discipline). Scale shape: one fact-sized aggregation to the day
+    spine, two row-lags over days, and per-row error terms summed in
+    DECIMAL so partition order cannot drift the hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day")
+    scored = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("naive"),
+        F.lag("rev", 7).over(w).alias("snaive"),
+    ).filter(F.col("snaive").isNotNull())
+    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+
+    def _metrics(fc: str, label: str) -> DataFrame:
+        return scored.agg(
+            F.lit(label).alias("model"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(dec(F.abs(F.col("rev") - F.col(fc)) / F.col("rev")))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mape"),
+            F.round(
+                F.sum(
+                    dec(
+                        F.lit(2.0)
+                        * F.abs(F.col("rev") - F.col(fc))
+                        / (F.abs(F.col("rev")) + F.abs(F.col(fc)))
+                    )
+                )
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("smape"),
+        )
+    return (
+        _metrics("naive", "naive_lag1")
+        .unionByName(_metrics("snaive", "seasonal_lag7"))
+        .orderBy("model")
+    )

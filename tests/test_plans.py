@@ -269,6 +269,11 @@ _NONEQUI_ALLOWLIST = {
     "doc_neyman_sample",          # 1-row allocation-total broadcast
                                   # attach
     "ab_test_cuped",              # 1-row pooled-theta broadcast attach
+    "customer_segment_target_encoding",  # 1-row global-mean broadcast
+                                  # attach (smoothing prior)
+    "customer_acctbal_woe_iv",    # 1-row class-totals broadcast attach
+    "order_value_conformal",      # 1-row fitted-scalars (a, b, q90)
+                                  # broadcast attaches
     "user_conversion_survival",   # 1-row cohort-size broadcast attach
     "orders_benford_audit",       # 1-row total-count broadcast attach
     "embedding_silhouette",       # labels-sized centroid table
