@@ -110,6 +110,17 @@ Expected multi-scans (all reviewed):
   source_loo_impact / vocab_growth_curve / eval_ngram_contamination
   ×2 (agg + join-back over one token/gram relation).
 
+- r07 review: the round's shared frames persist at birth (fold moments,
+  conformal features, WOE bins, day-spine lag/detrended frames,
+  linkage blocked attributes, mixing weights, the target-encoding
+  per-customer sufficient stats — whose smoothing prior now derives
+  FROM that frame instead of re-scanning orders), so the sweep is
+  clean except customer_segment_target_encoding ×2 on the customer
+  DIM — the persisted-definition echo (q2 convention), the executed
+  plan scans each table once. star_schema_expectations runs one
+  bounded aggregation job per declared check by design (the audit IS
+  a schema sweep; each check scans only its own pruned table).
+
 Usage: python audit_scans.py [sf_dir]
 """
 

@@ -87,12 +87,20 @@ _FRONT_50 = [
     "daily_revenue_forecast_backtest",  # MAPE/sMAPE baseline race
     "source_temperature_mixing",     # n^tau pre-training mixer
     # graph / recommendation
-    "copurchase_degree_stats",
     "part_cf_similarity",
     "part_label_propagation",
-    # text / corpus curation
-    "doc_pii_redacted",
-    "eval_substring_contamination",
+    # -- round-7 batch 4 (displaced: doc_pii_redacted (r04-green;
+    #    privacy family holds 4 in-window rows), eval_substring_
+    #    contamination (r05-green; contamination family keeps
+    #    eval_ngram_contamination + doc_template_keys),
+    #    doc_epoch_shards (r06-green; its BIT_XOR/md5 checksum
+    #    machinery is in-window via dataset_version_manifest),
+    #    copurchase_degree_stats (r06-green; graph family keeps
+    #    cf_similarity + label_propagation + kcore_r3)) --
+    "order_pit_features",            # leakage-safe feature store
+    "part_record_linkage_scores",    # Fellegi-Sunter linkage
+    "star_schema_expectations",      # data-contract audit gate
+    "dataset_version_manifest",      # reproducibility fingerprint
     # -- round-7 batch 2 (each displaces an r06-green slot whose family
     #    keeps other in-window coverage; displaced: corpus_drift_psi
     #    (drift family keeps source_token_js_divergence in-window),
@@ -112,7 +120,6 @@ _FRONT_50 = [
     "lineitem_bloom_prune_revenue",   # bloom runtime pre-filter
     "hard_negative_mining",           # contrastive negative mining
     "doc_template_keys",              # structural/template fingerprint
-    "doc_epoch_shards",               # deterministic dataloader shards
     "event_transition_probs",         # Markov session model
     "source_score_calibration",       # cross-source quantile calib
     # displaces lineitem_measure_correlations (moments family keeps

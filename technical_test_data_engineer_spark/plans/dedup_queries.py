@@ -1040,3 +1040,150 @@ def source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "part_record_linkage_scores",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_size, p_type,
+               string_split(p_name, ' ')[1] AS adj,
+               CAST(FLOOR(p_retailprice / 100) AS BIGINT) AS band
+        FROM part
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM p),
+    u_type AS (
+        SELECT SUM((c / nn) * (c / nn)) AS u FROM (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM p GROUP BY p_type
+        ) CROSS JOIN n
+    ),
+    u_adj AS (
+        SELECT SUM((c / nn) * (c / nn)) AS u FROM (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM p GROUP BY adj
+        ) CROSS JOIN n
+    ),
+    u_band AS (
+        SELECT SUM((c / nn) * (c / nn)) AS u FROM (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM p GROUP BY band
+        ) CROSS JOIN n
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag_type,
+               CASE WHEN a.adj = b.adj THEN 1 ELSE 0 END AS ag_adj,
+               CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+        SELECT key_a, key_b, ag_type, ag_adj, ag_band,
+               (CASE WHEN ag_type = 1 THEN LN(0.9 / u_type.u)
+                     ELSE LN(0.1 / (1.0 - u_type.u)) END)
+             + (CASE WHEN ag_adj = 1 THEN LN(0.9 / u_adj.u)
+                     ELSE LN(0.1 / (1.0 - u_adj.u)) END)
+             + (CASE WHEN ag_band = 1 THEN LN(0.9 / u_band.u)
+                     ELSE LN(0.1 / (1.0 - u_band.u)) END) AS score
+        FROM pairs
+        CROSS JOIN u_type CROSS JOIN u_adj CROSS JOIN u_band
+    )
+    SELECT key_a, key_b,
+           CAST(ag_type AS INT) AS ag_type,
+           CAST(ag_adj AS INT) AS ag_adj,
+           CAST(ag_band AS INT) AS ag_band,
+           ROUND(score, 6) AS score
+    FROM scored WHERE score > 0
+    ORDER BY key_a, key_b
+    """,
+)
+def part_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage scoring — probabilistic entity
+    resolution's canonical form, completing the dedup family's
+    identity end (exact → near-dup → semantic → THIS): candidate pairs
+    from a blocking key (brand, size — the standard cheap blocker),
+    per-field agreement weights ln(m/u) with fixed m=0.9 and u
+    estimated the unsupervised way, as each field's value-collision
+    probability Σ(n_v/N)² (the probability two RANDOM records agree —
+    exactly computable from value frequencies, no labels or EM
+    needed); pairs scoring above 0 are link candidates. Scale shape:
+    u-estimation is one tiny agg per field; the pair join is
+    hash-equi on the blocking key (never all-pairs), the classic
+    blocked-linkage plan; the three u scalars broadcast. Rounded to
+    6dp (ln ulp)."""
+    part = load_table(spark, sf_dir, "part")
+    # persisted: the skinny blocked-attributes frame feeds three u-
+    # estimation aggs and both pair sides — one part scan total
+    # (audit_scans r07)
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_type",
+        F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("band"),
+    ).persist()
+    nn = p.count()
+
+    def u_of(col: str):
+        return (
+            p.groupBy(col)
+            .agg(F.count("*").cast("double").alias("c"))
+            .agg(
+                F.sum(
+                    (F.col("c") / F.lit(float(nn)))
+                    * (F.col("c") / F.lit(float(nn)))
+                ).alias("u")
+            )
+        )
+
+    u_type = u_of("p_type").withColumnRenamed("u", "ut")
+    u_adj = u_of("adj").withColumnRenamed("u", "uc")
+    u_band = u_of("band").withColumnRenamed("u", "ub")
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.when(F.col("a.p_type") == F.col("b.p_type"), 1)
+        .otherwise(0)
+        .alias("ag_type"),
+        F.when(F.col("a.adj") == F.col("b.adj"), 1)
+        .otherwise(0)
+        .alias("ag_adj"),
+        F.when(F.col("a.band") == F.col("b.band"), 1)
+        .otherwise(0)
+        .alias("ag_band"),
+    )
+    scored = (
+        pairs.crossJoin(F.broadcast(u_type))
+        .crossJoin(F.broadcast(u_adj))
+        .crossJoin(F.broadcast(u_band))
+        .withColumn(
+            "score",
+            F.when(
+                F.col("ag_type") == 1, F.log(F.lit(0.9) / F.col("ut"))
+            ).otherwise(F.log(F.lit(0.1) / (F.lit(1.0) - F.col("ut"))))
+            + F.when(
+                F.col("ag_adj") == 1, F.log(F.lit(0.9) / F.col("uc"))
+            ).otherwise(F.log(F.lit(0.1) / (F.lit(1.0) - F.col("uc"))))
+            + F.when(
+                F.col("ag_band") == 1, F.log(F.lit(0.9) / F.col("ub"))
+            ).otherwise(F.log(F.lit(0.1) / (F.lit(1.0) - F.col("ub")))),
+        )
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .select(
+            "key_a",
+            "key_b",
+            F.col("ag_type").cast("int").alias("ag_type"),
+            F.col("ag_adj").cast("int").alias("ag_adj"),
+            F.col("ag_band").cast("int").alias("ag_band"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("key_a", "key_b")
+    )

@@ -2409,9 +2409,9 @@ def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sf GROUP BY segment
     ),
     g AS (
-        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
-               / COUNT(*) AS gmean
-        FROM orders
+        SELECT CAST(SUM(CAST(s AS DECIMAL(30,10))) AS DOUBLE)
+               / SUM(n) AS gmean
+        FROM cu
     )
     SELECT sf.segment, sf.fold, sf.n_f AS n_rows,
            ROUND((st.s_tot - sf.s_f) / (st.n_tot - sf.n_f), 6) AS oof_mean,
@@ -2443,10 +2443,12 @@ def customer_segment_target_encoding(
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # persisted: cu feeds BOTH the segment rows and the global-mean
+    # smoothing prior — one orders scan total (audit_scans r07)
     cu = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
         F.count("*").alias("n"),
         exact_sum("o_totalprice").alias("s"),
-    )
+    ).persist()
     rows = customer.join(cu, customer.c_custkey == cu.ck).select(
         F.col("c_mktsegment").alias("segment"),
         md5_bucket(F.col("c_custkey").cast("string"), 5).alias("fold"),
@@ -2462,8 +2464,9 @@ def customer_segment_target_encoding(
         F.sum("n_f").cast("bigint").alias("n_tot"),
         F.sum(dec("s_f")).cast("double").alias("s_tot"),
     )
-    g = orders.agg(
-        (exact_sum("o_totalprice") / F.count("*")).alias("gmean")
+    dec2 = lambda c: F.col(c).cast("decimal(30,10)")  # noqa: E731
+    g = cu.agg(
+        (F.sum(dec2("s")).cast("double") / F.sum("n")).alias("gmean")
     )
     out = sf.join(st, "segment").crossJoin(F.broadcast(g))
     return out.select(
@@ -2552,13 +2555,15 @@ def customer_acctbal_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bad",
         F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")).alias("bin"),
     )
+    # persisted: the 10-row bin frame feeds the class totals and the
+    # final WOE select — one customer/orders pass total (audit_scans r07)
     per_bin = binned.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("bad").cast("bigint").alias("n_bad"),
         (F.count("*") - F.sum("bad")).cast("bigint").alias("n_good"),
         F.round(F.min("c_acctbal"), 2).alias("bal_min"),
         F.round(F.max("c_acctbal"), 2).alias("bal_max"),
-    )
+    ).persist()
     tot = per_bin.agg(
         F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
     )
@@ -2754,11 +2759,13 @@ def order_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count("*").alias("n_items"))
     )
+    # persisted: the 3-column feature frame feeds train / calibration /
+    # test branches — one orders+lineitem join total (audit_scans r07)
     feat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
         F.col("o_totalprice").alias("y"),
         F.col("n_items").cast("double").alias("x"),
         md5_bucket(F.col("o_orderkey").cast("string"), 100).alias("bucket"),
-    )
+    ).persist()
     train = feat.filter(F.col("bucket") < 80)
     fit = train.agg(
         F.count("*").alias("n"),
@@ -2895,6 +2902,8 @@ def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("fold"),
     )
+    # persisted: the 5-row fold-moments frame feeds totals, complement
+    # fits, and the MSE join — one lineitem scan total (audit_scans r07)
     m = p.groupBy("fold").agg(
         F.count("*").alias("n"),
         F.sum(dec(F.col("x"))).cast("double").alias("sx"),
@@ -2902,7 +2911,7 @@ def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
         F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
         F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
-    )
+    ).persist()
     t = m.agg(
         F.sum("n").alias("tn"),
         F.sum(dec(F.col("sx"))).cast("double").alias("tsx"),
@@ -2952,4 +2961,177 @@ def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mse, 6).alias("test_mse"),
         )
         .orderBy("fold")
+    )
+
+
+@query(
+    "star_schema_expectations",
+    """
+    WITH checks AS (
+        SELECT 'orders_custkey_fk' AS check_name,
+               (SELECT COUNT(*) FROM orders) AS n_rows,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                   AS n_violations
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'orders_orderkey_unique',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'lineitem_qty_range_1_50',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_quantity < 1 OR l_quantity > 50)
+        UNION ALL
+        SELECT 'customer_acctbal_nonnull',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL)
+        UNION ALL
+        SELECT 'events_value_nonneg',
+               (SELECT COUNT(*) FROM events),
+               (SELECT COUNT(*) FROM events WHERE value < 0)
+    )
+    SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+)
+def star_schema_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectation suite (the Great-Expectations /
+    dbt-test discipline as an engine op): referential integrity
+    (orders→customer, lineitem→orders as ANTI joins — never a per-row
+    subquery), key uniqueness, domain ranges, and null contracts,
+    emitted as one audit table a pipeline gate can assert on before
+    publish — the check layer the atomic-publish sink
+    (sources/atomic.py) is designed to sit behind. Each check is one
+    partial-aggregated scan of its table (documented multi-scan: the
+    audit IS a sweep over the schema); anti joins broadcast the key
+    side when small and stay hash-equi at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def row(name: str, n_rows, n_viol) -> DataFrame:
+        return spark.createDataFrame(
+            [(name, int(n_rows), int(n_viol))],
+            "check_name string, n_rows long, n_violations long",
+        )
+
+    n_orders = orders.count()
+    n_li = lineitem.count()
+    n_cust = customer.count()
+    n_ev = events.count()
+    fk_orders = orders.join(
+        customer.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).count()
+    fk_li = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    ).count()
+    dup_keys = n_orders - orders.select("o_orderkey").distinct().count()
+    qty_bad = lineitem.filter(
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    ).count()
+    bal_null = customer.filter(F.col("c_acctbal").isNull()).count()
+    val_neg = events.filter(F.col("value") < 0).count()
+    out = (
+        row("orders_custkey_fk", n_orders, fk_orders)
+        .unionByName(row("lineitem_orderkey_fk", n_li, fk_li))
+        .unionByName(row("orders_orderkey_unique", n_orders, dup_keys))
+        .unionByName(row("lineitem_qty_range_1_50", n_li, qty_bad))
+        .unionByName(row("customer_acctbal_nonnull", n_cust, bal_null))
+        .unionByName(row("events_value_nonneg", n_ev, val_neg))
+    )
+    return out.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+@query(
+    "dataset_version_manifest",
+    """
+    WITH d AS (
+        SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+               BIT_XOR(CAST('0x' || SUBSTRING(MD5(
+                   CAST(doc_id AS VARCHAR) || ':' || text), 1, 15)
+                   AS BIGINT)) AS checksum64
+        FROM documents
+        UNION ALL
+        SELECT 'embeddings', COUNT(*),
+               BIT_XOR(CAST('0x' || SUBSTRING(MD5(
+                   CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT))
+        FROM embeddings
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+               BIT_XOR(CAST('0x' || SUBSTRING(MD5(
+                   CAST(o_orderkey AS VARCHAR) || ':'
+                   || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)
+                   || ':' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)),
+                   1, 15) AS BIGINT))
+        FROM orders
+    )
+    SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows, checksum64
+    FROM d ORDER BY table_name
+    """,
+)
+def dataset_version_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version fingerprint — the reproducibility record a
+    training run logs so "which exact data did this checkpoint see?"
+    has an answer: per table, the row count plus an order-independent
+    BIT_XOR of 60-bit md5 row hashes over the content that defines the
+    version (documents: id+text; embeddings: key set; orders:
+    key+price+date, with the double normalized through DECIMAL(15,2)
+    so both engines hash the same string). Any row added, dropped, or
+    edited flips the checksum; XOR's commutativity makes the reduce
+    partition-order-free — the same integrity convention as
+    doc_epoch_shards, promoted to whole-table scope. One
+    partial-aggregated scan per table, no shuffle beyond the 1-row
+    combine."""
+    from technical_test_data_engineer_spark.operators.text import md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fp(df: DataFrame, name: str, key) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.bit_xor(md5_hash64(key)).alias("checksum64"),
+        )
+
+    return (
+        fp(
+            docs,
+            "documents",
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text")),
+        )
+        .unionByName(fp(emb, "embeddings", F.col("vec_id").cast("string")))
+        .unionByName(
+            fp(
+                orders,
+                "orders",
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                ),
+            )
+        )
+        .orderBy("table_name")
     )

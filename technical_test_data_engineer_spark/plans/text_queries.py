@@ -2225,9 +2225,11 @@ def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens"),
     )
+    # persisted: the source-sized weight frame feeds the normalizer agg
+    # and the final select — one documents scan total (audit_scans r07)
     p = s.select(
         "*", F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)).alias("pw")
-    )
+    ).persist()
     dec = lambda c: F.col(c).cast("decimal(30,10)")  # noqa: E731
     t = p.agg(
         F.sum(dec("n_tokens")).cast("double").alias("tot_tokens"),

@@ -2147,13 +2147,15 @@ def daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("rev")).over(w).cast("double") / F.count("*").over(w)
         ).alias("trend"),
     )
+    # persisted: the day-spine detrended frame feeds the seasonal agg
+    # and the final join — one orders scan total (audit_scans r07)
     det = tr.select(
         "day",
         "rev",
         "trend",
         (F.col("rev") - F.col("trend")).alias("detrended"),
         (F.weekday("day") + F.lit(1)).alias("dow"),
-    )
+    ).persist()
     seas = det.groupBy("dow").agg(
         (F.sum(dec("detrended")).cast("double") / F.count("*")).alias(
             "seasonal"
@@ -2232,11 +2234,13 @@ def daily_revenue_forecast_backtest(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(exact_sum("o_totalprice").alias("rev"))
     w = Window.orderBy("day")
+    # persisted: the day-spine lag frame feeds both model scorecards —
+    # one orders scan total (audit_scans r07)
     scored = daily.select(
         "rev",
         F.lag("rev", 1).over(w).alias("naive"),
         F.lag("rev", 7).over(w).alias("snaive"),
-    ).filter(F.col("snaive").isNotNull())
+    ).filter(F.col("snaive").isNotNull()).persist()
     dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
 
     def _metrics(fc: str, label: str) -> DataFrame:
@@ -2267,3 +2271,63 @@ def daily_revenue_forecast_backtest(
         .unionByName(_metrics("snaive", "seasonal_lag7"))
         .orderBy("model")
     )
+
+
+@query(
+    "order_pit_features",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+               o_totalprice
+        FROM orders WHERE o_custkey % 20 = 0
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS prior_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER w,
+                         0) AS DOUBLE) AS prior_spend,
+           CAST(od - LAG(od, 1) OVER (
+               PARTITION BY o_custkey ORDER BY od, o_orderkey
+           ) AS BIGINT) AS days_since_prev
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ORDER BY o_orderkey
+    """,
+)
+def order_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature materialization — the feature-store
+    op that makes offline training match online serving: for every
+    order, the customer features AS OF just before that order (count
+    and spend of strictly-prior orders, recency gap), built with a
+    1-PRECEDING-bounded cumulative frame so the row's own target can
+    never leak into its features — the temporal twin of the out-of-fold
+    discipline (customer_segment_target_encoding). One keyed
+    shuffle (customer), deterministic (date, orderkey) order within
+    key; prior spend rides DECIMAL inside the frame. First-order rows
+    report 0 prior orders/spend and NULL recency on both engines. The
+    %20 key filter bounds the proof output."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 20 == 0
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice",
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    w = wo.rowsBetween(Window.unboundedPreceding, -1)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("bigint").alias("prior_orders"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).over(w),
+            F.lit(0).cast("decimal(30,10)"),
+        )
+        .cast("double")
+        .alias("prior_spend"),
+        F.datediff(F.col("od"), F.lag("od", 1).over(wo))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    ).orderBy("o_orderkey")
