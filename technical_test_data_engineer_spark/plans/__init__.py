@@ -75,7 +75,19 @@ _FRONT_50 = [
     # -- never-driver-checked (29), grouped by family --
     # relational / analytic breadth
     "orderkey_skew_report",
-    "ship_latency_percentiles",
+    # -- round-7 batch 5 (displaced: ship_latency_percentiles
+    #    (r06-green; interpolated-percentile machinery in-window via
+    #    order_value_conformal's q90 + user_bot_scores' median),
+    #    part_cf_similarity (r06-green; graph family keeps
+    #    label_propagation + kcore_r3), source_score_calibration
+    #    (r06-green; cross-source quantile machinery in-window via
+    #    source_temperature_mixing + conformal), nation_l_diversity
+    #    (r06-green; privacy family keeps k_anonymity +
+    #    dp_noisy_counts + customer_pseudonymized)) --
+    "shard_balance_chisq",           # dataloader balance chi-square
+    "source_distinctive_terms",      # Fightin'-Words log-odds z
+    "ab_test_uplift_deciles",        # heterogeneous treatment effect
+    "user_bot_scores",               # behavioral abuse screen
     # -- round-7 batch 3 (displaced: customer_rfm_segments (r06-green;
     #    its NTILE segmentation machinery is in-window via
     #    customer_acctbal_woe_iv), hourly_traffic_anomalies (r06-green;
@@ -87,7 +99,6 @@ _FRONT_50 = [
     "daily_revenue_forecast_backtest",  # MAPE/sMAPE baseline race
     "source_temperature_mixing",     # n^tau pre-training mixer
     # graph / recommendation
-    "part_cf_similarity",
     "part_label_propagation",
     # -- round-7 batch 4 (displaced: doc_pii_redacted (r04-green;
     #    privacy family holds 4 in-window rows), eval_substring_
@@ -121,7 +132,6 @@ _FRONT_50 = [
     "hard_negative_mining",           # contrastive negative mining
     "doc_template_keys",              # structural/template fingerprint
     "event_transition_probs",         # Markov session model
-    "source_score_calibration",       # cross-source quantile calib
     # displaces lineitem_measure_correlations (moments family keeps
     # embedding_covariance in-window)
     "eval_ngram_contamination",       # gram-join decontamination
@@ -142,7 +152,6 @@ _FRONT_50 = [
     #    proof persists via vocab_growth_curve's running sum, the
     #    MapType proof's green row stands) --
     "customer_k_anonymity",           # privacy: group-size floor
-    "nation_l_diversity",             # privacy: sensitive diversity
     "dp_noisy_counts",                # seeded-Laplace DP release
     "matryoshka_recall_curve",        # ANN eval: truncation recall
     # second batch; displaced: doc_bigram_logprob and

@@ -836,3 +836,82 @@ def user_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum("lnf").over(w_cum)), 6))
         .alias("survival"),
     ).orderBy("t_seconds")
+
+
+@query(
+    "user_bot_scores",
+    """
+    WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, sec,
+               sec - LAG(sec, 1) OVER (
+                   PARTITION BY user_id ORDER BY sec
+               ) AS gap
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap)
+                   AS median_gap_sec,
+               CAST(SUM(CASE WHEN gap < 3600 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(gap) AS frac_fast
+        FROM gaps GROUP BY user_id
+        HAVING COUNT(*) >= 20
+    )
+    SELECT user_id, n_events,
+           ROUND(median_gap_sec, 1) AS median_gap_sec,
+           ROUND(frac_fast, 6) AS frac_fast,
+           frac_fast > 0.5 AND n_events >= 50 AS is_bot
+    FROM agg ORDER BY user_id
+    """,
+)
+def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral bot/abuse screen — the traffic-quality filter every
+    event pipeline runs before its data feeds metrics or training:
+    per-user inter-event gap statistics (median gap, fraction of gaps
+    under an hour) plus volume, and a rule flag (fast-dominant AND
+    high-volume) of the kind rule-based abuse systems ship while ML
+    models train. One keyed shuffle; the gap lag and the interpolated
+    median (``percentile`` ≡ PERCENTILE_CONT) run within each user's
+    bounded partition; the ≥20-event floor bounds output to the heavy
+    tail. Gap order is by epoch second — ties (same-second events)
+    produce the same ordered gap multiset either way, so the
+    percentile is order-stable."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    gaps = e.select(
+        "user_id",
+        "sec",
+        (F.col("sec") - F.lag("sec", 1).over(w)).alias("gap"),
+    )
+    agg = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.percentile("gap", F.lit(0.5)).alias("median_gap_sec"),
+            (
+                F.sum(F.when(F.col("gap") < 3600, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("gap")
+            ).alias("frac_fast"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.round("median_gap_sec", 1).alias("median_gap_sec"),
+        F.round("frac_fast", 6).alias("frac_fast"),
+        ((F.col("frac_fast") > 0.5) & (F.col("n_events") >= 50)).alias(
+            "is_bot"
+        ),
+    ).orderBy("user_id")

@@ -2254,3 +2254,167 @@ def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "shard_balance_chisq",
+    """
+    WITH d AS (
+        SELECT source,
+               CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT) % 8
+                   AS shard
+        FROM documents
+    ),
+    grid AS (
+        SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY source, shard
+    ),
+    rt AS (SELECT source, SUM(n) AS ns FROM grid GROUP BY source),
+    ct AS (SELECT shard, SUM(n) AS nh FROM grid GROUP BY shard),
+    tt AS (SELECT SUM(n) AS nn FROM grid)
+    SELECT grid.source,
+           CAST(rt.ns AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(
+               POWER(n - (rt.ns * ct.nh / CAST(nn AS DOUBLE)), 2)
+               / (rt.ns * ct.nh / CAST(nn AS DOUBLE))
+               AS DECIMAL(30,12))) AS DOUBLE), 6) AS chisq_contrib
+    FROM grid
+    JOIN rt ON grid.source = rt.source
+    JOIN ct ON grid.shard = ct.shard
+    CROSS JOIN tt
+    GROUP BY grid.source, rt.ns
+    ORDER BY grid.source
+    """,
+)
+def shard_balance_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader shard-balance health check: chi-square independence
+    test of the source × shard assignment grid — if the content-hash
+    sharding (the doc_epoch_shards convention, 8 shards) is healthy,
+    every shard sees every source at its natural rate, and a large
+    per-source chi-square contribution flags a source whose documents
+    collide into few shards (duplicate-heavy or templated content —
+    exactly the pathology hash-sharding inherits from the data). One
+    corpus scan to the grid; marginals and the statistic live on the
+    sources×8 frame. Expected counts are plain double algebra in
+    identical operation order; per-cell terms sum through DECIMAL."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (
+        docs.select("source", md5_bucket("text", 8).alias("shard"))
+        .groupBy("source", "shard")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .persist()
+    )
+    rt = grid.groupBy("source").agg(F.sum("n").alias("ns"))
+    ct = grid.groupBy("shard").agg(F.sum("n").alias("nh"))
+    tt = grid.agg(F.sum("n").alias("nn"))
+    e = F.col("ns") * F.col("nh") / F.col("nn").cast("double")
+    term = F.pow(F.col("n") - e, F.lit(2.0)) / e
+    return (
+        grid.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "shard")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("source", "ns")
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(30,12)")).cast("double"), 6
+            ).alias("chisq_contrib")
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_docs"),
+            "chisq_contrib",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "source_distinctive_terms",
+    """
+    WITH tok AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    st AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS y
+        FROM tok GROUP BY source, term
+    ),
+    t AS (SELECT term, SUM(y) AS yt FROM st GROUP BY term),
+    s AS (SELECT source, SUM(y) AS ns FROM st GROUP BY source),
+    tot AS (SELECT SUM(y) AS nn FROM st),
+    z AS (
+        SELECT st.source, st.term, st.y,
+               (LN((st.y + 0.5) / (s.ns - st.y + 0.5))
+                - LN((t.yt - st.y + 0.5)
+                     / (tot.nn - s.ns - (t.yt - st.y) + 0.5)))
+               / SQRT(1.0 / (st.y + 0.5) + 1.0 / (t.yt - st.y + 0.5))
+                   AS zscore
+        FROM st
+        JOIN t USING (term) JOIN s USING (source) CROSS JOIN tot
+        WHERE st.y >= 5
+    )
+    SELECT source, term, y AS n_in_source,
+           ROUND(zscore, 6) AS zscore, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY zscore DESC, term
+        ) AS rn FROM z
+    )
+    WHERE rn <= 5
+    ORDER BY source, rank
+    """,
+)
+def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What vocabulary distinguishes each source from the rest of the
+    corpus — Monroe et al.'s "Fightin' Words" log-odds ratio with a
+    +0.5 smoothing prior and its delta-method z-score, the
+    corpus-curation readout that tells a mixing pipeline WHY two
+    sources differ (raw frequency ranks surface stopwords; the
+    variance-normalized log-odds surfaces the actually-distinctive
+    terms). Top-5 per source by z. One scan to the (source, term)
+    grid; term and source marginals are vocabulary-sized; the window
+    ranks within source only. Count floor y≥5 keeps the z-scores out
+    of the small-sample regime. Rounded to 6dp (ln/sqrt ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .persist()
+    )
+    t = st.groupBy("term").agg(F.sum("y").alias("yt"))
+    s = st.groupBy("source").agg(F.sum("y").alias("ns"))
+    tot = st.agg(F.sum("y").alias("nn"))
+    num = F.log(
+        (F.col("y") + 0.5) / (F.col("ns") - F.col("y") + 0.5)
+    ) - F.log(
+        (F.col("yt") - F.col("y") + 0.5)
+        / (F.col("nn") - F.col("ns") - (F.col("yt") - F.col("y")) + 0.5)
+    )
+    den = F.sqrt(
+        1.0 / (F.col("y") + 0.5) + 1.0 / (F.col("yt") - F.col("y") + 0.5)
+    )
+    z = (
+        st.filter(F.col("y") >= 5)
+        .join(t, "term")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "term", "y", (num / den).alias("zscore"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("zscore"), F.asc("term")
+    )
+    return (
+        z.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("y").alias("n_in_source"),
+            F.round("zscore", 6).alias("zscore"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("source", "rank")
+    )

@@ -2331,3 +2331,99 @@ def order_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since_prev"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "ab_test_uplift_deciles",
+    """
+    WITH u AS (
+        SELECT user_id,
+               user_id % 2 = 0 AS in_a,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN CAST(value AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS x,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ),
+    binned AS (
+        SELECT in_a, y,
+               NTILE(10) OVER (ORDER BY x, user_id) AS decile
+        FROM u
+    ),
+    per AS (
+        SELECT decile,
+               CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN in_a THEN CAST(y AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS sy_a,
+               CAST(SUM(CASE WHEN in_a THEN CAST(0 AS DECIMAL(30,10))
+                             ELSE CAST(y AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS sy_b
+        FROM binned GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile, n_a, n_b,
+           ROUND(sy_a / n_a, 6) AS mean_a,
+           ROUND(sy_b / n_b, 6) AS mean_b,
+           ROUND(sy_a / n_a - sy_b / n_b, 6) AS uplift
+    FROM per ORDER BY decile
+    """,
+)
+def ab_test_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-treatment-effect readout — the uplift-by-decile
+    table that answers the question a single average treatment effect
+    hides: WHERE does the experiment move the metric? Users are
+    decile-binned by the pre-exposure covariate (view value-sum — the
+    CUPED covariate, so the binning never peeks at assignment or
+    outcome), and each decile reports per-arm purchase means and their
+    difference; a monotone uplift column is the classic targeting
+    signal. One user-keyed shuffle for sufficient stats, one NTILE
+    sort, then a 10-row frame. DECIMAL accumulation throughout."""
+    events = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(30,10)")
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", dec(F.col("value"))).otherwise(zero)
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", dec(F.col("value"))).otherwise(zero)
+        )
+        .cast("double")
+        .alias("y"),
+    ).select(
+        "user_id", (F.col("user_id") % 2 == 0).alias("in_a"), "x", "y"
+    )
+    binned = u.select(
+        "in_a",
+        "y",
+        F.ntile(10).over(Window.orderBy("x", "user_id")).alias("decile"),
+    )
+    per = binned.groupBy("decile").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("in_a"), dec(F.col("y"))).otherwise(zero))
+        .cast("double")
+        .alias("sy_a"),
+        F.sum(F.when(F.col("in_a"), zero).otherwise(dec(F.col("y"))))
+        .cast("double")
+        .alias("sy_b"),
+    )
+    return per.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_a",
+        "n_b",
+        F.round(F.col("sy_a") / F.col("n_a"), 6).alias("mean_a"),
+        F.round(F.col("sy_b") / F.col("n_b"), 6).alias("mean_b"),
+        F.round(
+            F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b"), 6
+        ).alias("uplift"),
+    ).orderBy("decile")
