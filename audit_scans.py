@@ -120,6 +120,8 @@ Expected multi-scans (all reviewed):
   plan scans each table once. star_schema_expectations runs one
   bounded aggregation job per declared check by design (the audit IS
   a schema sweep; each check scans only its own pruned table).
+  customer_cohort_ltv x2 — first-order cohort frame (persisted) and the
+  revenue grid are two roles of orders (the stream-split convention).
 
 Usage: python audit_scans.py [sf_dir]
 """

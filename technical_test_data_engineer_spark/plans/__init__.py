@@ -74,7 +74,20 @@ _FRONT_50 = [
     "flagship_daily_backlog",
     # -- never-driver-checked (29), grouped by family --
     # relational / analytic breadth
-    "orderkey_skew_report",
+    # -- round-7 batch 6 (displaced: orderkey_skew_report (r06-green;
+    #    skew/moment diagnostics in-window via shard_balance_chisq +
+    #    the decomposition residual), doc_template_keys (r06-green;
+    #    dedup/fingerprint family keeps eval_ngram_contamination +
+    #    part_record_linkage_scores + dataset_version_manifest),
+    #    knn_maxsim_late_interaction (r06-green; ANN family keeps
+    #    hard_negative_mining + matryoshka_recall_curve +
+    #    embedding_silhouette), vocab_growth_curve (r06-green;
+    #    cumulative-window machinery in-window via ab_test_sprt +
+    #    customer_cohort_ltv + order_pit_features)) --
+    "customer_cohort_ltv",           # growth LTV curves
+    "daily_revenue_acf",             # lag-1/7/28 autocorrelation
+    "user_capture_recapture",        # Chapman population estimate
+    "embedding_isotropy_stats",      # representation-collapse card
     # -- round-7 batch 5 (displaced: ship_latency_percentiles
     #    (r06-green; interpolated-percentile machinery in-window via
     #    order_value_conformal's q90 + user_bot_scores' median),
@@ -130,17 +143,14 @@ _FRONT_50 = [
     #    time_to_first_purchase, view_click_dwell_overlaps) --
     "lineitem_bloom_prune_revenue",   # bloom runtime pre-filter
     "hard_negative_mining",           # contrastive negative mining
-    "doc_template_keys",              # structural/template fingerprint
     "event_transition_probs",         # Markov session model
     # displaces lineitem_measure_correlations (moments family keeps
     # embedding_covariance in-window)
     "eval_ngram_contamination",       # gram-join decontamination
     # displaces event_value_ks_drift (drift family keeps
     # corpus_drift_psi in-window)
-    "knn_maxsim_late_interaction",    # ColBERT-style MaxSim
     # displaces purchase_touch_attribution (attribution family keeps
     # asof_click_attribution's r02/r03 greens + view_click in-window)
-    "vocab_growth_curve",             # Heaps-law corpus curve
     # -- round-6 session-2 additions (never driver-checked; each
     #    displaces an r05-green slot; displaced: copurchase_edge_churn
     #    (graph family keeps degree_stats/cf_similarity/label_prop/

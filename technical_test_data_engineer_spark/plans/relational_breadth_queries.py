@@ -2642,8 +2642,18 @@ def order_value_poisson_bootstrap(
     engines draw identical weights. Weighted sums ride DECIMAL."""
     from technical_test_data_engineer_spark.operators.text import md5_bucket
 
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+
+    # fan_out: the local parquet is a single row-group; 50 replicates x
+    # an md5 per row is expression-heavy per-row work that must not run
+    # in one task (18 s -> ~2 s at sf0.1)
+    orders = fan_out(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ),
+        32,
     )
     fanned = orders.select(
         "*",
@@ -2886,8 +2896,16 @@ def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold-summation order can drift the hash."""
     from technical_test_data_engineer_spark.operators.text import md5_bucket
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+
+    # fan_out: per-row md5 fold keys over a single-row-group scan
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        ),
+        32,
     )
     dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
     p = li.select(

@@ -1192,3 +1192,96 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_isotropy_stats",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+        SELECT vec_id, u.x, u.i - 1 AS i
+        FROM e, LATERAL (
+            SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS i
+        ) u
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+    d AS (
+        SELECT i,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS ss
+        FROM x GROUP BY i
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS dims,
+               CAST(SUM(CAST((s / n) * (s / n) AS DECIMAL(30,12)))
+                    AS DOUBLE) AS mu_sq_norm,
+               CAST(SUM(CAST(ss / n AS DECIMAL(30,12))) AS DOUBLE)
+                   AS mean_sq_norm,
+               MAX(ss / n - (s / n) * (s / n)) AS max_var,
+               CAST(SUM(CAST(ss / n - (s / n) * (s / n)
+                    AS DECIMAL(30,12))) AS DOUBLE) AS tot_var
+        FROM d CROSS JOIN n
+    )
+    SELECT dims,
+           CAST(n.n AS BIGINT) AS n_vectors,
+           ROUND(mean_sq_norm, 6) AS mean_sq_norm,
+           ROUND(mu_sq_norm, 6) AS mu_sq_norm,
+           ROUND(mu_sq_norm / mean_sq_norm, 6) AS anisotropy,
+           ROUND(max_var / tot_var, 6) AS top_dim_var_share
+    FROM agg CROSS JOIN n
+    """,
+)
+def embedding_isotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health card — the collapse diagnostics a
+    representation-learning pipeline monitors (Ethayarajh's anisotropy
+    line of work): anisotropy = ‖μ‖²/E‖x‖² (→1 when all vectors point
+    the same way, ≈0 for a centered isotropic cloud) and the top
+    dimension's share of total variance (a rogue-dimension detector —
+    one dominant coordinate is the classic embedding-collapse
+    signature). One scan posexplodes to the (vec, dim) grid and
+    reduces to per-dimension moments (D rows); everything after is
+    scalar algebra, per-dim terms re-summed through DECIMAL. The
+    driver-checkable scalar complement of the covariance/PCA family
+    (full eigen-spectrum share needs eigh — embedding_pca_project)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+
+    x = fan_out(emb, 32).select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    dec12 = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    # persisted: the 1-row count attaches to both the per-dim frame and
+    # the final select — one pruned count scan total (audit_scans r07)
+    n = emb.agg(F.count("*").cast("double").alias("n")).persist()
+    d = x.groupBy("i").agg(
+        F.sum(dec(F.col("x"))).cast("double").alias("s"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    evar = F.col("ss") / F.col("n") - mean * mean
+    agg = d.crossJoin(F.broadcast(n)).agg(
+        F.count("*").cast("bigint").alias("dims"),
+        F.sum(dec12(mean * mean)).cast("double").alias("mu_sq_norm"),
+        F.sum(dec12(F.col("ss") / F.col("n")))
+        .cast("double")
+        .alias("mean_sq_norm"),
+        F.max(evar).alias("max_var"),
+        F.sum(dec12(evar)).cast("double").alias("tot_var"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "dims",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round("mean_sq_norm", 6).alias("mean_sq_norm"),
+        F.round("mu_sq_norm", 6).alias("mu_sq_norm"),
+        F.round(F.col("mu_sq_norm") / F.col("mean_sq_norm"), 6).alias(
+            "anisotropy"
+        ),
+        F.round(F.col("max_var") / F.col("tot_var"), 6).alias(
+            "top_dim_var_share"
+        ),
+    )

@@ -915,3 +915,69 @@ def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_bot"
         ),
     ).orderBy("user_id")
+
+
+@query(
+    "user_capture_recapture",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    marked AS (
+        SELECT user_id,
+               CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR) || ':A'),
+                    1, 8) AS BIGINT) % 10 = 0 AS in_a,
+               CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR) || ':B'),
+                    1, 8) AS BIGINT) % 10 = 0 AS in_b
+        FROM u
+    )
+    SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           ROUND((SUM(CASE WHEN in_a THEN 1 ELSE 0 END) + 1.0)
+                 * (SUM(CASE WHEN in_b THEN 1 ELSE 0 END) + 1.0)
+                 / (SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) + 1.0)
+                 - 1.0, 6) AS chapman_estimate
+    FROM marked
+    """,
+)
+def user_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Chapman's estimator) —
+    the ecology-lineage trick for estimating a population you can only
+    sample: two INDEPENDENT deterministic 10% hash samples (the house
+    md5 convention with different salts — independence comes from
+    md5's avalanche, which this query also empirically audits since
+    the estimate is only unbiased if the marks are independent), and
+    N̂ = (n_a+1)(n_b+1)/(m+1) − 1 from the overlap. The same estimator
+    teams use to size logs that are too big to distinct-count exactly
+    — here emitted NEXT TO the true distinct count so the driver
+    value-checks estimator and error jointly. One distinct + one
+    scan-side mark pass; output is one row of scalars."""
+    events = load_table(spark, sf_dir, "events")
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    u = events.select("user_id").distinct()
+    marked = u.select(
+        (
+            md5_bucket(F.concat(F.col("user_id").cast("string"), F.lit(":A")), 10)
+            == 0
+        ).alias("in_a"),
+        (
+            md5_bucket(F.concat(F.col("user_id").cast("string"), F.lit(":B")), 10)
+            == 0
+        ).alias("in_b"),
+    )
+    na = F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+    nb = F.sum(F.when(F.col("in_b"), 1).otherwise(0))
+    m = F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+    return marked.agg(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        m.cast("bigint").alias("n_both"),
+        F.count("*").cast("bigint").alias("n_true"),
+        F.round(
+            (na + F.lit(1.0)) * (nb + F.lit(1.0)) / (m + F.lit(1.0))
+            - F.lit(1.0),
+            6,
+        ).alias("chapman_estimate"),
+    )

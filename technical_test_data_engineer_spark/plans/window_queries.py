@@ -2427,3 +2427,202 @@ def ab_test_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b"), 6
         ).alias("uplift"),
     ).orderBy("decile")
+
+
+@query(
+    "customer_cohort_ltv",
+    """
+    WITH f AS (
+        SELECT o_custkey AS ck,
+               DATE_TRUNC('month', MIN(CAST(o_orderdate AS DATE))) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+           FROM f GROUP BY cohort),
+    p AS (
+        SELECT o_custkey AS ck,
+               DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(o_totalprice AS DECIMAL(30,10)) AS v
+        FROM orders
+    ),
+    rev AS (
+        SELECT f.cohort,
+               (YEAR(p.m) - YEAR(f.cohort)) * 12
+                   + (MONTH(p.m) - MONTH(f.cohort)) AS age,
+               CAST(SUM(p.v) AS DOUBLE) AS rev
+        FROM p JOIN f USING (ck)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(rev.cohort AS DATE) AS cohort_month,
+           CAST(age AS INT) AS month_age,
+           cs.n_customers,
+           ROUND(CAST(SUM(CAST(rev AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                 / cs.n_customers, 6) AS cum_ltv_per_customer
+    FROM rev JOIN cs ON rev.cohort = cs.cohort
+    WINDOW w AS (PARTITION BY rev.cohort ORDER BY age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY cohort_month, month_age
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the growth-analytics staple:
+    customers cohorted by first-order month, revenue accumulated by
+    month-age, normalized per cohort customer, so every cohort's spend
+    trajectory is comparable at the same age (the payback-period /
+    LTV:CAC readout). Built on orders (a 7-year span — the events
+    stream covers one month, which would make every curve one point).
+    Two keyed shuffles (first-order, then cohort-month revenue grid);
+    the cumulative window runs over the bounded cohort×age grid with
+    DECIMAL accumulation. Month-age is calendar year/month arithmetic,
+    identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    # persisted: the per-customer cohort frame feeds cohort sizes AND
+    # the revenue-grid join — one orders scan per role (audit_scans r07)
+    f = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).alias(
+            "cohort"
+        )
+    ).persist()
+    cs = f.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    p = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+        dec(F.col("o_totalprice")).alias("v"),
+    )
+    rev = (
+        p.join(f, "ck")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            ).alias("age"),
+        )
+        .agg(F.sum("v").cast("double").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(cs, "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            F.col("age").cast("int").alias("month_age"),
+            "n_customers",
+            F.round(
+                F.sum(dec(F.col("rev"))).over(w).cast("double")
+                / F.col("n_customers"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "month_age")
+    )
+
+
+@query(
+    "daily_revenue_acf",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_decsum('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT rev,
+               LAG(rev, 1) OVER (ORDER BY day) AS l1,
+               LAG(rev, 7) OVER (ORDER BY day) AS l7,
+               LAG(rev, 28) OVER (ORDER BY day) AS l28
+        FROM daily
+    ),
+    m AS (
+        SELECT 1 AS lag, COUNT(l1) AS n,
+               CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l1 AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rev * l1 AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l1 * l1 AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT 7, COUNT(l7),
+               CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE),
+               CAST(SUM(CAST(l7 AS DECIMAL(30,10))) AS DOUBLE),
+               CAST(SUM(CAST(rev * l7 AS DECIMAL(38,8))) AS DOUBLE),
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,8))) AS DOUBLE),
+               CAST(SUM(CAST(l7 * l7 AS DECIMAL(38,8))) AS DOUBLE)
+        FROM lagged WHERE l7 IS NOT NULL
+        UNION ALL
+        SELECT 28, COUNT(l28),
+               CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE),
+               CAST(SUM(CAST(l28 AS DECIMAL(30,10))) AS DOUBLE),
+               CAST(SUM(CAST(rev * l28 AS DECIMAL(38,8))) AS DOUBLE),
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,8))) AS DOUBLE),
+               CAST(SUM(CAST(l28 * l28 AS DECIMAL(38,8))) AS DOUBLE)
+        FROM lagged WHERE l28 IS NOT NULL
+    )
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((sxy - sx * sy / n)
+                 / NULLIF(SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)),
+                          0), 6) AS acf
+    FROM m ORDER BY lag
+    """,
+)
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation diagnostics of the daily revenue series at lags
+    1 / 7 / 28 — the first chart a forecaster reads: lag-1 measures
+    momentum, lag-7 weekly seasonality (the decomposition query's DOW
+    signal, quantified), lag-28 the monthly echo. Each lag's Pearson
+    correlation comes from sufficient statistics over the PAIRED
+    subset (row-lag over the dense day spine). One fact-sized
+    aggregation; the lag frame is persisted and the three moment sets
+    are day-spine-sized aggs with DECIMAL accumulation (products at
+    DECIMAL(38,8) — daily revenues are ~1e7, squares ~1e14)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("day")
+    # persisted: three per-lag moment aggs share the lag frame — one
+    # orders scan total (audit_scans r07)
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("l1"),
+        F.lag("rev", 7).over(w).alias("l7"),
+        F.lag("rev", 28).over(w).alias("l28"),
+    ).persist()
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+
+    def m_of(col: str, lag: int) -> DataFrame:
+        s = lagged.filter(F.col(col).isNotNull())
+        return s.agg(
+            F.lit(lag).alias("lag"),
+            F.count(col).alias("n"),
+            F.sum(dec(F.col("rev"))).cast("double").alias("sx"),
+            F.sum(dec(F.col(col))).cast("double").alias("sy"),
+            F.sum(decp(F.col("rev") * F.col(col))).cast("double").alias("sxy"),
+            F.sum(decp(F.col("rev") * F.col("rev"))).cast("double").alias("sxx"),
+            F.sum(decp(F.col(col) * F.col(col))).cast("double").alias("syy"),
+        )
+
+    m = (
+        m_of("l1", 1)
+        .unionByName(m_of("l7", 7))
+        .unionByName(m_of("l28", 28))
+    )
+    acf = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.nullif(
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    ).orderBy("lag")
