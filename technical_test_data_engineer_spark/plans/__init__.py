@@ -142,8 +142,19 @@ _FRONT_50 = [
     #    nation_trade_balance, orders_equidepth_hist,
     #    time_to_first_purchase, view_click_dwell_overlaps) --
     "lineitem_bloom_prune_revenue",   # bloom runtime pre-filter
-    "hard_negative_mining",           # contrastive negative mining
-    "event_transition_probs",         # Markov session model
+    # -- round-7 batch 7 (displaced: event_transition_probs (r06-green;
+    #    its journey/transition machinery is driver-checked via
+    #    channel_conversion_k8, which consumes the same distributed
+    #    relation), hard_negative_mining (r06-green; ANN family keeps
+    #    matryoshka_recall_curve + knn_mmr_exact3 + isotropy),
+    #    dp_noisy_counts (r06-green; privacy family keeps k_anonymity +
+    #    customer_pseudonymized), embedding_silhouette (r06-green;
+    #    embedding-eval family keeps isotropy + matryoshka +
+    #    mmr_exact3)) --
+    "channel_conversion_k8",         # unrolled absorbing-walk twin
+    "knn_mmr_exact3",                # unrolled diversity re-rank
+    "daily_revenue_runs_test",       # Wald-Wolfowitz randomness
+    "daily_revenue_cusum",           # Page change-point curve
     # displaces lineitem_measure_correlations (moments family keeps
     # embedding_covariance in-window)
     "eval_ngram_contamination",       # gram-join decontamination
@@ -162,7 +173,6 @@ _FRONT_50 = [
     #    proof persists via vocab_growth_curve's running sum, the
     #    MapType proof's green row stands) --
     "customer_k_anonymity",           # privacy: group-size floor
-    "dp_noisy_counts",                # seeded-Laplace DP release
     "matryoshka_recall_curve",        # ANN eval: truncation recall
     # second batch; displaced: doc_bigram_logprob and
     # embedding_covariance (both r05-green; the bigram LM's relation
@@ -179,7 +189,6 @@ _FRONT_50 = [
     # pytest coverage, the robust-stats family keeps
     # ship_latency_percentiles in-window)
     "ab_test_cuped",                  # CUPED variance reduction
-    "embedding_silhouette",           # clustering-eval margins
     # fourth batch; displaced (all r05-green with coverage held
     # elsewhere): media_chunk_checksums (multimodal keeps
     # media_phash_near_dups in-window), lineitem_measures_unpivot

@@ -1285,3 +1285,234 @@ def embedding_isotropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_dim_var_share"
         ),
     )
+
+
+_MMR_SHORT = 10   # brute-force shortlist per query feeding the re-rank
+_MMR_LAM = 0.7
+
+
+def _mmr_exact3_oracle() -> str:
+    """Generated oracle for the 3-step unrolled MMR: exact top-10
+    shortlist (decimal dots), pairwise candidate sims (decimal dots),
+    then three argmax CTEs stepping λ·rel − (1−λ)·max-sim literally."""
+    dot = (
+        "CAST((SELECT SUM(CAST(x * y AS DECIMAL(38,30))) "
+        "FROM (SELECT UNNEST(CAST({a} AS DOUBLE[])) AS x, "
+        "UNNEST(CAST({b} AS DOUBLE[])) AS y)) AS DOUBLE)"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {dot.format(a='q.qvec', b='e.embedding')} AS rel
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    short AS (
+        SELECT query_id, vec_id, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, vec_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {_MMR_SHORT}
+    ),
+    cv AS (
+        SELECT s.query_id, s.vec_id, s.rel, e.embedding AS v
+        FROM short s JOIN embeddings e USING (vec_id)
+    ),
+    sims AS (
+        SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+               {dot.format(a='a.v', b='b.v')} AS sim
+        FROM cv a JOIN cv b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT query_id, vec_id, {_MMR_LAM} * rel AS mmr FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, vec_id
+            ) AS rn FROM short
+        ) WHERE rn = 1
+    ),
+    p2 AS (
+        SELECT c.query_id, c.vec_id,
+               {_MMR_LAM} * c.rel - {1 - _MMR_LAM} * s.sim AS mmr
+        FROM short c
+        JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+        JOIN sims s ON s.query_id = c.query_id
+         AND s.va = c.vec_id AND s.vb = s1.vec_id
+    ),
+    s2 AS (
+        SELECT query_id, vec_id, mmr FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY mmr DESC, vec_id
+            ) AS rn FROM p2
+        ) WHERE rn = 1
+    ),
+    p3 AS (
+        SELECT c.query_id, c.vec_id,
+               {_MMR_LAM} * c.rel
+                   - {1 - _MMR_LAM} * GREATEST(sa.sim, sb.sim) AS mmr
+        FROM short c
+        JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
+        JOIN s2 ON c.query_id = s2.query_id AND c.vec_id <> s2.vec_id
+        JOIN sims sa ON sa.query_id = c.query_id
+         AND sa.va = c.vec_id AND sa.vb = s1.vec_id
+        JOIN sims sb ON sb.query_id = c.query_id
+         AND sb.va = c.vec_id AND sb.vb = s2.vec_id
+    ),
+    s3 AS (
+        SELECT query_id, vec_id, mmr FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY mmr DESC, vec_id
+            ) AS rn FROM p3
+        ) WHERE rn = 1
+    )
+    SELECT query_id, pick, vec_id, ROUND(mmr, 6) AS mmr_score FROM (
+        SELECT query_id, 1 AS pick, vec_id, mmr FROM s1
+        UNION ALL SELECT query_id, 2, vec_id, mmr FROM s2
+        UNION ALL SELECT query_id, 3, vec_id, mmr FROM s3
+    )
+    ORDER BY query_id, pick
+    """
+
+
+@query("knn_mmr_exact3", _mmr_exact3_oracle())
+def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrolled 3-step Maximal Marginal Relevance — the oracle-pairable
+    twin of the grouped-map greedy (knn_mmr_rerank): a FIXED number of
+    greedy picks unrolls into chained argmax stages (the k-core-peel /
+    k-step-conversion convention), with relevance AND candidate-pair
+    similarities both decimal-exact dots, so every λ·rel − (1−λ)·maxsim
+    score is the identical double on both engines and the driver
+    value-checks the diversity re-rank itself — selection, scores, and
+    tie-breaks. Scale shape: the shortlist bounds everything — sims
+    are shortlist², and each pick stage is a shortlist-sized window."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        exact_dot,
+    )
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    short = (
+        brute_force_topk(emb, probes, k=_MMR_SHORT)
+        .select("query_id", "vec_id", F.col("score").alias("rel"))
+        .persist()
+    )
+    cv = short.join(
+        emb.select("vec_id", F.col("embedding").alias("v")), "vec_id"
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    # persisted: the shortlist² sim grid feeds picks 2 and 3
+    sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            exact_dot(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .persist()
+    )
+    lam = F.lit(_MMR_LAM)
+    one_m = F.lit(1 - _MMR_LAM)
+    wrel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id")
+    )
+    wmmr = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr"), F.asc("vec_id")
+    )
+    s1 = (
+        short.withColumn("rn", F.row_number().over(wrel))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", (lam * F.col("rel")).alias("mmr"))
+    )
+    p2 = (
+        short.join(
+            s1.select("query_id", F.col("vec_id").alias("sel1")), "query_id"
+        )
+        .filter(F.col("vec_id") != F.col("sel1"))
+        .join(
+            sims.select(
+                "query_id",
+                F.col("va").alias("vec_id"),
+                F.col("vb").alias("sel1"),
+                "sim",
+            ),
+            ["query_id", "vec_id", "sel1"],
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (lam * F.col("rel") - one_m * F.col("sim")).alias("mmr"),
+        )
+    )
+    s2 = (
+        p2.withColumn("rn", F.row_number().over(wmmr))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", "mmr")
+    )
+    p3 = (
+        short.join(
+            s1.select("query_id", F.col("vec_id").alias("sel1")), "query_id"
+        )
+        .join(
+            s2.select("query_id", F.col("vec_id").alias("sel2")), "query_id"
+        )
+        .filter(
+            (F.col("vec_id") != F.col("sel1"))
+            & (F.col("vec_id") != F.col("sel2"))
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("va").alias("vec_id"),
+                F.col("vb").alias("sel1"),
+                F.col("sim").alias("sim1"),
+            ),
+            ["query_id", "vec_id", "sel1"],
+        )
+        .join(
+            sims.select(
+                "query_id",
+                F.col("va").alias("vec_id"),
+                F.col("vb").alias("sel2"),
+                F.col("sim").alias("sim2"),
+            ),
+            ["query_id", "vec_id", "sel2"],
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                lam * F.col("rel")
+                - one_m * F.greatest(F.col("sim1"), F.col("sim2"))
+            ).alias("mmr"),
+        )
+    )
+    s3 = (
+        p3.withColumn("rn", F.row_number().over(wmmr))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", "mmr")
+    )
+    out = (
+        s1.select("query_id", F.lit(1).alias("pick"), "vec_id", "mmr")
+        .unionByName(
+            s2.select("query_id", F.lit(2).alias("pick"), "vec_id", "mmr")
+        )
+        .unionByName(
+            s3.select("query_id", F.lit(3).alias("pick"), "vec_id", "mmr")
+        )
+    )
+    return out.select(
+        "query_id",
+        F.col("pick").cast("int").alias("pick"),
+        "vec_id",
+        F.round("mmr", 6).alias("mmr_score"),
+    ).orderBy("query_id", "pick")

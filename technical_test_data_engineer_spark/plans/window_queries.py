@@ -2626,3 +2626,308 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(acf, 6).alias("acf"),
     ).orderBy("lag")
+
+
+_K_STEPS = 8
+
+
+def _kstep_cte() -> str:
+    """Unrolled k-step backward recursion over the journey chain —
+    generated CTE chain (the PageRank/label-propagation convention
+    applied to the attribution family's absorbing walk)."""
+    steps = []
+    prev = "v0"
+    for t in range(1, _K_STEPS + 1):
+        steps.append(f"""
+    v{t} AS (
+        SELECT src AS state,
+               CAST(SUM(CAST(p * COALESCE(v.v, 0.0) AS DECIMAL(30,15)))
+                    AS DOUBLE) AS v
+        FROM t LEFT JOIN {prev} v ON t.dst = v.state
+        GROUP BY src
+        UNION ALL SELECT 'CONV', 1.0
+        UNION ALL SELECT 'DROP', 0.0
+    )""")
+        prev = f"v{t}"
+    return ",".join(steps)
+
+
+@query(
+    "channel_conversion_k8",
+    f"""
+    WITH conv AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS conv_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type AS ch,
+               CAST(e.ts AS TIMESTAMP) AS tss, e.event_id, c.conv_ts
+        FROM events e LEFT JOIN conv c USING (user_id)
+        WHERE e.event_type <> 'purchase'
+          AND (c.conv_ts IS NULL OR CAST(e.ts AS TIMESTAMP) < c.conv_ts)
+    ),
+    seq AS (
+        SELECT user_id, conv_ts, ch,
+               LAG(ch) OVER (PARTITION BY user_id ORDER BY tss, event_id)
+                   AS prev,
+               LEAD(ch) OVER (PARTITION BY user_id ORDER BY tss, event_id)
+                   AS nxt
+        FROM touches
+    ),
+    hops AS (
+        SELECT COALESCE(prev, 'START') AS src, ch AS dst FROM seq
+        UNION ALL
+        SELECT ch AS src,
+               CASE WHEN conv_ts IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+                   AS dst
+        FROM seq WHERE nxt IS NULL
+        UNION ALL
+        SELECT 'START', 'CONV'
+        FROM conv c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM touches t WHERE t.user_id = c.user_id
+        )
+    ),
+    tc AS (SELECT src, dst, COUNT(*) AS n FROM hops GROUP BY src, dst),
+    t AS (
+        SELECT src, dst,
+               CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+        FROM tc
+    ),
+    v0 AS (SELECT 'CONV' AS state, 1.0 AS v
+           UNION ALL SELECT 'DROP', 0.0),
+    {_kstep_cte()}
+    SELECT state, ROUND(v, 6) AS p_convert_k8
+    FROM v{_K_STEPS}
+    WHERE state NOT IN ('CONV', 'DROP')
+    ORDER BY state
+    """,
+)
+def channel_conversion_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-step truncated conversion probability per journey state — the
+    oracle-pairable twin of the attribution family's absorbing-chain
+    solve (channel_removal_effect): the infinite-horizon absorption
+    probability needs (I−Q)x=R matrix algebra, but the probability of
+    converting WITHIN 8 steps unrolls into 8 chained matrix-vector
+    CTEs over the vocabulary-sized transition relation (the fixed-
+    iteration convention that made PageRank, label propagation, and
+    the k-core peel driver-checkable). v₀ = 1 on CONV; each step
+    v'(s) = Σ P(s→d)·v(d) with the absorbing rows re-pinned; per-step
+    terms sum through DECIMAL so neither engine's aggregation order
+    matters. Reported per channel plus the START row (the corpus-level
+    8-step conversion rate). Transition counts come from the SAME
+    distributed journey machinery (operators/attribution.py) the
+    removal-effect and Shapley queries share."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from technical_test_data_engineer_spark.operators.attribution import (
+        CONV,
+        DROP,
+        journey_transition_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # bounded collect — the removal-effect/CC discipline: the transition
+    # relation is channel-vocabulary-sized, and 8 recursion steps as
+    # Spark jobs are pure scheduler latency (measured 12-19 s for ~30
+    # rows); the DISTRIBUTED work is journey_transition_counts
+    counts = journey_transition_counts(ev).collect()
+    tot: dict[str, int] = {}
+    for r in counts:
+        tot[r["src"]] = tot.get(r["src"], 0) + r["n"]
+    edges = [(r["src"], r["dst"], r["n"] / tot[r["src"]]) for r in counts]
+    # the recursion replicates the oracle's arithmetic EXACTLY: each
+    # term is the double product cast to DECIMAL(30,15) (HALF_UP — both
+    # engines' decimal-cast rounding), summed exactly, surfaced as the
+    # nearest double — so aggregation order cannot matter on either side
+    q15 = Decimal(1).scaleb(-15)
+    q6 = Decimal(1).scaleb(-6)
+    v: dict[str, float] = {CONV: 1.0, DROP: 0.0}
+    for _ in range(_K_STEPS):
+        acc: dict[str, Decimal] = {}
+        for src, dst, prob in edges:
+            term = Decimal(prob * v.get(dst, 0.0)).quantize(
+                q15, ROUND_HALF_UP
+            )
+            acc[src] = acc.get(src, Decimal(0)) + term
+        v = {s: float(x) for s, x in acc.items()}
+        v[CONV] = 1.0
+        v[DROP] = 0.0
+    rows = sorted(
+        (s, float(Decimal(x).quantize(q6, ROUND_HALF_UP)))
+        for s, x in v.items()
+        if s not in (CONV, DROP)
+    )
+    return spark.createDataFrame(
+        rows, "state string, p_convert_k8 double"
+    ).orderBy("state")
+
+
+@query(
+    "daily_revenue_runs_test",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_decsum('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY rev) AS m
+        FROM daily
+    ),
+    signs AS (
+        SELECT day, rev > m AS above,
+               LAG(rev > m) OVER (ORDER BY day) AS prev_above
+        FROM daily CROSS JOIN med
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n2,
+               CAST(1 + SUM(CASE WHEN prev_above IS NOT NULL
+                                  AND above <> prev_above
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM signs
+    )
+    SELECT n AS n_days, n1 AS n_above, n2 AS n_below, runs,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS expected_runs,
+           ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue series — the
+    nonparametric randomness screen that complements the ACF readout
+    (forensics family with Benford): too FEW runs of above/below-median
+    days means level shifts or drift, too MANY means oscillation; the
+    z-score against the exact run-count moments makes it a one-number
+    monitor. One fact-sized aggregation to the day spine; median,
+    signs, lag, and moments all run on days. The sign comparison uses
+    the interpolated median of a continuous series (ties measure-zero),
+    so both engines produce identical run sequences."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev")).persist()
+    med = daily.agg(F.percentile("rev", F.lit(0.5)).alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .select("day", (F.col("rev") > F.col("m")).alias("above"))
+        .select(
+            "above", F.lag("above").over(Window.orderBy("day")).alias("prev_above")
+        )
+    )
+    agg = signs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).cast("bigint").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_above").isNotNull()
+                    & (F.col("above") != F.col("prev_above")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1.0
+    sig = F.sqrt(
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2"))
+        / (
+            (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2"))
+            * 1.0
+            * (F.col("n1") + F.col("n2") - 1)
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((F.col("runs") - mu) / sig, 6).alias("z"),
+    )
+
+
+@query(
+    "daily_revenue_cusum",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               {_decsum('o_totalprice')} AS rev
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,8))) AS DOUBLE) AS ss
+        FROM daily
+    ),
+    st AS (
+        SELECT n, s / n AS mu,
+               SQRT(ss / n - (s / n) * (s / n)) AS sigma
+        FROM m
+    )
+    SELECT day,
+           ROUND(CAST(SUM(CAST(rev - mu AS DECIMAL(30,10))) OVER w
+                      AS DOUBLE) / sigma, 6) AS cusum
+    FROM daily CROSS JOIN st
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point curve of daily revenue — Page's cumulative-sum
+    monitor in its retrospective form: Sₜ = Σ(xᵢ−μ)/σ drifts near zero
+    under a stable level and bends at a change point (its extremum is
+    the classic change-point locator); the monitoring twin of the
+    decomposition/ACF/runs diagnostics. One fact-sized aggregation to
+    the day spine; global moments ride DECIMAL, the cumulative sum of
+    centered deviations accumulates in DECIMAL (order-free), and the
+    per-day standardization is a broadcast-scalar attach."""
+    orders = load_table(spark, sf_dir, "orders")
+    # persisted: the day spine feeds the global moments and the curve
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev")).persist()
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    m = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("rev"))).cast("double").alias("s"),
+        F.sum(decp(F.col("rev") * F.col("rev"))).cast("double").alias("ss"),
+    )
+    st = m.select(
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("ss") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("sigma"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.crossJoin(F.broadcast(st))
+        .select(
+            "day",
+            F.round(
+                F.sum(dec(F.col("rev") - F.col("mu"))).over(w).cast("double")
+                / F.col("sigma"),
+                6,
+            ).alias("cusum"),
+        )
+        .orderBy("day")
+    )
