@@ -274,6 +274,19 @@ _NONEQUI_ALLOWLIST = {
     "customer_acctbal_woe_iv",    # 1-row class-totals broadcast attach
     "order_value_conformal",      # 1-row fitted-scalars (a, b, q90)
                                   # broadcast attaches
+    "shard_balance_chisq",        # 1-row grand-total broadcast attach
+    "source_distinctive_terms",   # 1-row corpus-total broadcast attach
+    "embedding_isotropy_stats",   # 1-row count broadcast attach
+    "knn_mmr_exact3",             # corpus x broadcast-queries scan
+                                  # (knn family; pick stages hash-equi)
+    "daily_revenue_runs_test",    # 1-row median broadcast attach
+    "daily_revenue_cusum",        # 1-row moments broadcast attach
+    "part_record_linkage_scores", # three 1-row u-scalar broadcast
+                                  # attaches (pair join is hash-equi
+                                  # on the blocking key)
+    "source_temperature_mixing",  # 1-row normalizer broadcast attach
+    "elasticity_kfold_cv",        # 1-row total-moments broadcast
+                                  # attach onto the 5-row fold frame
     "user_conversion_survival",   # 1-row cohort-size broadcast attach
     "orders_benford_audit",       # 1-row total-count broadcast attach
     "embedding_silhouette",       # labels-sized centroid table
