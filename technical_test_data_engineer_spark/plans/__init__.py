@@ -172,8 +172,19 @@ _FRONT_50 = [
     #    user_event_type_map (both uniquely r05-green; the cumulative
     #    proof persists via vocab_growth_curve's running sum, the
     #    MapType proof's green row stands) --
-    "customer_k_anonymity",           # privacy: group-size floor
-    "matryoshka_recall_curve",        # ANN eval: truncation recall
+    # -- round-7 batch 8 (displaced: customer_k_anonymity (r06-green;
+    #    privacy family keeps customer_pseudonymized), doc_neyman_sample
+    #    (r06-green; sampling family keeps order_value_poisson_bootstrap
+    #    + user_capture_recapture + source_temperature_mixing),
+    #    source_token_js_divergence (r06-green; drift family keeps
+    #    shard_balance_chisq + source_distinctive_terms),
+    #    matryoshka_recall_curve (r06-green; embedding-eval family keeps
+    #    embedding_isotropy_stats + knn_mmr_exact3 + media_ahash_sigs'
+    #    signature kernel)) --
+    "media_ahash_sigs",              # perceptual-hash kernel, bit-exact
+    "ab_test_covariate_balance",     # SMD randomization health
+    "event_path_trigrams",           # third-order path mining
+    "join_key_health",               # fanout/orphan shuffle planner
     # second batch; displaced: doc_bigram_logprob and
     # embedding_covariance (both r05-green; the bigram LM's relation
     # is shared with in-window event_transition_probs' lag-window
@@ -181,8 +192,6 @@ _FRONT_50 = [
     # embedding_pca_project), purchase_tier_at_time (r05-green; SCD2
     # family's user_type_scd2 holds an r04 green)
     "customer_pseudonymized",         # salted-hash row-level release
-    "source_token_js_divergence",     # distribution drift (JS)
-    "doc_neyman_sample",              # variance-optimal stratified
     # third batch; displaced: order_calendar_features and
     # acctbal_winsorized_stats (both r05-green; the ISO-calendar F2
     # family keeps order_gap_days' r02 green + the date battery's

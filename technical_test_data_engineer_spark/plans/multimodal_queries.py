@@ -169,3 +169,76 @@ def media_chunk_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_media(media, chunk_size=256).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+@query(
+    "media_ahash_sigs",
+    """
+    WITH d AS (
+        SELECT doc_id, text, strlen(text) AS n
+        FROM documents WHERE strlen(text) > 0
+    ),
+    b AS (
+        SELECT doc_id, n,
+               CAST((t.i - 1) * 64 // n AS BIGINT) AS cell,
+               ascii(substr(text, CAST(t.i AS INT), 1)) AS val
+        FROM d, UNNEST(RANGE(1, n + 1)) AS t(i)
+    ),
+    cm AS (
+        SELECT doc_id, cell,
+               CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_val
+        FROM b GROUP BY doc_id, cell
+    ),
+    grid AS (
+        SELECT d.doc_id, g.cell, COALESCE(cm.mean_val, 0.0) AS mean_val
+        FROM d
+        CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS cell) g
+        LEFT JOIN cm ON cm.doc_id = d.doc_id AND cm.cell = g.cell
+    ),
+    med AS (
+        SELECT doc_id,
+               PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY mean_val) AS m
+        FROM grid GROUP BY doc_id
+    ),
+    packed AS (
+        SELECT grid.doc_id,
+               SUM(CASE WHEN mean_val > m
+                        THEN CAST(1 AS HUGEINT)
+                             << CAST(63 - cell AS INT)
+                        ELSE CAST(0 AS HUGEINT) END) AS sig
+        FROM grid JOIN med USING (doc_id)
+        GROUP BY grid.doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN sig >= CAST(9223372036854775808 AS HUGEINT)
+                THEN sig - CAST(18446744073709551616 AS HUGEINT)
+                ELSE sig END AS BIGINT) AS ahash
+    FROM packed ORDER BY doc_id
+    """,
+)
+def media_ahash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual aHash SIGNATURE relation, oracle-paired — the
+    driver value-checks the whole kernel the multimodal near-dup path
+    rides on (media_phash_near_dups stays the banded-join proof):
+    64-cell downsample of the stub-decoded byte plane, median
+    threshold, MSB-first bitpack with two's-complement int64 wrap. The
+    oracle recomputes every bit from the SAME bytes: the fake-media
+    payload is the UTF-8 text (pure-ASCII fixture, asserted below) and
+    cell sums are integer-exact on both engines, so means, the
+    interpolated 64-value median (≡ numpy's even-count midpoint), the
+    threshold bits, and the packed int64 hash match exactly. One Arrow
+    pass for signatures; the oracle's byte explosion is the proof-side
+    cost only."""
+    from technical_test_data_engineer_spark.operators.multimodal import (
+        fake_media_binary,
+        media_ahash,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    # the oracle reads bytes as ascii(char); guard the convention —
+    # a non-ASCII fixture would silently change the byte plane
+    docs = docs.withColumn("media", fake_media_binary("text"))
+    sigs = media_ahash(docs, "media", "doc_id")
+    return sigs.select("doc_id", "ahash").orderBy("doc_id")

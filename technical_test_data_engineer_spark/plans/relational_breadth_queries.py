@@ -3153,3 +3153,90 @@ def dataset_version_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+@query(
+    "join_key_health",
+    """
+    WITH fan AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS fanout
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    fstats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(fanout) AS BIGINT) AS max_fanout,
+               CAST(SUM(fanout) AS DOUBLE) / COUNT(*) AS mean_fanout,
+               PERCENTILE_CONT(0.99) WITHIN GROUP (ORDER BY fanout)
+                   AS p99_fanout,
+               CAST(MAX(fanout) AS DOUBLE) / SUM(fanout) AS top_key_share
+        FROM fan
+    ),
+    orph_li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS li_orphans
+        FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)
+    ),
+    childless AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS childless_orders
+        FROM orders WHERE o_orderkey NOT IN
+            (SELECT l_orderkey FROM lineitem)
+    )
+    SELECT n_keys, max_fanout, ROUND(mean_fanout, 6) AS mean_fanout,
+           ROUND(p99_fanout, 6) AS p99_fanout,
+           ROUND(top_key_share, 6) AS top_key_share,
+           li_orphans, childless_orders
+    FROM fstats CROSS JOIN orph_li CROSS JOIN childless
+    """,
+)
+def join_key_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key health card for the orders↔lineitem fact join — the
+    profile a 100 TB shuffle plan is chosen FROM: fanout distribution
+    (max / p99 / mean and the hottest key's share decide whether the
+    join needs salting or AQE skew splitting), plus both orphan
+    directions (anti joins — broken referential integrity silently
+    drops or duplicates rows downstream). One keyed count per side and
+    two anti joins; everything else is scalar algebra on the key
+    histogram. The generalized, always-on version of the one-off skew
+    report this family started with."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # persisted: the key histogram feeds the fanout stats AND both
+    # orphan checks (orphaned lineitem mass = Σ fanout of keys absent
+    # from orders) — one lineitem scan total (audit_scans r07)
+    fan = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("fanout")
+    ).persist()
+    fstats = fan.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("fanout").cast("bigint").alias("max_fanout"),
+        (F.sum("fanout").cast("double") / F.count("*")).alias("mean_fanout"),
+        F.percentile("fanout", F.lit(0.99)).alias("p99_fanout"),
+        (F.max("fanout").cast("double") / F.sum("fanout")).alias(
+            "top_key_share"
+        ),
+    )
+    orph_li = fan.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    ).agg(
+        F.coalesce(F.sum("fanout"), F.lit(0)).cast("bigint").alias("li_orphans")
+    )
+    childless = orders.join(
+        fan.select(F.col("l_orderkey").alias("o_orderkey")),
+        "o_orderkey",
+        "left_anti",
+    ).agg(F.count("*").cast("bigint").alias("childless_orders"))
+    return (
+        fstats.crossJoin(F.broadcast(orph_li))
+        .crossJoin(F.broadcast(childless))
+        .select(
+            "n_keys",
+            "max_fanout",
+            F.round("mean_fanout", 6).alias("mean_fanout"),
+            F.round("p99_fanout", 6).alias("p99_fanout"),
+            F.round("top_key_share", 6).alias("top_key_share"),
+            "li_orphans",
+            "childless_orders",
+        )
+    )

@@ -2931,3 +2931,159 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ab_test_covariate_balance",
+    """
+    WITH u AS (
+        SELECT user_id, user_id % 2 = 0 AS in_a,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                             THEN CAST(value AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS view_sum,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN CAST(value AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS click_sum,
+               CAST(COUNT(*) AS DOUBLE) AS n_events
+        FROM events GROUP BY user_id
+    ),
+    long_ AS (
+        SELECT in_a, 'view_sum' AS covariate, view_sum AS x FROM u
+        UNION ALL SELECT in_a, 'click_sum', click_sum FROM u
+        UNION ALL SELECT in_a, 'n_events', n_events FROM u
+    ),
+    m AS (
+        SELECT covariate, in_a, COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS ss
+        FROM long_ GROUP BY covariate, in_a
+    ),
+    w AS (
+        SELECT a.covariate,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               a.s / a.n AS mean_a, b.s / b.n AS mean_b,
+               (a.ss - a.s * a.s / a.n) / (a.n - 1) AS var_a,
+               (b.ss - b.s * b.s / b.n) / (b.n - 1) AS var_b
+        FROM m a JOIN m b ON a.covariate = b.covariate
+         AND a.in_a AND NOT b.in_a
+    )
+    SELECT covariate, n_a, n_b,
+           ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_a - mean_b) / SQRT((var_a + var_b) / 2.0), 6)
+               AS smd
+    FROM w ORDER BY covariate
+    """,
+)
+def ab_test_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance audit — the FIRST table any experiment readout
+    should show (randomization-health check): standardized mean
+    difference (mean_A − mean_B) / √((var_A+var_B)/2) per pre-exposure
+    covariate; |SMD| > 0.1 flags a broken randomizer or instrumented
+    assignment bias, invalidating everything downstream (CUPED, SPRT,
+    uplift all assume balance). One user-keyed shuffle to covariate
+    sufficient statistics, unpivoted to long form, then a 6-row moment
+    frame. DECIMAL accumulation; rounded to 6dp (sqrt ulp)."""
+    events = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(30,10)")
+    u = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "view", dec(F.col("value"))).otherwise(zero)
+        ).cast("double").alias("view_sum"),
+        F.sum(
+            F.when(F.col("event_type") == "click", dec(F.col("value"))).otherwise(zero)
+        ).cast("double").alias("click_sum"),
+        F.count("*").cast("double").alias("n_events"),
+    ).select((F.col("user_id") % 2 == 0).alias("in_a"), "view_sum", "click_sum", "n_events")
+    # persisted: the per-user covariate frame feeds the 3-way unpivot —
+    # one events scan total (audit_scans r07)
+    u = u.persist()
+    long_ = (
+        u.select("in_a", F.lit("view_sum").alias("covariate"), F.col("view_sum").alias("x"))
+        .unionByName(u.select("in_a", F.lit("click_sum").alias("covariate"), F.col("click_sum").alias("x")))
+        .unionByName(u.select("in_a", F.lit("n_events").alias("covariate"), F.col("n_events").alias("x")))
+    )
+    m = long_.groupBy("covariate", "in_a").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("s"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("ss"),
+    )
+    a = m.filter(F.col("in_a")).select(
+        "covariate",
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa"),
+    )
+    b = m.filter(~F.col("in_a")).select(
+        "covariate",
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb"),
+    )
+    j = a.join(b, "covariate")
+    mean_a = F.col("sa") / F.col("na")
+    mean_b = F.col("sb") / F.col("nb")
+    var_a = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
+    var_b = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
+    return j.select(
+        "covariate",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(
+            (mean_a - mean_b) / F.sqrt((var_a + var_b) / F.lit(2.0)), 6
+        ).alias("smd"),
+    ).orderBy("covariate")
+
+
+@query(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    tri AS (
+        SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n DESC, e1, e2, e3
+        ) AS rn FROM tri
+    )
+    WHERE rn <= 20
+    ORDER BY rank
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths — third-order sequence mining over user
+    event streams (the Sankey/flow readout product teams live in, and
+    the higher-order complement of the first-order Markov transition
+    matrix): per-user ordered event-type trigrams via two LEADs in one
+    window pass, counted and ranked. One user-keyed shuffle; the
+    trigram vocabulary is event_types³-bounded so counting and ranking
+    are tiny. Deterministic (ts, event_id) order and a full tiebreak
+    on the rank."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wr = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (
+        tri.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select("e1", "e2", "e3", "n", F.col("rn").cast("int").alias("rank"))
+        .orderBy("rank")
+    )

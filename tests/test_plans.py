@@ -287,6 +287,9 @@ _NONEQUI_ALLOWLIST = {
     "source_temperature_mixing",  # 1-row normalizer broadcast attach
     "elasticity_kfold_cv",        # 1-row total-moments broadcast
                                   # attach onto the 5-row fold frame
+    "join_key_health",            # two 1-row orphan-count broadcast
+                                  # attaches (the anti joins are
+                                  # hash-equi on the key)
     "user_conversion_survival",   # 1-row cohort-size broadcast attach
     "orders_benford_audit",       # 1-row total-count broadcast attach
     "embedding_silhouette",       # labels-sized centroid table
