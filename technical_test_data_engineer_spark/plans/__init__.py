@@ -205,15 +205,23 @@ _FRONT_50 = [
     # basket_rules_lift (HOF basket machinery shared with the
     # in-window graph family's edge build)
     "user_conversion_survival",       # Kaplan-Meier with censoring
-    "customer_revenue_gini",          # concentration coefficient
+    # -- round-7 batch 9 (displaced: customer_revenue_gini (r06-green;
+    #    concentration family keeps supplier_pareto_abc — the classed
+    #    form of the same diagnostic), price_quantity_elasticity
+    #    (r06-green; its one-pass OLS moments machinery is in-window
+    #    supersetted by elasticity_kfold_cv), vocab_zipf_slope
+    #    (r06-green; the log-log regression shape is in-window via the
+    #    CV fits; text family keeps source_distinctive_terms +
+    #    doc_readability)) --
+    "orders_littles_law",            # L = lambda x W queueing identity
+    "supplier_pareto_abc",           # 80/15/5 concentration classes
+    "user_event_entropy",            # behavioral diversity feature
     "orders_benford_audit",           # first-digit forensic screen
     # fifth batch; displaced (all r05-green): q4_order_priority and
     # q16_supplier_part_counts (TPC-H family keeps q12 in-window for
     # its re-earn + 20 greens behind the window), event_value_ab_test
     # (experiment family now represented by ab_test_cuped, whose
     # moments machinery supersets the Welch readout)
-    "price_quantity_elasticity",      # one-pass OLS elasticity
-    "vocab_zipf_slope",               # Zipf rank-frequency fit
     "doc_readability",                # Flesch quality axis
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --

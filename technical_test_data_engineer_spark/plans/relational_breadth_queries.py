@@ -3240,3 +3240,175 @@ def join_key_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "childless_orders",
         )
     )
+
+
+@query(
+    "orders_littles_law",
+    """
+    WITH lines_ AS (
+        SELECT CAST(o_orderdate AS DATE) AS od,
+               CAST(l_shipdate AS DATE) AS sd,
+               CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) + 1
+                   AS days_in_system
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MAX(sd) - MIN(od) + 1 AS BIGINT) AS horizon_days,
+               CAST(SUM(days_in_system) AS BIGINT) AS total_line_days
+        FROM lines_
+    )
+    SELECT n_lines, horizon_days, total_line_days,
+           ROUND(CAST(total_line_days AS DOUBLE) / horizon_days, 6)
+               AS avg_in_flight,
+           ROUND(CAST(n_lines AS DOUBLE) / horizon_days, 6)
+               AS arrivals_per_day,
+           ROUND(CAST(total_line_days AS DOUBLE) / n_lines, 6)
+               AS avg_days_in_system,
+           ROUND((CAST(total_line_days AS DOUBLE) / horizon_days)
+                 / ((CAST(n_lines AS DOUBLE) / horizon_days)
+                    * (CAST(total_line_days AS DOUBLE) / n_lines)), 6)
+               AS littles_ratio
+    FROM agg
+    """,
+)
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law readout over the order-to-ship pipeline — the
+    queueing identity L = λ·W that every ops/capacity dashboard rests
+    on: average in-flight line count, arrival rate, and mean days in
+    system, computed WITHOUT the day-spine explode (Fubini: total
+    line-days = Σ durations, so the flagship backlog's daily average
+    collapses to three integer sufficient statistics from ONE co-keyed
+    join scan). The ratio column verifies the identity at exactly 1 —
+    the self-check that the backlog spine, the latency battery, and
+    the arrival counts are mutually consistent. At 100 TB this is the
+    plan you run when you need the AVERAGE, not the daily curve."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lines_ = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("l_shipdate").cast("date").alias("sd"),
+            (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                + 1
+            ).alias("days_in_system"),
+        )
+    )
+    agg = lines_.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        (F.datediff(F.max("sd"), F.min("od")) + 1)
+        .cast("bigint")
+        .alias("horizon_days"),
+        F.sum("days_in_system").cast("bigint").alias("total_line_days"),
+    )
+    L = F.col("total_line_days").cast("double") / F.col("horizon_days")
+    lam = F.col("n_lines").cast("double") / F.col("horizon_days")
+    W = F.col("total_line_days").cast("double") / F.col("n_lines")
+    return agg.select(
+        "n_lines",
+        "horizon_days",
+        "total_line_days",
+        F.round(L, 6).alias("avg_in_flight"),
+        F.round(lam, 6).alias("arrivals_per_day"),
+        F.round(W, 6).alias("avg_days_in_system"),
+        F.round(L / (lam * W), 6).alias("littles_ratio"),
+    )
+
+
+@query(
+    "supplier_pareto_abc",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE) AS t
+        FROM rev
+    ),
+    ranked AS (
+        SELECT l_suppkey, revenue,
+               CAST(SUM(CAST(revenue AS DECIMAL(30,10))) OVER (
+                   ORDER BY revenue DESC, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / t AS cum_share
+        FROM rev CROSS JOIN tot
+    ),
+    classed AS (
+        SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               revenue
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE), 6)
+               AS class_revenue,
+           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE)
+                 / MAX(t), 6) AS revenue_share
+    FROM classed CROSS JOIN tot
+    GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of suppliers by revenue — the
+    inventory-management standard (A carries ~80% of value, B the next
+    15%, C the long tail) and the concentration readout the Gini
+    coefficient summarizes as one number, here as actionable classes.
+    One keyed revenue aggregation, one descending cumulative-share
+    window over the supplier-sized frame (DECIMAL accumulation,
+    deterministic (revenue, key) order), then a 3-row class rollup."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        )
+        .cast("double")
+        .alias("revenue")
+    ).persist()
+    tot = rev.agg(F.sum(dec(F.col("revenue"))).cast("double").alias("t"))
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "revenue",
+        "t",
+        (F.sum(dec(F.col("revenue"))).over(w).cast("double") / F.col("t")).alias(
+            "cum_share"
+        ),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "revenue",
+        "t",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(dec(F.col("revenue"))).cast("double"), 6).alias(
+                "class_revenue"
+            ),
+            F.round(
+                F.sum(dec(F.col("revenue"))).cast("double") / F.max("t"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

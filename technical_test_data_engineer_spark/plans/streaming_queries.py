@@ -981,3 +981,57 @@ def user_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chapman_estimate"),
     )
+
+
+@query(
+    "user_event_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE user_id % 20 = 0
+        GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(MAX(n.n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS INT) AS n_types,
+           ROUND(CAST(SUM(CAST(
+               -(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)
+               AS DECIMAL(30,15))) AS DOUBLE), 6) AS entropy
+    FROM c JOIN n USING (user_id)
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user — Shannon entropy of the event-type
+    distribution, the diversity feature that separates single-purpose
+    automation (entropy → 0) from organic multi-surface usage, and the
+    information-theoretic companion to the bot screen's gap timing.
+    One keyed shuffle to (user, type) counts; the per-user totals join
+    is user-vocabulary-sized; −p·ln p terms sum through DECIMAL so
+    type order cannot drift the hash. The %20 key filter bounds the
+    proof output."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0
+    )
+    # persisted: the (user, type) count grid feeds the totals agg and
+    # the entropy join — one events scan total (audit_scans r07)
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).persist()
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.count("*").cast("int").alias("n_types"),
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(30,15)")).cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
