@@ -111,8 +111,13 @@ _FRONT_50 = [
     "elasticity_kfold_cv",           # zero-re-scan k-fold CV
     "daily_revenue_forecast_backtest",  # MAPE/sMAPE baseline race
     "source_temperature_mixing",     # n^tau pre-training mixer
-    # graph / recommendation
-    "part_label_propagation",
+    # -- round-7 batch 10 (displaced: part_label_propagation (r06-green;
+    #    graph family keeps part_copurchase_kcore_r3 + event_path_
+    #    trigrams, and the fixed-iteration discipline is in-window 3×),
+    #    q12_ship_class_priority (r06-green re-earn; the TPC-H family
+    #    holds 20+ driver greens behind the window)) --
+    "customer_rfm_kmeans2",          # unrolled Lloyd clustering
+    "monthly_latency_control_chart", # Shewhart SPC limits
     # -- round-7 batch 4 (displaced: doc_pii_redacted (r04-green;
     #    privacy family holds 4 in-window rows), eval_substring_
     #    contamination (r05-green; contamination family keeps
@@ -228,7 +233,6 @@ _FRONT_50 = [
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
     # (EXISTS-gated priority counts, conditional-CASE aggregation,
     # promo revenue share ratio, NOT-IN distinct-supplier counts)
-    "q12_ship_class_priority",
     # the FULL OUTER member of the stream-stream interval-join family
     "view_click_full_outer_30m",
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-

@@ -3412,3 +3412,310 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+_KM_SEEDS = [
+    (-1.0, -1.0, -1.0),
+    (0.0, 0.0, 0.0),
+    (1.0, 1.0, 1.0),
+    (2.0, 2.0, 2.0),
+]
+
+
+def _km_seed_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS k, {r} AS cr, {f} AS cf, {m} AS cm"
+        for i, (r, f, m) in enumerate(_KM_SEEDS)
+    )
+    return f"({rows})"
+
+
+@query(
+    "customer_rfm_kmeans2",
+    f"""
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    rfm AS (
+        SELECT o_custkey AS ck,
+               CAST(mxd - MAX(CAST(o_orderdate AS DATE)) AS DOUBLE) AS r,
+               CAST(COUNT(*) AS DOUBLE) AS f,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+                   AS m
+        FROM orders CROSS JOIN mx
+        GROUP BY o_custkey, mxd
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS sr,
+               CAST(SUM(CAST(r * r AS DECIMAL(38,8))) AS DOUBLE) AS srr,
+               CAST(SUM(CAST(f AS DECIMAL(30,10))) AS DOUBLE) AS sf,
+               CAST(SUM(CAST(f * f AS DECIMAL(38,8))) AS DOUBLE) AS sff,
+               CAST(SUM(CAST(m AS DECIMAL(30,10))) AS DOUBLE) AS sm,
+               CAST(SUM(CAST(m * m AS DECIMAL(38,8))) AS DOUBLE) AS smm
+        FROM rfm
+    ),
+    z AS (
+        SELECT ck,
+               (r - sr / n) / SQRT(srr / n - (sr / n) * (sr / n)) AS zr,
+               (f - sf / n) / SQRT(sff / n - (sf / n) * (sf / n)) AS zf,
+               (m - sm / n) / SQRT(smm / n - (sm / n) * (sm / n)) AS zm
+        FROM rfm CROSS JOIN mom
+    ),
+    c0 AS {_km_seed_sql()},
+    a1 AS (
+        SELECT ck, zr, zf, zm, k FROM (
+            SELECT z.*, c0.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ck
+                       ORDER BY (zr - cr) * (zr - cr)
+                              + (zf - cf) * (zf - cf)
+                              + (zm - cm) * (zm - cm), k
+                   ) AS rn
+            FROM z CROSS JOIN c0
+        ) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT k,
+               CAST(SUM(CAST(zr AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+                   AS cr,
+               CAST(SUM(CAST(zf AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+                   AS cf,
+               CAST(SUM(CAST(zm AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+                   AS cm
+        FROM a1 GROUP BY k
+    ),
+    a2 AS (
+        SELECT ck, zr, zf, zm, k FROM (
+            SELECT z.*, c1.k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ck
+                       ORDER BY (zr - cr) * (zr - cr)
+                              + (zf - cf) * (zf - cf)
+                              + (zm - cm) * (zm - cm), k
+                   ) AS rn
+            FROM z CROSS JOIN c1
+        ) WHERE rn = 1
+    )
+    SELECT CAST(k AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(zr AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_r,
+           ROUND(CAST(SUM(CAST(zf AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_f,
+           ROUND(CAST(SUM(CAST(zm AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_m
+    FROM a2 GROUP BY k ORDER BY cluster
+    """,
+)
+def customer_rfm_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=4, 2 Lloyd rounds, unrolled) over
+    standardized RFM customer features — clustering itself made
+    driver-checkable by the fixed-iteration convention: literal seed
+    centroids, per-round argmin assignment (squared euclidean, k as
+    tiebreak) and DECIMAL-mean centroid updates are identical algebra
+    on both engines, so the driver value-checks assignment AND update
+    — the machinery semantic-dedup's trainer runs behind a collect.
+    Scale shape: each round is one scan of the customer-sized feature
+    frame against a k-row broadcast centroid table + one k-row agg;
+    moments standardize via one pass. The feature and z frames
+    persist; rounds never rescan orders."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    dec12 = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    # one orders scan: per-customer sufficient stats first (persisted);
+    # the global max date is the max of per-customer last orders, so
+    # recency derives from the aggregate, never a second fact scan
+    rfm0 = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_od"),
+        F.count("*").cast("double").alias("f"),
+        F.sum(dec(F.col("o_totalprice"))).cast("double").alias("m"),
+    ).persist()
+    mx = rfm0.agg(F.max("last_od").alias("mxd"))
+    rfm = rfm0.crossJoin(F.broadcast(mx)).select(
+        "ck",
+        F.datediff(F.col("mxd"), F.col("last_od")).cast("double").alias("r"),
+        "f",
+        "m",
+    )
+    mom = rfm.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("r"))).cast("double").alias("sr"),
+        F.sum(decp(F.col("r") * F.col("r"))).cast("double").alias("srr"),
+        F.sum(dec(F.col("f"))).cast("double").alias("sf"),
+        F.sum(decp(F.col("f") * F.col("f"))).cast("double").alias("sff"),
+        F.sum(dec(F.col("m"))).cast("double").alias("sm"),
+        F.sum(decp(F.col("m") * F.col("m"))).cast("double").alias("smm"),
+    )
+
+    def zcol(x: str, s: str, ss: str):
+        mean = F.col(s) / F.col("n")
+        return (F.col(x) - mean) / F.sqrt(F.col(ss) / F.col("n") - mean * mean)
+
+    z = (
+        rfm.crossJoin(F.broadcast(mom))
+        .select(
+            "ck",
+            zcol("r", "sr", "srr").alias("zr"),
+            zcol("f", "sf", "sff").alias("zf"),
+            zcol("m", "sm", "smm").alias("zm"),
+        )
+        .persist()
+    )
+    seeds = spark.createDataFrame(
+        [(i, r, f, m) for i, (r, f, m) in enumerate(_KM_SEEDS)],
+        "k int, cr double, cf double, cm double",
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = (
+            (F.col("zr") - F.col("cr")) * (F.col("zr") - F.col("cr"))
+            + (F.col("zf") - F.col("cf")) * (F.col("zf") - F.col("cf"))
+            + (F.col("zm") - F.col("cm")) * (F.col("zm") - F.col("cm"))
+        )
+        w = Window.partitionBy("ck").orderBy(d2.asc(), F.col("k").asc())
+        return (
+            z.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("ck", "zr", "zf", "zm", "k")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return assigned.groupBy("k").agg(
+            (F.sum(dec12(F.col("zr"))).cast("double") / F.count("*")).alias("cr"),
+            (F.sum(dec12(F.col("zf"))).cast("double") / F.count("*")).alias("cf"),
+            (F.sum(dec12(F.col("zm"))).cast("double") / F.count("*")).alias("cm"),
+        )
+
+    a1 = assign(seeds)
+    c1 = update(a1)
+    a2 = assign(c1)
+    return (
+        a2.groupBy("k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(dec12(F.col("zr"))).cast("double") / F.count("*"), 6
+            ).alias("centroid_r"),
+            F.round(
+                F.sum(dec12(F.col("zf"))).cast("double") / F.count("*"), 6
+            ).alias("centroid_f"),
+            F.round(
+                F.sum(dec12(F.col("zm"))).cast("double") / F.count("*"), 6
+            ).alias("centroid_m"),
+        )
+        .select(
+            F.col("k").cast("int").alias("cluster"),
+            "n_customers",
+            "centroid_r",
+            "centroid_f",
+            "centroid_m",
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "monthly_latency_control_chart",
+    """
+    WITH lat AS (
+        SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS mth,
+               CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+                   AS lat_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+    ),
+    monthly AS (
+        SELECT mth, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(lat_days) AS DOUBLE) / COUNT(*) AS mean_lat
+        FROM lat GROUP BY mth
+    ),
+    lim AS (
+        SELECT COUNT(*) AS nm,
+               CAST(SUM(CAST(mean_lat AS DECIMAL(30,12))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(mean_lat * mean_lat AS DECIMAL(30,12)))
+                    AS DOUBLE) AS ss
+        FROM monthly
+    ),
+    cl AS (
+        SELECT s / nm AS center,
+               SQRT(ss / nm - (s / nm) * (s / nm)) AS sigma
+        FROM lim
+    )
+    SELECT CAST(mth AS DATE) AS month, n,
+           ROUND(mean_lat, 6) AS mean_latency_days,
+           ROUND(center, 6) AS center_line,
+           ROUND(center + 3.0 * sigma, 6) AS ucl,
+           ROUND(center - 3.0 * sigma, 6) AS lcl,
+           mean_lat > center + 3.0 * sigma
+               OR mean_lat < center - 3.0 * sigma AS out_of_control
+    FROM monthly CROSS JOIN cl
+    ORDER BY month
+    """,
+)
+def monthly_latency_control_chart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Statistical process control (Shewhart x̄ chart) over monthly
+    order→ship latency — the industrial-quality discipline applied to
+    a data pipeline's SLA: months whose mean latency crosses the
+    ±3σ control limits are special-cause signals (the chart is the
+    classic PRE-alerting complement to the CUSUM curve, which
+    accumulates small shifts the limits miss). One co-keyed fact join
+    aggregated to the month spine (integer latency sums are exact);
+    limits are two moments over the months; the flag is pure algebra.
+    Rounded to 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.date_trunc(
+                "month", F.col("o_orderdate").cast("date")
+            ).alias("mth"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("lat_days"),
+        )
+    )
+    # persisted: the month spine feeds the limit moments and the chart
+    monthly = lat.groupBy("mth").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("lat_days").cast("double") / F.count("*")).alias("mean_lat"),
+    ).persist()
+    dec12 = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    lim = monthly.agg(
+        F.count("*").alias("nm"),
+        F.sum(dec12(F.col("mean_lat"))).cast("double").alias("s"),
+        F.sum(dec12(F.col("mean_lat") * F.col("mean_lat")))
+        .cast("double")
+        .alias("ss"),
+    )
+    cl = lim.select(
+        (F.col("s") / F.col("nm")).alias("center"),
+        F.sqrt(
+            F.col("ss") / F.col("nm")
+            - (F.col("s") / F.col("nm")) * (F.col("s") / F.col("nm"))
+        ).alias("sigma"),
+    )
+    ucl = F.col("center") + 3.0 * F.col("sigma")
+    lcl = F.col("center") - 3.0 * F.col("sigma")
+    return (
+        monthly.crossJoin(F.broadcast(cl))
+        .select(
+            F.col("mth").cast("date").alias("month"),
+            "n",
+            F.round("mean_lat", 6).alias("mean_latency_days"),
+            F.round("center", 6).alias("center_line"),
+            F.round(ucl, 6).alias("ucl"),
+            F.round(lcl, 6).alias("lcl"),
+            ((F.col("mean_lat") > ucl) | (F.col("mean_lat") < lcl)).alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("month")
+    )

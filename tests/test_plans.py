@@ -290,6 +290,13 @@ _NONEQUI_ALLOWLIST = {
     "join_key_health",            # two 1-row orphan-count broadcast
                                   # attaches (the anti joins are
                                   # hash-equi on the key)
+    "customer_rfm_kmeans2",       # k-row centroid-table broadcast per
+                                  # Lloyd round + 1-row max-date/moment
+                                  # attaches
+    "monthly_latency_control_chart",  # 1-row control-limits broadcast
+                                  # attach
+    "supplier_pareto_abc",        # 1-row revenue-total broadcast attach
+    "orders_littles_law",         # 1-row orphan/limit scalar attaches
     "user_conversion_survival",   # 1-row cohort-size broadcast attach
     "orders_benford_audit",       # 1-row total-count broadcast attach
     "embedding_silhouette",       # labels-sized centroid table
