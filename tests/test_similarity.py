@@ -790,3 +790,37 @@ def test_silhouette_separates_planted_clusters(spark, tmp_path):
         else:
             assert row.frac_misassigned == 0.0
             assert row.mean_margin > 0.5
+
+
+def test_mmr_exact3_matches_grouped_map_selection(spark, sf_dir):
+    """The unrolled DataFrame MMR (decimal-exact scoring) and the
+    grouped-map numpy greedy must pick the same documents in the same
+    order on the same shortlist — the twin-consistency link."""
+    from pyspark.sql import functions as F
+
+    from technical_test_data_engineer_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+    from technical_test_data_engineer_spark.plans.similarity_queries import (
+        N_QUERIES,
+        knn_mmr_exact3,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    exact = {
+        (r["query_id"], r["pick"]): r["vec_id"]
+        for r in knn_mmr_exact3(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    short = brute_force_topk(emb, probes, k=10).select(
+        "query_id", "vec_id", "score"
+    )
+    greedy = {
+        (r["query_id"], r["mmr_rank"]): r["vec_id"]
+        for r in mmr_rerank(short, emb, k=3, lam=0.7).collect()
+    }
+    assert exact == greedy, (exact, greedy)

@@ -350,3 +350,41 @@ def test_grouped_holt_hand_values(spark):
         ).collect()
     }
     assert out == out8
+
+
+def test_kstep_conversion_approaches_absorption(spark, sf_dir):
+    """The truncated k-step conversion must be monotone in k and
+    converge to the absorbing-chain solve that channel_removal_effect
+    uses — the consistency link between the oracle-pairable twin and
+    the matrix-algebra original."""
+    from technical_test_data_engineer_spark.operators.attribution import (
+        absorption_probability,
+        channels_of,
+        journey_transition_counts,
+    )
+    import technical_test_data_engineer_spark.plans.window_queries as wq
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = journey_transition_counts(ev).collect()
+    p_full = absorption_probability(counts, set(channels_of(counts)))
+    k8 = {
+        r["state"]: r["p_convert_k8"]
+        for r in wq.channel_conversion_k8(spark, sf_dir).collect()
+    }
+    p8 = k8["START"]
+    assert 0.0 <= p8 <= p_full + 1e-9
+    # run the same driver recursion far deeper: must converge to the solve
+    old = wq._K_STEPS
+    try:
+        wq._K_STEPS = 64
+        k64 = {
+            r["state"]: r["p_convert_k8"]
+            for r in wq.channel_conversion_k8(spark, sf_dir).collect()
+        }
+    finally:
+        wq._K_STEPS = old
+    assert k64["START"] >= p8 - 1e-9
+    assert abs(k64["START"] - p_full) < 1e-3, (k64["START"], p_full)
