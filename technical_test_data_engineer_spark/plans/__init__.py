@@ -202,7 +202,6 @@ _FRONT_50 = [
     # family keeps order_gap_days' r02 green + the date battery's
     # pytest coverage, the robust-stats family keeps
     # ship_latency_percentiles in-window)
-    "ab_test_cuped",                  # CUPED variance reduction
     # fourth batch; displaced (all r05-green with coverage held
     # elsewhere): media_chunk_checksums (multimodal keeps
     # media_phash_near_dups in-window), lineitem_measures_unpivot
@@ -221,13 +220,21 @@ _FRONT_50 = [
     "orders_littles_law",            # L = lambda x W queueing identity
     "supplier_pareto_abc",           # 80/15/5 concentration classes
     "user_event_entropy",            # behavioral diversity feature
-    "orders_benford_audit",           # first-digit forensic screen
+    # -- round-7 batch 11 (displaced: orders_benford_audit (r06-green;
+    #    forensics family keeps daily_revenue_runs_test + _cusum +
+    #    daily_arrivals_dispersion), ab_test_cuped (r06-green;
+    #    experiment family keeps ab_test_sprt + _uplift_deciles +
+    #    _covariate_balance + user_conversion_survival), doc_readability
+    #    (r06-green; text-quality family keeps source_distinctive_terms
+    #    + user_event_entropy + user_bot_scores)) --
+    "copurchase_negative_samples",   # blocked link-prediction negatives
+    "yearly_price_index_laspeyres",  # matched-basket price index
+    "daily_arrivals_dispersion",     # Poisson-traffic validation
     # fifth batch; displaced (all r05-green): q4_order_priority and
     # q16_supplier_part_counts (TPC-H family keeps q12 in-window for
     # its re-earn + 20 greens behind the window), event_value_ab_test
     # (experiment family now represented by ab_test_cuped, whose
     # moments machinery supersets the Welch readout)
-    "doc_readability",                # Flesch quality axis
     # -- round-5 new queries (never driver-checked; each takes a
     #    backfill slot as it lands) --
     # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery

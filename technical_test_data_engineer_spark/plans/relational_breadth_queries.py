@@ -3719,3 +3719,246 @@ def monthly_latency_control_chart(
         )
         .orderBy("month")
     )
+
+
+@query(
+    "copurchase_negative_samples",
+    f"""
+    WITH {_PR_EDGE_CTE},
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    bkt AS (
+        SELECT node,
+               CAST('0x' || SUBSTRING(MD5(CAST(node AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 16 AS b
+        FROM nodes
+    ),
+    cand AS (
+        SELECT a.node AS na, b.node AS nb
+        FROM bkt a JOIN bkt b ON a.b = b.b AND a.node < b.node
+    ),
+    nonedge AS (
+        SELECT na, nb FROM cand
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pe WHERE pe.pa = cand.na AND pe.pb = cand.nb
+        )
+    ),
+    ranked AS (
+        SELECT na, nb,
+               ROW_NUMBER() OVER (
+                   PARTITION BY na
+                   ORDER BY CAST('0x' || SUBSTRING(MD5(
+                       CAST(na AS VARCHAR) || ':' || CAST(nb AS VARCHAR)),
+                       1, 8) AS BIGINT), nb
+               ) AS rn
+        FROM nonedge
+    )
+    SELECT na AS node_a, nb AS node_b, CAST(rn AS INT) AS neg_rank
+    FROM ranked WHERE rn <= 2
+    ORDER BY node_a, neg_rank
+    """,
+)
+def copurchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for link prediction — the
+    training-data generator every graph-ML pipeline needs beside its
+    positive edges: per node, 2 verified NON-edges drawn from its
+    md5 hash bucket (16 buckets), ranked by pair hash. The bucket
+    blocking is the scale design: candidate generation is n²/B per
+    bucket instead of all-pairs, the anti join against real edges is
+    hash-equi, and the per-node rank window sees only bucket-sized
+    groups — the same blocked discipline as LSH banding, applied to
+    negative mining. Fully deterministic (house md5), so the sample is
+    reproducible from the data alone — no RNG state to ship."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+    from pyspark.sql.window import Window
+
+    edges = _copurchase_edges(spark, sf_dir).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    bkt = nodes.select(
+        "node", md5_bucket(F.col("node").cast("string"), 16).alias("b")
+    )
+    a, b = bkt.alias("a"), bkt.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.b") == F.col("b.b")) & (F.col("a.node") < F.col("b.node")),
+    ).select(F.col("a.node").alias("na"), F.col("b.node").alias("nb"))
+    nonedge = cand.join(
+        edges.select(F.col("src").alias("na"), F.col("dst").alias("nb")),
+        ["na", "nb"],
+        "left_anti",
+    )
+    pair_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("na").cast("string"),
+                    F.lit(":"),
+                    F.col("nb").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("na").orderBy(pair_hash.asc(), F.col("nb").asc())
+    return (
+        nonedge.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.col("rn").cast("int").alias("neg_rank"),
+        )
+        .orderBy("node_a", "neg_rank")
+    )
+
+
+@query(
+    "yearly_price_index_laspeyres",
+    """
+    WITH py AS (
+        SELECT l_partkey,
+               CAST(YEAR(CAST(l_shipdate AS DATE)) AS INT) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                          AS DOUBLE) AS unit_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                   AS qty
+        FROM lineitem
+        GROUP BY l_partkey, YEAR(CAST(l_shipdate AS DATE))
+    ),
+    base AS (
+        SELECT l_partkey, unit_price AS p0, qty AS q0
+        FROM py WHERE yr = (SELECT MIN(yr) FROM py)
+    ),
+    joined AS (
+        SELECT py.yr, py.l_partkey,
+               py.unit_price * base.q0 AS cur_val,
+               base.p0 * base.q0 AS base_val
+        FROM py JOIN base USING (l_partkey)
+    )
+    SELECT yr AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(CAST(cur_val AS DECIMAL(30,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(base_val AS DECIMAL(30,10))) AS DOUBLE)
+                 * 100.0, 6) AS laspeyres_index
+    FROM joined GROUP BY yr ORDER BY yr
+    """,
+)
+def yearly_price_index_laspeyres(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Laspeyres price index by ship year — the index-number
+    construction behind every CPI-style "are prices rising?" readout:
+    value the BASE year's basket (q₀ per part) at each year's average
+    unit price, over the base-year basket valued at base prices,
+    ×100. Parts missing in a year drop from both numerator and
+    denominator for that year (matched-basket convention, the
+    practical handling the official indexes also apply). One fact
+    aggregation to the (part, year) grid — the only corpus shuffle —
+    then a part-keyed join against the base basket and a years-sized
+    rollup. All sums DECIMAL; the unit-price ratio is one double
+    division on exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    # persisted: the (part, year) grid feeds the base-year slice and
+    # the index join — one lineitem scan total (audit_scans r07)
+    py = (
+        li.groupBy(
+            "l_partkey",
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("yr"),
+        )
+        .agg(
+            (
+                F.sum(dec(F.col("l_extendedprice"))).cast("double")
+                / F.sum(dec(F.col("l_quantity"))).cast("double")
+            ).alias("unit_price"),
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("qty"),
+        )
+        .persist()
+    )
+    min_yr = py.agg(F.min("yr").alias("myr"))
+    base = (
+        py.crossJoin(F.broadcast(min_yr))
+        .filter(F.col("yr") == F.col("myr"))
+        .select(
+            "l_partkey",
+            F.col("unit_price").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = py.join(base, "l_partkey").select(
+        "yr",
+        (F.col("unit_price") * F.col("q0")).alias("cur_val"),
+        (F.col("p0") * F.col("q0")).alias("base_val"),
+    )
+    return (
+        joined.groupBy(F.col("yr").alias("year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(dec(F.col("cur_val"))).cast("double")
+                / F.sum(dec(F.col("base_val"))).cast("double")
+                * F.lit(100.0),
+                6,
+            ).alias("laspeyres_index"),
+        )
+        .orderBy("year")
+    )
+
+
+@query(
+    "daily_arrivals_dispersion",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT COUNT(*) AS nd,
+               CAST(SUM(n) AS DOUBLE) AS s,
+               CAST(SUM(n * n) AS DOUBLE) AS ss
+        FROM daily
+    )
+    SELECT CAST(nd AS BIGINT) AS n_days,
+           ROUND(s / nd, 6) AS mean_arrivals,
+           ROUND((ss - s * s / nd) / (nd - 1), 6) AS var_arrivals,
+           ROUND(((ss - s * s / nd) / (nd - 1)) / (s / nd), 6)
+               AS dispersion_index,
+           ((ss - s * s / nd) / (nd - 1)) / (s / nd) > 1.5
+               AS overdispersed
+    FROM m
+    """,
+)
+def daily_arrivals_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion check on daily event arrivals — the
+    one-number model-validation gate before any capacity or anomaly
+    model assumes Poisson traffic: variance-to-mean ratio of daily
+    counts (≈1 under Poisson; >1.5 flags bursty/overdispersed arrivals
+    that need a negative-binomial model instead). Integer count sums
+    are exact; one scan to the day spine, then scalar algebra."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    m = daily.agg(
+        F.count("*").alias("nd"),
+        F.sum("n").cast("double").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("ss"),
+    )
+    var_ = (F.col("ss") - F.col("s") * F.col("s") / F.col("nd")) / (
+        F.col("nd") - 1
+    )
+    mean_ = F.col("s") / F.col("nd")
+    return m.select(
+        F.col("nd").cast("bigint").alias("n_days"),
+        F.round(mean_, 6).alias("mean_arrivals"),
+        F.round(var_, 6).alias("var_arrivals"),
+        F.round(var_ / mean_, 6).alias("dispersion_index"),
+        (var_ / mean_ > 1.5).alias("overdispersed"),
+    )

@@ -297,6 +297,7 @@ _NONEQUI_ALLOWLIST = {
                                   # attach
     "supplier_pareto_abc",        # 1-row revenue-total broadcast attach
     "orders_littles_law",         # 1-row orphan/limit scalar attaches
+    "yearly_price_index_laspeyres",  # 1-row base-year broadcast attach
     "user_conversion_survival",   # 1-row cohort-size broadcast attach
     "orders_benford_audit",       # 1-row total-count broadcast attach
     "embedding_silhouette",       # labels-sized centroid table
