@@ -122,6 +122,9 @@ Expected multi-scans (all reviewed):
   a schema sweep; each check scans only its own pruned table).
   customer_cohort_ltv x2 — first-order cohort frame (persisted) and the
   revenue grid are two roles of orders (the stream-split convention).
+  orders_double_submission x2 — banded self-join pair sides (the
+  blocked-linkage convention). customer_cohort_ltv / customer_bg_nbd /
+  littles-law style 1-row horizon attaches are pruned scalar scans.
   knn_mmr_exact3 x4 — knn-family shape: brute-force corpus scan +
   broadcast-query side + candidate-vector re-attach for the persisted
   shortlist/sim grid (same as knn_mmr_rerank x3).

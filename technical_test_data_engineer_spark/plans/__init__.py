@@ -196,7 +196,6 @@ _FRONT_50 = [
     # machinery, covariance's execution path persists in-window via
     # embedding_pca_project), purchase_tier_at_time (r05-green; SCD2
     # family's user_type_scd2 holds an r04 green)
-    "customer_pseudonymized",         # salted-hash row-level release
     # third batch; displaced: order_calendar_features and
     # acctbal_winsorized_stats (both r05-green; the ISO-calendar F2
     # family keeps order_gap_days' r02 green + the date battery's
@@ -208,7 +207,14 @@ _FRONT_50 = [
     # (unpivot/melt also green as nation_status_unpivot r03),
     # basket_rules_lift (HOF basket machinery shared with the
     # in-window graph family's edge build)
-    "user_conversion_survival",       # Kaplan-Meier with censoring
+    # -- round-7 batch 12 (displaced: customer_pseudonymized and
+    #    user_conversion_survival (both r06-green; the privacy and
+    #    survival greens stand and rotation debt is zero),
+    #    segment_price_geomean (r05-green GROUPED_AGG UDAF proof —
+    #    its green stands)) --
+    "customer_bg_nbd_stats",         # CLV sufficient statistics
+    "orders_double_submission",      # banded retry/duplicate audit
+    "hourly_traffic_profile",        # weekday x hour seasonal grid
     # -- round-7 batch 9 (displaced: customer_revenue_gini (r06-green;
     #    concentration family keeps supplier_pareto_abc — the classed
     #    form of the same diagnostic), price_quantity_elasticity
@@ -244,7 +250,6 @@ _FRONT_50 = [
     "view_click_full_outer_30m",
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
     # Python shape)
-    "segment_price_geomean",
     # -- Round-7 rotation (r6 verdict items 1, 5-8): the r6 experiment
     #    proved the driver grants ZERO credit (err=no_oracle) to window
     #    entries without an oracle, so the 8 rows-only queries rotate

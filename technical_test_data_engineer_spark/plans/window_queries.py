@@ -3087,3 +3087,202 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e1", "e2", "e3", "n", F.col("rn").cast("int").alias("rank"))
         .orderBy("rank")
     )
+
+
+@query(
+    "customer_bg_nbd_stats",
+    """
+    WITH mx AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) - 1 AS BIGINT) AS x,
+               CAST(MAX(CAST(o_orderdate AS DATE))
+                    - MIN(CAST(o_orderdate AS DATE)) AS DOUBLE) AS t_x,
+               CAST(MAX(mxd) - MIN(CAST(o_orderdate AS DATE)) AS DOUBLE)
+                   AS t_obs
+        FROM orders CROSS JOIN mx
+        GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT CASE WHEN x >= 10 THEN 10 ELSE x END AS x_bucket,
+               t_x, t_obs
+        FROM cust
+    )
+    SELECT CAST(x_bucket AS INT) AS repeat_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(t_x AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_recency_days,
+           ROUND(CAST(SUM(CAST(t_obs AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_age_days
+    FROM b GROUP BY x_bucket ORDER BY repeat_orders
+    """,
+)
+def customer_bg_nbd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BG/NBD sufficient statistics — the input table of the standard
+    buy-till-you-die CLV model (Fader/Hardie): per customer the repeat
+    count x, recency t_x (first→last purchase), and observation age T,
+    rolled to the x-bucket frequency table the model is fit against
+    (the whole 100 TB history reduces to ~11 rows of sufficient
+    statistics — the same compression discipline as the OLS/CUPED
+    moments, applied to CLV). One keyed aggregation; the max-date
+    scalar attaches broadcast; day arithmetic is integer-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    # one orders scan (the kmeans2 discipline): per-customer first/last
+    # dates aggregate first (persisted); the observation horizon is the
+    # max of per-customer last dates, attached broadcast
+    cust0 = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_od"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_od"),
+    ).persist()
+    mx = cust0.agg(F.max("last_od").alias("mxd"))
+    cust = cust0.crossJoin(F.broadcast(mx)).select(
+        (F.col("cnt") - 1).cast("bigint").alias("x"),
+        F.datediff(F.col("last_od"), F.col("first_od"))
+        .cast("double")
+        .alias("t_x"),
+        F.datediff(F.col("mxd"), F.col("first_od"))
+        .cast("double")
+        .alias("t_obs"),
+    )
+    b = cust.select(
+        F.when(F.col("x") >= 10, 10).otherwise(F.col("x")).alias("x_bucket"),
+        "t_x",
+        "t_obs",
+    )
+    return (
+        b.groupBy(F.col("x_bucket").cast("int").alias("repeat_orders"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(dec(F.col("t_x"))).cast("double") / F.count("*"), 6
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum(dec(F.col("t_obs"))).cast("double") / F.count("*"), 6
+            ).alias("avg_age_days"),
+        )
+        .orderBy("repeat_orders")
+    )
+
+
+@query(
+    "orders_double_submission",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS band,
+               CAST(o_orderdate AS DATE) AS od
+        FROM orders
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_custkey AS custkey,
+           ROUND(a.o_totalprice, 2) AS price_a,
+           ROUND(b.o_totalprice, 2) AS price_b,
+           CAST(b.od - a.od AS BIGINT) AS gap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.band = b.band
+     AND a.o_orderkey < b.o_orderkey
+    WHERE b.od >= a.od - 30 AND b.od <= a.od + 30
+    ORDER BY key_a, key_b
+    """,
+)
+def orders_double_submission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-submission detector — the idempotency audit every ingest
+    pipeline runs on transactional facts: pairs of orders from the
+    same customer in the SAME amount band (10k-wide) within ±30 days —
+    the retry/duplicate-payment candidate signature exact-key dedup
+    misses because the order keys differ (an exact-amount match is the
+    degenerate case; the band catches amended resubmissions too, and
+    the synthetic fixture has no exact-amount twins at all — the band
+    keeps the audit non-vacuous). The join is hash-equi on (customer,
+    band) — the blocked-linkage discipline — with date proximity as a
+    residual filter, so no fact×fact explosion at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 10000).cast("bigint").alias("band"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            (F.col("b.od") >= F.date_sub(F.col("a.od"), 30))
+            & (F.col("b.od") <= F.date_add(F.col("a.od"), 30))
+        )
+        .select(
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.o_custkey").alias("custkey"),
+            F.round(F.col("a.o_totalprice"), 2).alias("price_a"),
+            F.round(F.col("b.o_totalprice"), 2).alias("price_b"),
+            F.datediff(F.col("b.od"), F.col("a.od"))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+@query(
+    "hourly_traffic_profile",
+    """
+    WITH g AS (
+        SELECT ISODOW(CAST(ts AS TIMESTAMP)) AS dow,
+               EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS hr,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(30,10))) AS sv
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n) AS tot FROM g)
+    SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hour,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS traffic_share,
+           ROUND(CAST(sv AS DOUBLE) / n, 6) AS avg_value
+    FROM g CROSS JOIN t
+    ORDER BY dow, hour
+    """,
+)
+def hourly_traffic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour traffic heatmap — the two-factor seasonal profile
+    behind every capacity plan and on-call schedule: event share and
+    mean value per (ISO weekday, hour) cell. One scan to the ≤168-cell
+    grid (scan-side calendar expressions, Spark ``weekday()+1`` ≡
+    DuckDB ``ISODOW``, both engines' hour from the same µs-truncated
+    timestamp); the share normalizer is a 1-row broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    g = events.groupBy(
+        (F.weekday("ts") + F.lit(1)).alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("value"))).alias("sv"),
+    ).persist()
+    t = g.agg(F.sum("n").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hr").cast("int").alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias(
+                "traffic_share"
+            ),
+            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -298,6 +298,8 @@ _NONEQUI_ALLOWLIST = {
     "supplier_pareto_abc",        # 1-row revenue-total broadcast attach
     "orders_littles_law",         # 1-row orphan/limit scalar attaches
     "yearly_price_index_laspeyres",  # 1-row base-year broadcast attach
+    "customer_bg_nbd_stats",      # 1-row horizon-date broadcast attach
+    "hourly_traffic_profile",     # 1-row traffic-total broadcast attach
     "user_conversion_survival",   # 1-row cohort-size broadcast attach
     "orders_benford_audit",       # 1-row total-count broadcast attach
     "embedding_silhouette",       # labels-sized centroid table
