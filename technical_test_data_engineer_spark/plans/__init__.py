@@ -146,7 +146,16 @@ _FRONT_50 = [
     #    its r05 non-vacuous green row), monthly_from_daily_rollup,
     #    nation_trade_balance, orders_equidepth_hist,
     #    time_to_first_purchase, view_click_dwell_overlaps) --
-    "lineitem_bloom_prune_revenue",   # bloom runtime pre-filter
+    # -- round-7 batch 13 (displaced: lineitem_bloom_prune_revenue
+    #    (r06-green; the runtime-filter discipline's green stands and
+    #    join_key_health keeps shuffle-planning in-window),
+    #    eval_ngram_contamination (r06-green; contamination family
+    #    keeps part_record_linkage_scores + dataset_version_manifest),
+    #    view_click_full_outer_30m (r05-green; streaming family keeps
+    #    events_sliding_1h_15m + events_user_sessions in-window)) --
+    "orders_concurrency_sweepline",  # O(2n) sweep twin of the flagship
+    "user_kmv_distinct",             # oracle-paired bottom-k sketch
+    "retrieval_ndcg_mrr",            # NDCG/MRR/recall eval harness
     # -- round-7 batch 7 (displaced: event_transition_probs (r06-green;
     #    its journey/transition machinery is driver-checked via
     #    channel_conversion_k8, which consumes the same distributed
@@ -162,7 +171,6 @@ _FRONT_50 = [
     "daily_revenue_cusum",           # Page change-point curve
     # displaces lineitem_measure_correlations (moments family keeps
     # embedding_covariance in-window)
-    "eval_ngram_contamination",       # gram-join decontamination
     # displaces event_value_ks_drift (drift family keeps
     # corpus_drift_psi in-window)
     # displaces purchase_touch_attribution (attribution family keeps
@@ -247,7 +255,6 @@ _FRONT_50 = [
     # (EXISTS-gated priority counts, conditional-CASE aggregation,
     # promo revenue share ratio, NOT-IN distinct-supplier counts)
     # the FULL OUTER member of the stream-stream interval-join family
-    "view_click_full_outer_30m",
     # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
     # Python shape)
     # -- Round-7 rotation (r6 verdict items 1, 5-8): the r6 experiment

@@ -3962,3 +3962,115 @@ def daily_arrivals_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_ / mean_, 6).alias("dispersion_index"),
         (var_ / mean_ > 1.5).alias("overdispersed"),
     )
+
+
+@query(
+    "orders_concurrency_sweepline",
+    """
+    WITH spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS od,
+               CAST(l.l_shipdate AS DATE) AS sd
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    deltas AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+        FROM (
+            SELECT od AS day, 1 AS delta FROM spans
+            UNION ALL
+            SELECT CAST(sd + INTERVAL 1 DAY AS DATE), -1 FROM spans
+        )
+        GROUP BY day
+    ),
+    stepped AS (
+        SELECT day,
+               CAST(SUM(delta) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS open_lines,
+               LEAD(day) OVER (ORDER BY day) AS next_day
+        FROM deltas
+    ),
+    weighted AS (
+        SELECT day, open_lines,
+               CAST(DATE_DIFF('day', day, next_day) AS BIGINT) AS span_days
+        FROM stepped WHERE next_day IS NOT NULL
+    )
+    SELECT CAST(MAX(open_lines) AS BIGINT) AS peak_backlog,
+           MIN(CASE WHEN open_lines = (SELECT MAX(open_lines) FROM weighted)
+                    THEN day END) AS peak_day,
+           CAST(SUM(span_days) AS BIGINT) AS horizon_days,
+           CAST(SUM(open_lines * span_days) AS BIGINT) AS total_line_days,
+           ROUND(CAST(SUM(open_lines * span_days) AS DOUBLE)
+                 / SUM(span_days), 6) AS avg_in_flight
+    FROM weighted
+    """,
+)
+def orders_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak order-pipeline concurrency via a SWEEP-LINE — the
+    100 TB-correct twin of ``flagship_daily_backlog``'s day-spine
+    explode: instead of materializing one row per (line x open-day)
+    (O(n x duration), ~40x amplification on this data), emit two
+    delta events per line (+1 at o_orderdate, -1 the day after
+    l_shipdate), aggregate deltas per day (one keyed shuffle, O(2n)
+    32-byte rows), and run ONE cumulative-sum window over the
+    day-sized step frame. Step durations (LEAD) make the time-weighted
+    average exact integer arithmetic — total_line_days here must equal
+    ``orders_littles_law``'s Fubini sum, and avg_in_flight its L, so
+    the two plans cross-verify. Peak day is the earliest day attaining
+    the max (deterministic). The final reduce is over the ~2.4k-row
+    step frame, not the corpus."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.col("l_shipdate").cast("date").alias("sd"),
+        )
+    )
+    deltas = (
+        spans.select(F.col("od").alias("day"), F.lit(1).alias("delta"))
+        .unionAll(
+            spans.select(
+                F.date_add("sd", 1).alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").cast("bigint").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = deltas.select(
+        "day",
+        F.sum("delta").over(w).cast("bigint").alias("open_lines"),
+        F.lead("day").over(Window.orderBy("day")).alias("next_day"),
+    )
+    weighted = stepped.filter(F.col("next_day").isNotNull()).select(
+        "day",
+        "open_lines",
+        F.datediff("next_day", "day").cast("bigint").alias("span_days"),
+    )
+    peak = weighted.agg(F.max("open_lines").alias("_pk"))
+    return (
+        weighted.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("open_lines").cast("bigint").alias("peak_backlog"),
+            F.min(
+                F.when(F.col("open_lines") == F.col("_pk"), F.col("day"))
+            ).alias("peak_day"),
+            F.sum("span_days").cast("bigint").alias("horizon_days"),
+            F.sum(F.col("open_lines") * F.col("span_days"))
+            .cast("bigint")
+            .alias("total_line_days"),
+            F.round(
+                F.sum(F.col("open_lines") * F.col("span_days")).cast("double")
+                / F.sum("span_days"),
+                6,
+            ).alias("avg_in_flight"),
+        )
+    )

@@ -1516,3 +1516,170 @@ def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("mmr", 6).alias("mmr_score"),
     ).orderBy("query_id", "pick")
+
+
+_EVAL_QUERIES = 20
+_EVAL_K = 10
+# Literal DCG discount ladder 1/log2(i+1) and its cumulative (ideal)
+# sums, i = 1..10 — shared verbatim by both engines so no log()
+# implementation drift can enter the metric (the house literal-ladder
+# convention, same as the Poisson CDF bootstrap).
+_DISC = [1.0 / __import__("math").log2(i + 1) for i in range(1, _EVAL_K + 1)]
+_IDCG = [sum(_DISC[: i + 1]) for i in range(_EVAL_K)]
+
+
+def _disc_case_sql(col: str) -> str:
+    branches = "".join(
+        f" WHEN {i + 1} THEN {d!r}" for i, d in enumerate(_DISC)
+    )
+    return f"CASE {col}{branches} END"
+
+
+def _idcg_case_sql(col: str) -> str:
+    branches = "".join(
+        f" WHEN {i + 1} THEN {c!r}" for i, c in enumerate(_IDCG)
+    )
+    return f"CASE {col}{branches} END"
+
+
+@query(
+    "retrieval_ndcg_mrr",
+    f"""
+    WITH corpus AS (SELECT * FROM embeddings WHERE vec_id < {EXACT_BOUND}),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+        FROM corpus WHERE vec_id < {_EVAL_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.embedding AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS score
+        FROM corpus e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, qlabel, label,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM scored
+    ),
+    rel_counts AS (
+        SELECT q.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_relevant
+        FROM q JOIN corpus e
+          ON e.label = q.qlabel AND e.vec_id <> q.query_id
+        GROUP BY q.query_id
+    ),
+    topk AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits_at_k,
+               SUM(CASE WHEN label = qlabel
+                        THEN {_disc_case_sql('rank')} ELSE 0.0 END) AS dcg,
+               MIN(CASE WHEN label = qlabel THEN rank END) AS first_rel
+        FROM ranked WHERE rank <= {_EVAL_K}
+        GROUP BY query_id
+    )
+    SELECT t.query_id,
+           r.n_relevant,
+           t.hits_at_k,
+           ROUND(CASE WHEN r.n_relevant = 0 THEN 0.0
+                 ELSE t.dcg / {_idcg_case_sql(
+                     f'LEAST(r.n_relevant, {_EVAL_K})')} END, 6)
+               AS ndcg_at_k,
+           ROUND(CASE WHEN t.first_rel IS NULL THEN 0.0
+                 ELSE 1.0 / t.first_rel END, 6) AS mrr,
+           ROUND(CASE WHEN r.n_relevant = 0 THEN 0.0
+                 ELSE CAST(t.hits_at_k AS DOUBLE) / r.n_relevant END, 6)
+               AS recall_at_k
+    FROM topk t JOIN rel_counts r ON t.query_id = r.query_id
+    ORDER BY t.query_id
+    """,
+)
+def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval harness — NDCG@10, MRR, and recall@10
+    for 20 probe queries against the corpus, relevance = label match
+    (the eval loop every embedding/retrieval pipeline runs after each
+    index or model change; completes the ANN family with the METRIC
+    layer the recall-floor unit tests only spot-check). Ranking rides
+    the proven decimal-exact brute-force top-k (ranks bit-identical
+    across engines); the DCG discount and ideal-DCG denominators are
+    LITERAL ladders shared verbatim with the oracle, so no log()
+    implementation drift can enter. Scale shape: one corpus scan
+    scores all queries (broadcast probe block, local_topk pre-prune),
+    per-label corpus counts are a 10-row broadcast, and every join
+    after the top-k is over k x queries = 200 rows. At 100 TB the
+    probe set grows, not the plan."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    probes = emb.filter(F.col("vec_id") < _EVAL_QUERIES)
+    topk = brute_force_topk(emb, probes, k=_EVAL_K)
+    labels = emb.select("vec_id", "label")
+    qlab = probes.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    label_counts = emb.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_label")
+    )
+    rel_counts = (
+        qlab.join(F.broadcast(label_counts), qlab.qlabel == label_counts.label)
+        .select(
+            "query_id",
+            (F.col("n_label") - 1).cast("bigint").alias("n_relevant"),
+        )
+    )
+    disc = F.lit(None).cast("double")
+    for i in range(_EVAL_K - 1, -1, -1):
+        disc = F.when(F.col("rank") == i + 1, F.lit(_DISC[i])).otherwise(disc)
+    idcg = F.lit(None).cast("double")
+    for i in range(_EVAL_K - 1, -1, -1):
+        idcg = F.when(
+            F.least(F.col("n_relevant"), F.lit(_EVAL_K)) == i + 1,
+            F.lit(_IDCG[i]),
+        ).otherwise(idcg)
+    rel = (F.col("label") == F.col("qlabel")).cast("int")
+    per_q = (
+        topk.join(F.broadcast(labels), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select("query_id", rel.alias("rel"), disc.alias("disc"), "rank")
+        .groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("bigint").alias("hits_at_k"),
+            F.sum(F.col("rel") * F.col("disc")).alias("dcg"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias(
+                "first_rel"
+            ),
+        )
+    )
+    return (
+        per_q.join(rel_counts, "query_id")
+        .select(
+            "query_id",
+            "n_relevant",
+            "hits_at_k",
+            F.round(
+                F.when(F.col("n_relevant") == 0, F.lit(0.0)).otherwise(
+                    F.col("dcg") / idcg
+                ),
+                6,
+            ).alias("ndcg_at_k"),
+            F.round(
+                F.when(F.col("first_rel").isNull(), F.lit(0.0)).otherwise(
+                    F.lit(1.0) / F.col("first_rel")
+                ),
+                6,
+            ).alias("mrr"),
+            F.round(
+                F.when(F.col("n_relevant") == 0, F.lit(0.0)).otherwise(
+                    F.col("hits_at_k").cast("double") / F.col("n_relevant")
+                ),
+                6,
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

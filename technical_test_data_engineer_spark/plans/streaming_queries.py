@@ -1035,3 +1035,102 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_KMV_K = 32
+_KMV_SCALE = float(1 << 60)  # md5_hash64 is 60 bits -> uniform in [0,1)
+
+
+@query(
+    "user_kmv_distinct",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY h ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed
+    )
+    SELECT event_type,
+           CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+           ROUND(CASE
+               WHEN MAX(n_exact) < {_KMV_K} THEN CAST(MAX(n_exact) AS DOUBLE)
+               ELSE ({_KMV_K} - 1)
+                    / (MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                       / {_KMV_SCALE!r})
+           END, 6) AS n_est,
+           ROUND(ABS(CASE
+               WHEN MAX(n_exact) < {_KMV_K} THEN CAST(MAX(n_exact) AS DOUBLE)
+               ELSE ({_KMV_K} - 1)
+                    / (MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                       / {_KMV_SCALE!r})
+           END - MAX(n_exact)) / MAX(n_exact), 6) AS rel_err
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per
+    event type — the ORDER-STATISTIC sketch family (theta sketches)
+    made oracle-checkable: unlike HLL (whose register layout is
+    engine-private, hence ``monthly_users_hll_merge`` stays
+    rows-only), KMV's state is just the k smallest hash values, so
+    both engines compute the identical estimate from the identical
+    house md5 hash. Estimator: n-hat = (k-1)/u_(k) with u_(k) the k-th
+    smallest of the distinct 60-bit hashes mapped to [0,1) (Beyer et
+    al., PODS'07 — unbiased, rel-err ~ 1/sqrt(k-2)). Types with fewer
+    than k distinct users fall back to the exact count (a real KMV
+    stores all values below capacity — the estimate IS exact there);
+    sf0.001 (15 users/type) exercises the fallback, sf0.01 (150) the
+    estimator. Scale shape: one distinct shuffle on (type, hash) and a
+    per-type bottom-k — at 100 TB the bottom-k window would ride a
+    partial TakeOrderedAndProject per partition, never a full sort;
+    the exact-count column here is the audit, not the production
+    path. Cross-check: rel_err at k=32 should sit near 1/sqrt(30) ~
+    0.18."""
+    from technical_test_data_engineer_spark.operators.text import md5_hash64
+
+    events = load_table(spark, sf_dir, "events")
+    hashed = (
+        events.select(
+            "event_type",
+            md5_hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n_exact"),
+    )
+    est = F.when(
+        F.max("n_exact") < _KMV_K, F.max("n_exact").cast("double")
+    ).otherwise(
+        F.lit(_KMV_K - 1)
+        / (
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+            / F.lit(_KMV_SCALE)
+        )
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 6).alias("n_est"),
+            F.round(
+                F.abs(est - F.max("n_exact")) / F.max("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -327,6 +327,10 @@ _NONEQUI_ALLOWLIST = {
     "q19_disjunctive_predicates", # OR-of-ANDs join condition
     "q11_important_parts",        # TPC-H scalar-subquery threshold
     "q22_idle_rich_customers",    # TPC-H scalar-subquery average
+    "orders_concurrency_sweepline",  # 1-row peak-scalar broadcast
+                                  # attach onto the day-step frame
+    "retrieval_ndcg_mrr",         # corpus x broadcast-queries scan
+                                  # (knn family; metric joins hash-equi)
 }
 
 
