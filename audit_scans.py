@@ -10,6 +10,14 @@ refactoring queries and diff the output against the documented
 expectations below.
 
 Expected multi-scans (all reviewed):
+- r07 batch 13/14: retrieval_ndcg_mrr embeddings x6 — ONE full-width
+  corpus-scoring scan (the knn family shape); the other five are the
+  20-row probe filter and (vec_id,label)-pruned side frames (labels,
+  qlab, per-label counts) — column-pruned footer-cheap reads, cheaper
+  than materializing the corpus; orders_concurrency_sweepline after
+  the explode rewrite scans lineitem/orders once per side (the
+  remaining x2 in EXPLAIN is the persisted step frame's unresolved
+  InMemoryRelation definition, the q2/q11 printing artifact)
 - self-join pair generation: ngram_jaccard_pairs, embedding_near_dup_
   exact, knn_*, q17, tfidf, doc_unigram_logprob (tf/df share one
   aggregate but scan for the join side), cheapest_part_per_brand

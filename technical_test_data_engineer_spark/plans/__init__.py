@@ -269,15 +269,30 @@ _FRONT_50 = [
     "ab_test_sprt",                      # always-valid sequential readout
     "part_copurchase_kcore_r3",          # unrolled 3-round peel twin
     "events_sliding_1h_15m",             # re-earn (displaced r06)
-    "events_user_sessions",              # re-earn (displaced r06)
-    "user_value_ewma",                   # re-earn (displaced r06)
-    "dsir_en_selection",                 # re-earn (displaced r06)
+    # -- round-7 batch 14 (displaced re-earns, per the verdict's
+    #    new-queries-first slot priority: user_value_ewma (r04-green;
+    #    its level-only recurrence is in-window SUPERSET by
+    #    user_value_holtwinters' level+trend), dsir_en_selection
+    #    (r05-green; importance-weighted selection family keeps
+    #    source_temperature_mixing in-window), events_user_sessions
+    #    (r03-green; stateful sessionization holds stream==batch
+    #    parity tests and the r03 green; events_sliding_1h_15m keeps
+    #    the streaming-window family's re-earn slot)) --
+    "daily_revenue_repeated_median",     # Siegel 50%-breakdown trend
+    "ab_test_ipw_ate",                   # stratified-propensity IPW
+    "user_score_reliability",            # calibration + Brier terms
 ]
 
 # Rows-only queries deliberately pinned into the driver window: NONE
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
+# Round-8 rotation head: the round-7 batch-15 queries (copurchase_sppmi,
+# ab_test_permutation, orders_zonemap_report) are oracle-paired and
+# vanilla-session verified but the window is saturated with
+# never-driver-checked round-7 entries — they queue directly behind the
+# window and should displace r07-green slots first thing next round.
+
 _FRONT_ROWS_ONLY: set[str] = set()
 
 

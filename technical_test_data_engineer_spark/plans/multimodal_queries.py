@@ -242,3 +242,61 @@ def media_ahash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn("media", fake_media_binary("text"))
     sigs = media_ahash(docs, "media", "doc_id")
     return sigs.select("doc_id", "ahash").orderBy("doc_id")
+
+
+@query(
+    "media_header_jvm_parse",
+    """
+    WITH blobs AS (
+        SELECT doc_id,
+               12 + octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(text)) AS payload_len
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(payload_len % 640 + 16 AS INTEGER) AS width,
+           CAST(payload_len % 480 + 16 AS INTEGER) AS height,
+           CAST(payload_len % 24 + 1 AS INTEGER) AS n_frames,
+           CAST(payload_len AS BIGINT) AS payload_bytes,
+           CASE n_bytes % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS format
+    FROM blobs
+    ORDER BY doc_id
+    """,
+)
+def media_header_jvm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side binary HEADER parse with pure JVM expressions — no
+    Python, no Arrow round-trip: slice the blob's 12-byte header with
+    ``substring`` on BINARY, decode each big-endian int32 via
+    hex -> base-16 conv (the exact inverse of
+    ``fake_media_binary``'s unhex(lpad(hex)) encoder), and derive the
+    container format from the byte length. This is the fast path a
+    100 TB media pipeline runs FIRST — metadata extraction at
+    whole-stage-codegen speed to filter/route blobs (resolution gates,
+    frame-count buckets) so the expensive mapInPandas decode
+    (``media_decode_meta``, the same fields via the Python stub
+    decoder) only ever sees the surviving rows. Tested twin-consistent
+    with the Python decode path; the oracle reproduces the header
+    arithmetic from octet_length as the other media queries do."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = fake_media_binary("text")
+    media = docs.select("doc_id", blob.alias("media"))
+
+    def be32(pos: int):
+        return F.conv(
+            F.hex(F.substring(F.col("media"), pos, 4)), 16, 10
+        ).cast("int")
+
+    return media.select(
+        "doc_id",
+        be32(1).alias("width"),
+        be32(5).alias("height"),
+        be32(9).alias("n_frames"),
+        (F.length("media") - F.lit(12)).cast("bigint").alias(
+            "payload_bytes"
+        ),
+        F.when(F.length("media") % 3 == 0, F.lit("png"))
+        .when(F.length("media") % 3 == 1, F.lit("jpeg"))
+        .otherwise(F.lit("webp"))
+        .alias("format"),
+    ).orderBy("doc_id")

@@ -4032,13 +4032,23 @@ def orders_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate").cast("date").alias("sd"),
         )
     )
+    # one fact scan: both delta events explode scan-side from each span
+    # (a unionAll of two selects would scan the join twice)
     deltas = (
-        spans.select(F.col("od").alias("day"), F.lit(1).alias("delta"))
-        .unionAll(
-            spans.select(
-                F.date_add("sd", 1).alias("day"), F.lit(-1).alias("delta")
-            )
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("od").alias("day"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.date_add("sd", 1).alias("day"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("ev")
         )
+        .select("ev.day", "ev.delta")
         .groupBy("day")
         .agg(F.sum("delta").cast("bigint").alias("delta"))
     )
@@ -4050,11 +4060,13 @@ def orders_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta").over(w).cast("bigint").alias("open_lines"),
         F.lead("day").over(Window.orderBy("day")).alias("next_day"),
     )
+    # persisted: the peak-scalar attach and the final reduce both
+    # consume the day-step frame (audit_scans r07)
     weighted = stepped.filter(F.col("next_day").isNotNull()).select(
         "day",
         "open_lines",
         F.datediff("next_day", "day").cast("bigint").alias("span_days"),
-    )
+    ).persist()
     peak = weighted.agg(F.max("open_lines").alias("_pk"))
     return (
         weighted.crossJoin(F.broadcast(peak))
@@ -4074,3 +4086,498 @@ def orders_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_in_flight"),
         )
     )
+
+
+@query(
+    "copurchase_sppmi",
+    """
+    WITH pc AS (
+        SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa,
+                   b.l_partkey AS pb
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        )
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT pa AS u, pb AS v, nij FROM pc
+        UNION ALL
+        SELECT pb AS u, pa AS v, nij FROM pc
+    ),
+    rowsum AS (SELECT u, CAST(SUM(nij) AS BIGINT) AS ni FROM sym GROUP BY u),
+    tot AS (SELECT CAST(SUM(nij) AS DOUBLE) AS nn FROM sym)
+    SELECT pc.pa, pc.pb, pc.nij,
+           ROUND(GREATEST(0.0,
+               LN(pc.nij * tot.nn / (ra.ni * rb.ni)) - LN(5.0)), 6)
+               AS sppmi
+    FROM pc
+    JOIN rowsum ra ON ra.u = pc.pa
+    JOIN rowsum rb ON rb.u = pc.pb
+    CROSS JOIN tot
+    ORDER BY sppmi DESC, pc.pa, pc.pb
+    LIMIT 50
+    """,
+)
+def copurchase_sppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted positive PMI (SPPMI, shift k=5) over the frequent
+    co-purchase graph — the association matrix whose factorization IS
+    word2vec/item2vec (Levy & Goldberg, NeurIPS'14): the
+    embedding-prep operator that turns transaction logs into the
+    sparse matrix an item-embedding trainer consumes. PMI =
+    ln(n_ij*N / (n_i*n_j)) over the symmetric co-occurrence counts,
+    shifted by ln(k) and clamped at 0 (negative-sampling equivalence).
+    Rides the session-materialized edge relation (counts kept); row
+    sums are one keyed agg over the edge frame, the total a 1-row
+    broadcast attach. Top-50 ordered by ROUNDED score then keys, so
+    rank and cutoff are float-drift-proof. At 100 TB the co-occurrence
+    build (scan-side basket HOF, no fact-fact join) dominates; this
+    layer adds vocabulary-sized joins only."""
+    edges = _copurchase_edges(spark, sf_dir, keep_support=True)
+    pc = edges.select(
+        F.col("src").alias("pa"), F.col("dst").alias("pb"),
+        F.col("n_orders").cast("bigint").alias("nij"),
+    ).persist()
+    sym = pc.select(F.col("pa").alias("u"), "nij").unionByName(
+        pc.select(F.col("pb").alias("u"), "nij")
+    )
+    rowsum = sym.groupBy("u").agg(F.sum("nij").cast("bigint").alias("ni"))
+    tot = sym.agg(F.sum("nij").cast("double").alias("nn"))
+    ra = rowsum.select(F.col("u").alias("pa"), F.col("ni").alias("na"))
+    rb = rowsum.select(F.col("u").alias("pb"), F.col("ni").alias("nb"))
+    sppmi = F.greatest(
+        F.lit(0.0),
+        F.log(
+            F.col("nij") * F.col("nn") / (F.col("na") * F.col("nb"))
+        )
+        - F.log(F.lit(5.0)),
+    )
+    return (
+        pc.join(ra, "pa")
+        .join(rb, "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa", "pb", "nij", F.round(sppmi, 6).alias("sppmi")
+        )
+        .orderBy(F.desc("sppmi"), "pa", "pb")
+        .limit(50)
+    )
+
+
+_N_PERM = 64
+
+
+@query(
+    "ab_test_permutation",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               user_id % 2 = 0 AS t,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT ABS(CAST(SUM(CASE WHEN t THEN CAST(y AS DECIMAL(30,10))
+                              ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE t)
+                 - CAST(SUM(CASE WHEN NOT t THEN CAST(y AS DECIMAL(30,10))
+                              ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE NOT t)) AS d
+        FROM u
+    ),
+    fanned AS (
+        SELECT r.rep, u.y,
+               (CAST('0x' || SUBSTRING(MD5(CAST(u.user_id AS VARCHAR)
+                    || ':' || CAST(r.rep AS VARCHAR)), 1, 8) AS BIGINT)
+                % 2) = 0 AS pt
+        FROM u CROSS JOIN (SELECT UNNEST(RANGE(0, {_N_PERM})) AS rep) r
+    ),
+    null_dist AS (
+        SELECT rep,
+               ABS(CAST(SUM(CASE WHEN pt THEN CAST(y AS DECIMAL(30,10))
+                              ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                   / NULLIF(COUNT(*) FILTER (WHERE pt), 0)
+                 - CAST(SUM(CASE WHEN NOT pt THEN CAST(y AS DECIMAL(30,10))
+                              ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                   / NULLIF(COUNT(*) FILTER (WHERE NOT pt), 0)) AS d
+        FROM fanned GROUP BY rep
+    )
+    SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users,
+           CAST({_N_PERM} AS BIGINT) AS n_perms,
+           ROUND(MAX(obs.d), 6) AS obs_abs_diff,
+           CAST(SUM(CASE WHEN null_dist.d >= obs.d THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_as_extreme,
+           ROUND((1.0 + SUM(CASE WHEN null_dist.d >= obs.d
+                                 THEN 1 ELSE 0 END))
+                 / (1.0 + {_N_PERM}), 6) AS p_value
+    FROM null_dist CROSS JOIN obs
+    """,
+)
+def ab_test_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the A/B outcome difference — the
+    assumption-free significance readout that closes the
+    experimentation family (Welch t, CUPED, SPRT, IPW): the null
+    distribution is the |mean difference| under B=64 deterministic
+    pseudo-reassignments, each user's trial-b arm drawn from the house
+    md5 convention on (user:b) — exactly the Poisson bootstrap's
+    fan-out discipline, so both engines generate the identical null
+    draws. p = (1 + #{|d_b| >= |d_obs|}) / (B+1), the add-one
+    Phipson-Smyth estimator that never returns 0. Scale shape: one
+    events scan -> user frame (persisted), scan-side replicate explode
+    (fan_out against the single-row-group fixture), one keyed agg for
+    all B null diffs, 1-row observed-diff broadcast attach."""
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    u = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", dec(F.col("value"))
+                ).otherwise(dec(F.lit(0)))
+            )
+            .cast("double")
+            .alias("y")
+        )
+        .select("user_id", (F.col("user_id") % 2 == 0).alias("t"), "y")
+        .persist()
+    )
+    mean_of = lambda flag: (  # noqa: E731
+        F.sum(F.when(flag, dec(F.col("y"))).otherwise(dec(F.lit(0)))).cast(
+            "double"
+        )
+        / F.nullif(F.sum(flag.cast("int")), F.lit(0))
+    )
+    obs = u.agg(
+        F.abs(mean_of(F.col("t")) - mean_of(~F.col("t"))).alias("d"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
+    fanned = fan_out(u, 32).select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_PERM - 1))).alias("rep"),
+    )
+    pt = (
+        md5_bucket(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            ),
+            2,
+        )
+        == 0
+    )
+    null_dist = (
+        fanned.select("rep", "y", pt.alias("pt"))
+        .groupBy("rep")
+        .agg(F.abs(mean_of(F.col("pt")) - mean_of(~F.col("pt"))).alias("d"))
+    )
+    extreme = F.sum(
+        (F.col("d") >= F.col("obs_d")).cast("int")
+    )
+    return (
+        null_dist.crossJoin(
+            F.broadcast(
+                obs.select(
+                    F.col("d").alias("obs_d"), F.col("n_users")
+                )
+            )
+        )
+        .agg(
+            F.max("n_users").cast("bigint").alias("n_users"),
+            F.lit(_N_PERM).cast("bigint").alias("n_perms"),
+            F.round(F.max("obs_d"), 6).alias("obs_abs_diff"),
+            extreme.cast("bigint").alias("n_as_extreme"),
+            F.round(
+                (F.lit(1.0) + extreme) / F.lit(1.0 + _N_PERM), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+@query(
+    "orders_zonemap_report",
+    """
+    WITH zones AS (
+        SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS zone,
+               MIN(CAST(o_orderdate AS DATE)) AS dmin,
+               MAX(CAST(o_orderdate AS DATE)) AS dmax,
+               MIN(o_orderkey) AS kmin,
+               MAX(o_orderkey) AS kmax,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1
+    ),
+    mk AS (SELECT MAX(kmax) AS maxk FROM zones)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN dmax < DATE '1996-06-01'
+                           OR dmin > DATE '1996-08-31'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS date_pruned_zones,
+           ROUND(CAST(SUM(CASE WHEN dmax < DATE '1996-06-01'
+                                 OR dmin > DATE '1996-08-31'
+                          THEN n_rows ELSE 0 END) AS DOUBLE)
+                 / SUM(n_rows), 6) AS date_rows_skipped_frac,
+           CAST(SUM(CASE WHEN kmax < CAST(FLOOR(0.4 * mk.maxk) AS BIGINT)
+                           OR kmin > CAST(FLOOR(0.6 * mk.maxk) AS BIGINT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS key_pruned_zones,
+           ROUND(CAST(SUM(CASE WHEN kmax < CAST(FLOOR(0.4 * mk.maxk) AS BIGINT)
+                                 OR kmin > CAST(FLOOR(0.6 * mk.maxk)
+                                                AS BIGINT)
+                          THEN n_rows ELSE 0 END) AS DOUBLE)
+                 / SUM(n_rows), 6) AS key_rows_skipped_frac
+    FROM zones CROSS JOIN mk
+    """,
+)
+def orders_zonemap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness audit for an
+    order-month file layout — the storage-planner diagnostic behind
+    every sort-key / Z-order decision (the read-side twin of
+    ``sources.parquet_source``'s Z-order compaction): per zone, the
+    min/max footer stats of two probe columns, then for each
+    reference predicate the fraction of zones (and rows) a scanner
+    skips on stats alone. The punchline is the CONTRAST: a 3-month
+    o_orderdate window prunes ~96% of zones (the layout is sorted on
+    that column), while the equally-selective orderkey band — sized
+    as the relative [0.4, 0.6] slice of the key domain via a 1-row
+    max-key broadcast attach, so the probe scales with the data —
+    prunes ~0%: keys are uniform across months, and a zone map is
+    only as good as the layout's correlation with the predicate. One
+    scan, one month-keyed agg, one zone-frame reduce; at 100 TB the
+    zone frame is file-count-sized and the report costs one
+    footer-stat pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    zones = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+            "zone"
+        )
+    ).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("dmin"),
+        F.max(F.col("o_orderdate").cast("date")).alias("dmax"),
+        F.min("o_orderkey").alias("kmin"),
+        F.max("o_orderkey").alias("kmax"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    ).persist()  # consumed by the max-key attach AND the final reduce
+    mk = zones.agg(F.max("kmax").alias("maxk"))
+    date_pruned = (
+        (F.col("dmax") < F.lit("1996-06-01").cast("date"))
+        | (F.col("dmin") > F.lit("1996-08-31").cast("date"))
+    ).cast("int")
+    klo = F.floor(0.4 * F.col("maxk")).cast("bigint")
+    khi = F.floor(0.6 * F.col("maxk")).cast("bigint")
+    key_pruned = F.sum(
+        F.when(
+            (F.col("kmax") < klo) | (F.col("kmin") > khi), 1
+        ).otherwise(0)
+    )
+    key_rows = F.sum(
+        F.when(
+            (F.col("kmax") < klo) | (F.col("kmin") > khi),
+            F.col("n_rows"),
+        ).otherwise(0)
+    )
+    return zones.crossJoin(F.broadcast(mk)).agg(
+        F.count("*").cast("bigint").alias("n_zones"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum(date_pruned).cast("bigint").alias("date_pruned_zones"),
+        F.round(
+            F.sum(date_pruned * F.col("n_rows")).cast("double")
+            / F.sum("n_rows"),
+            6,
+        ).alias("date_rows_skipped_frac"),
+        key_pruned.cast("bigint").alias("key_pruned_zones"),
+        F.round(
+            key_rows.cast("double") / F.sum("n_rows"), 6
+        ).alias("key_rows_skipped_frac"),
+    )
+
+
+@query(
+    "copurchase_adamic_adar",
+    f"""
+    WITH {_PR_EDGE_CTE},
+    wedge AS (
+        SELECT a.u AS mid, a.v AS x, b.v AS y
+        FROM e a JOIN e b ON a.u = b.u AND a.v < b.v
+    ),
+    cand AS (
+        SELECT w.x, w.y, w.mid
+        FROM wedge w
+        LEFT JOIN pe ON pe.pa = w.x AND pe.pb = w.y
+        WHERE pe.pa IS NULL
+    )
+    SELECT cand.x AS node_u, cand.y AS node_w,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / LN(deg.outdeg), 12)
+                               AS DECIMAL(30,15))) AS DOUBLE), 6)
+               AS aa_score
+    FROM cand JOIN deg ON deg.u = cand.mid
+    GROUP BY cand.x, cand.y
+    ORDER BY aa_score DESC, node_u, node_w
+    LIMIT 50
+    """,
+)
+def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the frequent co-purchase graph:
+    for every NON-adjacent pair (u,w) sharing a neighbor, score
+    sum_v 1/ln(deg(v)) over the common neighbors v — rare shared
+    neighbors count more, the classic 'people you may know' /
+    'products bought together next' ranker (Adamic & Adar 2003;
+    Liben-Nowell & Kleinberg 2007). Rides the session-materialized
+    edge relation; wedges come from ONE self-join of the symmetric
+    edge list keyed on the middle node (the triangle query's shuffle
+    shape, Theta(sum deg^2) rows), existing edges are removed with a
+    left-anti join, and the degree weight attaches via a
+    vocabulary-sized broadcast. Every middle node has degree >= 2 by
+    construction (it is adjacent to both endpoints), so ln(deg) > 0.
+    At 100 TB the wedge fan-out is the cost driver: production would
+    cap hub middle nodes (the banded-dedup hot-bucket discipline) —
+    bounded here, where max degree is vocabulary-scale. Exactness:
+    each 1/ln term is rounded to 12 digits then DECIMAL-summed
+    (order-free), final score rounded to 6; top-50 ordered by the
+    ROUNDED score with key tiebreaks, so rank and cutoff are
+    float-drift-proof."""
+    und = _copurchase_edges(spark, sf_dir)
+    # persisted: feeds the degree table AND both sides of the wedge
+    # self-join
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    a = sym.select(F.col("src").alias("mid"), F.col("dst").alias("x"))
+    b = sym.select(F.col("src").alias("mid"), F.col("dst").alias("y"))
+    wedge = a.join(b, "mid").filter(F.col("x") < F.col("y"))
+    cand = wedge.join(
+        F.broadcast(und.select(F.col("src").alias("x"), F.col("dst").alias("y"))),
+        ["x", "y"],
+        "left_anti",
+    )
+    term = F.round(F.lit(1.0) / F.log(F.col("outdeg")), 12).cast(
+        "decimal(30,15)"
+    )
+    return (
+        cand.join(
+            F.broadcast(deg.withColumnRenamed("src", "mid")), "mid"
+        )
+        .groupBy(F.col("x").alias("node_u"), F.col("y").alias("node_w"))
+        .agg(
+            F.count("*").cast("bigint").alias("common_neighbors"),
+            F.round(F.sum(term).cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "node_u", "node_w")
+        .limit(50)
+    )
+
+
+@query(
+    "segment_priority_mutual_info",
+    """
+    WITH cells AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT segment, priority, n_orders,
+               SUM(n_orders) OVER (PARTITION BY segment) AS ns,
+               SUM(n_orders) OVER (PARTITION BY priority) AS np,
+               SUM(n_orders) OVER () AS nn
+        FROM cells
+    ),
+    terms AS (
+        SELECT segment, priority, n_orders,
+               CAST(n_orders AS DOUBLE) / nn AS p_joint,
+               LN(CAST(n_orders AS DOUBLE) * nn / (ns * np)) AS pmi
+        FROM m
+    )
+    SELECT segment, priority, n_orders,
+           ROUND(p_joint, 6) AS p_joint,
+           ROUND(pmi, 6) AS pmi,
+           ROUND(CAST(SUM(CAST(ROUND(p_joint * pmi, 12)
+                               AS DECIMAL(30,15))) OVER ()
+                      AS DOUBLE), 6) AS mi_total
+    FROM terms
+    ORDER BY segment, priority
+    """,
+)
+def segment_priority_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between customer segment and order priority —
+    the model-free dependence measure feature-selection pipelines rank
+    categorical features with (MI = sum p(x,y) ln(p(x,y)/(p(x)p(y))),
+    zero iff independent): reports each cell's joint probability and
+    pointwise MI plus the global MI, so a feature-audit dashboard sees
+    both the headline number and which cells drive it. One fact-sized
+    join+agg to the segment x priority contingency table; marginals and
+    the MI reduction are window sums over the CELL frame (bounded by
+    the category-domain product, 25 rows here), so the 100 TB cost is
+    the contingency build alone — the textbook sufficient-statistics
+    shape. Exactness: each p*ln term is rounded to 12 digits then
+    DECIMAL-summed order-free; ln inputs are exact count ratios, so
+    both engines evaluate identical rationals."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    from pyspark.sql.window import Window
+
+    ws = Window.partitionBy("segment")
+    wp = Window.partitionBy("priority")
+    wg = Window.partitionBy()
+    m = cells.select(
+        "segment",
+        "priority",
+        "n_orders",
+        F.sum("n_orders").over(ws).alias("ns"),
+        F.sum("n_orders").over(wp).alias("np"),
+        F.sum("n_orders").over(wg).alias("nn"),
+    )
+    p_joint = F.col("n_orders").cast("double") / F.col("nn")
+    pmi = F.log(
+        F.col("n_orders").cast("double") * F.col("nn")
+        / (F.col("ns") * F.col("np"))
+    )
+    terms = m.select(
+        "segment",
+        "priority",
+        "n_orders",
+        p_joint.alias("p_joint"),
+        pmi.alias("pmi"),
+    )
+    return terms.select(
+        "segment",
+        "priority",
+        "n_orders",
+        F.round(F.col("p_joint"), 6).alias("p_joint"),
+        F.round(F.col("pmi"), 6).alias("pmi"),
+        F.round(
+            F.sum(
+                F.round(F.col("p_joint") * F.col("pmi"), 12).cast(
+                    "decimal(30,15)"
+                )
+            )
+            .over(wg)
+            .cast("double"),
+            6,
+        ).alias("mi_total"),
+    ).orderBy("segment", "priority")

@@ -1134,3 +1134,325 @@ def user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "user_score_reliability",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS DOUBLE)
+                   / COUNT(*) AS score,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS py
+        FROM events GROUP BY user_id
+    ),
+    med AS (
+        SELECT CAST(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY py)
+                    AS DOUBLE) AS m
+        FROM u
+    ),
+    scored AS (
+        SELECT LEAST(9, CAST(FLOOR(score * 10.0) AS BIGINT)) AS bin,
+               score,
+               CASE WHEN py > med.m THEN 1 ELSE 0 END AS y
+        FROM u CROSS JOIN med
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_total,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar
+        FROM scored
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
+           ROUND(COUNT(*) * POW(AVG(score) - CAST(SUM(y) AS DOUBLE)
+                                             / COUNT(*), 2)
+                 / MAX(g.n_total), 6) AS reliability_term,
+           ROUND(COUNT(*) * POW(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                                - MAX(g.ybar), 2)
+                 / MAX(g.n_total), 6) AS resolution_term
+    FROM scored CROSS JOIN g
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def user_score_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + Murphy/Brier decomposition terms for a
+    behavioral propensity score — the model-eval harness every scored
+    pipeline needs before its scores gate anything (the quality-filter
+    and bot-score queries emit scores; this is how you audit one).
+    Score = user's view share, outcome = above-median purchaser
+    (balanced by construction). Decile reliability bins give the
+    calibration curve (mean_score vs obs_rate per bin); the per-bin
+    reliability and resolution terms sum to the Murphy decomposition
+    (Brier = reliability - resolution + uncertainty). Scale shape: one
+    events scan -> user agg; the median and the global base rate are
+    1-row broadcast attaches onto the user frame; the bin rollup is a
+    10-row agg. AVG(score) stays in double on both engines (same
+    summation order irrelevance does not hold in general, so the
+    per-bin means ride ROUND(...,6) like every ln/ratio output)."""
+    events = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    # persisted: median attach + scored frame both consume it
+    u = (
+        events.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "view").cast("int")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("score"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", dec(F.col("value"))
+                ).otherwise(dec(F.lit(0)))
+            )
+            .cast("double")
+            .alias("py"),
+        )
+        .persist()
+    )
+    med = u.agg(
+        F.percentile("py", F.lit(0.5)).cast("double").alias("m")
+    )
+    scored = u.crossJoin(F.broadcast(med)).select(
+        F.least(F.lit(9), F.floor(F.col("score") * 10.0).cast("bigint")).alias(
+            "bin"
+        ),
+        "score",
+        (F.col("py") > F.col("m")).cast("int").alias("y"),
+    ).persist()
+    g = scored.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("y").cast("double") / F.count("*")).alias("ybar"),
+    )
+    obs = F.sum("y").cast("double") / F.count("*")
+    return (
+        scored.crossJoin(F.broadcast(g))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(obs, 6).alias("obs_rate"),
+            F.round(
+                F.count("*")
+                * F.pow(F.avg("score") - obs, 2)
+                / F.max("n_total"),
+                6,
+            ).alias("reliability_term"),
+            F.round(
+                F.count("*")
+                * F.pow(obs - F.max("ybar"), 2)
+                / F.max("n_total"),
+                6,
+            ).alias("resolution_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "event_type_overlap_kmv",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY h ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+        FROM hashed
+    ),
+    sk AS (SELECT event_type, h FROM ranked WHERE rn <= {_KMV_K}),
+    theta AS (
+        SELECT event_type,
+               CASE WHEN MAX(n_exact) < {_KMV_K} THEN {_KMV_SCALE!r}
+                    ELSE CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END)
+                         AS DOUBLE) END AS th,
+               CAST(MAX(n_exact) AS BIGINT) AS n_exact
+        FROM ranked GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               LEAST(a.th, b.th) AS th,
+               a.n_exact AS na, b.n_exact AS nb
+        FROM theta a JOIN theta b ON a.event_type < b.event_type
+    ),
+    both_ AS (
+        SELECT s1.event_type AS type_a, s2.event_type AS type_b, s1.h
+        FROM sk s1 JOIN sk s2
+          ON s1.h = s2.h AND s1.event_type < s2.event_type
+    ),
+    inter AS (
+        SELECT b.type_a, b.type_b, CAST(COUNT(*) AS BIGINT) AS ic
+        FROM both_ b JOIN pairs p
+          ON p.type_a = b.type_a AND p.type_b = b.type_b
+        WHERE b.h < p.th
+        GROUP BY 1, 2
+    ),
+    ka AS (
+        SELECT p.type_a, p.type_b, CAST(COUNT(*) AS BIGINT) AS kept_a
+        FROM pairs p JOIN sk s ON s.event_type = p.type_a
+        WHERE s.h < p.th GROUP BY 1, 2
+    ),
+    kb AS (
+        SELECT p.type_a, p.type_b, CAST(COUNT(*) AS BIGINT) AS kept_b
+        FROM pairs p JOIN sk s ON s.event_type = p.type_b
+        WHERE s.h < p.th GROUP BY 1, 2
+    ),
+    einter AS (
+        SELECT h1.event_type AS type_a, h2.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS ie
+        FROM hashed h1 JOIN hashed h2
+          ON h1.h = h2.h AND h1.event_type < h2.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           COALESCE(e.ie, 0) AS n_inter_exact,
+           ROUND(COALESCE(i.ic, 0) / (p.th / {_KMV_SCALE!r}), 6)
+               AS n_inter_est,
+           ROUND(CAST(COALESCE(e.ie, 0) AS DOUBLE)
+                 / (p.na + p.nb - COALESCE(e.ie, 0)), 6) AS jaccard_exact,
+           ROUND(CAST(COALESCE(i.ic, 0) AS DOUBLE)
+                 / NULLIF(COALESCE(a.kept_a, 0) + COALESCE(b.kept_b, 0)
+                          - COALESCE(i.ic, 0), 0), 6) AS jaccard_est
+    FROM pairs p
+    LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    LEFT JOIN ka a ON a.type_a = p.type_a AND a.type_b = p.type_b
+    LEFT JOIN kb b ON b.type_a = p.type_a AND b.type_b = p.type_b
+    LEFT JOIN einter e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+)
+def event_type_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS over the per-event-type user sets:
+    intersect each pair of KMV bottom-k sketches the Apache
+    DataSketches way (theta = min of the two sketch thresholds;
+    retained = common hashes below theta; |A INTERSECT B|-hat =
+    retained/theta) and estimate audience-overlap Jaccard from the
+    same retained sets — the sketch algebra that answers 'how many
+    users both viewed AND purchased' without ever joining the raw
+    fact table twice at full width. Extends ``user_kmv_distinct``
+    (single-set cardinality) to the binary-op half of the sketch API;
+    exact companions computed alongside audit every pair. One distinct
+    shuffle on (type, hash) builds all sketches; every downstream
+    relation is k x types rows, so pair enumeration costs nothing at
+    any corpus scale — the exact companion's hash self-join is the
+    audit, not the production path. All arithmetic is count ratios on
+    the house 60-bit md5 hash, bit-identical across engines."""
+    from technical_test_data_engineer_spark.operators.text import md5_hash64
+
+    events = load_table(spark, sf_dir, "events")
+    # persisted: the distinct (type, hash) frame feeds the sketch build
+    # AND both sides of the exact-intersection audit self-join
+    hashed = (
+        events.select(
+            "event_type",
+            md5_hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .persist()
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.asc("h"))
+    wc = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n_exact"),
+    ).persist()  # feeds the k-row sketches AND the per-type thresholds
+    sk = ranked.filter(F.col("rn") <= _KMV_K).select("event_type", "h")
+    theta = ranked.groupBy("event_type").agg(
+        F.when(F.max("n_exact") < _KMV_K, F.lit(_KMV_SCALE))
+        .otherwise(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).cast("double")
+        )
+        .alias("th"),
+        F.max("n_exact").cast("bigint").alias("n_exact"),
+    )
+    ta = theta.select(
+        F.col("event_type").alias("type_a"),
+        F.col("th").alias("th_a"),
+        F.col("n_exact").alias("na"),
+    )
+    tb = theta.select(
+        F.col("event_type").alias("type_b"),
+        F.col("th").alias("th_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    pairs = (
+        ta.join(tb, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a", "type_b", F.least("th_a", "th_b").alias("th"),
+            "na", "nb",
+        )
+        .persist()  # tiny; feeds 3 kept-count branches + the readout
+    )
+    s1 = sk.select(F.col("event_type").alias("type_a"), "h")
+    s2 = sk.select(F.col("event_type").alias("type_b"), "h")
+    both = s1.join(s2, "h").filter(F.col("type_a") < F.col("type_b"))
+    inter = (
+        both.join(pairs.select("type_a", "type_b", "th"), ["type_a", "type_b"])
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("ic"))
+    )
+    ka = (
+        pairs.select("type_a", "type_b", "th")
+        .join(s1, "type_a")
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("kept_a"))
+    )
+    kb = (
+        pairs.select("type_a", "type_b", "th")
+        .join(s2, "type_b")
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("kept_b"))
+    )
+    h1 = hashed.select(F.col("event_type").alias("type_a"), "h")
+    h2 = hashed.select(F.col("event_type").alias("type_b"), "h")
+    einter = (
+        h1.join(h2, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("ie"))
+    )
+    keys = ["type_a", "type_b"]
+    out = (
+        pairs.join(inter, keys, "left")
+        .join(ka, keys, "left")
+        .join(kb, keys, "left")
+        .join(einter, keys, "left")
+    )
+    ic = F.coalesce(F.col("ic"), F.lit(0))
+    ie = F.coalesce(F.col("ie"), F.lit(0))
+    kept = (
+        F.coalesce(F.col("kept_a"), F.lit(0))
+        + F.coalesce(F.col("kept_b"), F.lit(0))
+        - ic
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        ie.cast("bigint").alias("n_inter_exact"),
+        F.round(ic / (F.col("th") / F.lit(_KMV_SCALE)), 6).alias(
+            "n_inter_est"
+        ),
+        F.round(
+            ie.cast("double") / (F.col("na") + F.col("nb") - ie), 6
+        ).alias("jaccard_exact"),
+        F.round(
+            ic.cast("double") / F.nullif(kept.cast("double"), F.lit(0.0)), 6
+        ).alias("jaccard_est"),
+    ).orderBy("type_a", "type_b")

@@ -331,6 +331,20 @@ _NONEQUI_ALLOWLIST = {
                                   # attach onto the day-step frame
     "retrieval_ndcg_mrr",         # corpus x broadcast-queries scan
                                   # (knn family; metric joins hash-equi)
+    "daily_revenue_repeated_median",  # calendar-bounded day-frame pair
+                                  # join + 1-row slope/intercept attaches
+    "user_score_reliability",     # 1-row median + base-rate broadcast
+                                  # attaches onto the user frame
+    "copurchase_sppmi",           # 1-row co-occurrence-total broadcast
+                                  # attach (PMI normalizer)
+    "ab_test_permutation",        # 1-row observed-diff broadcast attach
+    "orders_zonemap_report",      # 1-row max-key broadcast attach
+                                  # (relative probe band)
+    "daily_revenue_changepoint",  # 1-row series-total broadcast attach
+                                  # (split-gain normalizer)
+    "event_type_overlap_kmv",     # |event_types|^2 pair enumeration on
+                                  # the k-row theta frame (sketch algebra
+                                  # moves only k x types rows)
 }
 
 
