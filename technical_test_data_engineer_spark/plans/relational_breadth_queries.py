@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from technical_test_data_engineer_spark.functions.scalars import exact_sum
 from technical_test_data_engineer_spark.plans.star_queries import _decsum, query
@@ -4581,3 +4582,180 @@ def segment_priority_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mi_total"),
     ).orderBy("segment", "priority")
+
+
+@query(
+    "lineitem_spearman_corr",
+    """
+    WITH v AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    r AS (
+        SELECT x, y,
+               RANK() OVER (ORDER BY x)
+                 + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+               RANK() OVER (ORDER BY y)
+                 + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+        FROM v
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(rx AS DECIMAL(30,10))) AS DOUBLE) AS srx,
+               CAST(SUM(CAST(ry AS DECIMAL(30,10))) AS DOUBLE) AS sry,
+               CAST(SUM(CAST(rx * ry AS DECIMAL(38,8))) AS DOUBLE) AS srxy,
+               CAST(SUM(CAST(rx * rx AS DECIMAL(38,8))) AS DOUBLE) AS srxx,
+               CAST(SUM(CAST(ry * ry AS DECIMAL(38,8))) AS DOUBLE) AS sryy
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND((sxy - sx * sy / n)
+                 / NULLIF(SQRT((sxx - sx * sx / n)
+                               * (syy - sy * sy / n)), 0), 6) AS pearson,
+           ROUND((srxy - srx * sry / n)
+                 / NULLIF(SQRT((srxx - srx * srx / n)
+                               * (sryy - sry * sry / n)), 0), 6) AS spearman
+    FROM m
+    """,
+)
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price,
+    reported beside the plain Pearson — the monotone-association gauge
+    a feature-audit pipeline prefers when the relationship is nonlinear
+    or outlier-ridden (Spearman = Pearson computed on average ranks;
+    robust to any monotone transform). Ties take the midrank
+    (RANK() + (tie_count - 1)/2), the textbook tie correction, so the
+    50-value quantity domain is handled exactly and every rank is an
+    exact .0/.5 value — rank products are exact in DECIMAL and the
+    value hash cannot drift. Plan: two global sort-ranks over the fact
+    (the Gini discipline: the exact rank form is the oracle-checkable
+    proof; at 100 TB the same statistic computes from per-value
+    histogram counts — quantity has a 50-value domain, price a bounded
+    grid — turning both rank windows into broadcast-sized prefix sums),
+    then ONE moment agg produces both correlations."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    wx, wy = Window.orderBy("x"), Window.orderBy("y")
+    r = li.select(
+        "x",
+        "y",
+        (
+            F.rank().over(wx)
+            + (F.count("*").over(Window.partitionBy("x")) - 1) / 2.0
+        ).alias("rx"),
+        (
+            F.rank().over(wy)
+            + (F.count("*").over(Window.partitionBy("y")) - 1) / 2.0
+        ).alias("ry"),
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(decp(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(decp(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(decp(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("rx"))).cast("double").alias("srx"),
+        F.sum(dec(F.col("ry"))).cast("double").alias("sry"),
+        F.sum(decp(F.col("rx") * F.col("ry"))).cast("double").alias("srxy"),
+        F.sum(decp(F.col("rx") * F.col("rx"))).cast("double").alias("srxx"),
+        F.sum(decp(F.col("ry") * F.col("ry"))).cast("double").alias("sryy"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return (F.col(sxy) - F.col(sx) * F.col(sy) / F.col("n")) / F.nullif(
+            F.sqrt(
+                (F.col(sxx) - F.col(sx) * F.col(sx) / F.col("n"))
+                * (F.col(syy) - F.col(sy) * F.col(sy) / F.col("n"))
+            ),
+            F.lit(0.0),
+        )
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(corr("sxy", "sx", "sy", "sxx", "syy"), 6).alias("pearson"),
+        F.round(corr("srxy", "srx", "sry", "srxx", "sryy"), 6).alias(
+            "spearman"
+        ),
+    )
+
+
+@query(
+    "customer_theil_index",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS s
+        FROM spend
+    ),
+    terms AS (
+        SELECT t.n,
+               ROUND((sp.x / t.s) * LN(sp.x * t.n / t.s), 12) AS tt,
+               ROUND(LN(t.s / (t.n * sp.x)), 12) AS tl
+        FROM spend sp CROSS JOIN tot t
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(tt AS DECIMAL(30,15))) AS DOUBLE), 6)
+               AS theil_t,
+           ROUND(CAST(SUM(CAST(tl AS DECIMAL(30,15))) AS DOUBLE)
+                 / MAX(n), 6) AS theil_l
+    FROM terms
+    """,
+)
+def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Theil L (mean log deviation) of customer revenue
+    concentration — the decomposable inequality pair beside
+    ``customer_revenue_gini``: unlike Gini, Theil splits exactly into
+    within-group + between-group terms, so a curation dashboard can
+    attribute corpus concentration to sources vs documents-within-
+    source. T = (1/n)Σ(x/μ)ln(x/μ) rewritten sort-free as
+    Σ(x/S)ln(xn/S); L = (1/n)Σln(μ/x). No global sort at all (the
+    advantage over the Gini rank form): one keyed shuffle to
+    per-customer spend, a 1-row total broadcast-attach, scan-side
+    log terms rounded to 12 digits then DECIMAL-summed order-free —
+    the same cost profile at any scale. o_totalprice > 0 by
+    construction so every ln input is positive."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        exact_sum(F.col("o_totalprice")).alias("x")
+    )
+    tot = spend.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("s"),
+    )
+    j = spend.crossJoin(F.broadcast(tot))
+    terms = j.select(
+        "n",
+        F.round(
+            (F.col("x") / F.col("s"))
+            * F.log(F.col("x") * F.col("n") / F.col("s")),
+            12,
+        ).alias("tt"),
+        F.round(F.log(F.col("s") / (F.col("n") * F.col("x"))), 12).alias(
+            "tl"
+        ),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.col("tt").cast("decimal(30,15)")).cast("double"), 6
+        ).alias("theil_t"),
+        F.round(
+            F.sum(F.col("tl").cast("decimal(30,15)")).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("theil_l"),
+    )

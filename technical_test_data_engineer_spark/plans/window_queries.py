@@ -3719,3 +3719,111 @@ def ab_test_bayes_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ma - mb - F.lit(1.96) * sd, 6).alias("cred_lo"),
         F.round(ma - mb + F.lit(1.96) * sd, 6).alias("cred_hi"),
     )
+
+
+@query(
+    "ab_test_did",
+    """
+    WITH p AS (
+        SELECT (user_id % 2 = 0) AS in_a,
+               (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+               CAST(value AS DECIMAL(30,10)) AS v
+        FROM events
+        WHERE event_type = 'purchase'
+    ),
+    cell AS (
+        SELECT
+            COUNT(CASE WHEN in_a AND NOT post THEN 1 END) AS n_pre_a,
+            COUNT(CASE WHEN in_a AND post THEN 1 END) AS n_post_a,
+            COUNT(CASE WHEN NOT in_a AND NOT post THEN 1 END) AS n_pre_b,
+            COUNT(CASE WHEN NOT in_a AND post THEN 1 END) AS n_post_b,
+            CAST(SUM(CASE WHEN in_a AND NOT post THEN v
+                          ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                / COUNT(CASE WHEN in_a AND NOT post THEN 1 END) AS m_pre_a,
+            CAST(SUM(CASE WHEN in_a AND post THEN v
+                          ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                / COUNT(CASE WHEN in_a AND post THEN 1 END) AS m_post_a,
+            CAST(SUM(CASE WHEN NOT in_a AND NOT post THEN v
+                          ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                / COUNT(CASE WHEN NOT in_a AND NOT post THEN 1 END)
+                AS m_pre_b,
+            CAST(SUM(CASE WHEN NOT in_a AND post THEN v
+                          ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                / COUNT(CASE WHEN NOT in_a AND post THEN 1 END) AS m_post_b
+        FROM p
+    )
+    SELECT CAST(n_pre_a AS BIGINT) AS n_pre_a,
+           CAST(n_post_a AS BIGINT) AS n_post_a,
+           CAST(n_pre_b AS BIGINT) AS n_pre_b,
+           CAST(n_post_b AS BIGINT) AS n_post_b,
+           ROUND(m_pre_a, 6) AS mean_pre_a,
+           ROUND(m_post_a, 6) AS mean_post_a,
+           ROUND(m_pre_b, 6) AS mean_pre_b,
+           ROUND(m_post_b, 6) AS mean_post_b,
+           ROUND((m_post_a - m_pre_a) - (m_post_b - m_pre_b), 6) AS did
+    FROM cell
+    """,
+)
+def ab_test_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the even/odd-user experiment: mean
+    purchase value per (arm, pre/post) cell around the literal
+    2024-01-16 cutover, DiD = (post_A − pre_A) − (post_B − pre_B) —
+    the causal readout when assignment isn't randomized-at-cutover and
+    each arm carries its own level: the control arm's pre→post drift
+    nets out shared time shocks (Card & Krueger 1994). Completes the
+    experimentation family (Welch, CUPED, mSPRT, IPW, permutation,
+    Bayes) with the panel estimator. Plan: one scan-side filtered
+    projection, ONE 4-cell conditional agg — no shuffle beyond the
+    1-row reduce, the same cost at any event volume. Cell means are
+    DECIMAL sums divided in double (both engines execute the identical
+    final op); DiD is computed from the unrounded means then rounded
+    to 6 alongside them."""
+    events = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(30,10)")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2 == 0).alias("in_a"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "post"
+        ),
+        dec(F.col("value")).alias("v"),
+    )
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    def mean(cond):
+        return (
+            F.sum(F.when(cond, F.col("v")).otherwise(zero)).cast("double")
+            / F.count(F.when(cond, 1))
+        )
+
+    a_pre = F.col("in_a") & ~F.col("post")
+    a_post = F.col("in_a") & F.col("post")
+    b_pre = ~F.col("in_a") & ~F.col("post")
+    b_post = ~F.col("in_a") & F.col("post")
+    cell = p.agg(
+        cnt(a_pre).alias("n_pre_a"),
+        cnt(a_post).alias("n_post_a"),
+        cnt(b_pre).alias("n_pre_b"),
+        cnt(b_post).alias("n_post_b"),
+        mean(a_pre).alias("m_pre_a"),
+        mean(a_post).alias("m_post_a"),
+        mean(b_pre).alias("m_pre_b"),
+        mean(b_post).alias("m_post_b"),
+    )
+    return cell.select(
+        F.col("n_pre_a").cast("bigint").alias("n_pre_a"),
+        F.col("n_post_a").cast("bigint").alias("n_post_a"),
+        F.col("n_pre_b").cast("bigint").alias("n_pre_b"),
+        F.col("n_post_b").cast("bigint").alias("n_post_b"),
+        F.round("m_pre_a", 6).alias("mean_pre_a"),
+        F.round("m_post_a", 6).alias("mean_post_a"),
+        F.round("m_pre_b", 6).alias("mean_pre_b"),
+        F.round("m_post_b", 6).alias("mean_post_b"),
+        F.round(
+            (F.col("m_post_a") - F.col("m_pre_a"))
+            - (F.col("m_post_b") - F.col("m_pre_b")),
+            6,
+        ).alias("did"),
+    )

@@ -345,6 +345,8 @@ _NONEQUI_ALLOWLIST = {
     "event_type_overlap_kmv",     # |event_types|^2 pair enumeration on
                                   # the k-row theta frame (sketch algebra
                                   # moves only k x types rows)
+    "customer_theil_index",       # 1-row (n, total) broadcast attach
+                                  # (log-term normalizer)
 }
 
 
