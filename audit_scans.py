@@ -10,6 +10,13 @@ refactoring queries and diff the output against the documented
 expectations below.
 
 Expected multi-scans (all reviewed):
+- r07 batch 18/19: event_next_prediction_eval events x1 (persisted
+  transition frame feeds train count + test eval);
+  daily_revenue_leadlag_xcorr orders x1 (persisted lead frame feeds
+  one tiny moment agg per lag); lineitem_spearman_corr lineitem x1
+  (both rank windows and the moment agg share one sort pipeline);
+  events_raking_weights events x1 (n_full and n_sample from one
+  conditional agg)
 - r07 batch 13/14: retrieval_ndcg_mrr embeddings x6 — ONE full-width
   corpus-scoring scan (the knn family shape); the other five are the
   20-row probe filter and (vec_id,label)-pruned side frames (labels,

@@ -4729,9 +4729,10 @@ def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same cost profile at any scale. o_totalprice > 0 by
     construction so every ln input is positive."""
     orders = load_table(spark, sf_dir, "orders")
+    # persisted: feeds the 1-row total agg AND the term frame
     spend = orders.groupBy("o_custkey").agg(
         exact_sum(F.col("o_totalprice")).alias("x")
-    )
+    ).persist()
     tot = spend.agg(
         F.count("*").alias("n"),
         F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("s"),

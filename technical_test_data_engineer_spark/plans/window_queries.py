@@ -3827,3 +3827,400 @@ def ab_test_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+@query(
+    "event_next_prediction_eval",
+    """
+    WITH seq AS (
+        SELECT (CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100) < 80 AS in_train,
+               event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev
+        FROM events
+    ),
+    train AS (
+        SELECT prev AS from_type, event_type AS to_type,
+               COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL AND in_train
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT from_type, to_type AS predicted_next
+        FROM train
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY from_type ORDER BY n DESC, to_type
+        ) = 1
+    ),
+    test AS (
+        SELECT prev AS from_type, event_type AS to_type
+        FROM seq WHERE prev IS NOT NULL AND NOT in_train
+    ),
+    ev AS (
+        SELECT t.from_type, p.predicted_next,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(COUNT(CASE WHEN t.to_type = p.predicted_next
+                                THEN 1 END) AS BIGINT) AS n_hits
+        FROM test t LEFT JOIN pred p ON t.from_type = p.from_type
+        GROUP BY 1, 2
+    )
+    SELECT from_type, predicted_next, n_test, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_test, 6) AS accuracy,
+           ROUND(CAST(SUM(n_hits) OVER () AS DOUBLE)
+                 / SUM(n_test) OVER (), 6) AS overall_accuracy
+    FROM ev
+    ORDER BY from_type
+    """,
+)
+def event_next_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction evaluated the way a training pipeline
+    actually ships it: fit the Markov top-1 next-event table on an
+    80% md5-bucket USER split (the house split convention — grouping
+    by user prevents the leakage a row-level split would cause, since
+    one user's transitions would straddle train and test), then score
+    top-1 accuracy per from-state on the held-out 20% — turning
+    ``event_transition_probs``' descriptive matrix into a measured
+    model with a train/eval contract. Argmax is on integer counts with
+    lexicographic tiebreak, so the prediction table is drift-proof.
+    Plan: ONE user-partitioned lag window builds all transitions (the
+    transition-probs shape); the persisted transition frame feeds the
+    train count and the test eval; the prediction table is
+    states²-bounded and broadcast onto the test counts. At 100 TB the
+    only full-data cost is the lag window — everything downstream is
+    vocabulary-sized."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+    from technical_test_data_engineer_spark.operators.windows import (
+        top1_per_group,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    # persisted: feeds the train transition count AND the test eval
+    seq = (
+        events.select(
+            (md5_bucket(F.col("user_id").cast("string")) < 80).alias(
+                "in_train"
+            ),
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .persist()
+    )
+    train = (
+        seq.filter("in_train")
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    pred = top1_per_group(
+        train, ["from_type"], [F.desc("n"), F.asc("to_type")]
+    ).select("from_type", F.col("to_type").alias("predicted_next"))
+    test = seq.filter(~F.col("in_train")).select(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    )
+    ev = (
+        test.join(F.broadcast(pred), "from_type", "left")
+        .groupBy("from_type", "predicted_next")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.count(
+                F.when(F.col("to_type") == F.col("predicted_next"), 1)
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    wg = Window.partitionBy()
+    return ev.select(
+        "from_type",
+        "predicted_next",
+        "n_test",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_test"), 6).alias(
+            "accuracy"
+        ),
+        F.round(
+            F.sum("n_hits").over(wg).cast("double")
+            / F.sum("n_test").over(wg),
+            6,
+        ).alias("overall_accuracy"),
+    ).orderBy("from_type")
+
+
+@query(
+    "events_raking_weights",
+    """
+    WITH grid AS (
+        SELECT event_type,
+               ISODOW(CAST(ts AS TIMESTAMP)) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_full,
+               CAST(COUNT(CASE WHEN (CAST('0x' || SUBSTRING(
+                        MD5(CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 100) < 10 THEN 1 END) AS BIGINT)
+                   AS n_sample
+        FROM events
+        GROUP BY 1, 2
+    ),
+    g1 AS (
+        SELECT *,
+               SUM(n_full) OVER (PARTITION BY event_type) AS nt,
+               SUM(n_full) OVER (PARTITION BY dow) AS nd,
+               ROUND(CAST(SUM(n_full) OVER (PARTITION BY event_type)
+                          AS DOUBLE)
+                     / NULLIF(SUM(n_sample) OVER (PARTITION BY event_type),
+                              0), 12) AS w1
+        FROM grid
+    ),
+    g2 AS (
+        SELECT *,
+               ROUND(w1 * (CAST(nd AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(ROUND(n_sample * w1, 9)
+                                        AS DECIMAL(30,15)))
+                               OVER (PARTITION BY dow) AS DOUBLE), 0)),
+                     12) AS w2
+        FROM g1
+    ),
+    g3 AS (
+        SELECT *,
+               ROUND(w2 * (CAST(nt AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(ROUND(n_sample * w2, 9)
+                                        AS DECIMAL(30,15)))
+                               OVER (PARTITION BY event_type) AS DOUBLE),
+                          0)), 12) AS w3
+        FROM g2
+    ),
+    g4 AS (
+        SELECT *,
+               ROUND(w3 * (CAST(nd AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(ROUND(n_sample * w3, 9)
+                                        AS DECIMAL(30,15)))
+                               OVER (PARTITION BY dow) AS DOUBLE), 0)),
+                     12) AS w4
+        FROM g3
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           n_sample, n_full,
+           ROUND(w4, 6) AS weight,
+           ROUND(n_sample * w4, 6) AS est_total
+    FROM g4
+    ORDER BY event_type, dow
+    """,
+)
+def events_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan 1940)
+    — the survey-calibration step a sampled telemetry pipeline runs so
+    a 10% md5-bucket user sample reweights to the full population's
+    (event_type × ISO weekday) margins: two unrolled IPF iterations
+    (type-margin, day-margin, type, day), each a ratio adjustment on
+    the ≤|types|·7-cell grid. Both the sample and full-population
+    grids come from ONE conditional-agg scan (n_full and n_sample per
+    cell in the same groupBy); every IPF step is a window sum over the
+    vocabulary-sized grid, so the 100 TB cost is that single scan
+    regardless of iteration count. Determinism: each weight is rounded
+    to 12 after its ratio step and every margin sum accumulates
+    ROUND(n·w, 9) in DECIMAL — both engines chain identical doubles.
+    NULLIF guards empty-sample margins at tiny scales (weight NULL =
+    cell uncalibratable, surfaced rather than hidden)."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    grid = events.groupBy(
+        "event_type",
+        (F.weekday(F.col("ts").cast("timestamp")) + F.lit(1)).alias("dow"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_full"),
+        F.count(
+            F.when(md5_bucket(F.col("user_id").cast("string")) < 10, 1)
+        )
+        .cast("bigint")
+        .alias("n_sample"),
+    )
+    wt = Window.partitionBy("event_type")
+    wd = Window.partitionBy("dow")
+
+    def margin_sum(expr, win):
+        return (
+            F.sum(F.round(expr, 9).cast("decimal(30,15)"))
+            .over(win)
+            .cast("double")
+        )
+
+    g1 = grid.select(
+        "*",
+        F.sum("n_full").over(wt).alias("nt"),
+        F.sum("n_full").over(wd).alias("nd"),
+        F.round(
+            F.sum("n_full").over(wt).cast("double")
+            / F.nullif(F.sum("n_sample").over(wt), F.lit(0)),
+            12,
+        ).alias("w1"),
+    )
+    g2 = g1.select(
+        "*",
+        F.round(
+            F.col("w1")
+            * (
+                F.col("nd").cast("double")
+                / F.nullif(
+                    margin_sum(F.col("n_sample") * F.col("w1"), wd),
+                    F.lit(0.0),
+                )
+            ),
+            12,
+        ).alias("w2"),
+    )
+    g3 = g2.select(
+        "*",
+        F.round(
+            F.col("w2")
+            * (
+                F.col("nt").cast("double")
+                / F.nullif(
+                    margin_sum(F.col("n_sample") * F.col("w2"), wt),
+                    F.lit(0.0),
+                )
+            ),
+            12,
+        ).alias("w3"),
+    )
+    g4 = g3.select(
+        "*",
+        F.round(
+            F.col("w3")
+            * (
+                F.col("nd").cast("double")
+                / F.nullif(
+                    margin_sum(F.col("n_sample") * F.col("w3"), wd),
+                    F.lit(0.0),
+                )
+            ),
+            12,
+        ).alias("w4"),
+    )
+    return g4.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        "n_sample",
+        "n_full",
+        F.round("w4", 6).alias("weight"),
+        F.round(F.col("n_sample") * F.col("w4"), 6).alias("est_total"),
+    ).orderBy("event_type", "dow")
+
+
+_XCORR_LAGS = (0, 1, 2, 3, 7)
+
+
+def _xcorr_oracle() -> str:
+    lag_cols = ",\n               ".join(
+        f"LEAD(cnt, {k}) OVER (ORDER BY day) AS c{k}" for k in _XCORR_LAGS
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT {k} AS lag, COUNT(c{k}) AS n,
+               CAST(SUM(CASE WHEN c{k} IS NOT NULL
+                    THEN CAST(rev AS DECIMAL(30,10)) END) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c{k} AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(rev * c{k} AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CASE WHEN c{k} IS NOT NULL
+                    THEN CAST(rev * rev AS DECIMAL(38,8)) END) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(c{k} * c{k} AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        FROM lagged"""
+        for k in _XCORR_LAGS
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS rev,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT rev,
+               {lag_cols}
+        FROM daily
+    ),
+    m AS (
+{arms}
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           ROUND((sxy - sx * sy / n)
+                 / NULLIF(SQRT((sxx - sx * sx / n)
+                               * (syy - sy * sy / n)), 0), 6) AS xcorr
+    FROM m
+    ORDER BY lag
+    """
+
+
+@query("daily_revenue_leadlag_xcorr", _xcorr_oracle())
+def daily_revenue_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between today's revenue and order
+    VOLUME k days ahead (k ∈ 0,1,2,3,7) — the demand-sensing readout
+    that tells a forecaster which series leads which and by how much,
+    completing ``daily_revenue_acf``'s single-series diagnostics with
+    the bivariate version. Same sufficient-statistics discipline: one
+    fact-sized agg to the (day, rev, cnt) spine, ONE ordered window
+    computes every lead column, the persisted lag frame feeds one tiny
+    moment agg per lag (pairwise-complete: each lag's x-moments are
+    restricted to rows where the lead exists, so both engines reduce
+    the identical pair set). DECIMAL accumulation throughout; at
+    100 TB the cost is the day-spine agg, the windows run over a
+    years-sized frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        exact_sum("o_totalprice").alias("rev"),
+        F.count("*").cast("double").alias("cnt"),
+    )
+    w = Window.orderBy("day")
+    # persisted: one moment agg per lag shares the lead frame — one
+    # orders scan total (audit_scans r07)
+    lagged = daily.select(
+        "rev",
+        *[F.lead("cnt", k).over(w).alias(f"c{k}") for k in _XCORR_LAGS],
+    ).persist()
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+
+    def m_of(k: int) -> DataFrame:
+        c = F.col(f"c{k}")
+        present = c.isNotNull()
+        return lagged.agg(
+            F.lit(k).alias("lag"),
+            F.count(f"c{k}").alias("n"),
+            F.sum(F.when(present, dec(F.col("rev"))))
+            .cast("double")
+            .alias("sx"),
+            F.sum(dec(c)).cast("double").alias("sy"),
+            F.sum(decp(F.col("rev") * c)).cast("double").alias("sxy"),
+            F.sum(F.when(present, decp(F.col("rev") * F.col("rev"))))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(decp(c * c)).cast("double").alias("syy"),
+        )
+
+    m = m_of(_XCORR_LAGS[0])
+    for k in _XCORR_LAGS[1:]:
+        m = m.unionByName(m_of(k))
+    xc = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.nullif(
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        ),
+        F.lit(0.0),
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(xc, 6).alias("xcorr"),
+    ).orderBy("lag")
