@@ -4760,3 +4760,132 @@ def customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theil_l"),
     )
+
+
+@query(
+    "order_value_decision_stump",
+    """
+    WITH b AS (
+        SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) * 10000 AS bin,
+               COUNT(*) AS n,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS npos
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT bin,
+               SUM(n) OVER (ORDER BY bin) AS nl,
+               SUM(npos) OVER (ORDER BY bin) AS pl,
+               SUM(n) OVER () AS nn,
+               SUM(npos) OVER () AS pp
+        FROM b
+    ),
+    g AS (
+        SELECT bin + 10000 AS split_at,
+               nl, nn - nl AS nr, pl, pp - pl AS pr, nn, pp,
+               1.0 - POW(CAST(pp AS DOUBLE) / nn, 2)
+                   - POW(1.0 - CAST(pp AS DOUBLE) / nn, 2) AS gini_parent,
+               (CAST(nl AS DOUBLE) / nn)
+                   * (1.0 - POW(CAST(pl AS DOUBLE) / nl, 2)
+                          - POW(1.0 - CAST(pl AS DOUBLE) / nl, 2))
+               + (CAST(nn - nl AS DOUBLE) / nn)
+                   * (1.0 - POW(CAST(pp - pl AS DOUBLE) / (nn - nl), 2)
+                          - POW(1.0 - CAST(pp - pl AS DOUBLE) / (nn - nl),
+                                2)) AS gini_split
+        FROM c
+        WHERE nl < nn
+    )
+    SELECT CAST(split_at AS BIGINT) AS split_at,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
+           ROUND(CAST(pl AS DOUBLE) / nl, 6) AS pos_rate_left,
+           ROUND(CAST(pr AS DOUBLE) / nr, 6) AS pos_rate_right,
+           ROUND(gini_parent, 6) AS gini_parent,
+           ROUND(gini_split, 6) AS gini_split,
+           ROUND(gini_parent - gini_split, 6) AS gain
+    FROM g
+    QUALIFY ROW_NUMBER() OVER (
+        ORDER BY ROUND(gini_parent - gini_split, 9) DESC, split_at
+    ) = 1
+    """,
+)
+def order_value_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump on order value predicting urgent priority — the
+    single-feature CART split (best threshold by weighted Gini
+    impurity reduction) that feature-engineering pipelines use both as
+    a baseline model and as a supervised discretizer (the WOE/IV
+    binning query's impurity-driven cousin). Candidate thresholds are
+    the 10k-wide value-bin boundaries, so every split's (n, n_pos)
+    left/right composition comes from ONE cumulative window over the
+    bounded bin frame — the changepoint query's
+    sufficient-statistics discipline: one fact-sized agg, zero
+    per-candidate re-scans at any data size. Argmax on the
+    9-digit-rounded gain with threshold tiebreak (drift-proof rank);
+    all rates are exact integer ratios so both engines score identical
+    doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        (F.floor(F.col("o_totalprice") / 10000).cast("bigint") * 10000).alias(
+            "bin"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+        ).alias("npos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    c = b.select(
+        "bin",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("npos").over(wc).alias("pl"),
+        F.sum("n").over(wg).alias("nn"),
+        F.sum("npos").over(wg).alias("pp"),
+    ).filter(F.col("nl") < F.col("nn"))
+
+    def gini(p, n):
+        r = p.cast("double") / n
+        return F.lit(1.0) - F.pow(r, 2) - F.pow(F.lit(1.0) - r, 2)
+
+    nr = F.col("nn") - F.col("nl")
+    pr = F.col("pp") - F.col("pl")
+    g = c.select(
+        (F.col("bin") + 10000).cast("bigint").alias("split_at"),
+        "nl",
+        nr.alias("nr"),
+        "pl",
+        pr.alias("pr"),
+        gini(F.col("pp"), F.col("nn")).alias("gini_parent"),
+        (
+            (F.col("nl").cast("double") / F.col("nn"))
+            * gini(F.col("pl"), F.col("nl"))
+            + (nr.cast("double") / F.col("nn")) * gini(pr, nr)
+        ).alias("gini_split"),
+    )
+    gain = F.col("gini_parent") - F.col("gini_split")
+    from technical_test_data_engineer_spark.operators.windows import (
+        top1_per_group,
+    )
+
+    best = top1_per_group(
+        g.withColumn("gain9", F.round(gain, 9)),
+        [],
+        [F.desc("gain9"), F.asc("split_at")],
+    )
+    return best.select(
+        "split_at",
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.round(F.col("pl").cast("double") / F.col("nl"), 6).alias(
+            "pos_rate_left"
+        ),
+        F.round(F.col("pr").cast("double") / F.col("nr"), 6).alias(
+            "pos_rate_right"
+        ),
+        F.round("gini_parent", 6).alias("gini_parent"),
+        F.round("gini_split", 6).alias("gini_split"),
+        F.round(gain, 6).alias("gain"),
+    )

@@ -1683,3 +1683,123 @@ def retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "embedding_int8_quant_error",
+    """
+    WITH e AS (
+        SELECT u.i - 1 AS dim, CAST(u.x AS DOUBLE) AS x
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             LATERAL (
+                 SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS i
+             ) u
+    ),
+    mm AS (
+        SELECT dim, MIN(x) AS mn, MAX(x) AS mx,
+               (MAX(x) - MIN(x)) / 255.0 AS scale
+        FROM e GROUP BY dim
+    ),
+    q AS (
+        SELECT e.dim, e.x, mm.mn, mm.mx,
+               e.x - (mm.mn + LEAST(255, GREATEST(0,
+                   FLOOR((e.x - mm.mn) / NULLIF(mm.scale, 0) + 0.5)))
+                   * mm.scale) AS err
+        FROM e JOIN mm ON e.dim = mm.dim
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(mn), 6) AS dim_min,
+           ROUND(MAX(mx), 6) AS dim_max,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(COALESCE(err, 0)), 12)
+                               AS DECIMAL(30,15))) AS DOUBLE)
+                 / COUNT(*), 8) AS mean_abs_err,
+           ROUND(MAX(ROUND(ABS(COALESCE(err, 0)), 9)), 8) AS max_abs_err,
+           ROUND(CAST(SUM(CAST(ROUND(COALESCE(err, 0)
+                                     * COALESCE(err, 0), 15)
+                               AS DECIMAL(30,18))) AS DOUBLE)
+                 / COUNT(*), 10) AS mse
+    FROM q
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the error readout a vector
+    store publishes before switching its ANN index to 8-bit storage
+    (4× memory cut vs float32): per-dimension min/max calibration,
+    symmetric-grid quantize q = clamp(floor((x−min)/scale + .5)),
+    reconstruct, and report per-dimension mean/max absolute error and
+    MSE. floor(+0.5) rather than ROUND so both engines use the
+    identical half-up rule on doubles; constant dimensions (scale 0)
+    quantize error-free via the NULLIF/COALESCE guard. Plan: ONE
+    posexplode of the corpus persisted, a dims-sized min/max agg
+    broadcast back onto it, error algebra scan-side, one dims-keyed
+    agg out — two passes over the exploded frame, zero joins at corpus
+    width. At 100 TB the exploded frame never materializes wider than
+    (dim, x) and the calibration table is dims-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: feeds the dims-sized calibration agg AND the error pass
+    e = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    ).persist()
+    mm = e.groupBy("dim").agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("scale"),
+    )
+    j = e.join(F.broadcast(mm), "dim")
+    qv = F.least(
+        F.lit(255.0),
+        F.greatest(
+            F.lit(0.0),
+            F.floor(
+                (F.col("x") - F.col("mn"))
+                / F.nullif(F.col("scale"), F.lit(0.0))
+                + F.lit(0.5)
+            ).cast("double"),
+        ),
+    )
+    err = F.coalesce(
+        F.col("x") - (F.col("mn") + qv * F.col("scale")), F.lit(0.0)
+    )
+    q = j.select("dim", "mn", "mx", err.alias("err"))
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("mn"), 6).alias("dim_min"),
+            F.round(F.max("mx"), 6).alias("dim_max"),
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("err")), 12).cast("decimal(30,15)")
+                ).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("mean_abs_err"),
+            F.round(F.max(F.round(F.abs(F.col("err")), 9)), 8).alias(
+                "max_abs_err"
+            ),
+            F.round(
+                F.sum(
+                    F.round(F.col("err") * F.col("err"), 15).cast(
+                        "decimal(30,18)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                10,
+            ).alias("mse"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "dim_min",
+            "dim_max",
+            "mean_abs_err",
+            "max_abs_err",
+            "mse",
+        )
+        .orderBy("dim")
+    )

@@ -2418,3 +2418,93 @@ def source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+@query(
+    "vocab_coverage_curve",
+    """
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY term),
+    r AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk,
+               SUM(c) OVER (ORDER BY c DESC, term) AS cum,
+               SUM(c) OVER () AS total,
+               COUNT(*) OVER () AS vocab
+        FROM tf
+    ),
+    ks AS (SELECT UNNEST([10, 100, 1000]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(MAX(r.vocab) AS BIGINT) AS vocab_size,
+           CAST(MAX(r.total) AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN r.rnk <= ks.k THEN r.cum END) AS BIGINT)
+               AS covered_tokens,
+           ROUND(CAST(MAX(CASE WHEN r.rnk <= ks.k THEN r.cum END)
+                      AS DOUBLE) / MAX(r.total), 6) AS coverage
+    FROM ks CROSS JOIN r
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve — what share of all token
+    OCCURRENCES the k most frequent terms absorb (k ∈ 10/100/1000):
+    the readout a tokenizer-budget decision reads next to Zipf's slope
+    (``vocab_zipf_slope``) and Heaps' growth (``vocab_growth_curve``),
+    since coverage at the planned vocab size is exactly the fraction
+    of text a fixed vocabulary encodes without falling back to UNK/
+    byte-level pieces. One token explode + term count (the TF shape);
+    everything after is VOCABULARY-sized: one rank-ordered cumulative
+    window with (count desc, term) total order — integer counts only,
+    so the curve is bit-identical across engines. The k-ladder is a
+    3-row literal frame; at 100 TB only the term count touches corpus
+    volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    wg = Window.partitionBy()
+    r = tf.select(
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("c").over(wg).alias("total"),
+        F.count("*").over(wg).alias("vocab"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(10,), (100,), (1000,)], "k int"
+    )
+    j = F.broadcast(ks).crossJoin(r)
+    return (
+        j.groupBy("k")
+        .agg(
+            F.max("vocab").cast("bigint").alias("vocab_size"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.round(
+                F.max(
+                    F.when(F.col("rnk") <= F.col("k"), F.col("cum"))
+                ).cast("double")
+                / F.max("total"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "vocab_size",
+            "total_tokens",
+            "covered_tokens",
+            "coverage",
+        )
+        .orderBy("k")
+    )

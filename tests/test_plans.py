@@ -347,6 +347,8 @@ _NONEQUI_ALLOWLIST = {
                                   # moves only k x types rows)
     "customer_theil_index",       # 1-row (n, total) broadcast attach
                                   # (log-term normalizer)
+    "vocab_coverage_curve",       # 3-row literal k-ladder broadcast
+                                  # cross onto the vocab-sized frame
 }
 
 
