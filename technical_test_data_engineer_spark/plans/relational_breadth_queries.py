@@ -4889,3 +4889,222 @@ def order_value_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gini_split", 6).alias("gini_split"),
         F.round(gain, 6).alias("gain"),
     )
+
+
+@query(
+    "customer_mahalanobis_outliers",
+    """
+    WITH feat AS (
+        SELECT c.c_custkey, c.c_acctbal AS x1,
+               CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(30,10))),
+                             0) AS DOUBLE) AS x2
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x1 AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x2 AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,8))) AS DOUBLE) AS s11,
+               CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,8))) AS DOUBLE) AS s22,
+               CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,8))) AS DOUBLE) AS s12
+        FROM feat
+    ),
+    cov AS (
+        SELECT n, s1 / n AS m1, s2 / n AS m2,
+               s11 / n - (s1 / n) * (s1 / n) AS v11,
+               s22 / n - (s2 / n) * (s2 / n) AS v22,
+               s12 / n - (s1 / n) * (s2 / n) AS v12
+        FROM m
+    ),
+    d AS (
+        SELECT f.c_custkey, f.x1, f.x2,
+               ((f.x1 - c.m1) * (f.x1 - c.m1) * c.v22
+                - 2 * (f.x1 - c.m1) * (f.x2 - c.m2) * c.v12
+                + (f.x2 - c.m2) * (f.x2 - c.m2) * c.v11)
+               / NULLIF(c.v11 * c.v22 - c.v12 * c.v12, 0) AS d2
+        FROM feat f CROSS JOIN cov c
+    )
+    SELECT c_custkey, ROUND(x1, 2) AS acctbal, ROUND(x2, 2) AS spend,
+           ROUND(d2, 6) AS mahalanobis_d2
+    FROM d
+    ORDER BY ROUND(d2, 9) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def customer_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier screen: squared Mahalanobis distance of
+    each customer in (account balance, lifetime spend) space — the
+    covariance-aware anomaly score that catches points univariate
+    z-scores miss (a customer whose balance AND spend are individually
+    unremarkable but jointly inconsistent). The 2×2 covariance inverts
+    in closed form (d² = [(dx)²v22 − 2·dx·dy·v12 + (dy)²v11]/det), so
+    the whole statistic is: one left-join agg to the feature frame,
+    one 1-row DECIMAL moment reduce, a broadcast attach, scan-side
+    algebra, top-20 by 9-digit-rounded distance with key tiebreak
+    (drift-proof rank). No sort until the TakeOrdered top-k; at 100 TB
+    the cost is the feature build. NULLIF guards a singular covariance
+    (degenerate fixtures)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    feat = (
+        cust.select("c_custkey", "c_acctbal")
+        .join(
+            orders.select("o_custkey", "o_totalprice"),
+            cust.c_custkey == orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")),
+                F.lit(0).cast("decimal(30,10)"),
+            )
+            .cast("double")
+            .alias("x2")
+        )
+        .withColumnRenamed("c_acctbal", "x1")
+        .persist()  # feeds the 1-row moment reduce AND the distance pass
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    m = feat.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x1"))).cast("double").alias("s1"),
+        F.sum(dec(F.col("x2"))).cast("double").alias("s2"),
+        F.sum(decp(F.col("x1") * F.col("x1"))).cast("double").alias("s11"),
+        F.sum(decp(F.col("x2") * F.col("x2"))).cast("double").alias("s22"),
+        F.sum(decp(F.col("x1") * F.col("x2"))).cast("double").alias("s12"),
+    )
+    cov = m.select(
+        (F.col("s1") / F.col("n")).alias("m1"),
+        (F.col("s2") / F.col("n")).alias("m2"),
+        (
+            F.col("s11") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("v11"),
+        (
+            F.col("s22") / F.col("n")
+            - (F.col("s2") / F.col("n")) * (F.col("s2") / F.col("n"))
+        ).alias("v22"),
+        (
+            F.col("s12") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s2") / F.col("n"))
+        ).alias("v12"),
+    )
+    j = feat.crossJoin(F.broadcast(cov))
+    dx = F.col("x1") - F.col("m1")
+    dy = F.col("x2") - F.col("m2")
+    det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
+    d2 = (
+        dx * dx * F.col("v22") - 2 * dx * dy * F.col("v12") + dy * dy * F.col("v11")
+    ) / F.nullif(det, F.lit(0.0))
+    return (
+        j.select(
+            "c_custkey",
+            F.round("x1", 2).alias("acctbal"),
+            F.round("x2", 2).alias("spend"),
+            d2.alias("d2"),
+        )
+        .orderBy(F.round(F.col("d2"), 9).desc(), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "acctbal",
+            "spend",
+            F.round("d2", 6).alias("mahalanobis_d2"),
+        )
+    )
+
+
+@query(
+    "nation_supplier_hhi",
+    """
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(30,10))) AS DOUBLE) AS r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    sh AS (
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS total,
+               CAST(SUM(CAST(ROUND(POW(r, 2), 4) AS DECIMAL(38,4)))
+                    AS DOUBLE) AS sumsq
+        FROM rev GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(sh.n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(sh.total, 2) AS total_revenue,
+           ROUND(sh.sumsq / (sh.total * sh.total), 6) AS hhi,
+           ROUND((sh.sumsq / (sh.total * sh.total) - 1.0 / sh.n_suppliers)
+                 / NULLIF(1.0 - 1.0 / sh.n_suppliers, 0), 6)
+               AS hhi_normalized
+    FROM sh JOIN nation n ON sh.s_nationkey = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each nation — the antitrust-style market-concentration
+    gauge (Σ share², 1/n = perfectly even, 1 = monopoly) a sourcing or
+    corpus-mixing dashboard reads to see whether one supplier (or one
+    data source) dominates a market. HHI is computed as Σr²/(Σr)² so
+    it needs NO per-share division: one fact-sized join+agg to
+    (nation, supplier) revenue, then a nations-sized agg where r² is
+    rounded to 4 decimals and DECIMAL-summed order-free (revenues are
+    ~1e7 so r² ~1e14 — DECIMAL(38,4) holds the sum exactly); the
+    normalized variant rescales by the 1/n floor. Broadcast nation
+    dimension for the name. Cost at any scale: the (nation, supplier)
+    agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == sup.s_suppkey,
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,10)")
+            )
+            .cast("double")
+            .alias("r")
+        )
+    )
+    sh = rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("r").cast("decimal(30,10)")).cast("double").alias(
+            "total"
+        ),
+        F.sum(F.round(F.pow(F.col("r"), 2), 4).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sumsq"),
+    )
+    hhi = F.col("sumsq") / (F.col("total") * F.col("total"))
+    return (
+        sh.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            sh.s_nationkey == nat.n_nationkey,
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.round("total", 2).alias("total_revenue"),
+            F.round(hhi, 6).alias("hhi"),
+            F.round(
+                (hhi - 1.0 / F.col("n_suppliers"))
+                / F.nullif(
+                    F.lit(1.0) - 1.0 / F.col("n_suppliers"), F.lit(0.0)
+                ),
+                6,
+            ).alias("hhi_normalized"),
+        )
+        .orderBy("nation")
+    )

@@ -2508,3 +2508,125 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "doc_length_lognormal_fit",
+    """
+    WITH l AS (
+        SELECT ROUND(LN(CAST(len(string_split(text, ' ')) AS DOUBLE)),
+                     12) AS ll
+        FROM documents
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(ll AS DECIMAL(30,15))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(ll * ll, 12) AS DECIMAL(30,15)))
+                    AS DOUBLE) AS ss
+        FROM l
+    ),
+    p AS (
+        SELECT n, s / n AS mu,
+               SQRT(ss / n - (s / n) * (s / n)) AS sigma
+        FROM m
+    ),
+    z AS (
+        SELECT p.n, p.mu, p.sigma,
+               LEAST(9, GREATEST(0, CAST(FLOOR(
+                   10.0 / (1.0 + EXP(-1.702 * ROUND(
+                       (l.ll - p.mu) / NULLIF(p.sigma, 0), 12)))
+               ) AS BIGINT))) AS bin
+        FROM l CROSS JOIN p
+    ),
+    o AS (
+        SELECT bin, MAX(n) AS n, MAX(mu) AS mu, MAX(sigma) AS sigma,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM z GROUP BY bin
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           n_obs,
+           ROUND(CAST(n AS DOUBLE) / 10, 6) AS n_expected,
+           ROUND(mu, 6) AS mu,
+           ROUND(sigma, 6) AS sigma,
+           ROUND(CAST(SUM(CAST(ROUND(
+                     POW(n_obs - CAST(n AS DOUBLE) / 10, 2)
+                     / (CAST(n AS DOUBLE) / 10), 9) AS DECIMAL(30,12)))
+                 OVER () AS DOUBLE), 6) AS chi2
+    FROM o
+    ORDER BY bin
+    """,
+)
+def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-normal goodness-of-fit for document token lengths — the
+    distributional audit a curation pipeline runs before using
+    length-based quality cuts, since web-corpus lengths are
+    canonically log-normal (method-of-moments μ,σ on ln length, then a
+    10-bin probability-integral-transform histogram: if the fit holds,
+    Φ((lnL−μ)/σ) is uniform and every decile bin holds ~n/10 docs; the
+    χ² readout quantifies the misfit). Φ is the house logistic-probit
+    map 1/(1+exp(−1.702z)) — a LITERAL constant both engines evaluate
+    bit-identically (the Bayes-A/B convention) since neither ships
+    erf. Plan: scan-side ln terms rounded to 12 and DECIMAL-summed to
+    the 1-row (μ,σ), broadcast back for bin assignment, a ≤10-row agg
+    out — two passes over the persisted length frame, cost = one scan
+    at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted: feeds the 1-row moment reduce AND the bin-assignment pass
+    l = docs.select(
+        F.round(
+            F.log(F.size(TX.tokens("text")).cast("double")), 12
+        ).alias("ll")
+    ).persist()
+    m = l.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ll").cast("decimal(30,15)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("ll") * F.col("ll"), 12).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    p = m.select(
+        "n",
+        (F.col("s") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("ss") / F.col("n")
+            - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+        ).alias("sigma"),
+    )
+    zed = F.round(
+        (F.col("ll") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0)),
+        12,
+    )
+    phi10 = F.lit(10.0) / (F.lit(1.0) + F.exp(F.lit(-1.702) * zed))
+    z = l.crossJoin(F.broadcast(p)).select(
+        "n",
+        "mu",
+        "sigma",
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(phi10).cast("bigint"))
+        ).alias("bin"),
+    )
+    o = z.groupBy("bin").agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.max("sigma").alias("sigma"),
+        F.count("*").cast("bigint").alias("n_obs"),
+    )
+    exp10 = F.col("n").cast("double") / 10
+    wg = Window.partitionBy()
+    return o.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_obs",
+        F.round(exp10, 6).alias("n_expected"),
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.pow(F.col("n_obs") - exp10, 2) / exp10, 9
+                ).cast("decimal(30,12)")
+            )
+            .over(wg)
+            .cast("double"),
+            6,
+        ).alias("chi2"),
+    ).orderBy("bin")

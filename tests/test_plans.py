@@ -349,6 +349,8 @@ _NONEQUI_ALLOWLIST = {
                                   # (log-term normalizer)
     "vocab_coverage_curve",       # 3-row literal k-ladder broadcast
                                   # cross onto the vocab-sized frame
+    "customer_mahalanobis_outliers",  # 1-row covariance broadcast attach
+    "doc_length_lognormal_fit",   # 1-row (mu, sigma) broadcast attach
 }
 
 
