@@ -4224,3 +4224,428 @@ def daily_revenue_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(xc, 6).alias("xcorr"),
     ).orderBy("lag")
+
+
+@query(
+    "monthly_revenue_gumbel",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    mx AS (
+        SELECT DATE_TRUNC('month', day) AS month, MAX(rev) AS m
+        FROM daily GROUP BY 1
+    ),
+    mo AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(m AS DECIMAL(30,10))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(m * m AS DECIMAL(38,8))) AS DOUBLE) AS ss
+        FROM mx
+    ),
+    p AS (
+        SELECT n, s / n AS mean_max,
+               SQRT(ss / n - (s / n) * (s / n)) AS sd_max
+        FROM mo
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           ROUND(mean_max, 2) AS mean_max,
+           ROUND(sd_max, 2) AS sd_max,
+           ROUND(sd_max * SQRT(6.0) / 3.141592653589793, 6) AS beta,
+           ROUND(mean_max - 0.5772156649015329
+                 * (sd_max * SQRT(6.0) / 3.141592653589793), 6) AS mu,
+           ROUND((mean_max - 0.5772156649015329
+                  * (sd_max * SQRT(6.0) / 3.141592653589793))
+                 - (sd_max * SQRT(6.0) / 3.141592653589793)
+                   * LN(-LN(1.0 - 1.0 / 12.0)), 6) AS return_level_12m
+    FROM p
+    """,
+)
+def monthly_revenue_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel) fit on monthly block maxima of daily
+    revenue — the capacity-planning readout: method-of-moments
+    β = σ√6/π, μ = x̄ − γβ (Euler-Mascheroni γ as a LITERAL, the house
+    shared-constant convention) and the 12-month return level
+    μ − β·ln(−ln(1−1/T)) — 'the daily peak you should provision for
+    once a year'. Block-maxima + MoM is the classical Gumbel recipe
+    (Coles 2001 ch.3); the fit runs entirely on sufficient statistics:
+    one fact-sized day agg, one months-sized max, one 1-row DECIMAL
+    moment reduce — nothing at corpus width beyond the first agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev"))
+    mx = daily.groupBy(F.date_trunc("month", F.col("day")).alias("month")).agg(
+        F.max("rev").alias("m")
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    mo = mx.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("m"))).cast("double").alias("s"),
+        F.sum(decp(F.col("m") * F.col("m"))).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    return mo.select(
+        F.col("n").cast("bigint").alias("n_months"),
+        F.round(mean, 2).alias("mean_max"),
+        F.round(sd, 2).alias("sd_max"),
+        F.round(beta, 6).alias("beta"),
+        F.round(mu, 6).alias("mu"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(12.0))),
+            6,
+        ).alias("return_level_12m"),
+    )
+
+
+@query(
+    "ab_test_bh_fdr",
+    """
+    WITH u AS (
+        SELECT c.c_mktsegment AS segment,
+               (o.o_custkey % 2 = 0) AS in_a,
+               CAST(o.o_totalprice AS DOUBLE) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    arm AS (
+        SELECT segment,
+               COUNT(CASE WHEN in_a THEN 1 END) AS na,
+               COUNT(CASE WHEN NOT in_a THEN 1 END) AS nb,
+               CAST(SUM(CASE WHEN in_a THEN CAST(v AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS sa,
+               CAST(SUM(CASE WHEN NOT in_a THEN CAST(v AS DECIMAL(30,10))
+                             ELSE CAST(0 AS DECIMAL(30,10)) END)
+                    AS DOUBLE) AS sb,
+               CAST(SUM(CASE WHEN in_a THEN CAST(v * v AS DECIMAL(38,8))
+                             ELSE CAST(0 AS DECIMAL(38,8)) END)
+                    AS DOUBLE) AS qa,
+               CAST(SUM(CASE WHEN NOT in_a THEN CAST(v * v AS DECIMAL(38,8))
+                             ELSE CAST(0 AS DECIMAL(38,8)) END)
+                    AS DOUBLE) AS qb
+        FROM u GROUP BY segment
+    ),
+    z AS (
+        SELECT segment, na, nb,
+               (sa / na - sb / nb)
+               / SQRT((qa / na - (sa / na) * (sa / na)) / na
+                      + (qb / nb - (sb / nb) * (sb / nb)) / nb) AS zval
+        FROM arm
+    ),
+    pv AS (
+        SELECT segment, na, nb, zval,
+               ROUND(2.0 * (1.0 - 1.0
+                   / (1.0 + EXP(-1.702 * ABS(zval)))), 12) AS p
+        FROM z
+    ),
+    r AS (
+        SELECT segment, na, nb, zval, p,
+               ROW_NUMBER() OVER (ORDER BY p, segment) AS rnk,
+               COUNT(*) OVER () AS m
+        FROM pv
+    ),
+    cr AS (
+        SELECT *,
+               MAX(CASE WHEN p <= rnk * 0.10 / m THEN rnk ELSE 0 END)
+                   OVER () AS k_star
+        FROM r
+    )
+    SELECT segment,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(zval, 6) AS z,
+           ROUND(p, 6) AS p_value,
+           CAST(rnk AS INTEGER) AS p_rank,
+           ROUND(rnk * 0.10 / m, 6) AS bh_threshold,
+           (rnk <= k_star) AS discovery
+    FROM cr
+    ORDER BY p_rank
+    """,
+)
+def ab_test_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over per-segment treatment
+    tests — the multiple-testing step every experimentation platform
+    applies before reading segment-level 'wins' (5 segments tested at
+    once inflate false positives; BH bounds the expected false-
+    discovery share at q = 0.10 by the step-up rule: largest k with
+    p_(k) ≤ k·q/m, everything ranked at or below k is a discovery —
+    including p-values above their own threshold, the step-up subtlety
+    a naive per-row comparison gets wrong). Per-segment Welch z on
+    even/odd customer arms from one join+agg of DECIMAL sufficient
+    statistics; p-values via the house literal logistic-probit Φ,
+    rounded to 12 BEFORE ranking so the BH order is drift-proof.
+    Everything after the fact-sized agg runs on the 5-row test frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(30,10)")
+    zerop = F.lit(0).cast("decimal(38,8)")
+    u = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_custkey") % 2 == 0).alias("in_a"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    a = F.col("in_a")
+    arm = u.groupBy("segment").agg(
+        F.count(F.when(a, 1)).alias("na"),
+        F.count(F.when(~a, 1)).alias("nb"),
+        F.sum(F.when(a, dec(F.col("v"))).otherwise(zero))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(~a, dec(F.col("v"))).otherwise(zero))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(a, decp(F.col("v") * F.col("v"))).otherwise(zerop))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(~a, decp(F.col("v") * F.col("v"))).otherwise(zerop))
+        .cast("double")
+        .alias("qb"),
+    )
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    zval = (ma - mb) / F.sqrt(
+        (F.col("qa") / F.col("na") - ma * ma) / F.col("na")
+        + (F.col("qb") / F.col("nb") - mb * mb) / F.col("nb")
+    )
+    pv = arm.select(
+        "segment",
+        "na",
+        "nb",
+        zval.alias("zval"),
+        F.round(
+            F.lit(2.0)
+            * (
+                F.lit(1.0)
+                - F.lit(1.0)
+                / (F.lit(1.0) + F.exp(F.lit(-1.702) * F.abs(zval)))
+            ),
+            12,
+        ).alias("p"),
+    )
+    wr = Window.orderBy(F.asc("p"), F.asc("segment"))
+    wg = Window.partitionBy()
+    r = pv.select(
+        "*",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wg).alias("m"),
+    )
+    cr = r.select(
+        "*",
+        F.max(
+            F.when(
+                F.col("p") <= F.col("rnk") * 0.10 / F.col("m"), F.col("rnk")
+            ).otherwise(F.lit(0))
+        )
+        .over(wg)
+        .alias("k_star"),
+    )
+    return cr.select(
+        "segment",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("zval", 6).alias("z"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rnk").cast("int").alias("p_rank"),
+        F.round(F.col("rnk") * 0.10 / F.col("m"), 6).alias("bh_threshold"),
+        (F.col("rnk") <= F.col("k_star")).alias("discovery"),
+    ).orderBy("p_rank")
+
+
+@query(
+    "daily_revenue_hurst",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    blocks AS (
+        SELECT s.size, sp.rev, sp.rn,
+               CAST(FLOOR((sp.rn - 1) / s.size) AS BIGINT) AS blk,
+               sp.rn - CAST(FLOOR((sp.rn - 1) / s.size) AS BIGINT)
+                   * s.size AS pos
+        FROM spine sp
+        CROSS JOIN (SELECT UNNEST([8, 16, 32, 64]) AS size) s
+        WHERE FLOOR((sp.rn - 1) / s.size) < FLOOR(sp.n / s.size)
+    ),
+    cum AS (
+        SELECT size, blk, pos,
+               CAST(SUM(CAST(rev AS DECIMAL(30,10))) OVER (
+                   PARTITION BY size, blk ORDER BY rn) AS DOUBLE)
+                   AS prefix,
+               CAST(SUM(CAST(rev AS DECIMAL(30,10))) OVER (
+                   PARTITION BY size, blk) AS DOUBLE) / size AS mean,
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,8))) OVER (
+                   PARTITION BY size, blk) AS DOUBLE) / size AS m2
+        FROM blocks
+    ),
+    rs AS (
+        SELECT size, blk,
+               MAX(prefix - pos * mean) - MIN(prefix - pos * mean) AS r,
+               SQRT(MAX(m2) - MAX(mean) * MAX(mean)) AS s
+        FROM cum GROUP BY size, blk
+    ),
+    lnrs AS (
+        SELECT size,
+               ROUND(LN(NULLIF(r, 0) / NULLIF(s, 0)), 12) AS y
+        FROM rs
+    ),
+    per_size AS (
+        SELECT size,
+               CAST(COUNT(y) AS BIGINT) AS n_blocks,
+               ROUND(CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE)
+                     / COUNT(y), 12) AS mean_ln_rs
+        FROM lnrs GROUP BY size
+    ),
+    reg AS (
+        SELECT size, n_blocks, mean_ln_rs,
+               COUNT(*) OVER () AS np,
+               SUM(CAST(ROUND(LN(CAST(size AS DOUBLE)), 12)
+                        AS DECIMAL(30,15))) OVER () AS sx,
+               SUM(CAST(mean_ln_rs AS DECIMAL(30,15))) OVER () AS sy,
+               SUM(CAST(ROUND(LN(CAST(size AS DOUBLE)) * mean_ln_rs, 12)
+                        AS DECIMAL(30,15))) OVER () AS sxy,
+               SUM(CAST(ROUND(LN(CAST(size AS DOUBLE))
+                              * LN(CAST(size AS DOUBLE)), 12)
+                        AS DECIMAL(30,15))) OVER () AS sxx
+        FROM per_size
+    )
+    SELECT CAST(size AS INTEGER) AS block_size,
+           n_blocks,
+           ROUND(mean_ln_rs, 6) AS mean_ln_rs,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / np)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / np), 6) AS hurst
+    FROM reg
+    ORDER BY block_size
+    """,
+)
+def daily_revenue_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    revenue series (Hurst 1951; Mandelbrot & Wallis 1969) — the
+    long-memory diagnostic beside the ACF and runs test: H ≈ 0.5 means
+    the series forgets (random walk increments), H > 0.5 persistent
+    trends, H < 0.5 mean reversion — which tells a forecaster whether
+    long-horizon smoothing helps at all. For each literal block size
+    s ∈ {8,16,32,64}: split the day spine into full blocks, per block
+    compute R = range of cumulative mean-deviations and S = population
+    sd, average ln(R/S) per size, then H = OLS slope of mean ln(R/S)
+    on ln s. Plan: one fact-sized day agg; the 4-size ladder
+    broadcast-crosses the day spine (4× a years-sized frame); block
+    prefix sums are one (size, blk)-partitioned window with DECIMAL
+    accumulation; the regression runs on a 4-row frame with the
+    house round-then-DECIMAL-sum discipline. Degenerate blocks
+    (R or S = 0) drop via NULLIF on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev"))
+    spine = daily.select(
+        "rev",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    sizes = spark.createDataFrame([(8,), (16,), (32,), (64,)], "size int")
+    blocks = (
+        spine.crossJoin(F.broadcast(sizes))
+        .withColumn(
+            "blk", F.floor((F.col("rn") - 1) / F.col("size")).cast("bigint")
+        )
+        .filter(F.col("blk") < F.floor(F.col("n") / F.col("size")))
+        .select(
+            "size",
+            "rev",
+            "rn",
+            "blk",
+            (F.col("rn") - F.col("blk") * F.col("size")).alias("pos"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    wb = Window.partitionBy("size", "blk")
+    wbo = wb.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    cum = blocks.select(
+        "size",
+        "blk",
+        "pos",
+        F.sum(dec(F.col("rev"))).over(wbo).cast("double").alias("prefix"),
+        (F.sum(dec(F.col("rev"))).over(wb).cast("double") / F.col("size")).alias(
+            "mean"
+        ),
+        (
+            F.sum(decp(F.col("rev") * F.col("rev"))).over(wb).cast("double")
+            / F.col("size")
+        ).alias("m2"),
+    )
+    dev = F.col("prefix") - F.col("pos") * F.col("mean")
+    rs = cum.groupBy("size", "blk").agg(
+        (F.max(dev) - F.min(dev)).alias("r"),
+        F.sqrt(F.max("m2") - F.max("mean") * F.max("mean")).alias("s"),
+    )
+    lnrs = rs.select(
+        "size",
+        F.round(
+            F.log(
+                F.nullif(F.col("r"), F.lit(0.0))
+                / F.nullif(F.col("s"), F.lit(0.0))
+            ),
+            12,
+        ).alias("y"),
+    )
+    per_size = lnrs.groupBy("size").agg(
+        F.count("y").cast("bigint").alias("n_blocks"),
+        F.round(
+            F.sum(F.col("y").cast("decimal(30,15)")).cast("double")
+            / F.count("y"),
+            12,
+        ).alias("mean_ln_rs"),
+    )
+    lx = F.round(F.log(F.col("size").cast("double")), 12)
+    wg = Window.partitionBy()
+    d15 = "decimal(30,15)"
+    reg = per_size.select(
+        "size",
+        "n_blocks",
+        "mean_ln_rs",
+        F.count("*").over(wg).alias("np"),
+        F.sum(lx.cast(d15)).over(wg).cast("double").alias("sx"),
+        F.sum(F.col("mean_ln_rs").cast(d15)).over(wg).cast("double").alias(
+            "sy"
+        ),
+        F.sum(F.round(lx * F.col("mean_ln_rs"), 12).cast(d15))
+        .over(wg)
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(lx * lx, 12).cast(d15))
+        .over(wg)
+        .cast("double")
+        .alias("sxx"),
+    )
+    return reg.select(
+        F.col("size").cast("int").alias("block_size"),
+        "n_blocks",
+        F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np")),
+            6,
+        ).alias("hurst"),
+    ).orderBy("block_size")

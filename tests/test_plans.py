@@ -351,6 +351,8 @@ _NONEQUI_ALLOWLIST = {
                                   # cross onto the vocab-sized frame
     "customer_mahalanobis_outliers",  # 1-row covariance broadcast attach
     "doc_length_lognormal_fit",   # 1-row (mu, sigma) broadcast attach
+    "daily_revenue_hurst",        # 4-row literal block-size ladder
+                                  # broadcast cross onto the day spine
 }
 
 
