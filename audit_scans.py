@@ -10,6 +10,9 @@ refactoring queries and diff the output against the documented
 expectations below.
 
 Expected multi-scans (all reviewed):
+- r07 batch 20: term_burstiness documents x2 — the second scan is the
+  1-row COUNT(*) doc-total attach, a column-pruned footer count
+  cheaper than persisting the exploded token frame
 - r07 batch 18/19: event_next_prediction_eval events x1 (persisted
   transition frame feeds train count + test eval);
   daily_revenue_leadlag_xcorr orders x1 (persisted lead frame feeds

@@ -5108,3 +5108,131 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "nation_jackknife_mean",
+    """
+    WITH grp AS (
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_g,
+               SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS s_g
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    t AS (
+        SELECT nation, n_g, s_g,
+               SUM(n_g) OVER () AS nn,
+               SUM(s_g) OVER () AS ss,
+               COUNT(*) OVER () AS gg
+        FROM grp
+    ),
+    pv AS (
+        SELECT nation, n_g, gg,
+               CAST(ss AS DOUBLE) / nn AS mean_full,
+               CAST(ss - s_g AS DOUBLE) / (nn - n_g) AS loo_mean,
+               gg * (CAST(ss AS DOUBLE) / nn)
+                 - (gg - 1) * (CAST(ss - s_g AS DOUBLE) / (nn - n_g))
+                 AS pseudo
+        FROM t
+    ),
+    se AS (
+        SELECT *,
+               CAST(SUM(CAST(ROUND(pseudo, 9) AS DECIMAL(30,12)))
+                    OVER () AS DOUBLE) / gg AS pbar
+        FROM pv
+    )
+    SELECT nation,
+           CAST(n_g AS BIGINT) AS n_orders,
+           ROUND(loo_mean, 6) AS loo_mean,
+           ROUND(pseudo, 6) AS pseudovalue,
+           ROUND(SQRT(CAST(SUM(CAST(ROUND(POW(pseudo - pbar, 2), 6)
+                                    AS DECIMAL(30,12))) OVER ()
+                           AS DOUBLE) / (gg * (gg - 1))), 6) AS jk_se
+    FROM se
+    ORDER BY nation
+    """,
+)
+def nation_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife for the global mean order value with
+    customer nations as the resampling blocks (Tukey 1958; the grouped
+    variant survey statisticians use when observations cluster): each
+    nation's leave-it-out mean and pseudo-value G·θ̂ − (G−1)·θ̂₋g, and
+    the jackknife standard error from the pseudo-value spread — the
+    uncertainty readout that respects cluster correlation where the
+    naive iid SE understates it. The whole procedure is closed-form on
+    per-group sufficient statistics: one join+agg to the 25-row
+    (nation, n, Σ) frame, then window algebra — G leave-one-out
+    re-estimates WITHOUT G re-scans, at any scale. Pseudo-values are
+    rounded then DECIMAL-summed for the SE (order-free); all ratios
+    are exact-sum quotients."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    grp = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias(
+                "s_g"
+            ),
+        )
+    )
+    wg = Window.partitionBy()
+    t = grp.select(
+        "nation",
+        "n_g",
+        "s_g",
+        F.sum("n_g").over(wg).alias("nn"),
+        F.sum("s_g").over(wg).alias("ss"),
+        F.count("*").over(wg).alias("gg"),
+    )
+    mean_full = F.col("ss").cast("double") / F.col("nn")
+    loo = (F.col("ss") - F.col("s_g")).cast("double") / (
+        F.col("nn") - F.col("n_g")
+    )
+    pv = t.select(
+        "nation",
+        "n_g",
+        "gg",
+        loo.alias("loo_mean"),
+        (F.col("gg") * mean_full - (F.col("gg") - 1) * loo).alias("pseudo"),
+    )
+    se = pv.select(
+        "*",
+        (
+            F.sum(F.round(F.col("pseudo"), 9).cast("decimal(30,12)"))
+            .over(wg)
+            .cast("double")
+            / F.col("gg")
+        ).alias("pbar"),
+    )
+    return se.select(
+        "nation",
+        F.col("n_g").cast("bigint").alias("n_orders"),
+        F.round("loo_mean", 6).alias("loo_mean"),
+        F.round("pseudo", 6).alias("pseudovalue"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        F.pow(F.col("pseudo") - F.col("pbar"), 2), 6
+                    ).cast("decimal(30,12)")
+                )
+                .over(wg)
+                .cast("double")
+                / (F.col("gg") * (F.col("gg") - 1))
+            ),
+            6,
+        ).alias("jk_se"),
+    ).orderBy("nation")

@@ -2630,3 +2630,71 @@ def doc_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     ).orderBy("bin")
+
+
+@query(
+    "term_burstiness",
+    """
+    WITH td AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ) GROUP BY doc_id, term
+    ),
+    ts AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(c) AS BIGINT) AS tf,
+               CAST(SUM(c * c) AS BIGINT) AS sumc2
+        FROM td GROUP BY term
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, df, tf,
+           ROUND(CAST(sumc2 AS DOUBLE) / tf
+                 - CAST(tf AS DOUBLE) / n_docs, 6) AS vmr
+    FROM ts CROSS JOIN nd
+    ORDER BY df DESC, term
+    LIMIT 50
+    """,
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness — the variance-to-mean ratio of per-document
+    term counts with zero-docs included (Church & Gale 1995): VMR ≈ 1
+    means the term arrives Poisson-uniformly (function words), VMR ≫ 1
+    means it clumps into few documents (topical/content words) — the
+    statistic that separates stopword candidates from keywords better
+    than raw frequency, and the term-level twin of
+    ``daily_arrivals_dispersion``. Zero-inflated moments collapse
+    algebraically (VMR = Σc²/Σc − Σc/N) so the all-docs variance needs
+    only the per-(term, doc) count frame — the TF shape: one explode +
+    two integer-exact keyed aggs, a 1-row doc-count attach, top-50 by
+    (df, term) integer rank. Nothing non-integer reaches the division,
+    so both engines emit identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ts = td.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumc2"),
+    )
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        ts.crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.round(
+                F.col("sumc2").cast("double") / F.col("tf")
+                - F.col("tf").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )

@@ -4649,3 +4649,97 @@ def daily_revenue_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst"),
     ).orderBy("block_size")
+
+
+@query(
+    "event_value_cvm_drift",
+    """
+    WITH g AS (
+        SELECT value AS v,
+               (CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                % 2 = 0) AS in_a
+        FROM events
+    ),
+    pv AS (
+        SELECT v,
+               COUNT(CASE WHEN in_a THEN 1 END) AS c_a,
+               COUNT(CASE WHEN NOT in_a THEN 1 END) AS c_b
+        FROM g GROUP BY v
+    ),
+    cdf AS (
+        SELECT c_a, c_b,
+               SUM(c_a) OVER (ORDER BY v) AS ka,
+               SUM(c_b) OVER (ORDER BY v) AS kb,
+               SUM(c_a) OVER () AS na,
+               SUM(c_b) OVER () AS nb
+        FROM pv
+    ),
+    t AS (
+        SELECT na, nb,
+               ROUND((c_a + c_b)
+                     * POW(CAST(ka AS DOUBLE) / na
+                           - CAST(kb AS DOUBLE) / nb, 2), 12) AS term
+        FROM cdf
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(CAST(MAX(na) AS DOUBLE) * MAX(nb)
+                 / POW(MAX(na) + MAX(nb), 2)
+                 * CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE), 6)
+               AS cvm_t
+    FROM t
+    """,
+)
+def event_value_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic between even- and odd-day
+    event values — the INTEGRAL drift monitor beside
+    ``event_value_ks_drift``'s sup-norm: T = nm/(n+m)² Σ(F_a−F_b)²
+    over the pooled sample weights every CDF gap instead of only the
+    largest, so slow body-of-distribution drift that KS under-reacts
+    to accumulates (Anderson 1962). Same scale shape as KS: one
+    conditional-agg pass collapses the stream to per-distinct-value
+    counts for both samples, one ordered prefix window over the
+    DISTINCT-VALUE relation — and unlike the KS twin the sample totals
+    come from window sums over that same small frame, so the fact is
+    scanned exactly once. Each pooled term is rounded to 12 and
+    DECIMAL-summed order-free."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.select(
+        F.col("value").alias("v"),
+        (F.dayofmonth("ts") % 2 == 0).alias("in_a"),
+    )
+    pv = g.groupBy("v").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("c_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("c_b"),
+    )
+    wo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    cdf = pv.select(
+        "c_a",
+        "c_b",
+        F.sum("c_a").over(wo).alias("ka"),
+        F.sum("c_b").over(wo).alias("kb"),
+        F.sum("c_a").over(wg).alias("na"),
+        F.sum("c_b").over(wg).alias("nb"),
+    )
+    term = F.round(
+        (F.col("c_a") + F.col("c_b"))
+        * F.pow(
+            F.col("ka").cast("double") / F.col("na")
+            - F.col("kb").cast("double") / F.col("nb"),
+            2,
+        ),
+        12,
+    )
+    t = cdf.select("na", "nb", term.alias("term"))
+    return t.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.max("na").cast("double")
+            * F.max("nb")
+            / F.pow(F.max("na") + F.max("nb"), 2)
+            * F.sum(F.col("term").cast("decimal(30,15)")).cast("double"),
+            6,
+        ).alias("cvm_t"),
+    )

@@ -353,6 +353,7 @@ _NONEQUI_ALLOWLIST = {
     "doc_length_lognormal_fit",   # 1-row (mu, sigma) broadcast attach
     "daily_revenue_hurst",        # 4-row literal block-size ladder
                                   # broadcast cross onto the day spine
+    "term_burstiness",            # 1-row doc-count broadcast attach
 }
 
 
