@@ -5236,3 +5236,96 @@ def nation_jackknife_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jk_se"),
     ).orderBy("nation")
+
+
+@query(
+    "part_pps_systematic",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,10))) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+        SELECT l_partkey, r,
+               CAST(SUM(r) OVER (ORDER BY l_partkey) AS DOUBLE)
+                   / CAST(SUM(r) OVER () AS DOUBLE) AS cum,
+               CAST(SUM(r) OVER (ORDER BY l_partkey) - r AS DOUBLE)
+                   / CAST(SUM(r) OVER () AS DOUBLE) AS cum_prev
+        FROM rev
+    ),
+    s AS (
+        SELECT l_partkey,
+               CAST(r AS DOUBLE) AS revenue,
+               cum - cum_prev AS share,
+               CAST(FLOOR(cum * 25) - FLOOR(cum_prev * 25) AS BIGINT)
+                   AS n_inclusions
+        FROM c
+    )
+    SELECT l_partkey, ROUND(revenue, 2) AS revenue,
+           ROUND(share, 6) AS share, n_inclusions
+    FROM s WHERE n_inclusions >= 1
+    ORDER BY l_partkey
+    """,
+)
+def part_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling of parts by
+    revenue — the πps design audit samplers use when big units MUST be
+    seen (a part holding > 1/K of total revenue is selected with
+    certainty, possibly multiple times): lay the units on a [0,1)
+    cumulative-share line in fixed frame order (partkey), drop K = 25
+    equally spaced probes, and a unit is included once per probe its
+    interval covers — floor(cum·K) − floor(cum_prev·K), the
+    closed-form systematic rule that needs NO random start to be a
+    valid πps skeleton (the deterministic variant; production would
+    md5-derive the start offset the house way). Completes the sampling
+    family (hash/stratified/weighted/Neyman/Poisson) with the
+    inclusion-probability-∝-size design. One fact-sized keyed agg,
+    one DECIMAL prefix window over the parts frame; shares are exact
+    decimal ratios surfaced once as doubles, so both engines floor the
+    identical values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,10)"
+            )
+        ).alias("r")
+    )
+    wo = Window.orderBy("l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy()
+    c = rev.select(
+        "l_partkey",
+        "r",
+        (
+            F.sum("r").over(wo).cast("double")
+            / F.sum("r").over(wg).cast("double")
+        ).alias("cum"),
+        (
+            (F.sum("r").over(wo) - F.col("r")).cast("double")
+            / F.sum("r").over(wg).cast("double")
+        ).alias("cum_prev"),
+    )
+    s = c.select(
+        "l_partkey",
+        F.col("r").cast("double").alias("revenue"),
+        (F.col("cum") - F.col("cum_prev")).alias("share"),
+        (
+            F.floor(F.col("cum") * 25) - F.floor(F.col("cum_prev") * 25)
+        )
+        .cast("bigint")
+        .alias("n_inclusions"),
+    )
+    return (
+        s.filter(F.col("n_inclusions") >= 1)
+        .select(
+            "l_partkey",
+            F.round("revenue", 2).alias("revenue"),
+            F.round("share", 6).alias("share"),
+            "n_inclusions",
+        )
+        .orderBy("l_partkey")
+    )

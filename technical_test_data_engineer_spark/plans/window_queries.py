@@ -4743,3 +4743,228 @@ def event_value_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvm_t"),
     )
+
+
+@query(
+    "retention_decay_fit",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS week
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(week) AS cweek FROM uw GROUP BY user_id
+    ),
+    act AS (
+        SELECT CAST(DATEDIFF('day', c.cweek, u.week) / 7 AS BIGINT) AS k,
+               COUNT(DISTINCT u.user_id) AS n_active
+        FROM uw u JOIN cohort c ON u.user_id = c.user_id
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT k, n_active,
+               MAX(CASE WHEN k = 0 THEN n_active END) OVER () AS n0,
+               ROUND(CAST(n_active AS DOUBLE)
+                     / MAX(CASE WHEN k = 0 THEN n_active END) OVER (),
+                     12) AS retention
+        FROM act
+    ),
+    pts AS (
+        SELECT k, n_active, retention,
+               ROUND(LN(retention), 12) AS y
+        FROM r WHERE k >= 1 AND n_active > 0
+    ),
+    reg AS (
+        SELECT k, n_active, retention,
+               COUNT(*) OVER () AS np,
+               SUM(CAST(k AS DECIMAL(30,15))) OVER () AS sx,
+               SUM(CAST(y AS DECIMAL(30,15))) OVER () AS sy,
+               SUM(CAST(ROUND(k * y, 12) AS DECIMAL(30,15))) OVER () AS sxy,
+               SUM(CAST(k * k AS DECIMAL(30,15))) OVER () AS sxx
+        FROM pts
+    )
+    SELECT CAST(k AS INTEGER) AS week_age,
+           CAST(n_active AS BIGINT) AS n_active,
+           ROUND(retention, 6) AS retention,
+           ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / np)
+                 / NULLIF(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / np, 0), 6)
+               AS decay_rate,
+           ROUND(-0.6931471805599453
+                 / NULLIF((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sy AS DOUBLE) / np)
+                          / NULLIF(CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     * CAST(sx AS DOUBLE) / np, 0), 0),
+                 6) AS half_life_weeks
+    FROM reg
+    ORDER BY week_age
+    """,
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric retention-decay fit — the growth-team summary of the
+    retention curve: pooled weekly retention r(k) = active-at-age-k /
+    cohort-0 actives, then OLS of ln r(k) on k gives the per-week
+    decay rate and ln2/|rate| the retention half-life (exponential
+    decay is the canonical first fit; Fader & Hardie's sBG refines it
+    when curves flatten). Extends ``weekly_retention_cohorts``' grid
+    with the fitted summary a dashboard actually tracks. Plan: one
+    distinct (user, week) collapse, a per-user min for the cohort
+    week, one age-keyed count — all keyed shuffles at user width; the
+    regression runs on the ≤weeks-sized age frame with the house
+    round-then-DECIMAL-sum discipline, slope guarded by NULLIF for
+    degenerate single-point fits."""
+    events = load_table(spark, sf_dir, "events")
+    # persisted: feeds the cohort min AND the age join
+    uw = events.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp")).alias("week"),
+    ).distinct().persist()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cweek"))
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            (F.datediff(F.col("week"), F.col("cweek")) / 7)
+            .cast("bigint")
+            .alias("k")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    wg = Window.partitionBy()
+    n0 = F.max(F.when(F.col("k") == 0, F.col("n_active"))).over(wg)
+    r = act.select(
+        "k",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / n0, 12).alias(
+            "retention"
+        ),
+    )
+    pts = r.filter((F.col("k") >= 1) & (F.col("n_active") > 0)).select(
+        "k",
+        "n_active",
+        "retention",
+        F.round(F.log("retention"), 12).alias("y"),
+    )
+    d15 = "decimal(30,15)"
+    reg = pts.select(
+        "k",
+        "n_active",
+        "retention",
+        F.count("*").over(wg).alias("np"),
+        F.sum(F.col("k").cast(d15)).over(wg).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d15)).over(wg).cast("double").alias("sy"),
+        F.sum(F.round(F.col("k") * F.col("y"), 12).cast(d15))
+        .over(wg)
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("k") * F.col("k")).cast(d15))
+        .over(wg)
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np")) / F.nullif(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("np"), F.lit(0.0)
+    )
+    return reg.select(
+        F.col("k").cast("int").alias("week_age"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.round("retention", 6).alias("retention"),
+        F.round(slope, 6).alias("decay_rate"),
+        F.round(
+            F.lit(-0.6931471805599453) / F.nullif(slope, F.lit(0.0)), 6
+        ).alias("half_life_weeks"),
+    ).orderBy("week_age")
+
+
+@query(
+    "events_entropy_rate",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS prev
+        FROM events
+    ),
+    tr AS (
+        SELECT prev AS i, event_type AS j, COUNT(*) AS nij
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT i, j, nij,
+               SUM(nij) OVER (PARTITION BY i) AS ni,
+               SUM(nij) OVER () AS nn,
+               COUNT(DISTINCT j) OVER () AS n_states
+        FROM tr
+    ),
+    t AS (
+        SELECT nn, n_states,
+               ROUND(-(CAST(nij AS DOUBLE) / nn)
+                     * LN(CAST(nij AS DOUBLE) / ni), 12) AS term
+        FROM m
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n_transitions,
+           CAST(MAX(n_states) AS BIGINT) AS n_states,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE), 6)
+               AS entropy_rate,
+           ROUND(LN(CAST(MAX(n_states) AS DOUBLE)), 6) AS max_entropy,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(30,15))) AS DOUBLE)
+                 / LN(CAST(MAX(n_states) AS DOUBLE)), 6)
+               AS relative_entropy
+    FROM t
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov entropy rate of user event streams —
+    H = −Σ_ij p(i,j) ln p(j|i), the predictability ceiling of the
+    process (Shannon): how many nats the NEXT event carries once you
+    know the current one, with the uniform-chain maximum ln|states|
+    and the ratio as a normalized 'how predictable are our users'
+    readout that bounds what ``event_next_prediction_eval``'s model
+    can ever achieve. One user-partitioned lag window (the
+    transition-probs shape) to the states²-bounded transition counts;
+    entropy terms are exact count-ratio logs rounded to 12 and
+    DECIMAL-summed. At 100 TB the lag window is the only corpus-width
+    op."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    tr = seq.groupBy(
+        F.col("prev").alias("i"), F.col("event_type").alias("j")
+    ).agg(F.count("*").alias("nij"))
+    wi = Window.partitionBy("i")
+    wg = Window.partitionBy()
+    m = tr.select(
+        "nij",
+        F.sum("nij").over(wi).alias("ni"),
+        F.sum("nij").over(wg).alias("nn"),
+        F.size(F.collect_set("j").over(wg)).alias("n_states"),
+    )
+    t = m.select(
+        "nn",
+        "n_states",
+        F.round(
+            -(F.col("nij").cast("double") / F.col("nn"))
+            * F.log(F.col("nij").cast("double") / F.col("ni")),
+            12,
+        ).alias("term"),
+    )
+    ent = F.sum(F.col("term").cast("decimal(30,15)")).cast("double")
+    return t.agg(
+        F.max("nn").cast("bigint").alias("n_transitions"),
+        F.max("n_states").cast("bigint").alias("n_states"),
+        F.round(ent, 6).alias("entropy_rate"),
+        F.round(F.log(F.max("n_states").cast("double")), 6).alias(
+            "max_entropy"
+        ),
+        F.round(
+            ent / F.log(F.max("n_states").cast("double")), 6
+        ).alias("relative_entropy"),
+    )
