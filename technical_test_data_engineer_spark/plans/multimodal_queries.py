@@ -300,3 +300,89 @@ def media_header_jvm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("webp"))
         .alias("format"),
     ).orderBy("doc_id")
+
+
+@query(
+    "media_nibble_entropy",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               LPAD(HEX(OCTET_LENGTH(CAST(text AS BLOB)) % 640 + 16),
+                    8, '0')
+               || LPAD(HEX(OCTET_LENGTH(CAST(text AS BLOB)) % 480 + 16),
+                       8, '0')
+               || LPAD(HEX(OCTET_LENGTH(CAST(text AS BLOB)) % 24 + 1),
+                       8, '0')
+               || HEX(CAST(text AS BLOB)) AS hx
+        FROM documents
+    ),
+    nib AS (
+        SELECT doc_id, LENGTH(hx) AS ln,
+               LENGTH(hx) - LENGTH(REPLACE(hx, t.c, '')) AS cnt
+        FROM h, UNNEST(['0','1','2','3','4','5','6','7',
+                        '8','9','A','B','C','D','E','F']) AS t(c)
+    ),
+    ent AS (
+        SELECT doc_id,
+               CAST(MAX(ln) / 2 AS BIGINT) AS n_bytes,
+               CAST(SUM(CAST(CASE WHEN cnt > 0 THEN ROUND(
+                   -(CAST(cnt AS DOUBLE) / ln)
+                   * LN(CAST(cnt AS DOUBLE) / ln), 12)
+                   ELSE 0.0 END AS DECIMAL(30,15))) AS DOUBLE) AS e
+        FROM nib GROUP BY doc_id
+    )
+    SELECT doc_id, n_bytes,
+           ROUND(e, 6) AS nibble_entropy,
+           ROUND(e / LN(16.0), 6) AS relative_entropy
+    FROM ent
+    ORDER BY doc_id
+    """,
+)
+def media_nibble_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-blob nibble entropy — the compressibility screen a media
+    pipeline runs at whole-stage-codegen speed BEFORE spending decode
+    cycles: Shannon entropy of the blob's hex-digit distribution
+    (≈ ln 16 means already-compressed/encrypted content a transcoder
+    should skip; low values mean structured/padded payloads worth
+    compressing). Pure JVM expressions end-to-end — hex the binary,
+    one literal 16-char explode, per-char occurrence counts via
+    length-minus-replaced-length, entropy terms rounded to 12 and
+    DECIMAL-summed per doc — no Python, no Arrow round-trip, the
+    ``media_header_jvm_parse`` fast-path discipline applied to content
+    stats. The oracle reconstructs the identical hex string from the
+    fake-blob arithmetic (header int32s from octet_length, the
+    ``fake_media_binary`` contract at operators/multimodal.py:46)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hx = fan_out(
+        docs.select("doc_id", F.hex(fake_media_binary("text")).alias("hx"))
+    )
+    chars = F.array(*[F.lit(c) for c in "0123456789ABCDEF"])
+    nib = hx.select(
+        "doc_id",
+        F.length("hx").alias("ln"),
+        "hx",
+        F.explode(chars).alias("c"),
+    ).select(
+        "doc_id",
+        "ln",
+        (
+            F.col("ln")
+            - F.length(F.replace(F.col("hx"), F.col("c"), F.lit("")))
+        ).alias("cnt"),
+    )
+    p = F.col("cnt").cast("double") / F.col("ln")
+    term = F.when(
+        F.col("cnt") > 0, F.round(-p * F.log(p), 12)
+    ).otherwise(F.lit(0.0))
+    ent = nib.groupBy("doc_id").agg(
+        (F.max("ln") / 2).cast("bigint").alias("n_bytes"),
+        F.sum(term.cast("decimal(30,15)")).cast("double").alias("e"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_bytes",
+        F.round("e", 6).alias("nibble_entropy"),
+        F.round(F.col("e") / F.log(F.lit(16.0)), 6).alias(
+            "relative_entropy"
+        ),
+    ).orderBy("doc_id")

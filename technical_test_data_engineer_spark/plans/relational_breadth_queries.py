@@ -5329,3 +5329,107 @@ def part_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@query(
+    "copurchase_assortativity",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey, l_partkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey ORDER BY l_partkey
+               ) AS rn
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM ranked a JOIN ranked b
+          ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
+    ),
+    und AS (
+        SELECT src, dst FROM pairs
+        GROUP BY src, dst HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT src, dst FROM und
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM und
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src
+    ),
+    ed AS (
+        SELECT du.d AS dx, dv.d AS dy
+        FROM sym e
+        JOIN deg du ON e.src = du.node
+        JOIN deg dv ON e.dst = dv.node
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(dx AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(dy AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(dx * dy AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(dx * dx AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(dy * dy AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        FROM ed
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           ROUND((sxy - sx * sy / n)
+                 / NULLIF(SQRT((sxx - sx * sx / n)
+                               * (syy - sy * sy / n)), 0), 6)
+               AS assortativity
+    FROM m
+    """,
+)
+def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the frequent co-purchase graph — the
+    Pearson correlation of endpoint degrees over all directed edge
+    stubs (Newman 2002): positive means hubs link to hubs (assortative
+    mixing, social-network-like), negative means hubs bridge the
+    periphery (disassortative, retail/biological-like) — the one-
+    number topology gauge that tells the recommender whether
+    hub-capping (the banded-dedup discipline) will bite. Rides the
+    session-materialized edge relation; degrees are one vocab-sized
+    agg broadcast onto the symmetric edge list (two hash-equi joins);
+    the correlation is a 1-row DECIMAL moment reduce. Degrees are
+    integers so every product is exact."""
+    und = _copurchase_edges(spark, sf_dir)
+    # persisted: feeds the degree agg AND both endpoint joins
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("_u"), F.col("d").alias("dx")))
+    dv = F.broadcast(deg.select(F.col("node").alias("_v"), F.col("d").alias("dy")))
+    ed = (
+        sym.join(du, sym.src == F.col("_u"))
+        .join(dv, sym.dst == F.col("_v"))
+        .select("dx", "dy")
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    m = ed.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("dx"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("dy"))).cast("double").alias("sy"),
+        F.sum(decp(F.col("dx") * F.col("dy"))).cast("double").alias("sxy"),
+        F.sum(decp(F.col("dx") * F.col("dx"))).cast("double").alias("sxx"),
+        F.sum(decp(F.col("dy") * F.col("dy"))).cast("double").alias("syy"),
+    )
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("c"))
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.nullif(
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        ),
+        F.lit(0.0),
+    )
+    return m.crossJoin(F.broadcast(n_nodes)).select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        F.col("c").alias("n_nodes"),
+        F.round(r, 6).alias("assortativity"),
+    )

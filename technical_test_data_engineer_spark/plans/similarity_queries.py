@@ -1803,3 +1803,186 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_JL_K = 16  # projected dimensionality
+_JL_PROBES = 20  # bounded pair-audit probe set (190 pairs)
+
+
+@query(
+    "embedding_jl_distortion",
+    f"""
+    WITH probe AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {_JL_PROBES}
+    ),
+    e AS (
+        SELECT vec_id, u.i - 1 AS dim, CAST(u.x AS DOUBLE) AS x
+        FROM probe,
+             LATERAL (
+                 SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS i
+             ) u
+    ),
+    signs AS (
+        SELECT d.dim, j.j,
+               CASE WHEN (CAST('0x' || SUBSTRING(MD5(
+                        CAST(d.dim AS VARCHAR) || '_'
+                        || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 2) = 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS dim) d
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_JL_K - 1})) AS j) j
+    ),
+    proj AS (
+        SELECT e.vec_id, sg.j,
+               CAST(SUM(CAST(ROUND(sg.s * e.x, 12) AS DECIMAL(30,15)))
+                    AS DOUBLE) / 4.0 AS p
+        FROM e JOIN signs sg ON e.dim = sg.dim
+        GROUP BY e.vec_id, sg.j
+    ),
+    od AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM(CAST(ROUND(POW(a.x - b.x, 2), 12)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS d2
+        FROM e a JOIN e b ON a.dim = b.dim AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    pd AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(SUM(CAST(ROUND(POW(a.p - b.p, 2), 12)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS d2p
+        FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    pr AS (
+        SELECT od.va, od.vb, od.d2, pd.d2p,
+               ROUND(pd.d2p / NULLIF(od.d2, 0), 12) AS ratio
+        FROM od JOIN pd ON od.va = pd.va AND od.vb = pd.vb
+    )
+    SELECT va, vb,
+           ROUND(d2, 6) AS d2_orig,
+           ROUND(d2p, 6) AS d2_proj,
+           ROUND(ratio, 6) AS ratio,
+           ROUND(CAST(SUM(CAST(ratio AS DECIMAL(30,15))) OVER ()
+                      AS DOUBLE) / COUNT(*) OVER (), 6) AS mean_ratio,
+           ROUND(MAX(ratio) OVER (), 6) AS max_ratio,
+           ROUND(MIN(ratio) OVER (), 6) AS min_ratio
+    FROM pr
+    ORDER BY va, vb
+    """,
+)
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit for a ±1 random
+    projection 64 → 16 dims (Achlioptas 2003: sign matrices satisfy
+    the JL lemma with the same guarantees as Gaussians and cost one
+    multiply) — the audit a vector pipeline runs before switching its
+    coarse recall stage to projected vectors: per probe pair, squared
+    distance before vs after projection and the distortion ratio,
+    with the mean/min/max ratio envelope attached. Signs come from the
+    house md5 convention on (dim, j) so BOTH engines derive the
+    identical matrix with no shipped literals — the seeded-planes
+    discipline made engine-portable. Bounded documented proof: 20
+    probes → 190 pairs; the production path projects the corpus with
+    the same dims×k broadcast matrix in one scan (the fold shape of
+    ``knn_bruteforce``) and never joins at corpus width. All distance
+    terms are rounded to 12 and DECIMAL-summed (order-free); the /4
+    scaling (1/√k, k=16) is exact."""
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persisted: feeds the sign-join projection AND the original-distance
+    # pair self-join
+    e = (
+        emb.filter(F.col("vec_id") < _JL_PROBES)
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .persist()
+    )
+    dims = spark.range(64).select(F.col("id").cast("int").alias("dim"))
+    js = spark.range(_JL_K).select(F.col("id").cast("int").alias("j"))
+    signs = dims.crossJoin(js).select(
+        "dim",
+        "j",
+        F.when(
+            md5_bucket(
+                F.concat_ws("_", F.col("dim"), F.col("j")), 2
+            )
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("s"),
+    )
+    proj = (
+        e.join(F.broadcast(signs), "dim")
+        .groupBy("vec_id", "j")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("s") * F.col("x"), 12).cast(
+                        "decimal(30,15)"
+                    )
+                ).cast("double")
+                / F.lit(4.0)
+            ).alias("p")
+        )
+        .persist()  # feeds both sides of the projected-distance self-join
+    )
+
+    def pair_d2(df, val, out):
+        a = df.select(
+            F.col("vec_id").alias("va"), F.col(df.columns[1]).alias("k"),
+            F.col(val).alias("xa"),
+        )
+        b = df.select(
+            F.col("vec_id").alias("vb"), F.col(df.columns[1]).alias("k"),
+            F.col(val).alias("xb"),
+        )
+        return (
+            a.join(b, "k")
+            .filter(F.col("va") < F.col("vb"))
+            .groupBy("va", "vb")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.pow(F.col("xa") - F.col("xb"), 2), 12
+                    ).cast("decimal(30,15)")
+                )
+                .cast("double")
+                .alias(out)
+            )
+        )
+
+    od = pair_d2(e.select("vec_id", "dim", "x"), "x", "d2")
+    pd_ = pair_d2(proj.select("vec_id", "j", "p"), "p", "d2p")
+    pr = od.join(pd_, ["va", "vb"]).select(
+        "va",
+        "vb",
+        "d2",
+        "d2p",
+        F.round(
+            F.col("d2p") / F.nullif(F.col("d2"), F.lit(0.0)), 12
+        ).alias("ratio"),
+    )
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy()
+    return pr.select(
+        "va",
+        "vb",
+        F.round("d2", 6).alias("d2_orig"),
+        F.round("d2p", 6).alias("d2_proj"),
+        F.round("ratio", 6).alias("ratio"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(30,15)"))
+            .over(wg)
+            .cast("double")
+            / F.count("*").over(wg),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.max("ratio").over(wg), 6).alias("max_ratio"),
+        F.round(F.min("ratio").over(wg), 6).alias("min_ratio"),
+    ).orderBy("va", "vb")

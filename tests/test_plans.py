@@ -354,6 +354,9 @@ _NONEQUI_ALLOWLIST = {
     "daily_revenue_hurst",        # 4-row literal block-size ladder
                                   # broadcast cross onto the day spine
     "term_burstiness",            # 1-row doc-count broadcast attach
+    "copurchase_assortativity",   # 1-row node-count broadcast attach
+    "embedding_jl_distortion",    # 64x16 literal sign-matrix cross
+                                  # build (broadcast, dims-bounded)
 }
 
 
