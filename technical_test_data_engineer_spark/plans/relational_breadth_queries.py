@@ -5433,3 +5433,305 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_nodes"),
         F.round(r, 6).alias("assortativity"),
     )
+
+
+@query(
+    "yearly_price_index_fisher",
+    """
+    WITH py AS (
+        SELECT l_partkey,
+               CAST(YEAR(CAST(l_shipdate AS DATE)) AS INT) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                          AS DOUBLE) AS unit_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                   AS qty
+        FROM lineitem
+        GROUP BY l_partkey, YEAR(CAST(l_shipdate AS DATE))
+    ),
+    base AS (
+        SELECT l_partkey, unit_price AS p0, qty AS q0
+        FROM py WHERE yr = (SELECT MIN(yr) FROM py)
+    ),
+    joined AS (
+        SELECT py.yr,
+               py.unit_price * base.q0 AS l_num,
+               base.p0 * base.q0 AS l_den,
+               py.unit_price * py.qty AS p_num,
+               base.p0 * py.qty AS p_den
+        FROM py JOIN base USING (l_partkey)
+    ),
+    ix AS (
+        SELECT yr AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(l_num AS DECIMAL(30,10))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_den AS DECIMAL(30,10))) AS DOUBLE)
+                   * 100.0 AS laspeyres,
+               CAST(SUM(CAST(p_num AS DECIMAL(30,10))) AS DOUBLE)
+                   / CAST(SUM(CAST(p_den AS DECIMAL(30,10))) AS DOUBLE)
+                   * 100.0 AS paasche
+        FROM joined GROUP BY yr
+    )
+    SELECT year, n_parts,
+           ROUND(laspeyres, 6) AS laspeyres,
+           ROUND(paasche, 6) AS paasche,
+           ROUND(SQRT(laspeyres * paasche), 6) AS fisher
+    FROM ix ORDER BY year
+    """,
+)
+def yearly_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher ideal price index — the geometric mean of Laspeyres
+    (base-basket) and Paasche (current-basket) that cancels their
+    opposite substitution biases (Fisher 1922; the construction
+    official chained indexes converge to): extends
+    ``yearly_price_index_laspeyres`` with the Paasche leg
+    Σp_t q_t / Σp_0 q_t on the SAME matched-basket (part, year) grid,
+    so the two legs and their geometric mean come from one extra pair
+    of DECIMAL-summed columns — no new scan, no new join. Cost profile
+    identical to the Laspeyres query: one fact agg, one part-keyed
+    join against the base basket, a years-sized rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    # persisted: the (part, year) grid feeds the base-year slice and
+    # the index join — one lineitem scan total (audit_scans r07)
+    py = (
+        li.groupBy(
+            "l_partkey",
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("yr"),
+        )
+        .agg(
+            (
+                F.sum(dec(F.col("l_extendedprice"))).cast("double")
+                / F.sum(dec(F.col("l_quantity"))).cast("double")
+            ).alias("unit_price"),
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("qty"),
+        )
+        .persist()
+    )
+    min_yr = py.agg(F.min("yr").alias("myr"))
+    base = (
+        py.crossJoin(F.broadcast(min_yr))
+        .filter(F.col("yr") == F.col("myr"))
+        .select(
+            "l_partkey",
+            F.col("unit_price").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    joined = py.join(base, "l_partkey").select(
+        "yr",
+        (F.col("unit_price") * F.col("q0")).alias("l_num"),
+        (F.col("p0") * F.col("q0")).alias("l_den"),
+        (F.col("unit_price") * F.col("qty")).alias("p_num"),
+        (F.col("p0") * F.col("qty")).alias("p_den"),
+    )
+    ix = joined.groupBy(F.col("yr").alias("year")).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        (
+            F.sum(dec(F.col("l_num"))).cast("double")
+            / F.sum(dec(F.col("l_den"))).cast("double")
+            * F.lit(100.0)
+        ).alias("laspeyres"),
+        (
+            F.sum(dec(F.col("p_num"))).cast("double")
+            / F.sum(dec(F.col("p_den"))).cast("double")
+            * F.lit(100.0)
+        ).alias("paasche"),
+    )
+    return ix.select(
+        "year",
+        "n_parts",
+        F.round("laspeyres", 6).alias("laspeyres"),
+        F.round("paasche", 6).alias("paasche"),
+        F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 6).alias(
+            "fisher"
+        ),
+    ).orderBy("year")
+
+
+@query(
+    "customer_lorenz_curve",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT x,
+               ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(x) OVER (ORDER BY x, o_custkey) AS cum,
+               SUM(x) OVER () AS tot
+        FROM spend
+    ),
+    d AS (
+        SELECT CAST(FLOOR((i - 1) * 10 / n) + 1 AS INTEGER) AS decile,
+               i, n, cum, tot
+        FROM r
+    ),
+    top AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               MAX(i) AS max_i, MAX(n) AS n, MAX(tot) AS tot,
+               MAX(cum) AS cum_at_end
+        FROM d GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           ROUND(CAST(max_i AS DOUBLE) / n, 6) AS pop_share,
+           ROUND(CAST(cum_at_end AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS cum_revenue_share
+    FROM top
+    ORDER BY decile
+    """,
+)
+def customer_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue — the 10-point concentration
+    curve behind ``customer_revenue_gini``'s scalar: customers sorted
+    ascending by spend, cumulative revenue share at each population
+    decile boundary ('the bottom 50% of customers hold X% of
+    revenue'). Ranks use the (spend, custkey) total order, decile
+    assignment is pure integer arithmetic floor((i−1)·10/n), and
+    cumulative sums stay DECIMAL until the final share division — the
+    whole curve is drift-proof. Same plan as the Gini: one keyed
+    shuffle to per-customer spend, one global sort-rank (the exact
+    oracle-checkable form; at 100 TB the curve reads off an equi-depth
+    histogram instead), one 10-row rollup."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("x")
+    )
+    wo = W.orderBy(F.asc("x"), F.asc("o_custkey"))
+    wor = wo.rowsBetween(W.unboundedPreceding, 0)
+    wg = W.partitionBy()
+    r = spend.select(
+        "x",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wg).alias("n"),
+        F.sum("x").over(wor).alias("cum"),
+        F.sum("x").over(wg).alias("tot"),
+    )
+    d = r.select(
+        (F.floor((F.col("i") - 1) * 10 / F.col("n")) + 1)
+        .cast("int")
+        .alias("decile"),
+        "i",
+        "n",
+        "cum",
+        "tot",
+    )
+    top = d.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.max("i").alias("max_i"),
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.max("cum").alias("cum_at_end"),
+    )
+    return top.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("max_i").cast("double") / F.col("n"), 6).alias(
+            "pop_share"
+        ),
+        F.round(
+            F.col("cum_at_end").cast("double") / F.col("tot").cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    ).orderBy("decile")
+
+
+@query(
+    "segment_growth_contribution",
+    """
+    WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1996
+                        THEN CAST(o.o_totalprice AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS rev_prev,
+               SUM(CASE WHEN YEAR(CAST(o.o_orderdate AS DATE)) = 1997
+                        THEN CAST(o.o_totalprice AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS rev_cur
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE YEAR(CAST(o.o_orderdate AS DATE)) IN (1996, 1997)
+        GROUP BY c.c_mktsegment
+    ),
+    t AS (
+        SELECT segment, rev_prev, rev_cur,
+               SUM(rev_prev) OVER () AS tot_prev,
+               SUM(rev_cur) OVER () AS tot_cur
+        FROM seg
+    )
+    SELECT segment,
+           ROUND(CAST(rev_prev AS DOUBLE), 2) AS rev_1996,
+           ROUND(CAST(rev_cur AS DOUBLE), 2) AS rev_1997,
+           ROUND((CAST(rev_cur AS DOUBLE) - CAST(rev_prev AS DOUBLE))
+                 / CAST(rev_prev AS DOUBLE) * 100, 6) AS growth_pct,
+           ROUND((CAST(rev_cur AS DOUBLE) - CAST(rev_prev AS DOUBLE))
+                 / CAST(tot_prev AS DOUBLE) * 100, 6)
+               AS contribution_pp,
+           ROUND((CAST(tot_cur AS DOUBLE) - CAST(tot_prev AS DOUBLE))
+                 / CAST(tot_prev AS DOUBLE) * 100, 6)
+               AS total_growth_pct
+    FROM t
+    ORDER BY segment
+    """,
+)
+def segment_growth_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-contribution (shift-share) decomposition of 1996→1997
+    revenue growth by market segment — the board-deck readout that
+    splits 'revenue grew G%' into additive per-segment percentage-
+    point contributions (Δrev_s / total_prev, summing exactly to the
+    headline G): which segment MOVED the number, not just which grew
+    fastest — a small segment growing 40% can contribute less than a
+    large one growing 4%. One year-pruned join+agg (the predicate
+    reaches the orders scan) to the 5-row segment frame with BOTH
+    years' DECIMAL sums as conditional aggregates — one pass, no
+    year-by-year re-scan; totals are window sums over that frame.
+    Additivity is exact because every term shares the one tot_prev
+    denominator."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    zero = F.lit(0).cast("decimal(30,10)")
+    seg = (
+        orders.filter(yr.isin(1996, 1997))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(
+                F.when(
+                    yr == 1996, F.col("o_totalprice").cast("decimal(30,10)")
+                ).otherwise(zero)
+            ).alias("rev_prev"),
+            F.sum(
+                F.when(
+                    yr == 1997, F.col("o_totalprice").cast("decimal(30,10)")
+                ).otherwise(zero)
+            ).alias("rev_cur"),
+        )
+    )
+    wg = Window.partitionBy()
+    t = seg.select(
+        "segment",
+        "rev_prev",
+        "rev_cur",
+        F.sum("rev_prev").over(wg).alias("tot_prev"),
+        F.sum("rev_cur").over(wg).alias("tot_cur"),
+    )
+    rp = F.col("rev_prev").cast("double")
+    rc = F.col("rev_cur").cast("double")
+    tp = F.col("tot_prev").cast("double")
+    tc = F.col("tot_cur").cast("double")
+    return t.select(
+        "segment",
+        F.round(rp, 2).alias("rev_1996"),
+        F.round(rc, 2).alias("rev_1997"),
+        F.round((rc - rp) / rp * 100, 6).alias("growth_pct"),
+        F.round((rc - rp) / tp * 100, 6).alias("contribution_pp"),
+        F.round((tc - tp) / tp * 100, 6).alias("total_growth_pct"),
+    ).orderBy("segment")

@@ -357,6 +357,8 @@ _NONEQUI_ALLOWLIST = {
     "copurchase_assortativity",   # 1-row node-count broadcast attach
     "embedding_jl_distortion",    # 64x16 literal sign-matrix cross
                                   # build (broadcast, dims-bounded)
+    "yearly_price_index_fisher",  # 1-row base-year broadcast attach
+                                  # (the Laspeyres convention)
 }
 
 
