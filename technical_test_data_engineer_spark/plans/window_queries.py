@@ -4968,3 +4968,308 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ent / F.log(F.max("n_states").cast("double")), 6
         ).alias("relative_entropy"),
     )
+
+
+@query(
+    "orders_weekday_anova",
+    """
+    WITH g AS (
+        SELECT ISODOW(CAST(o_orderdate AS DATE)) AS dow,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS s,
+               CAST(SUM(CAST(o_totalprice * o_totalprice
+                             AS DECIMAL(38,8))) AS DOUBLE) AS ss
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT dow, n, s, ss,
+               SUM(n) OVER () AS nn,
+               CAST(SUM(CAST(s AS DECIMAL(30,10))) OVER ()
+                    AS DOUBLE) AS st,
+               COUNT(*) OVER () AS k
+        FROM g
+    ),
+    f AS (
+        SELECT dow, n, s / n AS mean_value, nn, k,
+               SUM(CAST(ROUND(n * POW(s / n - st / nn, 2), 6)
+                        AS DECIMAL(38,6))) OVER () AS ssb,
+               SUM(CAST(ROUND(ss - s * s / n, 6)
+                        AS DECIMAL(38,6))) OVER () AS ssw
+        FROM t
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(mean_value, 6) AS mean_value,
+           ROUND(CAST(ssb AS DOUBLE) / (k - 1), 6) AS ms_between,
+           ROUND(CAST(ssw AS DOUBLE) / (nn - k), 6) AS ms_within,
+           ROUND((CAST(ssb AS DOUBLE) / (k - 1))
+                 / (CAST(ssw AS DOUBLE) / (nn - k)), 6) AS f_stat
+    FROM f
+    ORDER BY dow
+    """,
+)
+def orders_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across ISO weekdays — the k-group
+    generalization of the Welch/CUPED two-arm tests: F = MS_between /
+    MS_within answers 'does day-of-week move basket size AT ALL'
+    before any per-day drilldown, the gate a seasonality model needs.
+    Everything reduces to per-group (n, Σx, Σx²) from ONE conditional
+    scan-side agg — SS_between = Σnᵢ(x̄ᵢ−x̄)², SS_within = Σ(Σx²−
+    (Σx)²/n) are window algebra over the 7-row group frame, terms
+    rounded then DECIMAL-summed (order-free). Spark ``weekday()+1`` ≡
+    DuckDB ``ISODOW``, the house calendar convention. At any scale the
+    cost is the one fact agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
+    g = orders.groupBy(
+        (F.weekday(F.col("o_orderdate").cast("date")) + F.lit(1)).alias(
+            "dow"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("o_totalprice"))).cast("double").alias("s"),
+        F.sum(decp(F.col("o_totalprice") * F.col("o_totalprice")))
+        .cast("double")
+        .alias("ss"),
+    )
+    wg = Window.partitionBy()
+    t = g.select(
+        "dow",
+        "n",
+        "s",
+        "ss",
+        F.sum("n").over(wg).alias("nn"),
+        F.sum(dec(F.col("s"))).over(wg).cast("double").alias("st"),
+        F.count("*").over(wg).alias("k"),
+    )
+    mean_i = F.col("s") / F.col("n")
+    grand = F.col("st") / F.col("nn")
+    f = t.select(
+        "dow",
+        "n",
+        mean_i.alias("mean_value"),
+        "nn",
+        "k",
+        F.sum(
+            F.round(F.col("n") * F.pow(mean_i - grand, 2), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .over(wg)
+        .alias("ssb"),
+        F.sum(
+            F.round(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("n"), 6
+            ).cast("decimal(38,6)")
+        )
+        .over(wg)
+        .alias("ssw"),
+    )
+    msb = F.col("ssb").cast("double") / (F.col("k") - 1)
+    msw = F.col("ssw").cast("double") / (F.col("nn") - F.col("k"))
+    return f.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    ).orderBy("dow")
+
+
+@query(
+    "monthly_late_p_chart",
+    """
+    WITH m AS (
+        SELECT DATE_TRUNC('month', CAST(o.o_orderdate AS DATE)) AS month,
+               COUNT(*) AS n,
+               COUNT(CASE WHEN CAST(l.l_shipdate AS DATE)
+                               > CAST(o.o_orderdate AS DATE)
+                                 + INTERVAL 60 DAY
+                          THEN 1 END) AS n_late
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ),
+    t AS (
+        SELECT month, n, n_late,
+               CAST(SUM(n_late) OVER () AS DOUBLE)
+                   / SUM(n) OVER () AS pbar
+        FROM m
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(n_late AS BIGINT) AS n_late,
+           ROUND(CAST(n_late AS DOUBLE) / n, 6) AS p_late,
+           ROUND(pbar, 6) AS p_bar,
+           ROUND(pbar + 3 * SQRT(pbar * (1 - pbar) / n), 6) AS ucl,
+           ROUND(GREATEST(0.0, pbar - 3 * SQRT(pbar * (1 - pbar) / n)),
+                 6) AS lcl,
+           (CAST(n_late AS DOUBLE) / n
+            > pbar + 3 * SQRT(pbar * (1 - pbar) / n))
+           OR (CAST(n_late AS DOUBLE) / n
+               < GREATEST(0.0, pbar - 3 * SQRT(pbar * (1 - pbar) / n)))
+               AS out_of_control
+    FROM t
+    ORDER BY month
+    """,
+)
+def monthly_late_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart on the monthly late-delivery PROPORTION — the
+    attribute-data control chart beside the x̄ chart
+    (``monthly_latency_control_chart``) and CUSUM: per-month fraction
+    of line items shipped more than 60 days after the order date (the
+    ``late_order_counts`` lateness convention) against ±3σ binomial
+    limits p̄ ± 3√(p̄(1−p̄)/n) with per-month n (variable-width limits,
+    the correct p-chart form when subgroup sizes differ). One
+    fact-sized join+agg to the months frame; p̄ and the limits are
+    window algebra over it — integer counts throughout, so both
+    engines compute identical doubles. The SPC family now covers
+    means, proportions, and cumulative drift."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(
+                    F.col("l_shipdate").cast("date")
+                    > F.date_add(F.col("o_orderdate").cast("date"), 60),
+                    1,
+                )
+            ).alias("n_late"),
+        )
+    )
+    wg = Window.partitionBy()
+    t = m.select(
+        "month",
+        "n",
+        "n_late",
+        (
+            F.sum("n_late").over(wg).cast("double") / F.sum("n").over(wg)
+        ).alias("pbar"),
+    )
+    p = F.col("n_late").cast("double") / F.col("n")
+    sig = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+    ucl = F.col("pbar") + 3 * sig
+    lcl = F.greatest(F.lit(0.0), F.col("pbar") - 3 * sig)
+    return t.select(
+        F.col("month").cast("date").alias("month"),
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.col("n_late").cast("bigint").alias("n_late"),
+        F.round(p, 6).alias("p_late"),
+        F.round("pbar", 6).alias("p_bar"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    ).orderBy("month")
+
+
+@query(
+    "daily_revenue_kendall_tau",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT CASE WHEN (a.rev < b.rev AND a.cnt < b.cnt)
+                      OR (a.rev > b.rev AND a.cnt > b.cnt)
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.rev < b.rev AND a.cnt > b.cnt)
+                      OR (a.rev > b.rev AND a.cnt < b.cnt)
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tie_x,
+               CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS tie_y
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    m AS (
+        SELECT COUNT(*) AS n_pairs,
+               CAST(SUM(conc) AS BIGINT) AS nc,
+               CAST(SUM(disc) AS BIGINT) AS nd,
+               CAST(SUM(tie_x) AS BIGINT) AS tx,
+               CAST(SUM(tie_y) AS BIGINT) AS ty
+        FROM p
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs, nc AS n_concordant,
+           nd AS n_discordant,
+           ROUND((CAST(nc AS DOUBLE) - nd)
+                 / SQRT((CAST(n_pairs AS DOUBLE) - tx)
+                        * (CAST(n_pairs AS DOUBLE) - ty)), 6)
+               AS kendall_tau_b
+    FROM m
+    """,
+)
+def daily_revenue_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between daily revenue and daily order count — the
+    concordance-based rank correlation that completes the trio with
+    Pearson and Spearman (``lineitem_spearman_corr``): τ counts
+    agreeing vs disagreeing pair orientations, with the τ-b tie
+    correction in both margins, and is the most outlier-robust of the
+    three. Bounded documented proof: the O(d²) pair self-join runs on
+    the DAY SPINE (years of days, never the fact) — ~3M pairs at
+    sf 0.1; at 100 TB the same statistic computes in O(d log d) by
+    merge-sort inversion counting, and d (calendar days) doesn't grow
+    with the fact anyway. Integer comparisons only — nothing rounds,
+    nothing drifts. The one fact-sized op is the day agg; the pair
+    join is day-keyed range, persisted spine on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    # persisted: feeds both sides of the pair self-join
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            exact_sum("o_totalprice").alias("rev"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .persist()
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("rev").alias("ra"), F.col("cnt").alias("ca")
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("rev").alias("rb"), F.col("cnt").alias("cb")
+    )
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    conc = (
+        ((F.col("ra") < F.col("rb")) & (F.col("ca") < F.col("cb")))
+        | ((F.col("ra") > F.col("rb")) & (F.col("ca") > F.col("cb")))
+    ).cast("int")
+    disc = (
+        ((F.col("ra") < F.col("rb")) & (F.col("ca") > F.col("cb")))
+        | ((F.col("ra") > F.col("rb")) & (F.col("ca") < F.col("cb")))
+    ).cast("int")
+    tx = (F.col("ra") == F.col("rb")).cast("int")
+    ty = (F.col("ca") == F.col("cb")).cast("int")
+    m = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(conc).cast("bigint").alias("nc"),
+        F.sum(disc).cast("bigint").alias("nd"),
+        F.sum(tx).cast("bigint").alias("tx"),
+        F.sum(ty).cast("bigint").alias("ty"),
+    )
+    return m.select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("nc").alias("n_concordant"),
+        F.col("nd").alias("n_discordant"),
+        F.round(
+            (F.col("nc").cast("double") - F.col("nd"))
+            / F.sqrt(
+                (F.col("n_pairs").cast("double") - F.col("tx"))
+                * (F.col("n_pairs").cast("double") - F.col("ty"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )

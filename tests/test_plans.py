@@ -359,6 +359,9 @@ _NONEQUI_ALLOWLIST = {
                                   # build (broadcast, dims-bounded)
     "yearly_price_index_fisher",  # 1-row base-year broadcast attach
                                   # (the Laspeyres convention)
+    "daily_revenue_kendall_tau",  # day-spine O(d^2) pair self-join
+                                  # (bounded documented proof; never
+                                  # fact-width)
 }
 
 
