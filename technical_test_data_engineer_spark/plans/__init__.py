@@ -287,11 +287,26 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-8 rotation head: the round-7 batch-15 queries (copurchase_sppmi,
-# ab_test_permutation, orders_zonemap_report) are oracle-paired and
-# vanilla-session verified but the window is saturated with
-# never-driver-checked round-7 entries — they queue directly behind the
-# window and should displace r07-green slots first thing next round.
+# Round-8 rotation head: ~30 round-7 queries are oracle-paired and
+# vanilla-session verified at sf0.001+sf0.01 but queue BEHIND the
+# saturated window (batch 15 onward: copurchase_sppmi,
+# ab_test_permutation, orders_zonemap_report, copurchase_adamic_adar,
+# segment_priority_mutual_info, event_type_overlap_kmv,
+# daily_revenue_changepoint, ab_test_bayes_beta, media_header_jvm_parse,
+# lineitem_spearman_corr, customer_theil_index, ab_test_did,
+# event_next_prediction_eval, events_raking_weights,
+# daily_revenue_leadlag_xcorr, order_value_decision_stump,
+# embedding_int8_quant_error, vocab_coverage_curve,
+# customer_mahalanobis_outliers, nation_supplier_hhi,
+# doc_length_lognormal_fit, monthly_revenue_gumbel, ab_test_bh_fdr,
+# daily_revenue_hurst, event_value_cvm_drift, term_burstiness,
+# nation_jackknife_mean, part_pps_systematic, retention_decay_fit,
+# events_entropy_rate, copurchase_assortativity, media_nibble_entropy,
+# embedding_jl_distortion, yearly_price_index_fisher,
+# customer_lorenz_curve, segment_growth_contribution,
+# orders_weekday_anova, monthly_late_p_chart,
+# daily_revenue_kendall_tau). Next round: displace r07-green window
+# slots with these, oldest-green families first.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 
