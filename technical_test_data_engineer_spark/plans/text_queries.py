@@ -2698,3 +2698,93 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(50)
     )
+
+
+@query(
+    "quality_filter_kappa",
+    """
+    WITH scored AS (
+        SELECT LEN(toks) AS n_tokens,
+               CAST(LENGTH(text) AS DOUBLE) / LEN(toks) AS avg_token_len,
+               CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)
+                   AS distinct_ratio
+        FROM (SELECT text, STR_SPLIT(text, ' ') AS toks FROM documents)
+    ),
+    flags AS (
+        SELECT (n_tokens >= 20 AND avg_token_len >= 5.0
+                AND distinct_ratio >= 0.35) AS ka,
+               (n_tokens * distinct_ratio >= 20.0) AS kb
+        FROM scored
+    ),
+    cell AS (
+        SELECT COUNT(*) AS n,
+               COUNT(CASE WHEN ka AND kb THEN 1 END) AS yy,
+               COUNT(CASE WHEN ka AND NOT kb THEN 1 END) AS yn,
+               COUNT(CASE WHEN NOT ka AND kb THEN 1 END) AS ny,
+               COUNT(CASE WHEN NOT ka AND NOT kb THEN 1 END) AS nn
+        FROM flags
+    ),
+    k AS (
+        SELECT n, yy, yn, ny, nn,
+               CAST(yy + nn AS DOUBLE) / n AS po,
+               (CAST(yy + yn AS DOUBLE) / n) * (CAST(yy + ny AS DOUBLE) / n)
+                 + (CAST(ny + nn AS DOUBLE) / n)
+                   * (CAST(yn + nn AS DOUBLE) / n) AS pe
+        FROM cell
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(yy AS BIGINT) AS n_both_keep,
+           CAST(yn AS BIGINT) AS n_only_gopher,
+           CAST(ny AS BIGINT) AS n_only_lexical,
+           CAST(nn AS BIGINT) AS n_both_drop,
+           ROUND(po, 6) AS p_observed,
+           ROUND(pe, 6) AS p_expected,
+           ROUND((po - pe) / NULLIF(1.0 - pe, 0), 6) AS kappa
+    FROM k
+    """,
+)
+def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document-quality filters —
+    the inter-rater agreement a curation team computes before swapping
+    one gate for another: rater A is the Gopher rule-set
+    (``doc_gopher_filter``'s exact predicate), rater B a lexical-mass
+    cut (tokens × distinct-ratio ≥ 20, i.e. 'enough distinct tokens'),
+    and κ = (p_o − p_e)/(1 − p_e) discounts the agreement two
+    length-correlated filters would reach by chance — raw overlap
+    overstates interchangeability exactly when both gates lean on
+    length. One scan-side conditional agg to the 2×2 confusion table;
+    everything after is exact integer ratios, so both engines emit
+    identical doubles."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens("text")
+    n_tok = F.size(toks)
+    avg_len = F.length("text").cast("double") / n_tok
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ka = (n_tok >= 20) & (avg_len >= 5.0) & (dr >= 0.35)
+    kb = n_tok * dr >= 20.0
+    flags = docs.select(ka.alias("ka"), kb.alias("kb"))
+    cell = flags.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("ka") & F.col("kb"), 1)).alias("yy"),
+        F.count(F.when(F.col("ka") & ~F.col("kb"), 1)).alias("yn"),
+        F.count(F.when(~F.col("ka") & F.col("kb"), 1)).alias("ny"),
+        F.count(F.when(~F.col("ka") & ~F.col("kb"), 1)).alias("nn"),
+    )
+    po = (F.col("yy") + F.col("nn")).cast("double") / F.col("n")
+    pe = (
+        (F.col("yy") + F.col("yn")).cast("double") / F.col("n")
+    ) * ((F.col("yy") + F.col("ny")).cast("double") / F.col("n")) + (
+        (F.col("ny") + F.col("nn")).cast("double") / F.col("n")
+    ) * ((F.col("yn") + F.col("nn")).cast("double") / F.col("n"))
+    return cell.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("yy").cast("bigint").alias("n_both_keep"),
+        F.col("yn").cast("bigint").alias("n_only_gopher"),
+        F.col("ny").cast("bigint").alias("n_only_lexical"),
+        F.col("nn").cast("bigint").alias("n_both_drop"),
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(
+            (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6
+        ).alias("kappa"),
+    )

@@ -5273,3 +5273,242 @@ def daily_revenue_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau_b"),
     )
+
+
+@query(
+    "event_value_mann_whitney",
+    """
+    WITH g AS (
+        SELECT value AS v,
+               (CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+                % 2 = 0) AS in_a
+        FROM events
+    ),
+    pv AS (
+        SELECT v,
+               COUNT(CASE WHEN in_a THEN 1 END) AS c_a,
+               COUNT(CASE WHEN NOT in_a THEN 1 END) AS c_b
+        FROM g GROUP BY v
+    ),
+    rk AS (
+        SELECT c_a, c_b, c_a + c_b AS c,
+               SUM(c_a + c_b) OVER (ORDER BY v) AS k,
+               SUM(c_a) OVER () AS na,
+               SUM(c_b) OVER () AS nb
+        FROM pv
+    ),
+    s AS (
+        SELECT na, nb, na + nb AS nn,
+               CAST(SUM(CAST(ROUND(c_a * (k - (c - 1) / 2.0), 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS ra,
+               CAST(SUM(CAST(c * c * c - c AS DECIMAL(38,0)))
+                    AS DOUBLE) AS tie3
+        FROM rk
+        GROUP BY na, nb
+    ),
+    u AS (
+        SELECT na, nb, nn,
+               ra - na * (na + 1) / 2.0 AS u_a,
+               CAST(na AS DOUBLE) * nb / 12.0
+                 * ((nn + 1) - tie3 / (CAST(nn AS DOUBLE) * (nn - 1)))
+                 AS var_u
+        FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND(u_a, 6) AS u_stat,
+           ROUND((u_a - CAST(na AS DOUBLE) * nb / 2.0) / SQRT(var_u), 6)
+               AS z,
+           ROUND(2.0 * (1.0 - 1.0 / (1.0 + EXP(-1.702
+                 * ABS((u_a - CAST(na AS DOUBLE) * nb / 2.0)
+                       / SQRT(var_u))))), 6) AS p_value
+    FROM u
+    """,
+)
+def event_value_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between even- and odd-day event
+    values — the NONPARAMETRIC arm of the drift battery (KS = sup gap,
+    CvM = integral gap, U = stochastic dominance): does one sample
+    tend to take larger values, with no normality assumption, immune
+    to the outliers that move a Welch t. Tie-corrected normal
+    approximation (the midrank + Σ(t³−t) variance deflation, Lehmann
+    1975); p via the house literal logistic-probit Φ. The whole test
+    runs on the per-DISTINCT-VALUE frame (the KS/CvM collapse): avg
+    midranks come from one cumulative window over distinct values —
+    rank sums never touch event width, so 100 TB costs one
+    conditional-agg scan. Midranks are exact .0/.5 so every term is
+    DECIMAL-exact."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.select(
+        F.col("value").alias("v"),
+        (F.dayofmonth("ts") % 2 == 0).alias("in_a"),
+    )
+    pv = g.groupBy("v").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("c_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("c_b"),
+    )
+    wo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    c = F.col("c_a") + F.col("c_b")
+    rk = pv.select(
+        "c_a",
+        "c_b",
+        c.alias("c"),
+        F.sum(c).over(wo).alias("k"),
+        F.sum("c_a").over(wg).alias("na"),
+        F.sum("c_b").over(wg).alias("nb"),
+    )
+    s = rk.groupBy("na", "nb").agg(
+        F.sum(
+            F.round(
+                F.col("c_a") * (F.col("k") - (F.col("c") - 1) / 2.0), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("ra"),
+        F.sum(
+            (
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("tie3"),
+    )
+    nn = F.col("na") + F.col("nb")
+    u_a = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0
+    var_u = (
+        F.col("na").cast("double")
+        * F.col("nb")
+        / 12.0
+        * (
+            (nn + 1)
+            - F.col("tie3") / (nn.cast("double") * (nn - 1))
+        )
+    )
+    z = (u_a - F.col("na").cast("double") * F.col("nb") / 2.0) / F.sqrt(
+        var_u
+    )
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(u_a, 6).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.lit(2.0)
+            * (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(F.lit(-1.702) * F.abs(z)))
+                * F.lit(-1.0)
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("p_value"),
+    )
+
+
+@query(
+    "ab_test_cmh_odds",
+    """
+    WITH cell AS (
+        SELECT c.c_mktsegment AS segment,
+               COUNT(CASE WHEN o.o_custkey % 2 = 0
+                          AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS a,
+               COUNT(CASE WHEN o.o_custkey % 2 = 0
+                          AND o.o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS b,
+               COUNT(CASE WHEN o.o_custkey % 2 = 1
+                          AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS c,
+               COUNT(CASE WHEN o.o_custkey % 2 = 1
+                          AND o.o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    ),
+    t AS (
+        SELECT segment, a, b, c, d, a + b + c + d AS n,
+               ROUND(CAST(a AS DOUBLE) * d / (a + b + c + d), 9) AS adn,
+               ROUND(CAST(b AS DOUBLE) * c / (a + b + c + d), 9) AS bcn
+        FROM cell
+    )
+    SELECT segment,
+           CAST(a AS BIGINT) AS n_a_urgent,
+           CAST(b AS BIGINT) AS n_a_other,
+           CAST(c AS BIGINT) AS n_b_urgent,
+           CAST(d AS BIGINT) AS n_b_other,
+           ROUND(CAST(a AS DOUBLE) * d / NULLIF(CAST(b AS DOUBLE) * c, 0),
+                 6) AS stratum_or,
+           ROUND(CAST(SUM(CAST(adn AS DECIMAL(30,12))) OVER () AS DOUBLE)
+                 / NULLIF(CAST(SUM(CAST(bcn AS DECIMAL(30,12))) OVER ()
+                               AS DOUBLE), 0), 6) AS cmh_or
+    FROM t
+    ORDER BY segment
+    """,
+)
+def ab_test_cmh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio — the stratified 2×2
+    estimator (Mantel & Haenszel 1959) that answers 'does the even/odd
+    arm shift urgent-priority odds AFTER controlling for market
+    segment': Simpson's paradox insurance, since segment composition
+    can differ between arms and flip the crude OR. OR_MH =
+    Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ) weights each stratum by precision without
+    modeling. One join+agg builds all five 2×2 tables in a single
+    conditional pass; per-stratum and pooled ORs are window algebra on
+    the 5-row frame with terms rounded then DECIMAL-summed. NULLIF
+    guards empty cells at tiny scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    arm_a = F.col("o_custkey") % 2 == 0
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cell = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.when(arm_a & urgent, 1)).alias("a"),
+            F.count(F.when(arm_a & ~urgent, 1)).alias("b"),
+            F.count(F.when(~arm_a & urgent, 1)).alias("c"),
+            F.count(F.when(~arm_a & ~urgent, 1)).alias("d"),
+        )
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    t = cell.select(
+        "segment",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.col("a").cast("double") * F.col("d") / n, 9).alias("adn"),
+        F.round(F.col("b").cast("double") * F.col("c") / n, 9).alias("bcn"),
+    )
+    wg = Window.partitionBy()
+    return t.select(
+        "segment",
+        F.col("a").cast("bigint").alias("n_a_urgent"),
+        F.col("b").cast("bigint").alias("n_a_other"),
+        F.col("c").cast("bigint").alias("n_b_urgent"),
+        F.col("d").cast("bigint").alias("n_b_other"),
+        F.round(
+            F.col("a").cast("double")
+            * F.col("d")
+            / F.nullif(F.col("b").cast("double") * F.col("c"), F.lit(0.0)),
+            6,
+        ).alias("stratum_or"),
+        F.round(
+            F.sum(F.col("adn").cast("decimal(30,12)"))
+            .over(wg)
+            .cast("double")
+            / F.nullif(
+                F.sum(F.col("bcn").cast("decimal(30,12)"))
+                .over(wg)
+                .cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("cmh_or"),
+    ).orderBy("segment")
