@@ -5735,3 +5735,252 @@ def segment_growth_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((rc - rp) / tp * 100, 6).alias("contribution_pp"),
         F.round((tc - tp) / tp * 100, 6).alias("total_growth_pct"),
     ).orderBy("segment")
+
+
+@query(
+    "supplier_bradley_terry",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                          AS DOUBLE) AS price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    duel AS (
+        SELECT a.l_suppkey AS i, b.l_suppkey AS j,
+               CASE WHEN a.price < b.price THEN 1
+                    WHEN a.price > b.price THEN 0
+                    ELSE 0.5 END AS w
+        FROM ps a JOIN ps b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+    ),
+    pair AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(w) AS DOUBLE) AS wins
+        FROM duel GROUP BY i, j
+    ),
+    tot AS (
+        SELECT i, SUM(n) AS games,
+               ROUND(SUM(wins), 6) AS w_i
+        FROM pair GROUP BY i
+    ),
+    it1 AS (
+        SELECT t.i, t.games, t.w_i,
+               ROUND(t.w_i / CAST(SUM(CAST(ROUND(p.n / 2.0, 9)
+                                           AS DECIMAL(30,12)))
+                                  AS DOUBLE), 12) AS s1
+        FROM tot t JOIN pair p ON t.i = p.i
+        GROUP BY t.i, t.games, t.w_i
+    ),
+    it2 AS (
+        SELECT t.i, t.games, t.w_i,
+               ROUND(t.w_i / CAST(SUM(CAST(ROUND(
+                   p.n / (a.s1 + b.s1), 9) AS DECIMAL(30,12)))
+                   AS DOUBLE), 12) AS s2
+        FROM tot t
+        JOIN pair p ON t.i = p.i
+        JOIN it1 a ON p.i = a.i
+        JOIN it1 b ON p.j = b.i
+        GROUP BY t.i, t.games, t.w_i
+    )
+    SELECT i AS suppkey,
+           CAST(games AS BIGINT) AS n_games,
+           ROUND(w_i, 2) AS n_wins,
+           ROUND(s2, 6) AS bt_strength
+    FROM it2
+    ORDER BY ROUND(s2, 9) DESC, i
+    LIMIT 20
+    """,
+)
+def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference aggregation over supplier price duels —
+    the pairwise-comparison → latent-strength model (Bradley & Terry
+    1952; Hunter 2004 MM) that preference-data pipelines run on human
+    A-vs-B judgments to build reward-model training targets: here two
+    suppliers 'duel' whenever they sell the same part, the cheaper
+    unit price wins (ties split 0.5), and two unrolled MM iterations
+    s_i ← W_i / Σ_j n_ij/(s_i+s_j) from the uniform start convert win
+    counts into strengths that account for WHO each supplier beat —
+    beating a strong rival counts more than farming weak ones, exactly
+    why raw win-rate misranks preference data. Fixed-iteration
+    unrolling is the house fixpoint convention (PageRank/k-core); each
+    MM denominator term is rounded then DECIMAL-summed and each
+    strength rounded to 12, so both engines iterate identical values;
+    final rank on the 9-digit-rounded strength with key tiebreak. The
+    duel self-join is part-keyed (suppliers-per-part bounded); all MM
+    algebra runs on the suppliers²-bounded pair frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(dec(F.col("l_extendedprice"))).cast("double")
+                / F.sum(dec(F.col("l_quantity"))).cast("double")
+            ).alias("price")
+        )
+        .persist()  # feeds both sides of the part-keyed duel self-join
+    )
+    a = ps.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("i"),
+        F.col("price").alias("pa"),
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("j"),
+        F.col("price").alias("pb"),
+    )
+    duel = (
+        a.join(b, "pk")
+        .filter(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.when(F.col("pa") < F.col("pb"), F.lit(1.0))
+            .when(F.col("pa") > F.col("pb"), F.lit(0.0))
+            .otherwise(F.lit(0.5))
+            .alias("w"),
+        )
+    )
+    pair = duel.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("w").cast("double").alias("wins"),
+    ).persist()  # feeds the totals AND both MM iterations
+    tot = pair.groupBy("i").agg(
+        F.sum("n").alias("games"),
+        F.round(F.sum("wins"), 6).alias("w_i"),
+    )
+
+    def mm_round(strengths: DataFrame | None) -> DataFrame:
+        if strengths is None:
+            denom_term = F.round(F.col("n") / 2.0, 9)
+            p = pair
+        else:
+            sa = strengths.select(
+                F.col("i").alias("_i"), F.col("s").alias("si")
+            )
+            sb = strengths.select(
+                F.col("i").alias("_j"), F.col("s").alias("sj")
+            )
+            p = pair.join(
+                F.broadcast(sa), pair.i == F.col("_i")
+            ).join(F.broadcast(sb), pair.j == F.col("_j"))
+            denom_term = F.round(
+                F.col("n") / (F.col("si") + F.col("sj")), 9
+            )
+        den = p.groupBy("i").agg(
+            F.sum(denom_term.cast("decimal(30,12)"))
+            .cast("double")
+            .alias("den")
+        )
+        return tot.join(den, "i").select(
+            "i",
+            "games",
+            "w_i",
+            F.round(F.col("w_i") / F.col("den"), 12).alias("s"),
+        )
+
+    s1 = mm_round(None)
+    s2 = mm_round(s1)
+    return (
+        s2.orderBy(F.round(F.col("s"), 9).desc(), F.asc("i"))
+        .limit(20)
+        .select(
+            F.col("i").alias("suppkey"),
+            F.col("games").cast("bigint").alias("n_games"),
+            F.round("w_i", 2).alias("n_wins"),
+            F.round("s", 6).alias("bt_strength"),
+        )
+    )
+
+
+@query(
+    "priority_value_gamma",
+    """
+    WITH cells AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS pr,
+               CAST(FLOOR(o_totalprice / 50000) AS INTEGER) AS vb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.n * b.n AS w,
+               CASE WHEN (a.pr < b.pr AND a.vb < b.vb)
+                      OR (a.pr > b.pr AND a.vb > b.vb)
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.pr < b.pr AND a.vb > b.vb)
+                      OR (a.pr > b.pr AND a.vb < b.vb)
+                    THEN 1 ELSE 0 END AS disc
+        FROM cells a JOIN cells b
+          ON a.pr < b.pr OR (a.pr = b.pr AND a.vb < b.vb)
+    ),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN conc = 1 THEN w ELSE 0 END) AS BIGINT)
+                   AS nc,
+               CAST(SUM(CASE WHEN disc = 1 THEN w ELSE 0 END) AS BIGINT)
+                   AS nd
+        FROM pairs
+    )
+    SELECT nc AS n_concordant, nd AS n_discordant,
+           ROUND((CAST(nc AS DOUBLE) - nd) / (CAST(nc AS DOUBLE) + nd), 6)
+               AS gamma
+    FROM m
+    """,
+)
+def priority_value_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between order priority (ordinal 1..5) and
+    order-value band — the ordinal-ordinal association measure for
+    CONTINGENCY data (γ = (C−D)/(C+D), ignoring ties entirely): do
+    urgent orders tend to be bigger, measured without pretending the
+    categories are interval-scaled (Pearson's sin) or exploding to row
+    pairs (Kendall's cost). Concordant/discordant mass comes from CELL
+    pairs weighted by count products — the grid is priority×band
+    bounded, so after ONE fact-sized agg the entire statistic is
+    integer arithmetic on ≤(5·bands)² cell pairs; the cell-pair join
+    enumerates each unordered pair once via the lexicographic
+    condition. Integer counts end-to-end: nothing can drift."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pr"),
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("vb"),
+    ).agg(F.count("*").cast("bigint").alias("n")).persist()
+    a = cells.select(
+        F.col("pr").alias("pa"), F.col("vb").alias("va"), F.col("n").alias("na")
+    )
+    b = cells.select(
+        F.col("pr").alias("pb"), F.col("vb").alias("vp"), F.col("n").alias("nb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("pa") < F.col("pb"))
+        | ((F.col("pa") == F.col("pb")) & (F.col("va") < F.col("vp"))),
+    ).select(
+        (F.col("na") * F.col("nb")).alias("w"),
+        (
+            ((F.col("pa") < F.col("pb")) & (F.col("va") < F.col("vp")))
+            | ((F.col("pa") > F.col("pb")) & (F.col("va") > F.col("vp")))
+        ).alias("conc"),
+        (
+            ((F.col("pa") < F.col("pb")) & (F.col("va") > F.col("vp")))
+            | ((F.col("pa") > F.col("pb")) & (F.col("va") < F.col("vp")))
+        ).alias("disc"),
+    )
+    m = pairs.agg(
+        F.sum(F.when(F.col("conc"), F.col("w")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("disc"), F.col("w")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("nd"),
+    )
+    return m.select(
+        F.col("nc").alias("n_concordant"),
+        F.col("nd").alias("n_discordant"),
+        F.round(
+            (F.col("nc").cast("double") - F.col("nd"))
+            / (F.col("nc").cast("double") + F.col("nd")),
+            6,
+        ).alias("gamma"),
+    )

@@ -2788,3 +2788,70 @@ def quality_filter_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6
         ).alias("kappa"),
     )
+
+
+@query(
+    "doc_tokenizer_fertility",
+    """
+    WITH per_doc AS (
+        SELECT lang,
+               LEN(STR_SPLIT(text, ' ')) AS ws,
+               LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                   text, '[^A-Za-z0-9'']+'), t -> t <> '')) AS bpe
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 6) AS fertility,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(bpe AS DOUBLE)
+                                     / NULLIF(ws, 0), 9)
+                               AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_doc_fertility
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword tokens emitted per
+    whitespace word (the metric tokenizer papers report per language,
+    e.g. XLM-R's fertility tables): high fertility means the
+    vocabulary serves that language poorly, each word fragmenting into
+    many pieces — the per-language training-cost multiplier a corpus
+    budget must price in. Uses the house BPE-ish segmentation
+    (``bpe_ish_tokens``: split on non-alphanumerics, the regex proxy
+    for a learned tokenizer) against the whitespace baseline, reported
+    both corpus-pooled (Σbpe/Σws) and doc-averaged (the two standard
+    variants, which differ under length skew). Scan-side token counts,
+    one langs-sized agg; per-doc ratios rounded then DECIMAL-summed."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(TX.tokens("text")).alias("ws"),
+        F.size(TX.bpe_ish_tokens("text")).alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("n_ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("bpe").cast("double") / F.sum("ws"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("bpe").cast("double")
+                        / F.nullif(F.col("ws"), F.lit(0)),
+                        9,
+                    ).cast("decimal(30,12)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_doc_fertility"),
+        )
+        .orderBy("lang")
+    )

@@ -362,6 +362,8 @@ _NONEQUI_ALLOWLIST = {
     "daily_revenue_kendall_tau",  # day-spine O(d^2) pair self-join
                                   # (bounded documented proof; never
                                   # fact-width)
+    "priority_value_gamma",       # lexicographic cell-pair enumeration
+                                  # on the bounded contingency grid
 }
 
 
