@@ -5512,3 +5512,354 @@ def ab_test_cmh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cmh_or"),
     ).orderBy("segment")
+
+
+@query(
+    "daily_revenue_interpolated",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS rev
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-07-01'
+          AND o_orderpriority = '1-URGENT'
+        GROUP BY 1
+    ),
+    spine AS (
+        SELECT UNNEST(GENERATE_SERIES(DATE '1995-01-01',
+                                      DATE '1995-06-30',
+                                      INTERVAL 1 DAY))::DATE AS day
+    ),
+    j AS (
+        SELECT s.day, d.rev FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    g AS (
+        SELECT day, rev,
+               COUNT(rev) OVER (ORDER BY day) AS gf,
+               COUNT(rev) OVER (ORDER BY day DESC) AS gb
+        FROM j
+    ),
+    locf AS (
+        SELECT day, rev,
+               MAX(rev) OVER (PARTITION BY gf) AS prev_val,
+               MAX(CASE WHEN rev IS NOT NULL THEN day END)
+                   OVER (PARTITION BY gf) AS prev_day,
+               MAX(rev) OVER (PARTITION BY gb) AS next_val,
+               MIN(CASE WHEN rev IS NOT NULL THEN day END)
+                   OVER (PARTITION BY gb) AS next_day
+        FROM g
+    )
+    SELECT day,
+           (rev IS NULL) AS was_gap,
+           ROUND(COALESCE(rev,
+               CASE
+                 WHEN prev_val IS NULL THEN next_val
+                 WHEN next_val IS NULL THEN prev_val
+                 ELSE prev_val + (next_val - prev_val)
+                      * CAST(DATEDIFF('day', prev_day, day) AS DOUBLE)
+                      / DATEDIFF('day', prev_day, next_day)
+               END), 6) AS rev_filled
+    FROM locf
+    ORDER BY day
+    """,
+)
+def daily_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair with linear interpolation on a sparse daily series
+    (urgent-priority revenue over a fixed half-year window — sparse
+    enough to have real gaps): build the dense day spine, LOCF both
+    directions, and fill each gap with the time-weighted line between
+    its bracketing observations (edges fall back to nearest) — the
+    time-series repair step between naive zero-fill
+    (``events_gapfilled_hourly``) and model imputation. LOCF uses the
+    PORTABLE gaps-and-islands trick — COUNT(non-null) OVER (ORDER BY
+    day) partitions each gap with its last observation, so no
+    IGNORE-NULLS dialect dependency — and the backward pass is the
+    same window descending. One fact agg, one generated spine
+    (``sequence``, no UDF), four windows over the spine — nothing at
+    fact width after the agg. Interpolation weights are exact integer
+    day ratios."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(exact_sum("o_totalprice").alias("rev"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-06-30").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    j = spine.join(daily, "day", "left")
+    wf = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.orderBy(F.desc("day")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = j.select(
+        "day",
+        "rev",
+        F.count("rev").over(wf).alias("gf"),
+        F.count("rev").over(wb).alias("gb"),
+    )
+    obs_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    locf = g.select(
+        "day",
+        "rev",
+        F.max("rev").over(Window.partitionBy("gf")).alias("prev_val"),
+        F.max(obs_day).over(Window.partitionBy("gf")).alias("prev_day"),
+        F.max("rev").over(Window.partitionBy("gb")).alias("next_val"),
+        F.min(obs_day).over(Window.partitionBy("gb")).alias("next_day"),
+    )
+    interp = (
+        F.col("prev_val")
+        + (F.col("next_val") - F.col("prev_val"))
+        * F.datediff(F.col("day"), F.col("prev_day")).cast("double")
+        / F.datediff(F.col("next_day"), F.col("prev_day"))
+    )
+    fill = F.coalesce(
+        F.col("rev"),
+        F.when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(interp),
+    )
+    return locf.select(
+        "day",
+        F.col("rev").isNull().alias("was_gap"),
+        F.round(fill, 6).alias("rev_filled"),
+    ).orderBy("day")
+
+
+@query(
+    "orders_perfect_rate",
+    """
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               DATE_TRUNC('month', CAST(o.o_orderdate AS DATE)) AS month,
+               MAX(CASE WHEN CAST(l.l_shipdate AS DATE)
+                             > CAST(o.o_orderdate AS DATE)
+                               + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS any_late,
+               MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS any_return
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, DATE_TRUNC('month',
+                                          CAST(o.o_orderdate AS DATE))
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN any_late = 0 AND any_return = 0
+                           THEN 1 END) AS BIGINT) AS n_perfect,
+           ROUND(CAST(COUNT(CASE WHEN any_late = 0 AND any_return = 0
+                                 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+               AS perfect_rate,
+           ROUND(CAST(SUM(any_late) AS DOUBLE) / COUNT(*), 6)
+               AS late_rate,
+           ROUND(CAST(SUM(any_return) AS DOUBLE) / COUNT(*), 6)
+               AS return_rate
+    FROM per_order
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def orders_perfect_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-order rate by month — the composite fulfillment KPI
+    supply-chain dashboards lead with: an order is perfect iff NO line
+    shipped late (the ``late_order_counts`` 60-day convention) and NO
+    line was returned; the monthly rate plus its two failure-mode
+    decompositions (late rate, return rate) shows WHICH leg drags the
+    KPI. Two keyed aggs: line→order (the any-late/any-return rollup,
+    one fact-sized shuffle) then order→month — the composite
+    all-or-nothing semantics NEEDS the per-order hop, a direct
+    line-level rate would overweight big orders. Integer flags
+    end-to-end."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate").cast("date")
+                    > F.date_add(F.col("o_orderdate").cast("date"), 60),
+                    1,
+                ).otherwise(0)
+            ).alias("any_late"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("any_return"),
+        )
+    )
+    perfect = (F.col("any_late") == 0) & (F.col("any_return") == 0)
+    return (
+        per_order.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count(F.when(perfect, 1)).cast("bigint").alias("n_perfect"),
+            F.round(
+                F.count(F.when(perfect, 1)).cast("double") / F.count("*"),
+                6,
+            ).alias("perfect_rate"),
+            F.round(
+                F.sum("any_late").cast("double") / F.count("*"), 6
+            ).alias("late_rate"),
+            F.round(
+                F.sum("any_return").cast("double") / F.count("*"), 6
+            ).alias("return_rate"),
+        )
+        .select(
+            F.col("month").cast("date").alias("month"),
+            "n_orders",
+            "n_perfect",
+            "perfect_rate",
+            "late_rate",
+            "return_rate",
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "daily_revenue_wavelet_energy",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    spine AS (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    blocks AS (
+        SELECT s.half, sp.rev,
+               CAST(FLOOR((sp.rn - 1) / (2 * s.half)) AS BIGINT) AS blk,
+               ((sp.rn - 1) % (2 * s.half)) < s.half AS is_left
+        FROM spine sp
+        CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS half) s
+        WHERE FLOOR((sp.rn - 1) / (2 * s.half))
+              < FLOOR(sp.n / (2 * s.half))
+    ),
+    coef AS (
+        SELECT half, blk,
+               (CAST(SUM(CASE WHEN is_left
+                              THEN CAST(rev AS DECIMAL(30,10))
+                              ELSE CAST(0 AS DECIMAL(30,10)) END)
+                     AS DOUBLE)
+                - CAST(SUM(CASE WHEN NOT is_left
+                               THEN CAST(rev AS DECIMAL(30,10))
+                               ELSE CAST(0 AS DECIMAL(30,10)) END)
+                      AS DOUBLE)) / (2 * half) AS d
+        FROM blocks GROUP BY half, blk
+    ),
+    lvl AS (
+        SELECT half, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CAST(ROUND(d * d, 4) AS DECIMAL(38,6)))
+                    AS DOUBLE) / COUNT(*) AS energy
+        FROM coef GROUP BY half
+    )
+    SELECT CAST(half * 2 AS INTEGER) AS block_days,
+           n_blocks,
+           ROUND(energy, 4) AS mean_energy,
+           ROUND(energy / CAST(SUM(CAST(ROUND(energy, 4)
+                                        AS DECIMAL(38,6))) OVER ()
+                               AS DOUBLE), 6) AS energy_share
+    FROM lvl
+    ORDER BY block_days
+    """,
+)
+def daily_revenue_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of daily revenue — WHERE the
+    variance lives across time scales: per half-width s ∈ {1,2,4,8}
+    days, the Haar detail coefficient of each 2s-day block (left-half
+    mean minus right-half mean) and the mean squared coefficient per
+    level, with each level's share of total detail energy — day-to-day
+    noise vs week-scale swings vs fortnight trends, the multiresolution
+    readout that tells the forecaster which smoothing window actually
+    removes variance (the spectral complement to the ACF/Hurst pair,
+    same block discipline as ``daily_revenue_hurst`` but conditional
+    aggs instead of prefix windows). One fact-sized day agg; the 4-row
+    scale ladder broadcast-crosses the day spine; per-level energy is
+    DECIMAL-summed rounded squares. Cost at any scale: the day agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(exact_sum("o_totalprice").alias("rev"))
+    spine = daily.select(
+        "rev",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    halves = spark.createDataFrame([(1,), (2,), (4,), (8,)], "half int")
+    size2 = 2 * F.col("half")
+    blocks = (
+        spine.crossJoin(F.broadcast(halves))
+        .withColumn("blk", F.floor((F.col("rn") - 1) / size2).cast("bigint"))
+        .filter(F.col("blk") < F.floor(F.col("n") / size2))
+        .select(
+            "half",
+            "rev",
+            "blk",
+            (((F.col("rn") - 1) % size2) < F.col("half")).alias("is_left"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    zero = F.lit(0).cast("decimal(30,10)")
+    coef = blocks.groupBy("half", "blk").agg(
+        (
+            (
+                F.sum(
+                    F.when(F.col("is_left"), dec(F.col("rev"))).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                - F.sum(
+                    F.when(~F.col("is_left"), dec(F.col("rev"))).otherwise(
+                        zero
+                    )
+                ).cast("double")
+            )
+            / (2 * F.col("half"))
+        ).alias("d")
+    )
+    lvl = coef.groupBy("half").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        (
+            F.sum(
+                F.round(F.col("d") * F.col("d"), 4).cast("decimal(38,6)")
+            ).cast("double")
+            / F.count("*")
+        ).alias("energy"),
+    )
+    wg = Window.partitionBy()
+    return lvl.select(
+        (F.col("half") * 2).cast("int").alias("block_days"),
+        "n_blocks",
+        F.round("energy", 4).alias("mean_energy"),
+        F.round(
+            F.col("energy")
+            / F.sum(F.round(F.col("energy"), 4).cast("decimal(38,6)"))
+            .over(wg)
+            .cast("double"),
+            6,
+        ).alias("energy_share"),
+    ).orderBy("block_days")

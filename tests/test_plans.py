@@ -364,6 +364,8 @@ _NONEQUI_ALLOWLIST = {
                                   # fact-width)
     "priority_value_gamma",       # lexicographic cell-pair enumeration
                                   # on the bounded contingency grid
+    "daily_revenue_wavelet_energy",  # 4-row literal scale ladder
+                                  # broadcast cross onto the day spine
 }
 
 
