@@ -5863,3 +5863,262 @@ def daily_revenue_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("energy_share"),
     ).orderBy("block_days")
+
+
+@query(
+    "events_dau_wau_stickiness",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM uw GROUP BY day
+    ),
+    cover AS (
+        SELECT user_id, CAST(UNNEST(GENERATE_SERIES(
+                   day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE)
+                   AS wday
+        FROM uw
+    ),
+    wau AS (
+        SELECT wday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM cover GROUP BY wday
+    )
+    SELECT d.day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    ORDER BY d.day
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness — the growth metric ('what share of this
+    week's users showed up today') read daily: DAU over the trailing-
+    7-day distinct-user count. The WAU is computed WITHOUT a sliding
+    distinct window (which Spark can't stream and a self-join would
+    fan out): each active (user, day) EXPLODES into the 7 future days
+    it covers, so trailing-7-day distinct users = plain COUNT(DISTINCT)
+    per covered day — the coverage-explode trick that turns any
+    trailing-window distinct into one keyed agg (7× the distinct-day
+    frame, not the event stream). Days only reported where both
+    exist; at 100 TB the only event-width op is the initial distinct
+    collapse."""
+    events = load_table(spark, sf_dir, "events")
+    # persisted: feeds the DAU agg AND the coverage explode
+    uw = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().persist()
+    dau = uw.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    cover = uw.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("interval 1 day"),
+            )
+        ).alias("wday"),
+    )
+    wau = cover.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "customer_interpurchase_cv",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               DATEDIFF('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey ORDER BY
+                       CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders
+    ),
+    cv AS (
+        SELECT o_custkey,
+               COUNT(gap) AS n_gaps,
+               CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap,
+               SQRT(CAST(SUM(gap * gap) AS DOUBLE) / COUNT(gap)
+                    - POW(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 2))
+                   / (CAST(SUM(gap) AS DOUBLE) / COUNT(gap)) AS cv
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY o_custkey
+        HAVING COUNT(gap) >= 3 AND SUM(gap) > 0
+    ),
+    cls AS (
+        SELECT CASE WHEN cv < 0.5 THEN 'clockwork'
+                    WHEN cv < 1.0 THEN 'regular'
+                    ELSE 'erratic' END AS regularity,
+               cv, mean_gap
+        FROM cv
+    )
+    SELECT regularity,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(ROUND(cv, 9) AS DECIMAL(30,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_cv,
+           ROUND(CAST(SUM(CAST(ROUND(mean_gap, 9) AS DECIMAL(30,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_gap_days
+    FROM cls
+    GROUP BY regularity
+    ORDER BY regularity
+    """,
+)
+def customer_interpurchase_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase regularity — the coefficient of variation of each
+    customer's order-gap distribution, bucketed into clockwork
+    (CV < 0.5, subscription-like), regular (Poisson-ish, CV ≈ 1) and
+    erratic (CV > 1, bursty): the behavioral segmentation that decides
+    whether a timing-based churn alarm is even meaningful per customer
+    (a clockwork buyer 2× overdue is a churn signal; an erratic one is
+    noise) — the per-customer twin of ``daily_arrivals_dispersion``
+    and the timing complement to the BG/NBD frequency stats. One lag
+    window per customer (the order-gap shape), per-customer integer
+    moment agg (≥3 gaps to make CV meaningful), a 3-row class rollup
+    with rounded-then-DECIMAL-summed means."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    agg = gaps.groupBy("o_custkey").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sgg"),
+    ).filter((F.col("n_gaps") >= 3) & (F.col("sg") > 0))
+    mean_gap = F.col("sg").cast("double") / F.col("n_gaps")
+    cv = (
+        F.sqrt(
+            F.col("sgg").cast("double") / F.col("n_gaps")
+            - F.pow(mean_gap, 2)
+        )
+        / mean_gap
+    )
+    cls = agg.select(
+        F.when(cv < 0.5, "clockwork")
+        .when(cv < 1.0, "regular")
+        .otherwise("erratic")
+        .alias("regularity"),
+        cv.alias("cv"),
+        mean_gap.alias("mean_gap"),
+    )
+    return (
+        cls.groupBy("regularity")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(
+                    F.round(F.col("cv"), 9).cast("decimal(30,12)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_cv"),
+            F.round(
+                F.sum(
+                    F.round(F.col("mean_gap"), 9).cast("decimal(30,12)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("regularity")
+    )
+
+
+@query(
+    "order_value_hill_tail",
+    """
+    WITH topk AS (
+        SELECT o_totalprice AS x,
+               ROW_NUMBER() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY o_totalprice DESC, o_orderkey) <= 101
+    ),
+    xk AS (SELECT x AS xmin FROM topk WHERE rnk = 101),
+    h AS (
+        SELECT COUNT(*) AS k,
+               CAST(SUM(CAST(ROUND(LN(t.x / xk.xmin), 12)
+                             AS DECIMAL(30,15))) AS DOUBLE) AS slog
+        FROM topk t CROSS JOIN xk
+        WHERE t.rnk <= 100
+    )
+    SELECT CAST(k AS BIGINT) AS k_top,
+           ROUND(slog / k, 6) AS hill_inv_alpha,
+           ROUND(k / slog, 6) AS hill_alpha,
+           ROUND(1.0 + k / slog, 6) AS pareto_exponent
+    FROM h
+    """,
+)
+def order_value_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index (Hill 1975) — the
+    standard answer to 'how heavy is the big-order tail': over the top
+    k = 100 order values, α̂ = k / Σln(xᵢ/x₍ₖ₊₁₎); α < 2 means infinite
+    variance (percentile-based capacity planning breaks), and the
+    implied Pareto exponent 1+α feeds the same power-law readouts as
+    the Zipf-slope query does for vocabulary. One TakeOrdered top-101
+    (no global sort materialization — the top-N shape), log-ratio
+    terms rounded to 12 and DECIMAL-summed against the broadcast
+    (k+1)-th order statistic. The fact-width cost is the top-k
+    selection alone, at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    topk = (
+        orders.select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(101)
+        .select(
+            F.col("o_totalprice").alias("x"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc("o_totalprice"), F.asc("o_orderkey")
+                )
+            )
+            .alias("rnk"),
+        )
+        .persist()  # feeds the x_(k+1) slice AND the log-ratio sum
+    )
+    xk = topk.filter(F.col("rnk") == 101).select(
+        F.col("x").alias("xmin")
+    )
+    h = (
+        topk.filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.round(F.log(F.col("x") / F.col("xmin")), 12).cast(
+                    "decimal(30,15)"
+                )
+            )
+            .cast("double")
+            .alias("slog"),
+        )
+    )
+    return h.select(
+        F.col("k").cast("bigint").alias("k_top"),
+        F.round(F.col("slog") / F.col("k"), 6).alias("hill_inv_alpha"),
+        F.round(F.col("k") / F.col("slog"), 6).alias("hill_alpha"),
+        F.round(F.lit(1.0) + F.col("k") / F.col("slog"), 6).alias(
+            "pareto_exponent"
+        ),
+    )

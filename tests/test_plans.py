@@ -366,6 +366,8 @@ _NONEQUI_ALLOWLIST = {
                                   # on the bounded contingency grid
     "daily_revenue_wavelet_energy",  # 4-row literal scale ladder
                                   # broadcast cross onto the day spine
+    "order_value_hill_tail",      # 1-row (k+1)-th order statistic
+                                  # broadcast attach
 }
 
 
