@@ -5984,3 +5984,118 @@ def priority_value_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gamma"),
     )
+
+
+@query(
+    "customer_value_quartile_migration",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1996
+                        THEN CAST(o_totalprice AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS s96,
+               SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1997
+                        THEN CAST(o_totalprice AS DECIMAL(30,10))
+                        ELSE CAST(0 AS DECIMAL(30,10)) END) AS s97
+        FROM orders
+        WHERE YEAR(CAST(o_orderdate AS DATE)) IN (1996, 1997)
+        GROUP BY o_custkey
+        HAVING SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1996
+                        THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) = 1997
+                        THEN 1 ELSE 0 END) > 0
+    ),
+    q AS (
+        SELECT CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY s96, o_custkey)
+                           - 1) * 4
+                          / COUNT(*) OVER ()) + 1 AS INTEGER) AS q96,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY s97, o_custkey)
+                           - 1) * 4
+                          / COUNT(*) OVER ()) + 1 AS INTEGER) AS q97
+        FROM spend
+    ),
+    m AS (
+        SELECT q96, q97, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM q GROUP BY q96, q97
+    )
+    SELECT q96, q97, n_customers,
+           ROUND(CAST(n_customers AS DOUBLE)
+                 / SUM(n_customers) OVER (PARTITION BY q96), 6)
+               AS row_share
+    FROM m
+    ORDER BY q96, q97
+    """,
+)
+def customer_value_quartile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-quartile migration matrix 1996 → 1997 — the
+    upgrade/downgrade/churn-risk grid a CRM reads: customers active in
+    BOTH years, bucketed into spend quartiles per year, with row-
+    normalized transition shares (of 1996's top quartile, what share
+    stayed top?). Quartiles are integer rank arithmetic
+    floor((rank−1)·4/n) with (spend, custkey) total order — the
+    portable Lorenz-decile convention, immune to NTILE dialect
+    differences. One year-pruned agg builds both spend columns in a
+    single pass; two global sort-ranks over the customers-active-in-
+    both frame (the Gini discipline — at 100 TB quartile boundaries
+    come from an equi-depth histogram instead); the matrix is a ≤16-row
+    rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    zero = F.lit(0).cast("decimal(30,10)")
+    spend = (
+        orders.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    yr == 1996,
+                    F.col("o_totalprice").cast("decimal(30,10)"),
+                ).otherwise(zero)
+            ).alias("s96"),
+            F.sum(
+                F.when(
+                    yr == 1997,
+                    F.col("o_totalprice").cast("decimal(30,10)"),
+                ).otherwise(zero)
+            ).alias("s97"),
+            F.sum(F.when(yr == 1996, 1).otherwise(0)).alias("n96"),
+            F.sum(F.when(yr == 1997, 1).otherwise(0)).alias("n97"),
+        )
+        .filter((F.col("n96") > 0) & (F.col("n97") > 0))
+    )
+    w96 = Window.orderBy(F.asc("s96"), F.asc("o_custkey"))
+    w97 = Window.orderBy(F.asc("s97"), F.asc("o_custkey"))
+    wg = Window.partitionBy()
+    q = spend.select(
+        (
+            F.floor(
+                (F.row_number().over(w96) - 1) * 4 / F.count("*").over(wg)
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("q96"),
+        (
+            F.floor(
+                (F.row_number().over(w97) - 1) * 4 / F.count("*").over(wg)
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("q97"),
+    )
+    m = q.groupBy("q96", "q97").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    return m.select(
+        "q96",
+        "q97",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(Window.partitionBy("q96")),
+            6,
+        ).alias("row_share"),
+    ).orderBy("q96", "q97")

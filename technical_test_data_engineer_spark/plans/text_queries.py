@@ -2855,3 +2855,87 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "doc_dedup_yield_curve",
+    """
+    WITH fp AS (
+        SELECT doc_id, MD5(text) AS f FROM documents
+    ),
+    first_occ AS (
+        SELECT doc_id,
+               (ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1)
+                   AS is_new
+        FROM fp
+    ),
+    ord AS (
+        SELECT is_new,
+               ROW_NUMBER() OVER (ORDER BY doc_id) AS i,
+               COUNT(*) OVER () AS n
+        FROM first_occ
+    ),
+    dec AS (
+        SELECT CAST(FLOOR((i - 1) * 10 / n) + 1 AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT)
+                   AS n_new
+        FROM ord GROUP BY 1
+    )
+    SELECT decile, n_docs, n_new,
+           ROUND(CAST(n_new AS DOUBLE) / n_docs, 6) AS new_share,
+           ROUND(CAST(SUM(n_new) OVER (ORDER BY decile) AS DOUBLE)
+                 / SUM(n_docs) OVER (ORDER BY decile), 6)
+               AS cumulative_yield
+    FROM dec
+    ORDER BY decile
+    """,
+)
+def doc_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve — how fast incoming data stops being NEW: in
+    ingestion order (doc_id), the share of each decile's documents
+    whose exact fingerprint (house md5) was never seen before, plus
+    the cumulative unique-content yield — the curve a crawl/scrape
+    pipeline reads to decide when another batch of the same source
+    stops paying for itself (yield falling toward the duplicate floor
+    = source exhausted). First-occurrence flags come from ONE
+    fingerprint-keyed window (the exact-dedup shuffle); decile
+    assignment is integer arithmetic on the ingestion rank; the curve
+    is a 10-row cumulative rollup. Integer counts end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", TX.fingerprint("text").alias("f"))
+    wf = Window.partitionBy("f").orderBy("doc_id")
+    first_occ = fp.select(
+        "doc_id", (F.row_number().over(wf) == 1).alias("is_new")
+    )
+    wo = Window.orderBy("doc_id")
+    wg = Window.partitionBy()
+    ordn = first_occ.select(
+        "is_new",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wg).alias("n"),
+    )
+    dec = ordn.groupBy(
+        (F.floor((F.col("i") - 1) * 10 / F.col("n")) + 1)
+        .cast("int")
+        .alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("is_new"), 1)).cast("bigint").alias("n_new"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return dec.select(
+        "decile",
+        "n_docs",
+        "n_new",
+        F.round(F.col("n_new").cast("double") / F.col("n_docs"), 6).alias(
+            "new_share"
+        ),
+        F.round(
+            F.sum("n_new").over(wc).cast("double")
+            / F.sum("n_docs").over(wc),
+            6,
+        ).alias("cumulative_yield"),
+    ).orderBy("decile")
