@@ -6099,3 +6099,144 @@ def customer_value_quartile_migration(
             6,
         ).alias("row_share"),
     ).orderBy("q96", "q97")
+
+
+@query(
+    "supplier_acctbal_kruskal",
+    """
+    WITH cells AS (
+        SELECT s_acctbal AS v, s_nationkey AS g,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM supplier GROUP BY s_acctbal, s_nationkey
+    ),
+    vals AS (
+        SELECT v, SUM(c) AS cv FROM cells GROUP BY v
+    ),
+    rk AS (
+        SELECT v, cv,
+               SUM(cv) OVER (ORDER BY v) - (cv - 1) / 2.0 AS midrank,
+               SUM(cv) OVER () AS nn
+        FROM vals
+    ),
+    grp AS (
+        SELECT ce.g,
+               CAST(SUM(ce.c) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(ROUND(ce.c * rk.midrank, 6)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS r_g,
+               MAX(rk.nn) AS nn
+        FROM cells ce JOIN rk ON ce.v = rk.v
+        GROUP BY ce.g
+    ),
+    ties AS (
+        SELECT CAST(SUM(CAST(cv * cv * cv - cv AS DECIMAL(38,0)))
+                    AS DOUBLE) AS t3
+        FROM vals
+    ),
+    h AS (
+        SELECT g, n_g, r_g, nn,
+               12.0 / (CAST(nn AS DOUBLE) * (nn + 1))
+                 * SUM(CAST(ROUND(r_g * r_g / n_g, 6) AS DECIMAL(38,6)))
+                   OVER ()
+                 - 3.0 * (nn + 1) AS h_raw
+        FROM grp
+    )
+    SELECT n.n_name AS nation,
+           h.n_g AS n_suppliers,
+           ROUND(h.r_g / h.n_g, 6) AS mean_rank,
+           ROUND(h.h_raw, 6) AS h_stat,
+           ROUND(h.h_raw / (1.0 - t.t3
+                 / (CAST(h.nn AS DOUBLE) * h.nn * h.nn - h.nn)), 6)
+               AS h_tie_corrected
+    FROM h JOIN nation n ON h.g = n.n_nationkey
+    CROSS JOIN ties t
+    ORDER BY nation
+    """,
+)
+def supplier_acctbal_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across nations for supplier account balances —
+    the k-group rank ANOVA (Kruskal & Wallis 1952) that extends
+    Mann-Whitney beyond two samples: does ANY nation's balance
+    distribution sit higher, with no normality assumption — the
+    nonparametric twin of ``orders_weekday_anova``. Same scale
+    discipline as the U test: pooled midranks come from the
+    per-DISTINCT-VALUE frame (one cumulative window over values, never
+    row width), per-group rank sums are count-weighted DECIMAL sums,
+    and the tie-corrected H divides by 1 − Σ(t³−t)/(N³−N). Per-nation
+    mean ranks surface the direction the scalar H only detects."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cells = sup.groupBy(
+        F.col("s_acctbal").alias("v"), F.col("s_nationkey").alias("g")
+    ).agg(F.count("*").cast("bigint").alias("c")).persist()
+    vals = cells.groupBy("v").agg(F.sum("c").alias("cv")).persist()
+    wo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    rk = vals.select(
+        "v",
+        "cv",
+        (F.sum("cv").over(wo) - (F.col("cv") - 1) / 2.0).alias("midrank"),
+        F.sum("cv").over(wg).alias("nn"),
+    )
+    grp = (
+        cells.join(rk, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(
+                F.round(F.col("c") * F.col("midrank"), 6).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("r_g"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    ties = vals.agg(
+        F.sum(
+            (
+                F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("t3")
+    )
+    nnd = F.col("nn").cast("double")
+    h = grp.select(
+        "g",
+        "n_g",
+        "r_g",
+        "nn",
+        (
+            F.lit(12.0)
+            / (nnd * (F.col("nn") + 1))
+            * F.sum(
+                F.round(
+                    F.col("r_g") * F.col("r_g") / F.col("n_g"), 6
+                ).cast("decimal(38,6)")
+            ).over(wg)
+            - F.lit(3.0) * (F.col("nn") + 1)
+        ).alias("h_raw"),
+    )
+    return (
+        h.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            h.g == F.col("n_nationkey"),
+        )
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_g").alias("n_suppliers"),
+            F.round(F.col("r_g") / F.col("n_g"), 6).alias("mean_rank"),
+            F.round("h_raw", 6).alias("h_stat"),
+            F.round(
+                F.col("h_raw")
+                / (
+                    F.lit(1.0)
+                    - F.col("t3") / (nnd * nnd * nnd - F.col("nn"))
+                ),
+                6,
+            ).alias("h_tie_corrected"),
+        )
+        .orderBy("nation")
+    )

@@ -2939,3 +2939,189 @@ def doc_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cumulative_yield"),
     ).orderBy("decile")
+
+
+@query(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS (
+        SELECT lang AS actual,
+               {_lang_case_sql()} AS predicted
+        FROM (SELECT lang, STR_SPLIT(text, ' ') AS toks FROM documents)
+    ),
+    cm AS (
+        SELECT actual, CAST(COUNT(*) AS BIGINT) AS support,
+               CAST(COUNT(CASE WHEN predicted = actual THEN 1 END)
+                    AS BIGINT) AS tp
+        FROM pred GROUP BY actual
+    ),
+    pr AS (
+        SELECT predicted, CAST(COUNT(*) AS BIGINT) AS n_predicted
+        FROM pred GROUP BY predicted
+    ),
+    t AS (
+        SELECT cm.actual, cm.support, cm.tp,
+               COALESCE(pr.n_predicted, 0) AS n_predicted,
+               SUM(cm.tp) OVER () AS tp_total,
+               SUM(cm.support) OVER () AS n_total
+        FROM cm LEFT JOIN pr ON cm.actual = pr.predicted
+    )
+    SELECT actual AS lang, support,
+           CAST(n_predicted AS BIGINT) AS n_predicted,
+           tp AS n_correct,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(n_predicted, 0), 6)
+               AS precision_,
+           ROUND(CAST(tp AS DOUBLE) / support, 6) AS recall_,
+           ROUND(2.0 * tp / NULLIF(n_predicted + support, 0), 6) AS f1,
+           ROUND(CAST(tp_total AS DOUBLE) / n_total, 6) AS accuracy
+    FROM t
+    ORDER BY lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation of the heuristic language-ID model against
+    the labeled ``lang`` column — the precision/recall/F1 table every
+    classifier ships with (``doc_language_id`` emits predictions; this
+    closes the loop with the measurement): per language, support,
+    prediction volume, precision TP/pred, recall TP/support, the
+    denominator-form F1 = 2TP/(pred+support) (algebraically identical
+    to the harmonic mean but division-safe), plus global accuracy.
+    One scan-side prediction pass to a langs-sized confusion rollup;
+    the per-class and predicted-marginal frames join on the bounded
+    language domain. Integer counts end-to-end."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens("text")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        TX.predicted_language(toks).alias("predicted"),
+    ).persist()  # feeds the per-actual rollup AND the predicted marginal
+    cm = pred.groupBy("actual").agg(
+        F.count("*").cast("bigint").alias("support"),
+        F.count(F.when(F.col("predicted") == F.col("actual"), 1))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    pr = pred.groupBy("predicted").agg(
+        F.count("*").cast("bigint").alias("n_predicted")
+    )
+    wg = Window.partitionBy()
+    t = cm.join(
+        F.broadcast(pr), cm.actual == pr.predicted, "left"
+    ).select(
+        "actual",
+        "support",
+        "tp",
+        F.coalesce(F.col("n_predicted"), F.lit(0)).alias("n_predicted"),
+        F.sum("tp").over(wg).alias("tp_total"),
+        F.sum("support").over(wg).alias("n_total"),
+    )
+    return t.select(
+        F.col("actual").alias("lang"),
+        "support",
+        F.col("n_predicted").cast("bigint").alias("n_predicted"),
+        F.col("tp").alias("n_correct"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.nullif(F.col("n_predicted"), F.lit(0)),
+            6,
+        ).alias("precision_"),
+        F.round(F.col("tp").cast("double") / F.col("support"), 6).alias(
+            "recall_"
+        ),
+        F.round(
+            F.lit(2.0)
+            * F.col("tp")
+            / F.nullif(F.col("n_predicted") + F.col("support"), F.lit(0)),
+            6,
+        ).alias("f1"),
+        F.round(
+            F.col("tp_total").cast("double") / F.col("n_total"), 6
+        ).alias("accuracy"),
+    ).orderBy("lang")
+
+
+@query(
+    "source_lang_cramers_v",
+    """
+    WITH cells AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    m AS (
+        SELECT source, lang, n,
+               SUM(n) OVER (PARTITION BY source) AS nr,
+               SUM(n) OVER (PARTITION BY lang) AS nc,
+               SUM(n) OVER () AS nn,
+               COUNT(DISTINCT source) OVER () AS r,
+               COUNT(DISTINCT lang) OVER () AS c
+        FROM cells
+    ),
+    chi AS (
+        SELECT r, c, nn,
+               ROUND(POW(n - CAST(nr AS DOUBLE) * nc / nn, 2)
+                     / (CAST(nr AS DOUBLE) * nc / nn), 9) AS term
+        FROM m
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n_docs,
+           CAST(MAX(r) AS BIGINT) AS n_sources,
+           CAST(MAX(c) AS BIGINT) AS n_langs,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS DOUBLE), 6)
+               AS chi2,
+           ROUND(SQRT(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS DOUBLE)
+                      / (MAX(nn) * (LEAST(MAX(r), MAX(c)) - 1))), 6)
+               AS cramers_v
+    FROM chi
+    """,
+)
+def source_lang_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between document source and language — the
+    normalized-to-[0,1] strength of categorical association
+    (V = √(χ²/(n·(min(r,c)−1)))) that completes the dependence family:
+    MI gives nats (unbounded), gamma needs ordinal scales, kappa needs
+    matched raters — V is THE symmetric nominal-nominal effect size,
+    here answering 'how language-specialized are our sources', the
+    number a corpus-mixing plan reads before assuming source quotas
+    can rebalance languages. One scan to the source×lang contingency
+    cells; expected counts and χ² terms are window algebra over the
+    bounded grid, rounded then DECIMAL-summed."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    ws = Window.partitionBy("source")
+    wl = Window.partitionBy("lang")
+    wg = Window.partitionBy()
+    m = cells.select(
+        "n",
+        F.sum("n").over(ws).alias("nr"),
+        F.sum("n").over(wl).alias("nc"),
+        F.sum("n").over(wg).alias("nn"),
+        F.size(F.collect_set("source").over(wg)).alias("r"),
+        F.size(F.collect_set("lang").over(wg)).alias("c"),
+    )
+    expected = F.col("nr").cast("double") * F.col("nc") / F.col("nn")
+    chi = m.select(
+        "r",
+        "c",
+        "nn",
+        F.round(
+            F.pow(F.col("n") - expected, 2) / expected, 9
+        ).alias("term"),
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(30,12)")).cast("double")
+    return chi.agg(
+        F.max("nn").cast("bigint").alias("n_docs"),
+        F.max("r").cast("bigint").alias("n_sources"),
+        F.max("c").cast("bigint").alias("n_langs"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("nn")
+                    * (F.least(F.max("r"), F.max("c")) - F.lit(1))
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -368,6 +368,8 @@ _NONEQUI_ALLOWLIST = {
                                   # broadcast cross onto the day spine
     "order_value_hill_tail",      # 1-row (k+1)-th order statistic
                                   # broadcast attach
+    "supplier_acctbal_kruskal",   # 1-row tie-correction broadcast
+                                  # attach
 }
 
 
