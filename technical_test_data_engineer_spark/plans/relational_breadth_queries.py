@@ -6240,3 +6240,411 @@ def supplier_acctbal_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "part_abc_xyz_matrix",
+    """
+    WITH pm AS (
+        SELECT l_partkey,
+               DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS month,
+               SUM(CAST(l_quantity AS DECIMAL(30,10))) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(q) AS DOUBLE) AS demand,
+               SQRT(CAST(SUM(CAST(q * q AS DECIMAL(38,8))) AS DOUBLE)
+                    / COUNT(*)
+                    - POW(CAST(SUM(q) AS DOUBLE) / COUNT(*), 2))
+                 / (CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS cv
+        FROM pm GROUP BY l_partkey
+    ),
+    rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,10))) AS r
+        FROM lineitem GROUP BY l_partkey
+    ),
+    abc AS (
+        SELECT s.l_partkey, s.cv,
+               CASE WHEN CAST(SUM(rev.r) OVER (
+                        ORDER BY rev.r DESC, rev.l_partkey) AS DOUBLE)
+                        / CAST(SUM(rev.r) OVER () AS DOUBLE) <= 0.8
+                    THEN 'A'
+                    WHEN CAST(SUM(rev.r) OVER (
+                        ORDER BY rev.r DESC, rev.l_partkey) AS DOUBLE)
+                        / CAST(SUM(rev.r) OVER () AS DOUBLE) <= 0.95
+                    THEN 'B' ELSE 'C' END AS abc_class,
+               CASE WHEN s.cv < 0.5 THEN 'X'
+                    WHEN s.cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz_class
+        FROM stats s JOIN rev ON s.l_partkey = rev.l_partkey
+        WHERE s.n_months >= 3
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share,
+           ROUND(CAST(SUM(CAST(ROUND(cv, 9) AS DECIMAL(30,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_cv
+    FROM abc
+    GROUP BY abc_class, xyz_class
+    ORDER BY abc_class, xyz_class
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ inventory matrix — the 9-cell planning grid every
+    supply/inventory system segments on: ABC = cumulative revenue
+    share classes (the ``supplier_pareto_abc`` discipline applied to
+    parts), XYZ = monthly demand variability classes (CV < 0.5
+    steady X, < 1 variable Y, else erratic Z — the
+    ``customer_interpurchase_cv`` buckets applied to demand): an AX
+    part gets automated reorder, a CZ part gets make-to-order. Two
+    fact aggs ((part, month) demand grid and part revenue — a corpus
+    pipeline maps these to (source, period) token flows), one
+    revenue-ordered cumulative window over the parts frame, a 9-row
+    rollup; parts under 3 active months excluded as unclassifiable.
+    All class boundaries apply to exact integer/DECIMAL ratios."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    # persisted: ONE lineitem scan builds the (part, month) grid with
+    # BOTH measures; the CV stats and the ABC revenue roll up from it
+    pm = li.groupBy(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias(
+            "month"
+        ),
+    ).agg(
+        F.sum(dec(F.col("l_quantity"))).alias("q"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,10)"
+            )
+        ).alias("rm"),
+    ).persist()
+    mean_q = F.col("sq").cast("double") / F.col("n_months")
+    stats = (
+        pm.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_months"),
+            F.sum("q").alias("sq"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,8)")).alias(
+                "sqq"
+            ),
+        )
+        .select(
+            "l_partkey",
+            "n_months",
+            (
+                F.sqrt(
+                    F.col("sqq").cast("double") / F.col("n_months")
+                    - mean_q * mean_q
+                )
+                / mean_q
+            ).alias("cv"),
+        )
+    )
+    rev = pm.groupBy("l_partkey").agg(F.sum("rm").alias("r"))
+    wo = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wg = Window.partitionBy()
+    cum_share = (
+        F.sum("r").over(wo).cast("double")
+        / F.sum("r").over(wg).cast("double")
+    )
+    abc = (
+        stats.join(rev, "l_partkey")
+        .filter(F.col("n_months") >= 3)
+        .select(
+            "cv",
+            F.when(cum_share <= 0.8, "A")
+            .when(cum_share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            F.when(F.col("cv") < 0.5, "X")
+            .when(F.col("cv") < 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+    )
+    return (
+        abc.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum(F.round(F.col("cv"), 9).cast("decimal(30,12)")).alias(
+                "_cvsum"
+            ),
+        )
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double")
+                / F.sum("n_parts").over(wg),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("_cvsum").cast("double") / F.col("n_parts"), 6
+            ).alias("mean_cv"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+@query(
+    "nation_theil_decomposition",
+    """
+    WITH spend AS (
+        SELECT o.o_custkey, c.c_nationkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,10)))
+                    AS DOUBLE) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS s
+        FROM spend
+    ),
+    grp AS (
+        SELECT c_nationkey,
+               COUNT(*) AS n_g,
+               CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS s_g,
+               CAST(SUM(CAST(ROUND((x / (SELECT s FROM tot))
+                   * LN(x * (SELECT n FROM tot) / (SELECT s FROM tot)),
+                   12) AS DECIMAL(30,15))) AS DOUBLE) AS t_term
+        FROM spend GROUP BY c_nationkey
+    ),
+    parts AS (
+        SELECT g.c_nationkey, g.n_g, g.s_g,
+               ROUND((g.s_g / t.s) * LN((g.s_g / t.s) / (CAST(g.n_g
+                   AS DOUBLE) / t.n)), 12) AS between_term,
+               CAST(SUM(CAST(ROUND((g.s_g / t.s)
+                   * LN((g.s_g / t.s) / (CAST(g.n_g AS DOUBLE) / t.n)),
+                   12) AS DECIMAL(30,15))) OVER () AS DOUBLE)
+                   AS t_between,
+               CAST(SUM(CAST(ROUND(g.t_term, 12) AS DECIMAL(30,15)))
+                    OVER () AS DOUBLE) AS t_total
+        FROM grp g CROSS JOIN tot t
+    )
+    SELECT n.n_name AS nation,
+           CAST(p.n_g AS BIGINT) AS n_customers,
+           ROUND(p.between_term, 6) AS between_contribution,
+           ROUND(p.t_total, 6) AS theil_total,
+           ROUND(p.t_between, 6) AS theil_between,
+           ROUND(p.t_total - p.t_between, 6) AS theil_within
+    FROM parts p JOIN nation n ON p.c_nationkey = n.n_nationkey
+    ORDER BY nation
+    """,
+)
+def nation_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T between/within decomposition by customer nation — the
+    property ``customer_theil_index``'s docstring advertises, now
+    computed: T_total = T_between (inequality of nation MEANS, each
+    nation collapsed to its revenue share vs population share) +
+    T_within (the remainder), with each nation's between-term
+    surfaced — 'is revenue concentration a cross-country story or a
+    within-country story', and for a corpus the same split over
+    sources vs documents-within-source decides WHERE to rebalance.
+    One join+agg to per-customer spend with its group key, a 1-row
+    total, nations-sized group sums; every log term rounded to 12 and
+    DECIMAL-summed, so the identity holds exactly in both engines
+    (within reported as total − between, the division-free form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(exact_sum(F.col("o_totalprice")).alias("x"))
+        .persist()  # feeds the 1-row total AND the group rollup
+    )
+    tot = spend.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("s"),
+    )
+    j = spend.crossJoin(F.broadcast(tot))
+    t_term = F.round(
+        (F.col("x") / F.col("s"))
+        * F.log(F.col("x") * F.col("n") / F.col("s")),
+        12,
+    )
+    grp = j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias(
+            "s_g"
+        ),
+        F.sum(t_term.cast("decimal(30,15)")).cast("double").alias(
+            "t_term"
+        ),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+    )
+    share = F.col("s_g") / F.col("s")
+    pop = F.col("n_g").cast("double") / F.col("n")
+    between_term = F.round(share * F.log(share / pop), 12)
+    wg = Window.partitionBy()
+    parts = grp.select(
+        "c_nationkey",
+        "n_g",
+        between_term.alias("between_term"),
+        F.sum(between_term.cast("decimal(30,15)"))
+        .over(wg)
+        .cast("double")
+        .alias("t_between"),
+        F.sum(F.round(F.col("t_term"), 12).cast("decimal(30,15)"))
+        .over(wg)
+        .cast("double")
+        .alias("t_total"),
+    )
+    return (
+        parts.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            parts.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_g").cast("bigint").alias("n_customers"),
+            F.round("between_term", 6).alias("between_contribution"),
+            F.round("t_total", 6).alias("theil_total"),
+            F.round("t_between", 6).alias("theil_between"),
+            F.round(F.col("t_total") - F.col("t_between"), 6).alias(
+                "theil_within"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "customer_partition_ari",
+    """
+    WITH spend AS (
+        SELECT o.o_custkey,
+               MAX(c.c_mktsegment) AS segment,
+               SUM(CAST(o.o_totalprice AS DECIMAL(30,10))) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey
+    ),
+    q AS (
+        SELECT segment,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY x, o_custkey) - 1)
+                          * 4 / COUNT(*) OVER ()) + 1 AS INTEGER)
+                   AS quartile
+        FROM spend
+    ),
+    cells AS (
+        SELECT segment, quartile, CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY segment, quartile
+    ),
+    comb AS (
+        SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS idx,
+               CAST(SUM(n) AS BIGINT) AS nn
+        FROM cells
+    ),
+    rowc AS (
+        SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS ra
+        FROM (SELECT SUM(n) AS a FROM cells GROUP BY segment)
+    ),
+    colc AS (
+        SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS cb
+        FROM (SELECT SUM(n) AS b FROM cells GROUP BY quartile)
+    )
+    SELECT comb.nn AS n_customers,
+           comb.idx AS pair_index,
+           ROUND(CAST(rowc.ra AS DOUBLE) * colc.cb
+                 / (CAST(comb.nn AS DOUBLE) * (comb.nn - 1) / 2), 6)
+               AS expected_index,
+           ROUND((comb.idx - CAST(rowc.ra AS DOUBLE) * colc.cb
+                  / (CAST(comb.nn AS DOUBLE) * (comb.nn - 1) / 2))
+                 / ((CAST(rowc.ra AS DOUBLE) + colc.cb) / 2
+                    - CAST(rowc.ra AS DOUBLE) * colc.cb
+                      / (CAST(comb.nn AS DOUBLE) * (comb.nn - 1) / 2)),
+                 6) AS adjusted_rand_index
+    FROM comb CROSS JOIN rowc CROSS JOIN colc
+    """,
+)
+def customer_partition_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between two customer partitions — market
+    segment vs spend quartile (Hubert & Arabie 1985): the
+    chance-corrected clustering-agreement score (0 ≈ independent
+    partitions, 1 = identical) that completes the cluster-eval family
+    (silhouette measures geometry, ARI measures agreement with a
+    reference labeling — how a pipeline validates unsupervised
+    clusters against business labels). Everything is pair-counting
+    combinatorics on the contingency table: ΣC(n_ij,2) vs its
+    hypergeometric expectation — INTEGER arithmetic from one
+    segment×quartile rollup (quartiles via the portable integer-rank
+    convention), so nothing can drift; only the final normalization
+    divides."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("c_mktsegment").alias("segment"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("x"),
+        )
+    )
+    wo = Window.orderBy(F.asc("x"), F.asc("o_custkey"))
+    wg = Window.partitionBy()
+    q = spend.select(
+        "segment",
+        (
+            F.floor(
+                (F.row_number().over(wo) - 1) * 4 / F.count("*").over(wg)
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("quartile"),
+    )
+    cells = q.groupBy("segment", "quartile").agg(
+        F.count("*").cast("bigint").alias("n")
+    ).persist()  # feeds the cell, row and column combinatorics
+    comb = cells.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias(
+            "idx"
+        ),
+        F.sum("n").cast("bigint").alias("nn"),
+    )
+    rowc = (
+        cells.groupBy("segment")
+        .agg(F.sum("n").alias("a"))
+        .agg(
+            F.sum(F.col("a") * (F.col("a") - 1) / 2)
+            .cast("bigint")
+            .alias("ra")
+        )
+    )
+    colc = (
+        cells.groupBy("quartile")
+        .agg(F.sum("n").alias("b"))
+        .agg(
+            F.sum(F.col("b") * (F.col("b") - 1) / 2)
+            .cast("bigint")
+            .alias("cb")
+        )
+    )
+    j = comb.crossJoin(F.broadcast(rowc)).crossJoin(F.broadcast(colc))
+    total_pairs = F.col("nn").cast("double") * (F.col("nn") - 1) / 2
+    expected = F.col("ra").cast("double") * F.col("cb") / total_pairs
+    max_idx = (F.col("ra").cast("double") + F.col("cb")) / 2
+    return j.select(
+        F.col("nn").alias("n_customers"),
+        F.col("idx").alias("pair_index"),
+        F.round(expected, 6).alias("expected_index"),
+        F.round(
+            (F.col("idx") - expected) / (max_idx - expected), 6
+        ).alias("adjusted_rand_index"),
+    )

@@ -370,6 +370,9 @@ _NONEQUI_ALLOWLIST = {
                                   # broadcast attach
     "supplier_acctbal_kruskal",   # 1-row tie-correction broadcast
                                   # attach
+    "nation_theil_decomposition", # 1-row (n, total) broadcast attach
+    "customer_partition_ari",     # 1-row combinatorics broadcast
+                                  # attaches (row/col pair counts)
 }
 
 
