@@ -3125,3 +3125,94 @@ def source_lang_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "source_vocab_jaccard",
+    """
+    WITH st AS (
+        SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st
+        GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM st a JOIN st b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           sa.v AS vocab_a, sb.v AS vocab_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.v + sb.v - i.n_common), 6) AS jaccard,
+           ROUND(CAST(i.n_common AS DOUBLE) / LEAST(sa.v, sb.v), 6)
+               AS overlap_coef
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    ORDER BY i.src_a, i.src_b
+    """,
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between document sources — Jaccard
+    and Szymkiewicz-Simpson overlap of each source pair's term SETS:
+    the corpus-diversity readout that says whether two sources bring
+    different LANGUAGE or just different documents (high overlap →
+    marginal vocabulary value of the second source is low; the
+    set-level complement to ``source_token_js_divergence``'s
+    distributional drift). One distinct (source, term) collapse — the
+    posting-list shape — then a term-keyed self-join whose fan-out is
+    bounded by sources-per-term (≤|sources|, vocabulary-keyed, never
+    document width) and a sources²-row readout. Integer set sizes
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted: feeds the per-source sizes AND both sides of the
+    # term-keyed intersection self-join
+    st = (
+        docs.select("source", F.explode(TX.tokens("text")).alias("term"))
+        .distinct()
+        .persist()
+    )
+    sizes = st.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    a = st.select(F.col("source").alias("src_a"), "term")
+    b = st.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("source").alias("_a"), F.col("v").alias("vocab_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("source").alias("_b"), F.col("v").alias("vocab_b"))
+    )
+    return (
+        inter.join(sa, inter.src_a == F.col("_a"))
+        .join(sb, inter.src_b == F.col("_b"))
+        .select(
+            "src_a",
+            "src_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least(F.col("vocab_a"), F.col("vocab_b")),
+                6,
+            ).alias("overlap_coef"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -6122,3 +6122,110 @@ def order_value_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pareto_exponent"
         ),
     )
+
+
+@query(
+    "urgent_share_trend_test",
+    """
+    WITH yr AS (
+        SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INTEGER) AS y,
+               COUNT(*) AS n,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS r
+        FROM orders GROUP BY 1
+    ),
+    sc AS (
+        SELECT y, n, r,
+               y - CAST(MIN(y) OVER () AS INTEGER) AS s,
+               SUM(n) OVER () AS nn,
+               SUM(r) OVER () AS rr
+        FROM yr
+    ),
+    m AS (
+        SELECT MAX(nn) AS nn, MAX(rr) AS rr,
+               CAST(SUM(s * r) AS BIGINT) AS srsum,
+               CAST(SUM(s * n) AS BIGINT) AS snsum,
+               CAST(SUM(s * s * n) AS BIGINT) AS ssnsum
+        FROM sc
+    ),
+    z AS (
+        SELECT nn, rr,
+               (srsum - CAST(rr AS DOUBLE) * snsum / nn)
+               / SQRT((CAST(rr AS DOUBLE) / nn)
+                      * (1.0 - CAST(rr AS DOUBLE) / nn)
+                      * (ssnsum - CAST(snsum AS DOUBLE) * snsum / nn))
+                   AS zval
+        FROM m
+    )
+    SELECT CAST(nn AS BIGINT) AS n_orders,
+           CAST(rr AS BIGINT) AS n_urgent,
+           ROUND(zval, 6) AS z,
+           ROUND(2.0 * (1.0 - 1.0 / (1.0 + EXP(-1.702 * ABS(zval)))),
+                 6) AS p_value
+    FROM z
+    """,
+)
+def urgent_share_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test on the urgent-order share across
+    order years — 'is the proportion drifting monotonically over
+    time', the categorical trend question chi-square homogeneity
+    wastes power on (it ignores year ORDER; Armitage 1955 scores the
+    years 0..k and tests the linear component directly) — the
+    proportions twin of the runs test and the formal version of what
+    the p-chart eyeballs. Everything reduces to four integer
+    sufficient statistics over the years-sized frame (Σsr, Σsn, Σs²n,
+    totals) from ONE conditional fact agg; z and the logistic-probit
+    p are scalar algebra. Integer sums — nothing drifts."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("y")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+        ).alias("r"),
+    )
+    wg = Window.partitionBy()
+    sc = yr.select(
+        (F.col("y") - F.min("y").over(wg)).alias("s"),
+        "n",
+        "r",
+        F.sum("n").over(wg).alias("nn"),
+        F.sum("r").over(wg).alias("rr"),
+    )
+    m = sc.agg(
+        F.max("nn").alias("nn"),
+        F.max("rr").alias("rr"),
+        F.sum(F.col("s") * F.col("r")).cast("bigint").alias("srsum"),
+        F.sum(F.col("s") * F.col("n")).cast("bigint").alias("snsum"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("bigint")
+        .alias("ssnsum"),
+    )
+    p = F.col("rr").cast("double") / F.col("nn")
+    zval = (
+        F.col("srsum") - F.col("rr").cast("double") * F.col("snsum") / F.col("nn")
+    ) / F.sqrt(
+        p
+        * (1.0 - p)
+        * (
+            F.col("ssnsum")
+            - F.col("snsum").cast("double") * F.col("snsum") / F.col("nn")
+        )
+    )
+    return m.select(
+        F.col("nn").cast("bigint").alias("n_orders"),
+        F.col("rr").cast("bigint").alias("n_urgent"),
+        F.round(zval, 6).alias("z"),
+        F.round(
+            F.lit(2.0)
+            * (
+                F.lit(1.0)
+                - F.lit(1.0)
+                / (F.lit(1.0) + F.exp(F.lit(-1.702) * F.abs(zval)))
+            ),
+            6,
+        ).alias("p_value"),
+    )
