@@ -8,7 +8,20 @@ Per-query timing includes full materialization of EVERY output column
 materializer: Catalyst prunes all columns under a count, so per-row
 expression work (winnowing, signatures, chunk text) would go untimed —
 round-1 recorded 0.26 s for a winnowing query whose real cost was ~10 s.
-Queries run once each, in a fixed order.
+
+Steady-state protocol (r08, r07 verdict item 5): queries run in a fixed
+order; any query whose first rep exceeds ``SPARK_GRAFT_BENCH_REP2_FLOOR``
+seconds (default 1.5) is re-run once and the MIN of the two reps is
+recorded. Rationale: three consecutive rounds produced false bench
+flags from one-time JIT / python-worker warmup charged to whichever
+query hit a code shape first (r06 ``knn_lsh_multiprobe`` 1.17→3.1 s
+purely from registry position; r07 ``supplier_bradley_terry`` 14.0 s
+cold vs 5.4 s steady, ``order_value_poisson_bootstrap`` 5.0 vs 1.5 s) —
+each needed a hand-run solo re-measure. Warmup inflation by definition
+raises rep0 ABOVE steady state, so re-repping only the slow tail
+catches every artifact in the class while adding only the heavy
+queries' cost (~25-35%% of a full single-rep sweep, not 2×). Set the
+floor to 0 for min-of-2 on everything, or very high to disable.
 """
 
 from __future__ import annotations
@@ -155,15 +168,15 @@ def main() -> None:
         ["k"], ["t"], "v", alpha=0.5,
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    rep2_floor = float(os.environ.get("SPARK_GRAFT_BENCH_REP2_FLOOR", "1.5"))
+
+    def _run_once(fn) -> float:
         t0 = time.time()
         df = fn(spark, sf_dir)
         # noop write: evaluates every column of every row JVM-side with
         # zero sink cost — count() would column-prune the query body
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        elapsed = time.time() - t0
         # drop intra-query persisted intermediates so queries are timed
         # in isolation: clearCache frees DataFrame persists, but NOT
         # localCheckpoint RDDs (iterative operators) — unpersist every
@@ -173,6 +186,27 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
         spark._jvm.System.gc()
+        return elapsed
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        rep0 = _run_once(fn)
+        if rep0 >= rep2_floor:
+            # slow enough to matter AND slow enough to be a possible
+            # warmup artifact — steady state is the min of two reps
+            # (clearCache between reps, so rep1 still pays the query's
+            # own scans/shuffles; only session-lifetime JIT and worker
+            # startup are amortized, which is the point)
+            rep1 = _run_once(fn)
+            timings[name] = round(min(rep0, rep1), 3)
+            print(
+                f"# {name}: {timings[name]:.3f}s"
+                f" (rep0 {rep0:.3f}, rep1 {rep1:.3f})",
+                file=sys.stderr,
+            )
+        else:
+            timings[name] = round(rep0, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -136,6 +136,21 @@ def md5_bucket(c: Column | str, n_buckets: int = 100) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % n_buckets
 
 
+def adaptive_buckets(n: int, target_bucket: int = 64, floor: int = 16) -> int:
+    """Bucket count sized so the EXPECTED bucket population stays about
+    ``target_bucket`` as ``n`` grows: ``max(floor, n // target_bucket)``.
+
+    The blocked-self-join discipline (negative sampling, record-linkage
+    blocking) generates ~n²/(2B) candidate pairs; with a FIXED B that is
+    still O(n²). Sizing B from a cheap count keeps per-bucket population
+    — and therefore candidates-per-node — constant at any scale (the
+    modulus twin of ``similarity.adaptive_n_planes``, which does the
+    same for SRP-LSH plane counts). Engine-portable: the oracle computes
+    the identical B via ``GREATEST(floor, CAST(FLOOR(COUNT(*)/target)
+    AS BIGINT))`` in a scalar subquery."""
+    return max(floor, n // target_bucket)
+
+
 def winnow_fingerprints(
     text_col: str | Column = "text", k: int = 5, w: int = 4, hash_fn=None
 ) -> Column:

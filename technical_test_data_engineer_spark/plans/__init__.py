@@ -56,257 +56,114 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # ---- Round-5 rotation (verdict r04 items 2 & 6) ----
-    # The r04 window went 50/50 green, but 35 registered queries had
-    # never earned a driver CORRECTNESS row (added after the r04 window
-    # froze). This rotation pins ALL 29 never-checked oracle-paired
-    # queries into the window, plus:
-    #   - embedding_near_dup_exact: its only driver row (r02) was
-    #     vacuous (0 == 0 at threshold 0.8); the r04 fix (threshold
-    #     0.3, 148 value-checked pairs) needs a non-vacuous driver row.
-    #   - events_sliding_1h_15m (last driver-checked r01) and
-    #     events_user_sessions (r03): the streaming watermark/stateful
-    #     twins keep earning fresh green rows (verdict item 6).
-    # Displaced queries are all r04-green with in-window twins for
-    # their operator families (see the r04 rotation notes in git
-    # history for the twin mapping); they stay registered and locally
-    # verified right behind the window.
-    "flagship_daily_backlog",
-    # -- never-driver-checked (29), grouped by family --
-    # relational / analytic breadth
-    # -- round-7 batch 6 (displaced: orderkey_skew_report (r06-green;
-    #    skew/moment diagnostics in-window via shard_balance_chisq +
-    #    the decomposition residual), doc_template_keys (r06-green;
-    #    dedup/fingerprint family keeps eval_ngram_contamination +
-    #    part_record_linkage_scores + dataset_version_manifest),
-    #    knn_maxsim_late_interaction (r06-green; ANN family keeps
-    #    hard_negative_mining + matryoshka_recall_curve +
-    #    embedding_silhouette), vocab_growth_curve (r06-green;
-    #    cumulative-window machinery in-window via ab_test_sprt +
-    #    customer_cohort_ltv + order_pit_features)) --
-    "customer_cohort_ltv",           # growth LTV curves
-    "daily_revenue_acf",             # lag-1/7/28 autocorrelation
-    "user_capture_recapture",        # Chapman population estimate
-    "embedding_isotropy_stats",      # representation-collapse card
-    # -- round-7 batch 5 (displaced: ship_latency_percentiles
-    #    (r06-green; interpolated-percentile machinery in-window via
-    #    order_value_conformal's q90 + user_bot_scores' median),
-    #    part_cf_similarity (r06-green; graph family keeps
-    #    label_propagation + kcore_r3), source_score_calibration
-    #    (r06-green; cross-source quantile machinery in-window via
-    #    source_temperature_mixing + conformal), nation_l_diversity
-    #    (r06-green; privacy family keeps k_anonymity +
-    #    dp_noisy_counts + customer_pseudonymized)) --
-    "shard_balance_chisq",           # dataloader balance chi-square
-    "source_distinctive_terms",      # Fightin'-Words log-odds z
-    "ab_test_uplift_deciles",        # heterogeneous treatment effect
-    "user_bot_scores",               # behavioral abuse screen
-    # -- round-7 batch 3 (displaced: customer_rfm_segments (r06-green;
-    #    its NTILE segmentation machinery is in-window via
-    #    customer_acctbal_woe_iv), hourly_traffic_anomalies (r06-green;
-    #    seasonal-baseline anomaly machinery in-window via
-    #    daily_revenue_decomposition's residual), source_loo_impact
-    #    (r06-green; valuation/drift family keeps
-    #    source_token_js_divergence + source_score_calibration)) --
-    "elasticity_kfold_cv",           # zero-re-scan k-fold CV
-    "daily_revenue_forecast_backtest",  # MAPE/sMAPE baseline race
-    "source_temperature_mixing",     # n^tau pre-training mixer
-    # -- round-7 batch 10 (displaced: part_label_propagation (r06-green;
-    #    graph family keeps part_copurchase_kcore_r3 + event_path_
-    #    trigrams, and the fixed-iteration discipline is in-window 3×),
-    #    q12_ship_class_priority (r06-green re-earn; the TPC-H family
-    #    holds 20+ driver greens behind the window)) --
-    "customer_rfm_kmeans2",          # unrolled Lloyd clustering
-    "monthly_latency_control_chart", # Shewhart SPC limits
-    # -- round-7 batch 4 (displaced: doc_pii_redacted (r04-green;
-    #    privacy family holds 4 in-window rows), eval_substring_
-    #    contamination (r05-green; contamination family keeps
-    #    eval_ngram_contamination + doc_template_keys),
-    #    doc_epoch_shards (r06-green; its BIT_XOR/md5 checksum
-    #    machinery is in-window via dataset_version_manifest),
-    #    copurchase_degree_stats (r06-green; graph family keeps
-    #    cf_similarity + label_propagation + kcore_r3)) --
-    "order_pit_features",            # leakage-safe feature store
-    "part_record_linkage_scores",    # Fellegi-Sunter linkage
-    "star_schema_expectations",      # data-contract audit gate
-    "dataset_version_manifest",      # reproducibility fingerprint
-    # -- round-7 batch 2 (each displaces an r06-green slot whose family
-    #    keeps other in-window coverage; displaced: corpus_drift_psi
-    #    (drift family keeps source_token_js_divergence in-window),
-    #    doc_token_ids + part_name_entities (text family retains 6+
-    #    in-window rows), source_dedup_report (dedup/contamination
-    #    family keeps both eval_* queries + doc_template_keys)) --
-    "daily_revenue_decomposition",   # trend/seasonal/residual split
-    "customer_acctbal_woe_iv",       # WOE / information-value binning
-    "order_value_poisson_bootstrap", # single-pass distributed bootstrap
-    "order_value_conformal",         # split-conformal intervals
-    # -- round-6 new queries (each displaces an r05-green slot whose
-    #    operator family keeps other in-window coverage; displaced this
-    #    block: embedding_near_dup_exact (de-vacuation goal met with
-    #    its r05 non-vacuous green row), monthly_from_daily_rollup,
-    #    nation_trade_balance, orders_equidepth_hist,
-    #    time_to_first_purchase, view_click_dwell_overlaps) --
-    # -- round-7 batch 13 (displaced: lineitem_bloom_prune_revenue
-    #    (r06-green; the runtime-filter discipline's green stands and
-    #    join_key_health keeps shuffle-planning in-window),
-    #    eval_ngram_contamination (r06-green; contamination family
-    #    keeps part_record_linkage_scores + dataset_version_manifest),
-    #    view_click_full_outer_30m (r05-green; streaming family keeps
-    #    events_sliding_1h_15m + events_user_sessions in-window)) --
-    "orders_concurrency_sweepline",  # O(2n) sweep twin of the flagship
-    "user_kmv_distinct",             # oracle-paired bottom-k sketch
-    "retrieval_ndcg_mrr",            # NDCG/MRR/recall eval harness
-    # -- round-7 batch 7 (displaced: event_transition_probs (r06-green;
-    #    its journey/transition machinery is driver-checked via
-    #    channel_conversion_k8, which consumes the same distributed
-    #    relation), hard_negative_mining (r06-green; ANN family keeps
-    #    matryoshka_recall_curve + knn_mmr_exact3 + isotropy),
-    #    dp_noisy_counts (r06-green; privacy family keeps k_anonymity +
-    #    customer_pseudonymized), embedding_silhouette (r06-green;
-    #    embedding-eval family keeps isotropy + matryoshka +
-    #    mmr_exact3)) --
-    "channel_conversion_k8",         # unrolled absorbing-walk twin
-    "knn_mmr_exact3",                # unrolled diversity re-rank
-    "daily_revenue_runs_test",       # Wald-Wolfowitz randomness
-    "daily_revenue_cusum",           # Page change-point curve
-    # displaces lineitem_measure_correlations (moments family keeps
-    # embedding_covariance in-window)
-    # displaces event_value_ks_drift (drift family keeps
-    # corpus_drift_psi in-window)
-    # displaces purchase_touch_attribution (attribution family keeps
-    # asof_click_attribution's r02/r03 greens + view_click in-window)
-    # -- round-6 session-2 additions (never driver-checked; each
-    #    displaces an r05-green slot; displaced: copurchase_edge_churn
-    #    (graph family keeps degree_stats/cf_similarity/label_prop/
-    #    kcore in-window), doc_novelty_scores (text family retains 6+
-    #    in-window rows), q14_promo_revenue (TPC-H family keeps
-    #    q4/q12/q16; promo ratio also r03-green as
-    #    promo_revenue_ratio), monthly_new_customers_cumulative and
-    #    user_event_type_map (both uniquely r05-green; the cumulative
-    #    proof persists via vocab_growth_curve's running sum, the
-    #    MapType proof's green row stands) --
-    # -- round-7 batch 8 (displaced: customer_k_anonymity (r06-green;
-    #    privacy family keeps customer_pseudonymized), doc_neyman_sample
-    #    (r06-green; sampling family keeps order_value_poisson_bootstrap
-    #    + user_capture_recapture + source_temperature_mixing),
-    #    source_token_js_divergence (r06-green; drift family keeps
-    #    shard_balance_chisq + source_distinctive_terms),
-    #    matryoshka_recall_curve (r06-green; embedding-eval family keeps
-    #    embedding_isotropy_stats + knn_mmr_exact3 + media_ahash_sigs'
-    #    signature kernel)) --
-    "media_ahash_sigs",              # perceptual-hash kernel, bit-exact
-    "ab_test_covariate_balance",     # SMD randomization health
-    "event_path_trigrams",           # third-order path mining
-    "join_key_health",               # fanout/orphan shuffle planner
-    # second batch; displaced: doc_bigram_logprob and
-    # embedding_covariance (both r05-green; the bigram LM's relation
-    # is shared with in-window event_transition_probs' lag-window
-    # machinery, covariance's execution path persists in-window via
-    # embedding_pca_project), purchase_tier_at_time (r05-green; SCD2
-    # family's user_type_scd2 holds an r04 green)
-    # third batch; displaced: order_calendar_features and
-    # acctbal_winsorized_stats (both r05-green; the ISO-calendar F2
-    # family keeps order_gap_days' r02 green + the date battery's
-    # pytest coverage, the robust-stats family keeps
-    # ship_latency_percentiles in-window)
-    # fourth batch; displaced (all r05-green with coverage held
-    # elsewhere): media_chunk_checksums (multimodal keeps
-    # media_phash_near_dups in-window), lineitem_measures_unpivot
-    # (unpivot/melt also green as nation_status_unpivot r03),
-    # basket_rules_lift (HOF basket machinery shared with the
-    # in-window graph family's edge build)
-    # -- round-7 batch 12 (displaced: customer_pseudonymized and
-    #    user_conversion_survival (both r06-green; the privacy and
-    #    survival greens stand and rotation debt is zero),
-    #    segment_price_geomean (r05-green GROUPED_AGG UDAF proof —
-    #    its green stands)) --
-    "customer_bg_nbd_stats",         # CLV sufficient statistics
-    "orders_double_submission",      # banded retry/duplicate audit
-    "hourly_traffic_profile",        # weekday x hour seasonal grid
-    # -- round-7 batch 9 (displaced: customer_revenue_gini (r06-green;
-    #    concentration family keeps supplier_pareto_abc — the classed
-    #    form of the same diagnostic), price_quantity_elasticity
-    #    (r06-green; its one-pass OLS moments machinery is in-window
-    #    supersetted by elasticity_kfold_cv), vocab_zipf_slope
-    #    (r06-green; the log-log regression shape is in-window via the
-    #    CV fits; text family keeps source_distinctive_terms +
-    #    doc_readability)) --
-    "orders_littles_law",            # L = lambda x W queueing identity
-    "supplier_pareto_abc",           # 80/15/5 concentration classes
-    "user_event_entropy",            # behavioral diversity feature
-    # -- round-7 batch 11 (displaced: orders_benford_audit (r06-green;
-    #    forensics family keeps daily_revenue_runs_test + _cusum +
-    #    daily_arrivals_dispersion), ab_test_cuped (r06-green;
-    #    experiment family keeps ab_test_sprt + _uplift_deciles +
-    #    _covariate_balance + user_conversion_survival), doc_readability
-    #    (r06-green; text-quality family keeps source_distinctive_terms
-    #    + user_event_entropy + user_bot_scores)) --
-    "copurchase_negative_samples",   # blocked link-prediction negatives
-    "yearly_price_index_laspeyres",  # matched-basket price index
-    "daily_arrivals_dispersion",     # Poisson-traffic validation
-    # fifth batch; displaced (all r05-green): q4_order_priority and
-    # q16_supplier_part_counts (TPC-H family keeps q12 in-window for
-    # its re-earn + 20 greens behind the window), event_value_ab_test
-    # (experiment family now represented by ab_test_cuped, whose
-    # moments machinery supersets the Welch readout)
-    # -- round-5 new queries (never driver-checked; each takes a
-    #    backfill slot as it lands) --
-    # TPC-H completion: q4/q12/q14/q16 finish the full 22-query battery
-    # (EXISTS-gated priority counts, conditional-CASE aggregation,
-    # promo revenue share ratio, NOT-IN distinct-supplier counts)
-    # the FULL OUTER member of the stream-stream interval-join family
-    # GROUPED_AGG pandas UDAF proof (the last unexercised vectorized-
-    # Python shape)
-    # -- Round-7 rotation (r6 verdict items 1, 5-8): the r6 experiment
-    #    proved the driver grants ZERO credit (err=no_oracle) to window
-    #    entries without an oracle, so the 8 rows-only queries rotate
-    #    back OUT (their oracle-paired exact companions all hold driver
-    #    greens; their values stay verified). Their slots go to the 4
-    #    new round-7 oracle-paired queries plus the 4 displaced-longest
-    #    re-earns the verdict named.
-    "customer_segment_target_encoding",  # out-of-fold K-fold encoding
-    "user_value_holtwinters",            # level+trend grouped recurrence
-    "ab_test_sprt",                      # always-valid sequential readout
-    "part_copurchase_kcore_r3",          # unrolled 3-round peel twin
-    "events_sliding_1h_15m",             # re-earn (displaced r06)
-    # -- round-7 batch 14 (displaced re-earns, per the verdict's
-    #    new-queries-first slot priority: user_value_ewma (r04-green;
-    #    its level-only recurrence is in-window SUPERSET by
-    #    user_value_holtwinters' level+trend), dsir_en_selection
-    #    (r05-green; importance-weighted selection family keeps
-    #    source_temperature_mixing in-window), events_user_sessions
-    #    (r03-green; stateful sessionization holds stream==batch
-    #    parity tests and the r03 green; events_sliding_1h_15m keeps
-    #    the streaming-window family's re-earn slot)) --
-    "daily_revenue_repeated_median",     # Siegel 50%-breakdown trend
-    "ab_test_ipw_ate",                   # stratified-propensity IPW
-    "user_score_reliability",            # calibration + Brier terms
+    # ==== Round-8 rotation (r07 verdict items 1-2): 100% rotation-debt
+    # drain. 62 oracle-paired queries had never earned a driver-green
+    # row (the union of CORRECTNESS_r01-r07 hash greens vs the 304
+    # oracle-paired registry). This window holds:
+    #   - daily_revenue_cusum — RE-EARN after the signed-zero fix
+    #     (r07's only red: one -0.0 cell; `+ 0.0` now normalizes both
+    #     sides, and verify_local hashes signed zeros strictly);
+    #   - copurchase_negative_samples — RE-EARN after the adaptive-
+    #     bucket rewrite (plan changed, so its r07 green is stale);
+    #   - 48 of the remaining 61 never-driver-checked queries.
+    # 13 deferred to r9, each with an in-window family twin:
+    # customer_theil_index + segment_growth_contribution (nation_theil_
+    # decomposition carries the Theil between/within machinery),
+    # customer_lorenz_curve (concentration family: nation_supplier_hhi
+    # + part_abc_xyz_matrix in; Gini itself r06-green),
+    # daily_revenue_kendall_tau (rank-corr: lineitem_spearman_corr in),
+    # event_value_mann_whitney (supplier_acctbal_kruskal is the
+    # k-sample superset), yearly_price_index_fisher (laspeyres
+    # r07-green; fisher is its geomean with paasche),
+    # daily_revenue_interpolated (percentile interpolation green via
+    # order_value_conformal r07), orders_perfect_rate (plain
+    # conditional-rate agg, family green many times over),
+    # customer_interpurchase_cv (gap stats: order_gap_days r02-green),
+    # monthly_revenue_gumbel (distribution-fit family:
+    # doc_length_lognormal_fit + order_value_hill_tail in),
+    # nation_jackknife_mean (resampling family: part_pps_systematic in,
+    # poisson bootstrap r07-green), ab_test_bayes_beta (experiment
+    # family holds permutation/did/bh_fdr/cmh in-window),
+    # source_vocab_jaccard (vocab family: vocab_coverage_curve +
+    # source_lang_cramers_v in). All displaced r07-green queries keep
+    # their greens; every operator family they prove retains either an
+    # in-window debt twin or a prior driver green (mapping above and in
+    # the round-7 rotation notes below).
+    "daily_revenue_cusum",           # RE-EARN: signed-zero normalization
+    "copurchase_negative_samples",   # RE-EARN: adaptive bucket count
+    # -- embeddings / multimodal --
+    "embedding_int8_quant_error",
+    "embedding_jl_distortion",
+    "media_header_jvm_parse",
+    "media_nibble_entropy",
+    # -- graph / co-purchase --
+    "copurchase_sppmi",
+    "copurchase_adamic_adar",
+    "copurchase_assortativity",
+    # -- rank / association stats --
+    "lineitem_spearman_corr",        # + histogram-midrank rewrite (r08)
+    "supplier_acctbal_kruskal",
+    "orders_weekday_anova",
+    "segment_priority_mutual_info",
+    # -- concentration / decomposition --
+    "nation_supplier_hhi",
+    "nation_theil_decomposition",
+    "part_abc_xyz_matrix",
+    "customer_partition_ari",
+    # -- pricing / value modeling --
+    "priority_value_gamma",
+    "customer_value_quartile_migration",
+    "order_value_decision_stump",
+    "order_value_hill_tail",
+    "customer_mahalanobis_outliers",
+    # -- sampling / weighting --
+    "part_pps_systematic",
+    "events_raking_weights",
+    # -- preference / ranking --
+    "supplier_bradley_terry",
+    # -- text / vocab --
+    "vocab_coverage_curve",
+    "doc_length_lognormal_fit",
+    "term_burstiness",
+    "doc_tokenizer_fertility",
+    "doc_dedup_yield_curve",
+    "quality_filter_kappa",
+    "lang_id_confusion",
+    "source_lang_cramers_v",
+    # -- time series / monitoring --
+    "daily_revenue_changepoint",
+    "daily_revenue_leadlag_xcorr",
+    "daily_revenue_hurst",
+    "daily_revenue_wavelet_energy",
+    "monthly_late_p_chart",
+    "event_value_cvm_drift",
+    "retention_decay_fit",
+    "urgent_share_trend_test",
+    # -- experimentation --
+    "ab_test_permutation",
+    "ab_test_did",
+    "ab_test_bh_fdr",
+    "ab_test_cmh_odds",
+    # -- events / behavioral --
+    "event_next_prediction_eval",
+    "events_entropy_rate",
+    "events_dau_wau_stickiness",
+    "event_type_overlap_kmv",
+    # -- storage / ops --
+    "orders_zonemap_report",
 ]
+
+# The round-7 window (and the rotation rationale for rounds 4-7) is
+# preserved in git history — see _FRONT_50 at tag/commit 9688206.
 
 # Rows-only queries deliberately pinned into the driver window: NONE
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-8 rotation head: ~30 round-7 queries are oracle-paired and
-# vanilla-session verified at sf0.001+sf0.01 but queue BEHIND the
-# saturated window (batch 15 onward: copurchase_sppmi,
-# ab_test_permutation, orders_zonemap_report, copurchase_adamic_adar,
-# segment_priority_mutual_info, event_type_overlap_kmv,
-# daily_revenue_changepoint, ab_test_bayes_beta, media_header_jvm_parse,
-# lineitem_spearman_corr, customer_theil_index, ab_test_did,
-# event_next_prediction_eval, events_raking_weights,
-# daily_revenue_leadlag_xcorr, order_value_decision_stump,
-# embedding_int8_quant_error, vocab_coverage_curve,
-# customer_mahalanobis_outliers, nation_supplier_hhi,
-# doc_length_lognormal_fit, monthly_revenue_gumbel, ab_test_bh_fdr,
-# daily_revenue_hurst, event_value_cvm_drift, term_burstiness,
-# nation_jackknife_mean, part_pps_systematic, retention_decay_fit,
-# events_entropy_rate, copurchase_assortativity, media_nibble_entropy,
-# embedding_jl_distortion, yearly_price_index_fisher,
-# customer_lorenz_curve, segment_growth_contribution,
-# orders_weekday_anova, monthly_late_p_chart,
-# daily_revenue_kendall_tau). Next round: displace r07-green window
-# slots with these, oldest-green families first.
+# Round-9 rotation head: the 13 queries deferred from the r8 debt
+# drain (listed with their family-twin justifications at the top of
+# _FRONT_50) plus any query added in r8 — together they fit one
+# window with slots to spare.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 

@@ -2883,7 +2883,7 @@ def daily_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day,
            ROUND(CAST(SUM(CAST(rev - mu AS DECIMAL(30,10))) OVER w
-                      AS DOUBLE) / sigma, 6) AS cusum
+                      AS DOUBLE) / sigma, 6) + 0.0 AS cusum
     FROM daily CROSS JOIN st
     WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW)
@@ -2923,11 +2923,15 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.crossJoin(F.broadcast(st))
         .select(
             "day",
-            F.round(
+            # + 0.0 normalizes IEEE signed zero: on the final day the
+            # telescoped Σ(rev−μ) residual rounds to zero with engine-
+            # dependent sign (Spark 0.0 vs DuckDB -0.0 — the r07 driver
+            # red); -0.0 + 0.0 = +0.0 and nonzero values are unchanged.
+            (F.round(
                 F.sum(dec(F.col("rev") - F.col("mu"))).over(w).cast("double")
                 / F.col("sigma"),
                 6,
-            ).alias("cusum"),
+            ) + F.lit(0.0)).alias("cusum"),
         )
         .orderBy("day")
     )

@@ -337,6 +337,9 @@ _NONEQUI_ALLOWLIST = {
                                   # attaches onto the user frame
     "copurchase_sppmi",           # 1-row co-occurrence-total broadcast
                                   # attach (PMI normalizer)
+    "lineitem_spearman_corr",     # 1-row rank-moment broadcast attach
+                                  # onto the 1-row plain-moment agg
+                                  # (r08 histogram-midrank form)
     "ab_test_permutation",        # 1-row observed-diff broadcast attach
     "orders_zonemap_report",      # 1-row max-key broadcast attach
                                   # (relative probe band)

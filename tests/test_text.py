@@ -331,3 +331,19 @@ def test_hll_merge_equals_rescan_and_error_floor(spark, sf_dir):
     }
     for r in out:
         assert direct[r.month] == r.est_users  # merge == one-shot
+
+
+def test_adaptive_buckets_population_stays_constant():
+    # r07 verdict item 4: with a FIXED bucket count, blocked self-join
+    # candidates are n²/B — still quadratic. adaptive_buckets must keep
+    # the EXPECTED bucket population (n / B) ~constant as n grows, and
+    # never drop below the floor.
+    assert TX.adaptive_buckets(0) == 16
+    assert TX.adaptive_buckets(500) == 16          # floor binds
+    for n in (4_096, 65_536, 1_048_576, 16_777_216):
+        b = TX.adaptive_buckets(n, target_bucket=64, floor=16)
+        pop = n / b
+        assert 32 <= pop <= 64, (n, b, pop)       # ~target, never 2x over
+    # monotone: more nodes never means fewer buckets
+    bs = [TX.adaptive_buckets(n) for n in (10, 1_000, 10_000, 100_000)]
+    assert bs == sorted(bs)

@@ -55,7 +55,13 @@ def _norm_cell(v):
             # still catch on every non-null value.
             return "␀"
         if v == 0:
-            return "f:0"
+            # STRICT signed zero (r07 verdict item 1/2): the driver's
+            # hash distinguishes -0.0 from 0.0 — daily_revenue_cusum
+            # passed locally under the old `"f:0"` folding yet failed
+            # the driver on exactly one -0.0 cell. Queries must
+            # normalize (`+ 0.0` after the final ROUND on BOTH sides),
+            # and the local gate must not mask the class.
+            return "f:-0" if math.copysign(1.0, v) < 0 else "f:0"
         return f"f:{v:.9g}"
     if isinstance(v, int):
         return f"i:{v}"
