@@ -4661,17 +4661,30 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
-    # one-pass plain moments straight off the fact (no window, no sort)
-    m1 = li.agg(
-        F.count("*").alias("n"),
-        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
-        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
-        F.sum(decp(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
-        F.sum(decp(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(decp(F.col("y") * F.col("y"))).cast("double").alias("syy"),
-    )
-    # joint value histogram: the only shuffle of fact-sized data
+    # joint value histogram: the ONLY scan and only fact-sized shuffle —
+    # plain Pearson moments are derived from it too (below), so the
+    # fact is read exactly once
     joint = li.groupBy("x", "y").agg(F.count("*").alias("c")).persist()
+    # plain moments as count-weighted sums over the bounded cell grid:
+    # per-cell decimal casts mirror the row-level casts exactly, and
+    # ×c just adds c identical exact terms, so every sum is value-
+    # identical to the per-row form (x·y carries ≤4 decimal places —
+    # price 2 dp, quantity integral — so the widened-product scale is
+    # lossless)
+    m1 = joint.agg(
+        F.sum("c").alias("n"),
+        F.sum(dec(F.col("x")) * F.col("c")).cast("double").alias("sx"),
+        F.sum(dec(F.col("y")) * F.col("c")).cast("double").alias("sy"),
+        F.sum(decp(F.col("x") * F.col("y")) * F.col("c"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(decp(F.col("x") * F.col("x")) * F.col("c"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(decp(F.col("y") * F.col("y")) * F.col("c"))
+        .cast("double")
+        .alias("syy"),
+    )
     # doubled midrank per distinct value: midrank = cum_before+(m+1)/2,
     # so 2·midrank = 2·cum_before + m + 1 — an exact integer
     def marginal_u(col: str, out: str):
@@ -5887,9 +5900,15 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("j"),
         F.col("price").alias("pb"),
     )
+    # each unordered pair enumerated ONCE (i<j) — half the duel rows
+    # and half the partial-agg work of the <> form; the mirrored
+    # direction is derived exactly after aggregation (wins_ji =
+    # n - wins_ij: per-game w flips 1<->0, 0.5 stays, and sums of
+    # halves below 2^52 are exact), so the pair frame is value-
+    # identical to enumerating both directions
     duel = (
         a.join(b, "pk")
-        .filter(F.col("i") != F.col("j"))
+        .filter(F.col("i") < F.col("j"))
         .select(
             "i",
             "j",
@@ -5899,10 +5918,19 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    pair = duel.groupBy("i", "j").agg(
+    pair_u = duel.groupBy("i", "j").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("w").cast("double").alias("wins"),
-    ).persist()  # feeds the round-1 stats agg AND the round-2 denominator
+    ).persist()  # BOTH union branches below and (through them) both MM
+    # rounds replay from here — without this the SMJ runs once per branch
+    pair = pair_u.unionByName(
+        pair_u.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n",
+            (F.col("n").cast("double") - F.col("wins")).alias("wins"),
+        )
+    )
     # round 1 fused: totals + uniform-start denominator + strength in
     # ONE supplier-keyed agg, engine-rounded, then a bounded collect
     stats = pair.groupBy("i").agg(
