@@ -2901,19 +2901,35 @@ def doc_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     = source exhausted). First-occurrence flags come from ONE
     fingerprint-keyed window (the exact-dedup shuffle); decile
     assignment is integer arithmetic on the ingestion rank; the curve
-    is a 10-row cumulative rollup. Integer counts end-to-end."""
+    is a 10-row cumulative rollup. Integer counts end-to-end. The
+    ingestion rank itself is two-level (r08): docs bucket by
+    ``doc_id DIV 4096``, a broadcast prefix table of per-bucket counts
+    carries each bucket's rank offset and the total, and row_number
+    runs PARTITIONED by bucket — rank = offset + within-bucket rank,
+    exactly the oracle's global ROW_NUMBER on any data (doc_id unique),
+    with no single-task sort of the document frame; the only
+    single-task window is over the bucket frame (|docs|/4096 rows,
+    curve-resolution bounded, recursable at extreme scale)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", TX.fingerprint("text").alias("f"))
     wf = Window.partitionBy("f").orderBy("doc_id")
-    first_occ = fp.select(
-        "doc_id", (F.row_number().over(wf) == 1).alias("is_new")
+    first_occ = (
+        fp.select("doc_id", (F.row_number().over(wf) == 1).alias("is_new"))
+        .withColumn("bkt", F.floor(F.col("doc_id") / 4096))
+        .persist()  # feeds the bucket-count agg AND the rank join below
     )
-    wo = Window.orderBy("doc_id")
-    wg = Window.partitionBy()
-    ordn = first_occ.select(
+    cnt = first_occ.groupBy("bkt").agg(F.count("*").alias("m"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pre = cnt.select(
+        "bkt",
+        F.coalesce(F.sum("m").over(wb), F.lit(0)).alias("before"),
+        F.sum("m").over(Window.partitionBy()).alias("n"),
+    )
+    wi = Window.partitionBy("bkt").orderBy("doc_id")
+    ordn = first_occ.join(F.broadcast(pre), "bkt").select(
         "is_new",
-        F.row_number().over(wo).alias("i"),
-        F.count("*").over(wg).alias("n"),
+        (F.col("before") + F.row_number().over(wi)).alias("i"),
+        "n",
     )
     dec = ordn.groupBy(
         (F.floor((F.col("i") - 1) * 10 / F.col("n")) + 1)
