@@ -110,6 +110,16 @@ def fingerprint(col: str | Column = "text") -> Column:
     return F.md5(c)
 
 
+def head_fingerprint(col: str | Column = "text", n_chars: int = 100) -> Column:
+    """Prefix fingerprint (md5 of the first ``n_chars`` characters) —
+    the cheap re-scrape detector: mirrored feeds and re-crawls share
+    document HEADS while tails drift (timestamps, footers, ad blocks),
+    so a head fingerprint clusters them where the full-text fingerprint
+    sees distinct documents. Oracle twin: ``MD5(SUBSTR(text, 1, n))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.substring(c, 1, n_chars))
+
+
 def tokens_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Explode to one row per (doc, token) — the long-form input for
     TF-IDF and n-gram statistics."""

@@ -3232,3 +3232,241 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "doc_gopher_repetition",
+    """
+    WITH tok AS (
+        SELECT doc_id, source, STR_SPLIT(text, ' ') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source,
+               CASE WHEN LEN(t) >= 2
+                    THEN LIST_TRANSFORM(
+                        GENERATE_SERIES(1, LEN(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1])
+                    ELSE [] END AS bg
+        FROM tok
+    ),
+    per_doc AS (
+        SELECT source,
+               CASE WHEN LEN(bg) > 0
+                    THEN ROUND(1.0 - CAST(LEN(LIST_DISTINCT(bg)) AS DOUBLE)
+                                     / LEN(bg), 6)
+                    ELSE 0.0 END AS dup_frac
+        FROM big
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(dup_frac AS DECIMAL(30,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_dup_bigram_frac,
+           CAST(COUNT(CASE WHEN dup_frac > 0.2 THEN 1 END) AS BIGINT)
+               AS n_flagged,
+           ROUND(CAST(COUNT(CASE WHEN dup_frac > 0.2 THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS flag_rate
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality screen (the Gopher/MassiveText filter family,
+    Rae et al. 2021 §A1.1): per document, the fraction of word bigrams
+    that are duplicates (1 − distinct/total — high values = boilerplate
+    loops, SEO spam, degenerate generation), rolled up per source with
+    the share of docs past the 0.2 gate. This is the n-gram-repetition
+    member of the quality battery beside length/stopword (`doc_quality
+    _scores`) and template dedup — curation drops or downweights
+    flagged docs before training. Plan: bigrams assemble scan-side as
+    an array transform over the token split (zero shuffle), the per-doc
+    fraction is rounded BEFORE the source rollup (portable threshold +
+    exact DECIMAL mean), and the rollup is one keyed agg on the
+    source-bounded frame. Empty/one-token docs contribute 0 by
+    definition on both engines."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        "source",
+        F.when(
+            F.size(bg) > 0,
+            F.round(
+                1.0
+                - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+    flagged = F.count(F.when(F.col("dup_frac") > 0.2, 1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("dup_frac").cast("decimal(30,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_dup_bigram_frac"),
+            flagged.cast("bigint").alias("n_flagged"),
+            F.round(flagged.cast("double") / F.count("*"), 6).alias(
+                "flag_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "source_cross_duplication",
+    """
+    WITH fp AS (
+        SELECT DISTINCT source, MD5(SUBSTR(text, 1, 100)) AS f
+        FROM documents
+    ),
+    sz AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fps
+        FROM fp GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, za.n_fps AS fps_a, zb.n_fps AS fps_b,
+           s.shared_fps,
+           ROUND(CAST(s.shared_fps AS DOUBLE)
+                 / (za.n_fps + zb.n_fps - s.shared_fps), 6) AS jaccard
+    FROM shared s
+    JOIN sz za ON s.src_a = za.source
+    JOIN sz zb ON s.src_b = zb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def source_cross_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — for every source pair, how
+    much content they share (distinct head fingerprints in both, plus
+    the Jaccard of their fingerprint sets): the crawl-dedup planning
+    readout that says which feeds are mirrors/re-scrapes of each other
+    (keep one) vs genuinely complementary, and the content-level twin
+    of `source_vocab_jaccard` (vocabulary overlap can be high while
+    actual documents never repeat). Uses the HEAD fingerprint
+    (md5 of the first 100 chars, `text.head_fingerprint`) — re-scrapes
+    share document heads while tails drift, which is also what makes
+    the readout non-vacuous on the fixture at every scale. Plan: one
+    distinct (source, fingerprint) projection, a fingerprint-keyed
+    self-join ordered s1<s2 (bounded by per-fingerprint source
+    multiplicity — at most |sources| per key, the same discipline as
+    the exact-dedup shuffle), a source-pair rollup on the
+    |sources|²-bounded frame, and two broadcast-size joins to attach
+    per-source set sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", TX.head_fingerprint("text").alias("f")
+    ).distinct()
+    fp = fp.persist()  # feeds the per-source sizes AND both join sides
+    sz = fp.groupBy("source").agg(F.count("*").cast("bigint").alias("n_fps"))
+    a = fp.select(F.col("source").alias("src_a"), "f")
+    b = fp.select(F.col("source").alias("src_b"), "f")
+    shared = (
+        a.join(b, "f")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+    )
+    za = sz.select(F.col("source").alias("_a"), F.col("n_fps").alias("fps_a"))
+    zb = sz.select(F.col("source").alias("_b"), F.col("n_fps").alias("fps_b"))
+    return (
+        shared.join(F.broadcast(za), shared.src_a == F.col("_a"))
+        .join(F.broadcast(zb), shared.src_b == F.col("_b"))
+        .select(
+            "src_a",
+            "src_b",
+            "fps_a",
+            "fps_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double")
+                / (F.col("fps_a") + F.col("fps_b") - F.col("shared_fps")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "dedup_cluster_size_stats",
+    """
+    WITH cl AS (
+        SELECT MD5(SUBSTR(text, 1, 100)) AS f,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM documents GROUP BY 1
+    )
+    SELECT k AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(k * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((k - 1) * COUNT(*) AS BIGINT) AS n_removable,
+           ROUND(CAST(k * COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM documents), 6) AS doc_share
+    FROM cl
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the capacity-planning view
+    of exact dedup: for each cluster size k, how many fingerprint
+    clusters, how many documents they hold, and how many are removable
+    (k−1 per cluster — the exact storage/compute saving a dedup pass
+    buys), with each size band's share of the corpus. Read beside
+    `doc_dedup_yield_curve` (WHEN duplicates arrive) this says WHERE
+    they concentrate: a fat k=2 band is re-scrapes, a few huge clusters
+    are templates/boilerplate (route to `doc_template_keys`). Clusters
+    key on the HEAD fingerprint (`text.head_fingerprint`, non-vacuous
+    at every fixture scale; the full-text form is `dedup_exact_
+    documents`). Plan: the dedup fingerprint shuffle, then a
+    constant-size rollup over cluster sizes; the corpus total is
+    Σ k·n_clusters over that same rollup (a window on the
+    constant-size frame — documents scans exactly once)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cl = docs.groupBy(TX.head_fingerprint("text").alias("f")).agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    return (
+        cl.groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .withColumn(
+            "n_total",
+            F.sum(F.col("k") * F.col("n_clusters")).over(
+                Window.partitionBy()
+            ),
+        )
+        .select(
+            F.col("k").alias("cluster_size"),
+            "n_clusters",
+            (F.col("k") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            ((F.col("k") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removable"),
+            F.round(
+                (F.col("k") * F.col("n_clusters")).cast("double")
+                / F.col("n_total"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
