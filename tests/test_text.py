@@ -347,3 +347,50 @@ def test_adaptive_buckets_population_stays_constant():
     # monotone: more nodes never means fewer buckets
     bs = [TX.adaptive_buckets(n) for n in (10, 1_000, 10_000, 100_000)]
     assert bs == sorted(bs)
+
+
+def test_head_fingerprint_clusters_shared_heads(spark):
+    # re-scrapes share document HEADS while tails drift — the head
+    # fingerprint must cluster them while the full fingerprint doesn't
+    head = "w " * 60  # 120 chars, > the 100-char prefix
+    df = spark.createDataFrame(
+        [(1, head + "tail one"), (2, head + "a different tail"),
+         (3, "completely other document")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        TX.head_fingerprint("text").alias("hf"),
+        TX.fingerprint("text").alias("f"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].hf == by_id[2].hf          # shared head clusters
+    assert by_id[1].f != by_id[2].f            # full text still distinct
+    assert by_id[3].hf != by_id[1].hf
+
+
+def test_gopher_repetition_flags_planted_boilerplate(spark, tmp_path):
+    import pandas as pd
+
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        doc_gopher_repetition,
+    )
+
+    # doc 0: one bigram repeated 10x -> dup_frac = 1 - 1/10 = 0.9
+    # doc 1: all-distinct tokens -> dup_frac 0; doc 2: single token -> 0
+    rows = [
+        (0, "spam " * 10 + "spam", "en", "srcA", 0),
+        (1, "alpha beta gamma delta", "en", "srcB", 0),
+        (2, "solo", "en", "srcB", 0),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    out = {
+        r.source: r
+        for r in doc_gopher_repetition(spark, str(tmp_path)).collect()
+    }
+    assert out["srcA"].n_flagged == 1 and out["srcA"].flag_rate == 1.0
+    assert abs(out["srcA"].mean_dup_bigram_frac - 0.9) < 1e-9
+    assert out["srcB"].n_flagged == 0
+    assert out["srcB"].mean_dup_bigram_frac == 0.0
