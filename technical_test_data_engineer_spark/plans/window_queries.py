@@ -6233,3 +6233,187 @@ def urgent_share_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+@query(
+    "user_conversion_funnel",
+    """
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events
+        WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+    ),
+    s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM ev
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t
+          AND e.ts <= s1.t + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t
+          AND e.ts <= s2.t + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM ev e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t
+          AND e.ts <= s3.t + INTERVAL 24 HOUR
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3,
+               (SELECT COUNT(*) FROM s4) AS n4
+    )
+    SELECT step, step_name, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / NULLIF(prev_users, 0), 6) AS conv_from_prev,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / NULLIF(first_users, 0), 6) AS conv_from_first
+    FROM (
+        SELECT 1 AS step, 'signup' AS step_name,
+               CAST(n1 AS BIGINT) AS n_users,
+               CAST(n1 AS BIGINT) AS prev_users,
+               CAST(n1 AS BIGINT) AS first_users FROM c
+        UNION ALL
+        SELECT 2, 'view', CAST(n2 AS BIGINT), CAST(n1 AS BIGINT),
+               CAST(n1 AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'click', CAST(n3 AS BIGINT), CAST(n2 AS BIGINT),
+               CAST(n1 AS BIGINT) FROM c
+        UNION ALL
+        SELECT 4, 'purchase', CAST(n4 AS BIGINT), CAST(n3 AS BIGINT),
+               CAST(n1 AS BIGINT) FROM c
+    )
+    ORDER BY step
+    """,
+)
+def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED conversion funnel signup → view → click →
+    purchase: a user reaches step k only via an event STRICTLY after
+    their step-(k−1) time AND within a 24-hour conversion deadline per
+    step (without the deadline every active user eventually trips all
+    four types and the funnel saturates — the deadline is what makes it
+    a funnel; the product-analytics semantics that
+    distinguishes a real journey from a user who merely has all four
+    event types in any order — the unordered form is just four
+    distinct-counts). Spark plan: ONE user-keyed shuffle — per user the
+    typed events collect and sort in-task, and a single array fold
+    (`F.aggregate`) carries the staged timestamps (t1..t4) through the
+    sorted sequence, each stage arming only when the previous one is
+    set and the event is strictly later — the sessionization shape, not
+    the oracle's 3 chained fact self-joins (equivalent semantics: fold
+    takes the FIRST qualifying event in sorted order ≡ MIN over
+    qualifying events; equal-timestamp ties sort signup<view<click<
+    purchase and strict `>` skips them on both engines). Per-user
+    event lists are activity-bounded (the sessionization assumption).
+    Funnel rollup is a 1-row agg exploded to 4 atomic rows."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        with_event_time,
+    )
+
+    events = with_event_time(load_table(spark, sf_dir, "events"))
+    tcode = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "click", 3)
+        .when(F.col("event_type") == "purchase", 4)
+    )
+    ev = events.filter(
+        F.col("event_type").isin("signup", "view", "click", "purchase")
+    ).select("user_id", F.col("ts"), tcode.alias("tc"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "tc"))).alias("seq")
+    )
+    nil = F.lit(None).cast("timestamp")
+    init = F.struct(
+        nil.alias("t1"), nil.alias("t2"), nil.alias("t3"), nil.alias("t4")
+    )
+
+    def step(acc, x):
+        def arm(cur, code, prev):
+            cond = (
+                cur.isNull()
+                & (x["tc"] == code)
+                & (
+                    prev.isNotNull()
+                    & (x["ts"] > prev)
+                    & (x["ts"] <= prev + F.expr("INTERVAL 24 HOURS"))
+                    if code > 1
+                    else F.lit(True)
+                )
+            )
+            return F.when(cond, x["ts"]).otherwise(cur)
+
+        return F.struct(
+            arm(acc["t1"], 1, nil).alias("t1"),
+            arm(acc["t2"], 2, acc["t1"]).alias("t2"),
+            arm(acc["t3"], 3, acc["t2"]).alias("t3"),
+            arm(acc["t4"], 4, acc["t3"]).alias("t4"),
+        )
+
+    staged = per_user.select(F.aggregate("seq", init, step).alias("s"))
+    counts = staged.agg(
+        F.count("s.t1").alias("n1"),
+        F.count("s.t2").alias("n2"),
+        F.count("s.t3").alias("n3"),
+        F.count("s.t4").alias("n4"),
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit("signup").alias("step_name"),
+                    F.col("n1").alias("n_users"),
+                    F.col("n1").alias("prev_users"),
+                    F.col("n1").alias("first_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit("view").alias("step_name"),
+                    F.col("n2").alias("n_users"),
+                    F.col("n1").alias("prev_users"),
+                    F.col("n1").alias("first_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit("click").alias("step_name"),
+                    F.col("n3").alias("n_users"),
+                    F.col("n2").alias("prev_users"),
+                    F.col("n1").alias("first_users"),
+                ),
+                F.struct(
+                    F.lit(4).alias("step"),
+                    F.lit("purchase").alias("step_name"),
+                    F.col("n4").alias("n_users"),
+                    F.col("n3").alias("prev_users"),
+                    F.col("n1").alias("first_users"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "step",
+        "step_name",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(
+            F.col("n_users").cast("double")
+            / F.nullif(F.col("prev_users").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conv_from_prev"),
+        F.round(
+            F.col("n_users").cast("double")
+            / F.nullif(F.col("first_users").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conv_from_first"),
+    ).orderBy("step")
