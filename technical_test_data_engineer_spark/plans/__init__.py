@@ -164,7 +164,7 @@ _FRONT_50 = [
 # drain (listed with their family-twin justifications at the top of
 # _FRONT_50) plus the 4 queries added in r8 (doc_gopher_repetition,
 # source_cross_duplication, dedup_cluster_size_stats,
-# user_conversion_funnel — all oracle-paired and two-scale verified) —
+# user_funnel_staged_24h — all oracle-paired and two-scale verified) —
 # together they fit one window with slots to spare.
 
 _FRONT_ROWS_ONLY: set[str] = set()

@@ -55,6 +55,12 @@ def query(name: str, oracle: str | None = None):
     """Register a (spark, sf_dir) -> DataFrame callable + its oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # a later registration would SILENTLY replace the earlier
+            # query (dict assignment), orphaning its driver-green
+            # history — r08 nearly shipped that on
+            # user_conversion_funnel. Name collisions must be loud.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

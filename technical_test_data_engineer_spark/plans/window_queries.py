@@ -6236,7 +6236,7 @@ def urgent_share_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "user_conversion_funnel",
+    "user_funnel_staged_24h",
     """
     WITH ev AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
@@ -6297,7 +6297,7 @@ def urgent_share_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY step
     """,
 )
-def user_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_funnel_staged_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict ORDERED conversion funnel signup → view → click →
     purchase: a user reaches step k only via an event STRICTLY after
     their step-(k−1) time AND within a 24-hour conversion deadline per
