@@ -146,6 +146,12 @@ Expected multi-scans (all reviewed):
   knn_mmr_exact3 x4 — knn-family shape: brute-force corpus scan +
   broadcast-query side + candidate-vector re-attach for the persisted
   shortlist/sim grid (same as knn_mmr_rerank x3).
+- r08 review: copurchase_brand_modularity x4 on the PART dim — four
+  broadcast attaches of the (partkey, brand) projection (degree mass,
+  node count, both intra-edge endpoint sides) onto the persisted
+  symmetric/undirected edge relations; the dim re-attach convention
+  (part_cf_similarity). The edge relation itself scans once
+  (session-materialized).
 
 Usage: python audit_scans.py [sf_dir]
 """

@@ -235,3 +235,126 @@ def customer_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pseudo_id")
     )
+
+
+# t-closeness threshold on the total-variation distance (Li, Li &
+# Venkatasubramanian 2007 use EMD; for a categorical sensitive
+# attribute with uniform ground distance EMD = TVD).
+T_CLOSE = 0.2
+
+
+@query(
+    "nation_t_closeness",
+    f"""
+    WITH cells AS (
+        SELECT c_nationkey, {_ACCT_BAND_SQL} AS acct_band, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM customer
+        GROUP BY 1, 2, 3
+    ),
+    grp AS (
+        SELECT c_nationkey, acct_band, CAST(SUM(c) AS BIGINT) AS n_g
+        FROM cells GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_s
+        FROM cells GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    grid AS (
+        SELECT g.c_nationkey, g.acct_band, g.n_g,
+               s.c_mktsegment, s.n_s, t.n,
+               COALESCE(cl.c, 0) AS c
+        FROM grp g
+        CROSS JOIN seg s
+        CROSS JOIN tot t
+        LEFT JOIN cells cl
+          ON cl.c_nationkey = g.c_nationkey
+         AND cl.acct_band = g.acct_band
+         AND cl.c_mktsegment = s.c_mktsegment
+    ),
+    d AS (
+        SELECT c_nationkey, acct_band,
+               CAST(MAX(n_g) AS BIGINT) AS group_size,
+               ROUND(0.5 * CAST(SUM(CAST(ROUND(ABS(
+                   CAST(c AS DOUBLE) / n_g - CAST(n_s AS DOUBLE) / n
+               ), 12) AS DECIMAL(30,15))) AS DOUBLE), 6) AS tvd
+        FROM grid
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey, acct_band, group_size, tvd,
+           tvd <= {T_CLOSE} AS t_close
+    FROM d
+    ORDER BY c_nationkey, acct_band
+    """,
+)
+def nation_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    leg of the privacy triad beside `customer_k_anonymity` and
+    `nation_l_diversity`: a group can be large (k) and varied (l) yet
+    still leak if its SENSITIVE-attribute distribution diverges from
+    the table's (skewness attack: 'this nation+band is 90% BUILDING' is
+    a disclosure even with all 5 segments present). Per quasi-id group,
+    the total-variation distance between the group's market-segment
+    distribution and the global one (for categorical sensitive values
+    with uniform ground distance, EMD — the paper's measure — IS TVD),
+    flagged at t={T_CLOSE}. Plan: ONE scan to the (quasi-id × segment)
+    cell grid (bounded by attribute domains, never rows); group totals,
+    segment totals, the corpus total, and the dense grid (absent cells
+    count — |0 − p_s| contributes) all derive from that persisted cell
+    frame via bounded cross joins; each |Δp| is rounded then
+    DECIMAL-summed (order-free), and the flag compares the ROUNDED tvd
+    so both engines gate identically. TVD ≥ 0, so no signed-zero
+    exposure."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        cust.groupBy(
+            "c_nationkey",
+            _acct_band().alias("acct_band"),
+            "c_mktsegment",
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()  # feeds grp, seg, tot AND the dense-grid left join
+    )
+    grp = cells.groupBy("c_nationkey", "acct_band").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    seg = cells.groupBy("c_mktsegment").agg(
+        F.sum("c").cast("bigint").alias("n_s")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        grp.crossJoin(F.broadcast(seg))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            cells,
+            ["c_nationkey", "acct_band", "c_mktsegment"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "acct_band",
+            "n_g",
+            "n_s",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    term = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("n_g")
+            - F.col("n_s").cast("double") / F.col("n")
+        ),
+        12,
+    ).cast("decimal(30,15)")
+    d = grid.groupBy("c_nationkey", "acct_band").agg(
+        F.max("n_g").cast("bigint").alias("group_size"),
+        F.round(0.5 * F.sum(term).cast("double"), 6).alias("tvd"),
+    )
+    return d.select(
+        "c_nationkey",
+        "acct_band",
+        "group_size",
+        "tvd",
+        (F.col("tvd") <= T_CLOSE).alias("t_close"),
+    ).orderBy("c_nationkey", "acct_band")

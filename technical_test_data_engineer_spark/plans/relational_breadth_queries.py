@@ -6737,3 +6737,123 @@ def customer_partition_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("idx") - expected) / (max_idx - expected), 6
         ).alias("adjusted_rand_index"),
     )
+
+
+@query(
+    "copurchase_brand_modularity",
+    f"""
+    WITH {_PR_EDGE_CTE},
+    bm AS (SELECT p_partkey, p_brand FROM part),
+    dc AS (
+        SELECT bm.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS d_c
+        FROM e JOIN bm ON e.u = bm.p_partkey
+        GROUP BY 1
+    ),
+    nc AS (
+        SELECT bm.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg JOIN bm ON deg.u = bm.p_partkey
+        GROUP BY 1
+    ),
+    mc AS (
+        SELECT ba.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS m_c
+        FROM pe
+        JOIN bm ba ON pe.pa = ba.p_partkey
+        JOIN bm bb ON pe.pb = bb.p_partkey
+        WHERE ba.p_brand = bb.p_brand
+        GROUP BY 1
+    ),
+    g AS (
+        SELECT dc.brand, nc.n_nodes, dc.d_c,
+               COALESCE(mc.m_c, 0) AS m_c,
+               CAST(SUM(dc.d_c) OVER () AS DOUBLE) / 2 AS m
+        FROM dc
+        JOIN nc ON dc.brand = nc.brand
+        LEFT JOIN mc ON dc.brand = mc.brand
+    )
+    SELECT brand, n_nodes, d_c,
+           CAST(m_c AS BIGINT) AS m_c,
+           ROUND(m_c / m - (d_c / (2 * m)) * (d_c / (2 * m)), 6) + 0.0
+               AS q_brand,
+           ROUND(CAST(SUM(CAST(ROUND(
+               m_c / m - (d_c / (2 * m)) * (d_c / (2 * m)), 12)
+               AS DECIMAL(30,15))) OVER () AS DOUBLE), 6) + 0.0 AS q_total
+    FROM g
+    ORDER BY brand
+    """,
+)
+def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition on the co-purchase
+    graph — the community-quality scalar (Newman & Girvan 2004) every
+    community-detection pipeline reports: per brand c,
+    q_c = m_c/m − (d_c/2m)² (intra-edge share minus the share expected
+    under the degree-preserving null), summed to the familiar Q.
+    Positive Q = parts co-purchase WITHIN brands more than chance —
+    the validation readout for using brand as a blocking/partition key
+    (and the objective Louvain-style algorithms maximize; here the
+    partition is given, so the measure is exact and closed-form).
+    Rides the session-materialized edge relation: degree mass d_c and
+    node counts come from the symmetric edge list joined to the
+    broadcast part dim, intra-brand edges m_c from the undirected list
+    with both endpoints brand-attached, all rolled to the brand-bounded
+    frame where 2m = Σd_c closes the computation without a separate
+    global count. Each q_c is rounded to 12 and DECIMAL-summed for the
+    drift-proof Q; `+ 0.0` normalizes the signed zero a near-null
+    q_brand can round to (ADVICE signed-zero convention)."""
+    und = _copurchase_edges(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    sym = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()  # feeds the degree-mass agg AND the node-count agg
+    dc = (
+        sym.join(F.broadcast(part), sym.src == part.pk)
+        .groupBy("brand")
+        .agg(F.count("*").cast("bigint").alias("d_c"))
+    )
+    nc = (
+        sym.select("src").distinct()
+        .join(F.broadcast(part), F.col("src") == part.pk)
+        .groupBy("brand")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    ba = part.select(F.col("pk").alias("_pa"), F.col("brand").alias("_b1"))
+    bb = part.select(F.col("pk").alias("_pb"), F.col("brand").alias("_b2"))
+    mc = (
+        und.join(F.broadcast(ba), und.src == F.col("_pa"))
+        .join(F.broadcast(bb), und.dst == F.col("_pb"))
+        .filter(F.col("_b1") == F.col("_b2"))
+        .groupBy(F.col("_b1").alias("brand"))
+        .agg(F.count("*").cast("bigint").alias("m_c"))
+    )
+    wg = Window.partitionBy()
+    g = (
+        dc.join(nc, "brand")
+        .join(mc, "brand", "left")
+        .select(
+            "brand",
+            "n_nodes",
+            "d_c",
+            F.coalesce(F.col("m_c"), F.lit(0)).alias("m_c"),
+            (F.sum("d_c").over(wg).cast("double") / 2).alias("m"),
+        )
+    )
+    qexpr = F.col("m_c") / F.col("m") - (
+        F.col("d_c") / (2 * F.col("m"))
+    ) * (F.col("d_c") / (2 * F.col("m")))
+    return g.select(
+        "brand",
+        "n_nodes",
+        "d_c",
+        F.col("m_c").cast("bigint").alias("m_c"),
+        (F.round(qexpr, 6) + F.lit(0.0)).alias("q_brand"),
+        (
+            F.round(
+                F.sum(F.round(qexpr, 12).cast("decimal(30,15)"))
+                .over(wg)
+                .cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("q_total"),
+    ).orderBy("brand")

@@ -3470,3 +3470,80 @@ def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "doc_char_bigram_entropy",
+    """
+    WITH bg AS (
+        SELECT doc_id, source,
+               UNNEST(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LENGTH(text) - 1),
+                   i -> SUBSTRING(text, i, 2))) AS b
+        FROM documents
+        WHERE LENGTH(text) >= 2
+    ),
+    cnt AS (
+        SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg GROUP BY 1, 2, 3
+    ),
+    n AS (
+        SELECT doc_id, source,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM cnt GROUP BY 1, 2
+    )
+    SELECT n.doc_id, n.source, n.n_bigrams, n.n_distinct,
+           ROUND(CAST(SUM(CAST(ROUND(
+               (CAST(c.c AS DOUBLE) / n.n_bigrams)
+               * LOG2(CAST(n.n_bigrams AS DOUBLE) / c.c), 12)
+               AS DECIMAL(30,15))) AS DOUBLE), 6) AS entropy_bits
+    FROM n JOIN cnt c ON n.doc_id = c.doc_id
+    GROUP BY n.doc_id, n.source, n.n_bigrams, n.n_distinct
+    ORDER BY n.doc_id
+    """,
+)
+def doc_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the compression-
+    ratio quality proxy (low entropy ≈ highly compressible ≈ repeated
+    boilerplate / keyboard mashing / degenerate generation; natural
+    prose sits in a characteristic band): the character-level member of
+    the quality battery beside the word-level repetition screen
+    (`doc_gopher_repetition`) and the length/ratio card. H is written
+    in the positive form Σ p·log2(n/c) — every term ≥ 0, so no
+    final negation and no signed-zero exposure — with each term rounded
+    to 12 and DECIMAL-summed (the house libm discipline: both engines'
+    log2 agree to well past 12 digits, the rounding absorbs the ulps).
+    Plan: bigrams assemble scan-side as an array transform (positional
+    SUBSTRING — one pass over the character stream), one (doc, bigram)
+    keyed shuffle for counts, and the per-doc rollup; token-stream-
+    sized shuffles are the TF-IDF family's accepted cost shape."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 2)
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.col("text").substr(i, F.lit(2)),
+            )
+        ).alias("b"),
+    )
+    cnt = bg.groupBy("doc_id", "source", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).persist()  # feeds the per-doc totals AND the entropy rollup
+    n = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n_bigrams"))
+        * F.log2(F.col("n_bigrams").cast("double") / F.col("c")),
+        12,
+    ).cast("decimal(30,15)")
+    return (
+        n.join(cnt, ["doc_id", "source"])
+        .groupBy("doc_id", "source", "n_bigrams", "n_distinct")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"))
+        .orderBy("doc_id")
+    )

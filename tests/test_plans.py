@@ -340,6 +340,9 @@ _NONEQUI_ALLOWLIST = {
     "lineitem_spearman_corr",     # 1-row rank-moment broadcast attach
                                   # onto the 1-row plain-moment agg
                                   # (r08 histogram-midrank form)
+    "nation_t_closeness",         # bounded quasi-id x sensitive dense
+                                  # grid (segments broadcast + 1-row
+                                  # corpus total attach)
     "ab_test_permutation",        # 1-row observed-diff broadcast attach
     "orders_zonemap_report",      # 1-row max-key broadcast attach
                                   # (relative probe band)
