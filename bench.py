@@ -20,7 +20,7 @@ cold vs 5.4 s steady, ``order_value_poisson_bootstrap`` 5.0 vs 1.5 s) —
 each needed a hand-run solo re-measure. Warmup inflation by definition
 raises rep0 ABOVE steady state, so re-repping only the slow tail
 catches every artifact in the class while adding only the heavy
-queries' cost (~25-35%% of a full single-rep sweep, not 2×). Set the
+queries' cost (~25-35% of a full single-rep sweep, not 2×). Set the
 floor to 0 for min-of-2 on everything, or very high to disable.
 """
 

@@ -4686,24 +4686,54 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("syy"),
     )
     # doubled midrank per distinct value: midrank = cum_before+(m+1)/2,
-    # so 2·midrank = 2·cum_before + m + 1 — an exact integer
-    def marginal_u(col: str, out: str):
-        h = joint.groupBy(col).agg(F.sum("c").alias("m"))
-        w = (
-            Window.orderBy(col)
+    # so 2·midrank = 2·cum_before + m + 1 — an exact integer. The
+    # cumulative count uses the two-level bucket-prefix shape (the
+    # doc_dedup_yield_curve r08 pattern): the y-marginal's distinct
+    # value grid grows toward fact size (50 quantities × the part
+    # price list), so an unpartitioned cumulative window over it is a
+    # single-task sort at scale — range buckets (order-respecting
+    # FLOOR(value/W)) keep every windowed frame bounded: per-bucket
+    # windows are partitioned, and the only unpartitioned window runs
+    # over the bucket frame (value-range/W rows).
+    def marginal_u(col: str, out: str, width: float):
+        h = joint.groupBy(col).agg(F.sum("c").alias("m")).withColumn(
+            "bkt", F.floor(F.col(col) / width)
+        )
+        wb = Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        pre = (
+            h.groupBy("bkt")
+            .agg(F.sum("m").alias("bm"))
+            .select(
+                "bkt",
+                F.coalesce(F.sum("bm").over(wb), F.lit(0)).alias("boff"),
+            )
+        )
+        wi = (
+            Window.partitionBy("bkt")
+            .orderBy(col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        return h.select(
+        return h.join(F.broadcast(pre), "bkt").select(
             col,
             (
-                2 * F.coalesce(F.sum("m").over(w), F.lit(0))
-                + F.col("m") + 1
+                2
+                * (
+                    F.col("boff")
+                    + F.coalesce(F.sum("m").over(wi), F.lit(0))
+                )
+                + F.col("m")
+                + 1
             ).alias(out),
         )
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    # join back un-hinted: the x-marginal (50 rows) AQE-broadcasts at
+    # runtime; the y-marginal is price-grid-sized and must be free to
+    # shuffle-join at scale
     rm = (
-        joint.join(F.broadcast(marginal_u("x", "ux")), "x")
-        .join(F.broadcast(marginal_u("y", "uy")), "y")
+        joint.join(marginal_u("x", "ux", 8.0), "x")
+        .join(marginal_u("y", "uy", 1000.0), "y")
         .agg(
             F.sum(d19(F.col("c")) * d19(F.col("ux"))).alias("sux"),
             F.sum(d19(F.col("c")) * d19(F.col("uy"))).alias("suy"),

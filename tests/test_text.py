@@ -340,10 +340,13 @@ def test_adaptive_buckets_population_stays_constant():
     # never drop below the floor.
     assert TX.adaptive_buckets(0) == 16
     assert TX.adaptive_buckets(500) == 16          # floor binds
-    for n in (4_096, 65_536, 1_048_576, 16_777_216):
+    # B = max(floor, n // 64) gives pop = n/B < 64 + 64/B <= 68 at
+    # B >= 16 (floor division); include non-divisible n so the bound
+    # is the real invariant, not a sampling artifact
+    for n in (4_096, 65_536, 1_048_576, 16_777_216, 1_151, 1_000_001):
         b = TX.adaptive_buckets(n, target_bucket=64, floor=16)
         pop = n / b
-        assert 32 <= pop <= 64, (n, b, pop)       # ~target, never 2x over
+        assert 32 <= pop <= 68, (n, b, pop)       # ~target, never 2x over
     # monotone: more nodes never means fewer buckets
     bs = [TX.adaptive_buckets(n) for n in (10, 1_000, 10_000, 100_000)]
     assert bs == sorted(bs)
