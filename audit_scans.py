@@ -151,7 +151,8 @@ Expected multi-scans (all reviewed):
   node count, both intra-edge endpoint sides) onto the persisted
   symmetric/undirected edge relations; the dim re-attach convention
   (part_cf_similarity). The edge relation itself scans once
-  (session-materialized).
+  (session-materialized). customer_decayed_value x2 on orders — the
+  1-row horizon (max order date) attach, the cohort-LTV convention.
 
 Usage: python audit_scans.py [sf_dir]
 """

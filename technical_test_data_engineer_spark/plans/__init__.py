@@ -162,11 +162,12 @@ _FRONT_50 = [
 # must be oracle-paired; this set stays for the mechanism.
 # Round-9 rotation head: the 13 queries deferred from the r8 debt
 # drain (listed with their family-twin justifications at the top of
-# _FRONT_50) plus the 7 queries added in r8 (doc_gopher_repetition,
+# _FRONT_50) plus the 9 queries added in r8 (doc_gopher_repetition,
 # source_cross_duplication, dedup_cluster_size_stats,
 # user_funnel_staged_24h, copurchase_brand_modularity,
-# nation_t_closeness, doc_char_bigram_entropy — all oracle-paired and
-# two-scale verified) — together they fit one window with slots to
+# nation_t_closeness, doc_char_bigram_entropy,
+# order_es_weighted_sample, customer_decayed_value — all oracle-paired
+# and two-scale verified) — together they fit one window with slots to
 # spare.
 
 _FRONT_ROWS_ONLY: set[str] = set()

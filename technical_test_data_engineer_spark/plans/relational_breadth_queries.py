@@ -6887,3 +6887,143 @@ def copurchase_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("q_total"),
     ).orderBy("brand")
+
+
+_TWO_60F = float(1 << 60)
+
+
+@query(
+    "order_es_weighted_sample",
+    f"""
+    WITH k AS (
+        SELECT o_orderkey, o_totalprice AS weight,
+               ROUND(LN(
+                   (CAST(('0x' || SUBSTRING(MD5(
+                        CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                    + 0.5) / {_TWO_60F!r}
+               ) / o_totalprice, 12) AS es_key
+        FROM orders
+    )
+    SELECT o_orderkey, weight, es_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, o_orderkey)
+                AS BIGINT) AS sample_rank
+    FROM k
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def order_es_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES keys (Efraimidis & Spirakis 2006) — THE distributed one-pass
+    weighted sampler (Spark's own ``sampleByKey`` lineage): each order
+    draws key ln(u)/w with u an md5-derived uniform and w its value,
+    and the top-K keys ARE an exact without-replacement sample with
+    inclusion probability proportional to weight. Completes the
+    sampling family (hash / stratified / Neyman / Poisson / PPS
+    systematic) with the weighted-without-replacement member, fully
+    deterministic (house md5 uniform, no RNG state) and embarrassingly
+    parallel: one scan, per-partition local top-K, one K-row merge
+    (TakeOrderedAndProject) — nothing corpus-sized ever moves. Keys are
+    rounded to 12 before ranking (libm LN convention) with key
+    tiebreak, so the cut is drift-proof; the final 50-row rank window
+    is output-sized."""
+    from technical_test_data_engineer_spark.operators.text import md5_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        md5_hash64(F.col("o_orderkey").cast("string")).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_TWO_60F)
+    k = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("weight"),
+        F.round(F.log(u) / F.col("o_totalprice"), 12).alias("es_key"),
+    )
+    top = (
+        k.orderBy(F.desc("es_key"), F.asc("o_orderkey")).limit(50)
+    )
+    w = Window.orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+    return top.select(
+        "o_orderkey",
+        "weight",
+        "es_key",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    ).orderBy(F.desc("es_key"), F.asc("o_orderkey"))
+
+
+# literal decay rate (half-life ~= 180 days): a LITERAL, never
+# LN(2)/180 computed at runtime — a last-ulp libm difference in the
+# rate would be amplified by day counts in the thousands before EXP
+_DECAY_RATE = 0.003851
+
+
+@query(
+    "customer_decayed_value",
+    f"""
+    WITH mx AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS ref FROM orders
+    ),
+    t AS (
+        SELECT o.o_custkey,
+               ROUND(o.o_totalprice * EXP(
+                   -{_DECAY_RATE!r} * DATE_DIFF('day',
+                        CAST(o.o_orderdate AS DATE), mx.ref)
+               ), 6) AS dv,
+               o.o_totalprice AS raw
+        FROM orders o CROSS JOIN mx
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(raw AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS raw_value,
+           ROUND(CAST(SUM(CAST(dv AS DECIMAL(30,12))) AS DOUBLE), 2)
+               AS decayed_value
+    FROM t
+    GROUP BY o_custkey
+    ORDER BY decayed_value DESC, o_custkey
+    LIMIT 100
+    """,
+)
+def customer_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed customer value — the recency-weighted
+    LTV feature (half-life ≈ 180 days) every churn/ranking model
+    prefers over the raw lifetime sum, and the one-pass closed form of
+    what the grouped-EWMA recurrence computes sequentially: value =
+    Σ wᵢ·exp(−λ·days_before_ref(i)), computed scan-side against a
+    1-row broadcast horizon (the cohort-LTV convention) — no per-
+    customer ordering, no recurrence, one keyed shuffle. The decay
+    rate is a LITERAL (never LN(2)/180 at runtime — a last-ulp libm
+    difference would be amplified by day counts in the thousands
+    before EXP); each decayed term is rounded to 6 then DECIMAL-summed
+    (order-free), final ranking on the rounded value with key
+    tiebreak. Top-100 bounds the output."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ref")
+    )
+    t = orders.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.col("o_totalprice").alias("raw"),
+        F.round(
+            F.col("o_totalprice")
+            * F.exp(
+                -F.lit(_DECAY_RATE)
+                * F.datediff(F.col("ref"), F.col("o_orderdate").cast("date"))
+            ),
+            6,
+        ).alias("dv"),
+    )
+    return (
+        t.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.col("raw").cast("decimal(30,10)")).cast("double"), 2
+            ).alias("raw_value"),
+            F.round(
+                F.sum(F.col("dv").cast("decimal(30,12)")).cast("double"), 2
+            ).alias("decayed_value"),
+        )
+        .orderBy(F.desc("decayed_value"), F.asc("o_custkey"))
+        .limit(100)
+    )

@@ -343,6 +343,9 @@ _NONEQUI_ALLOWLIST = {
     "nation_t_closeness",         # bounded quasi-id x sensitive dense
                                   # grid (segments broadcast + 1-row
                                   # corpus total attach)
+    "customer_decayed_value",     # 1-row horizon (max order date)
+                                  # broadcast attach, the cohort-LTV
+                                  # convention
     "ab_test_permutation",        # 1-row observed-diff broadcast attach
     "orders_zonemap_report",      # 1-row max-key broadcast attach
                                   # (relative probe band)
