@@ -160,15 +160,29 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-9 rotation head: the 13 queries deferred from the r8 debt
-# drain (listed with their family-twin justifications at the top of
-# _FRONT_50) plus the 9 queries added in r8 (doc_gopher_repetition,
-# source_cross_duplication, dedup_cluster_size_stats,
-# user_funnel_staged_24h, copurchase_brand_modularity,
-# nation_t_closeness, doc_char_bigram_entropy,
-# order_es_weighted_sample, customer_decayed_value — all oracle-paired
-# and two-scale verified) — together they fit one window with slots to
-# spare.
+# Round-9 rotation head — the concrete 50-slot plan (write it into
+# _FRONT_50 after reading CORRECTNESS_r08):
+#   1. The 13 queries deferred from the r8 debt drain (family-twin
+#      justifications at the top of _FRONT_50): customer_theil_index,
+#      segment_growth_contribution, customer_lorenz_curve,
+#      daily_revenue_kendall_tau, event_value_mann_whitney,
+#      yearly_price_index_fisher, daily_revenue_interpolated,
+#      orders_perfect_rate, customer_interpurchase_cv,
+#      monthly_revenue_gumbel, nation_jackknife_mean,
+#      ab_test_bayes_beta, source_vocab_jaccard.
+#   2. The 9 queries added in r8 (all oracle-paired, two-scale +
+#      vanilla verified): doc_gopher_repetition,
+#      source_cross_duplication, dedup_cluster_size_stats,
+#      user_funnel_staged_24h, copurchase_brand_modularity,
+#      nation_t_closeness, doc_char_bigram_entropy,
+#      order_es_weighted_sample, customer_decayed_value.
+#   3. Any r8 window red (local hash is green for all 50 under strict
+#      zeros AND the vanilla session, so a red means a NEW
+#      canonicalizer class — root-cause before re-earning).
+#   4. Remaining ~28 slots: re-earns for plan-changed queries whose
+#      greens predate their rewrites (embedding_silhouette long-form
+#      r08 — its r06 green is stale) and oldest-green families.
+# After this window the rotation debt is ZERO.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 
