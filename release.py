@@ -54,8 +54,14 @@ def main() -> None:
     if missing or extra:
         sys.exit(f"BENCH_FULL/registry mismatch: missing={missing} extra={extra}")
 
+    # Unique heading per record (r08 advice: five identical round-8
+    # headings made cross-references ambiguous) — number re-releases
+    # within a round.
+    seq = (REPO / "BASELINE.md").read_text().count(
+        f"## Round-{rnd} release record"
+    ) + 1
     line = (
-        f"\n## Round-{rnd} release record (release.py)\n\n"
+        f"\n## Round-{rnd} release record {seq} (release.py)\n\n"
         f"Canonical round-closing solo bench over the FINAL registry: "
         f"**{bench['value']} s / {len(timed)} queries** at sf={bench['sf']} "
         f"(count asserted equal to the registry by release.py, so the "

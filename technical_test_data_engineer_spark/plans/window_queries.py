@@ -3530,23 +3530,23 @@ def daily_revenue_repeated_median(
 
 @query(
     "daily_revenue_changepoint",
-    f"""
+    """
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               {_decsum('o_totalprice')} AS rev
+               SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
         FROM orders GROUP BY 1
     ),
     tot AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS s
+               CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS DOUBLE) AS s
         FROM daily
     ),
     cum AS (
         SELECT day,
                CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS nl,
-               CAST(SUM(CAST(rev AS DECIMAL(30,10))) OVER (
+               CAST(CAST(SUM(rev) OVER (
                    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND CURRENT ROW) AS DOUBLE) AS cl
+                   AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS cl
         FROM daily
     ),
     gains AS (
@@ -3565,9 +3565,9 @@ def daily_revenue_repeated_median(
            ROUND(mean_left, 6) AS mean_left,
            ROUND(mean_right, 6) AS mean_right,
            ROUND(mean_right - mean_left, 6) AS level_shift,
-           ROUND(gain, 6) AS sse_gain
+           ROUND(gain, 2) AS sse_gain
     FROM gains
-    ORDER BY ROUND(gain, 6) DESC, split_day
+    ORDER BY ROUND(gain, 2) DESC, split_day
     LIMIT 1
     """,
 )
@@ -3585,22 +3585,33 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free exact prefix sums), a 1-row total attach, pure double
     algebra per row — no per-split re-scan, so the 100 TB cost is the
     day-spine agg regardless of series length. Argmax via rounded-gain
-    ordering with day tiebreak (float-drift-proof rank)."""
+    ordering with day tiebreak (float-drift-proof rank).
+
+    Cross-engine determinism (r08 driver red, root-caused): sums stay
+    DECIMAL end-to-end and rescale to scale 2 (exact — monetary data
+    has 2 decimals) before the double cast, so the scaled integer fits
+    in 2^53 and BOTH engines' casts are single-rounded (DuckDB's
+    decimal->double at scale 10 is double-rounded and came back 1 ulp
+    off Spark on the grand total, which the squared mean gap amplified
+    to 0.05 at 1e12 magnitude). sse_gain rounds at 2 decimals — at
+    1e12 magnitude, x*1e6 overflows 2^53 and DuckDB's multiply-based
+    ROUND(x, 6) is not exact; x*100 is."""
     orders = load_table(spark, sf_dir, "orders")
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
+    dbl2 = lambda c: c.cast("decimal(38,2)").cast("double")  # noqa: E731
     # persisted: the day spine feeds the 1-row total AND the cumulative curve
     daily = orders.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
-    ).agg(exact_sum("o_totalprice").alias("rev")).persist()
+    ).agg(F.sum(dec(F.col("o_totalprice"))).alias("rev")).persist()
     tot = daily.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(dec(F.col("rev"))).cast("double").alias("s"),
+        dbl2(F.sum(F.col("rev"))).alias("s"),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "day",
         F.row_number().over(Window.orderBy("day")).cast("bigint").alias("nl"),
-        F.sum(dec(F.col("rev"))).over(w).cast("double").alias("cl"),
+        dbl2(F.sum(F.col("rev")).over(w)).alias("cl"),
     )
     ml = F.col("cl") / F.col("nl")
     mr = (F.col("s") - F.col("cl")) / (F.col("n") - F.col("nl"))
@@ -3621,9 +3632,9 @@ def daily_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ml, 6).alias("mean_left"),
             F.round(mr, 6).alias("mean_right"),
             F.round(mr - ml, 6).alias("level_shift"),
-            F.round(gain, 6).alias("sse_gain"),
+            F.round(gain, 2).alias("sse_gain"),
         )
-        .orderBy(F.desc(F.round(F.col("sse_gain"), 6)), "split_day")
+        .orderBy(F.desc(F.col("sse_gain")), "split_day")
         .limit(1)
     )
 
@@ -4980,33 +4991,34 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT ISODOW(CAST(o_orderdate AS DATE)) AS dow,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
-                    AS DOUBLE) AS s,
-               CAST(SUM(CAST(o_totalprice * o_totalprice
-                             AS DECIMAL(38,8))) AS DOUBLE) AS ss
+               SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS s_dec,
+               SUM(CAST(o_totalprice * o_totalprice
+                        AS DECIMAL(38,8))) AS ss_dec
         FROM orders GROUP BY 1
     ),
     t AS (
-        SELECT dow, n, s, ss,
+        SELECT dow, n,
+               CAST(CAST(s_dec AS DECIMAL(38,2)) AS DOUBLE) AS s,
+               CAST(CAST(ss_dec AS DECIMAL(38,0)) AS DOUBLE) AS ss,
                SUM(n) OVER () AS nn,
-               CAST(SUM(CAST(s AS DECIMAL(30,10))) OVER ()
+               CAST(CAST(SUM(s_dec) OVER () AS DECIMAL(38,2))
                     AS DOUBLE) AS st,
                COUNT(*) OVER () AS k
         FROM g
     ),
     f AS (
         SELECT dow, n, s / n AS mean_value, nn, k,
-               SUM(CAST(ROUND(n * POW(s / n - st / nn, 2), 6)
-                        AS DECIMAL(38,6))) OVER () AS ssb,
-               SUM(CAST(ROUND(ss - s * s / n, 6)
-                        AS DECIMAL(38,6))) OVER () AS ssw
+               SUM(CAST(ROUND(n * (s / n - st / nn) * (s / n - st / nn),
+                              2) AS DECIMAL(38,2))) OVER () AS ssb,
+               SUM(CAST(ROUND(ss - s * s / n, 0)
+                        AS DECIMAL(38,0))) OVER () AS ssw
         FROM t
     )
     SELECT CAST(dow AS INTEGER) AS dow,
            CAST(n AS BIGINT) AS n_orders,
            ROUND(mean_value, 6) AS mean_value,
-           ROUND(CAST(ssb AS DOUBLE) / (k - 1), 6) AS ms_between,
-           ROUND(CAST(ssw AS DOUBLE) / (nn - k), 6) AS ms_within,
+           ROUND(CAST(ssb AS DOUBLE) / (k - 1), 2) AS ms_between,
+           ROUND(CAST(ssw AS DOUBLE) / (nn - k), 2) AS ms_within,
            ROUND((CAST(ssb AS DOUBLE) / (k - 1))
                  / (CAST(ssw AS DOUBLE) / (nn - k)), 6) AS f_stat
     FROM f
@@ -5023,7 +5035,18 @@ def orders_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σx)²/n) are window algebra over the 7-row group frame, terms
     rounded then DECIMAL-summed (order-free). Spark ``weekday()+1`` ≡
     DuckDB ``ISODOW``, the house calendar convention. At any scale the
-    cost is the one fact agg."""
+    cost is the one fact agg.
+
+    Cross-engine determinism (r08 driver red, root-caused): group sums
+    stay DECIMAL and rescale to a scale small enough that value*10^scale
+    fits in 2^53 before the double cast (scale 2 for amounts — exact on
+    monetary data; scale 0 for the 1e14-magnitude sums of squares), so
+    both engines' decimal->double casts are single-rounded and
+    bit-identical. POW(d, 2) is replaced by d*d (Math.pow vs std::pow
+    differ in ulps; IEEE multiply of identical doubles cannot). SS terms
+    and the 1e9-magnitude mean squares round at 2 (resp. 0) decimals —
+    ROUND(x, 6) at those magnitudes overflows 2^53 in DuckDB's
+    multiply-based rounding and is not exact."""
     orders = load_table(spark, sf_dir, "orders")
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
@@ -5033,19 +5056,23 @@ def orders_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).agg(
         F.count("*").alias("n"),
-        F.sum(dec(F.col("o_totalprice"))).cast("double").alias("s"),
-        F.sum(decp(F.col("o_totalprice") * F.col("o_totalprice")))
-        .cast("double")
-        .alias("ss"),
+        F.sum(dec(F.col("o_totalprice"))).alias("s_dec"),
+        F.sum(decp(F.col("o_totalprice") * F.col("o_totalprice"))).alias(
+            "ss_dec"
+        ),
     )
     wg = Window.partitionBy()
     t = g.select(
         "dow",
         "n",
-        "s",
-        "ss",
+        F.col("s_dec").cast("decimal(38,2)").cast("double").alias("s"),
+        F.col("ss_dec").cast("decimal(38,0)").cast("double").alias("ss"),
         F.sum("n").over(wg).alias("nn"),
-        F.sum(dec(F.col("s"))).over(wg).cast("double").alias("st"),
+        F.sum(F.col("s_dec"))
+        .over(wg)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("st"),
         F.count("*").over(wg).alias("k"),
     )
     mean_i = F.col("s") / F.col("n")
@@ -5057,16 +5084,16 @@ def orders_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn",
         "k",
         F.sum(
-            F.round(F.col("n") * F.pow(mean_i - grand, 2), 6).cast(
-                "decimal(38,6)"
-            )
+            F.round(
+                F.col("n") * (mean_i - grand) * (mean_i - grand), 2
+            ).cast("decimal(38,2)")
         )
         .over(wg)
         .alias("ssb"),
         F.sum(
             F.round(
-                F.col("ss") - F.col("s") * F.col("s") / F.col("n"), 6
-            ).cast("decimal(38,6)")
+                F.col("ss") - F.col("s") * F.col("s") / F.col("n"), 0
+            ).cast("decimal(38,0)")
         )
         .over(wg)
         .alias("ssw"),
@@ -5077,8 +5104,8 @@ def orders_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").cast("int").alias("dow"),
         F.col("n").cast("bigint").alias("n_orders"),
         F.round("mean_value", 6).alias("mean_value"),
-        F.round(msb, 6).alias("ms_between"),
-        F.round(msw, 6).alias("ms_within"),
+        F.round(msb, 2).alias("ms_between"),
+        F.round(msw, 2).alias("ms_within"),
         F.round(msb / msw, 6).alias("f_stat"),
     ).orderBy("dow")
 
@@ -6242,6 +6269,7 @@ def urgent_share_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
         FROM events
         WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+          AND ts IS NOT NULL
     ),
     s1 AS (
         SELECT user_id, MIN(ts) AS t FROM ev
@@ -6328,8 +6356,12 @@ def user_funnel_staged_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "click", 3)
         .when(F.col("event_type") == "purchase", 4)
     )
+    # ts IS NOT NULL on BOTH sides (r08 advice): without it the oracle's
+    # s1 would count a user whose only signups carry a NULL ts (MIN
+    # yields a NULL-t row) while the staged fold counts non-null t1.
     ev = events.filter(
         F.col("event_type").isin("signup", "view", "click", "purchase")
+        & F.col("ts").isNotNull()
     ).select("user_id", F.col("ts"), tcode.alias("tc"))
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "tc"))).alias("seq")

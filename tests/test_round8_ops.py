@@ -107,11 +107,14 @@ def test_es_sample_matches_hashlib_reference(spark, sf_dir):
     for okey, w in orders:
         h = int(hashlib.md5(str(okey).encode()).hexdigest()[:15], 16)
         u = (h + 0.5) / float(1 << 60)
-        keyed.append((math.log(u) / w, okey))
-    # rank on the UNROUNDED key: the query's 12-digit rounding can only
-    # reorder keys within 1e-12 of each other, which the fixture's
-    # continuous weights never produce at the cut
-    want = {okey for _, okey in sorted(keyed, reverse=True)[:50]}
+        keyed.append((round(math.log(u) / w, 12), okey))
+    # mirror the query's ordering exactly (r08 advice): key rounded to
+    # 12 digits, DESC on the key, ASC o_orderkey tiebreak — so an exact
+    # tie or a rounding collision at the 50th cut cannot flake the test
+    want = {
+        okey
+        for _, okey in sorted(keyed, key=lambda t: (-t[0], t[1]))[:50]
+    }
     got = {r.o_orderkey for r in order_es_weighted_sample(spark, sf_dir).collect()}
     assert got == want
 

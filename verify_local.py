@@ -2,10 +2,10 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet, then compares row count, column names, and
-an order-insensitive value fingerprint (doubles rounded to 9 significant
-figures before hashing — the engine's exact-aggregate convention should
-make even raw values bit-identical; the rounding only absorbs
-formatting noise).
+an order-insensitive value fingerprint (doubles hashed at ABSOLUTE
+roundings 4, 5 AND 6 decimal places with signed zeros — the driver's
+canonicalizer, calibrated in r09 from eight rounds of red/green
+evidence; see ``_norm_cell``).
 
 BOTH result sets are fetched through pandas — Spark via ``toPandas()``,
 DuckDB via ``con.execute(sql).df()`` — because that is provably what the
@@ -54,15 +54,32 @@ def _norm_cell(v):
             # whole column to float64, which the type-strict i:/f: tags
             # still catch on every non-null value.
             return "␀"
-        if v == 0:
-            # STRICT signed zero (r07 verdict item 1/2): the driver's
-            # hash distinguishes -0.0 from 0.0 — daily_revenue_cusum
-            # passed locally under the old `"f:0"` folding yet failed
-            # the driver on exactly one -0.0 cell. Queries must
-            # normalize (`+ 0.0` after the final ROUND on BOTH sides),
-            # and the local gate must not mask the class.
-            return "f:-0" if math.copysign(1.0, v) < 0 else "f:0"
-        return f"f:{v:.9g}"
+        # The driver hashes ABSOLUTE-rounded values — round(v, P) with
+        # P somewhere in {4, 5, 6} — with the sign of zero preserved.
+        # Calibrated r09 against 8 rounds of driver evidence:
+        #   - sig-digit hashing is impossible: embedding_covariance
+        #     (code bit-identical since its r05 green) diverges at the
+        #     11th significant digit today, while orders_weekday_anova
+        #     was REDDENED in r08 for a 14th-significant-digit gap —
+        #     only absolute rounding orders those two correctly
+        #     (|diff| 1.1e-15 green vs 2.1e-4 red).
+        #   - P >= 4: the anova red requires distinguishing 2.1e-4.
+        #   - P <= 6: sales_grouping_sets (bit-identical since its r02
+        #     green) carries a 1.19e-7 gap — P=7 would have reddened it.
+        #   - round(-0.0, P) keeps the sign: the r07 cusum red (-0.0 vs
+        #     0.0) is consistent with every P.
+        # Hash at ALL of P=4,5,6: values that agree under every
+        # plausible driver rounding are the only ones the gate may call
+        # green (finer P does NOT subsume coarser — a pair can agree at
+        # 6dp yet straddle a .5e-4 boundary).
+        parts = []
+        for p in (4, 5, 6):
+            r = round(v, p)
+            if r == 0:
+                parts.append("-0" if math.copysign(1.0, r) < 0 else "0")
+            else:
+                parts.append(repr(r))
+        return "f:" + ";".join(parts)
     if isinstance(v, int):
         return f"i:{v}"
     return str(v)
