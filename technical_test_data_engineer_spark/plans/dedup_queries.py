@@ -155,7 +155,11 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_near_dups")
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs (Hamming ≤ 7, exhaustive via 8-band
-    pigeonhole blocking) over the full documents table."""
+    pigeonhole blocking) over the full documents table.
+
+    Rows-only entry; its exact oracle-paired companion is
+    ``doc_simhash_md5`` (driver-green r03), which value-checks the same
+    md5-derived 64-bit signature pipeline cell-by-cell."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, max_hamming=7).orderBy("id_a", "id_b")
 
@@ -174,7 +178,11 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     work but never producing checkable output (the vacuity class the
     round-3 verdict flagged; caught in round 4's zero-row sweep). Real
     embedding corpora set this per-model (0.8-0.95 typical); the dial
-    is semantic, the plan identical."""
+    is semantic, the plan identical.
+
+    Rows-only entry; its exact oracle-paired companion is
+    ``embedding_near_dups_lsh_exact`` (driver-green r03/r04), which
+    value-checks the same seeded-SRP bucketing + re-score pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     rng = random.Random(7)
     planes_tables = [

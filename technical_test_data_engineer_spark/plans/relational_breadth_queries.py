@@ -1337,7 +1337,12 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators.graph.k_core``): strips pendant products to leave the
     cyclically-connected merchandising clusters — the subgraph the
     triangle query's output lives in (every triangle edge survives any
-    2-core peel, asserted in tests)."""
+    2-core peel, asserted in tests).
+
+    Rows-only entry (the peel loop is iterative-until-fixpoint); its
+    exact oracle-paired companion is ``part_copurchase_kcore_r3``
+    (driver-green r07), which value-checks three unrolled peel rounds
+    of the same degree-filter recurrence."""
     from technical_test_data_engineer_spark.operators.graph import k_core
 
     edges = _copurchase_edges(spark, sf_dir)

@@ -192,7 +192,12 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     buy the recall back. The production trade at corpus scale: probe
     fan-out is query-side only (broadcast-small), while the equivalent
     recall from extra TABLES would re-scan and re-shuffle corpus
-    signatures per table."""
+    signatures per table.
+
+    Rows-only entry; its exact oracle-paired companion is
+    ``knn_lsh_exact`` (driver-green r03) — same seeded SRP bucketing
+    with generated-oracle exact scoring — plus recall-floor tests
+    against ``knn_bruteforce``."""
     emb = load_table(spark, sf_dir, "embeddings")
     n_planes = adaptive_n_planes(emb.count(), target_bucket=32)
     out = lsh_topk(
@@ -287,6 +292,195 @@ def knn_ivf_exact_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "score")
 
 
+N_ANCHOR_CELLS = 8
+PROBE_GRID = (1, 2, 4, 8)
+
+
+@query(
+    "knn_anchor_routing_recall",
+    f"""
+    WITH corpus AS (SELECT * FROM embeddings WHERE vec_id < {EXACT_BOUND}),
+    a AS (
+        SELECT vec_id AS anchor_id, embedding AS avec
+        FROM corpus WHERE vec_id < {N_ANCHOR_CELLS}
+    ),
+    ascore AS (
+        SELECT c.vec_id, a.anchor_id,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+                                UNNEST(CAST(a.avec AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS adot
+        FROM corpus c CROSS JOIN a
+    ),
+    cells AS (
+        SELECT vec_id, anchor_id AS cell
+        FROM (SELECT vec_id, anchor_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY adot DESC, anchor_id ASC) AS rn
+              FROM ascore)
+        WHERE rn = 1
+    ),
+    qrank AS (
+        SELECT vec_id AS query_id, anchor_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY adot DESC, anchor_id ASC) AS cell_rank
+        FROM ascore WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.embedding AS DOUBLE[])) AS y)
+               ) AS DOUBLE) AS score
+        FROM corpus e CROSS JOIN (
+            SELECT vec_id AS query_id, embedding AS qvec
+            FROM corpus WHERE vec_id < {N_QUERIES}
+        ) q
+        WHERE e.vec_id <> q.query_id
+    ),
+    exact5 AS (
+        SELECT query_id, vec_id
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, vec_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {TOP_K}
+    ),
+    hits AS (
+        SELECT h.query_id, r.cell_rank
+        FROM exact5 h
+        JOIN cells c ON c.vec_id = h.vec_id
+        JOIN qrank r ON r.query_id = h.query_id AND r.cell = c.cell
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(nprobe AS INTEGER) AS nprobe,
+           CAST(SUM(CASE WHEN cell_rank <= nprobe THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           ROUND(SUM(CASE WHEN cell_rank <= nprobe THEN 1 ELSE 0 END)
+                 / {float(TOP_K)!r}, 6) AS recall_at_k
+    FROM hits CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS nprobe) p
+    GROUP BY query_id, nprobe
+    ORDER BY query_id, nprobe
+    """,
+)
+def knn_anchor_routing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing quality curve, fully value-checked: recall@{TOP_K}
+    as a function of probed cells (nprobe = 1/2/4/8) for a coarse
+    quantizer whose cells are FIXED ANCHOR vectors (the first
+    {N_ANCHOR_CELLS} corpus vectors) instead of trained k-means
+    centroids — anchors make the whole curve SQL-expressible, so this
+    is the oracle-paired companion of the rows-only ``knn_ivf_ann``
+    recall tests: it value-checks the routing arithmetic (cell argmax,
+    query-side cell ranking, shortlist membership) that IVF recall
+    depends on, with the quantizer choice factored out.
+
+    Recall@k(p) = fraction of the EXACT top-k (decimal-exact dots, the
+    ``knn_bruteforce`` machinery) whose assigned cell is among the
+    query's p best cells — the metric FAISS tunes nprobe against. At
+    100 TB the shape is IVF's: anchors broadcast, cell assignment rides
+    the corpus scan (argmax over {N_ANCHOR_CELLS} decimal dots per row,
+    zero shuffle), the exact reference is local_topk-pruned, and the
+    final join/agg is k x queries x |grid| rows. Corpus bounded to
+    EXACT_BOUND (inactive at sf0.01) like every decimal-exact proof."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    corpus = emb.select("vec_id", "embedding")
+    # anchors collect to the driver (N_ANCHOR_CELLS rows — bounded) and
+    # broadcast back inside the assignment expression, the ivf_topk
+    # centroid-closure shape.
+    anchor_rows = (
+        corpus.filter(F.col("vec_id") < N_ANCHOR_CELLS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    anchor_lits = [
+        F.array(*[F.lit(float(x)) for x in r["embedding"]])
+        for r in anchor_rows
+    ]
+    from technical_test_data_engineer_spark.operators.similarity import (
+        exact_dot,
+    )
+
+    # scan-side argmax cell: struct(dot, -anchor_id) maxes to the best
+    # dot with lowest-id tiebreak, no shuffle
+    cell_struct = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    exact_dot(F.col("embedding"), lit_vec).alias("d"),
+                    F.lit(-j).alias("neg_id"),
+                )
+                for j, lit_vec in enumerate(anchor_lits)
+            ]
+        )
+    )
+    cells = corpus.select(
+        "vec_id", (-cell_struct["neg_id"]).cast("bigint").alias("cell")
+    )
+    probes = corpus.filter(F.col("vec_id") < N_QUERIES)
+    # query-side cell ranking: queries x anchors rows, query-bounded
+    from pyspark.sql.window import Window
+
+    qscore = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("cell"),
+                        exact_dot(F.col("embedding"), lit_vec).alias("adot"),
+                    )
+                    for j, lit_vec in enumerate(anchor_lits)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "s.cell", "s.adot")
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("adot"), F.asc("cell")
+    )
+    qrank = qscore.select(
+        "query_id", "cell", F.row_number().over(wq).alias("cell_rank")
+    )
+    exact5 = brute_force_topk(corpus, probes, k=TOP_K).select(
+        "query_id", "vec_id"
+    )
+    hits = exact5.join(cells, "vec_id").join(
+        F.broadcast(qrank), ["query_id", "cell"]
+    )
+    found = [
+        F.sum(
+            F.when(F.col("cell_rank") <= p, 1).otherwise(0)
+        ).cast("bigint").alias(f"f{p}")
+        for p in PROBE_GRID
+    ]
+    agg = hits.groupBy("query_id").agg(*found)
+    long_rows = agg.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("nprobe"),
+                        F.col(f"f{p}").alias("n_found"),
+                    )
+                    for p in PROBE_GRID
+                ]
+            )
+        ).alias("s"),
+    )
+    return long_rows.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("s.nprobe").cast("int").alias("nprobe"),
+        F.col("s.n_found").alias("n_found"),
+        F.round(
+            F.col("s.n_found") / F.lit(float(TOP_K)), 6
+        ).alias("recall_at_k"),
+    ).orderBy("query_id", "nprobe")
+
+
 # rows-only (approximate): PQ reconstruction is lossy by design; recall
 # + compression invariants are asserted in tests/test_similarity.py
 @query("knn_pq_ann")
@@ -296,7 +490,12 @@ def knn_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (32× smaller), and scoring sums 8 lookup-table entries per
     corpus row — no raw corpus vectors move after encoding. The
     compression tier under IVF/LSH for corpora whose raw embeddings
-    don't fit the cluster's storage budget."""
+    don't fit the cluster's storage budget.
+
+    Rows-only entry; its exact oracle-paired companion is
+    ``knn_pq_exact_rerankall`` (driver-green r03) — same deterministic
+    codebooks with the full re-rank making the output SQL-checkable —
+    plus recall-floor tests against ``knn_bruteforce``."""
     from technical_test_data_engineer_spark.operators.similarity import (
         pq_adc_topk,
         train_pq_codebooks,

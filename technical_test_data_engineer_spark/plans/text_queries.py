@@ -213,7 +213,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style winnowing fingerprints (k=5-gram hashes, w=4 window
     minima) per document + fingerprint count — the rolling-hash document
-    signature for plagiarism/near-dup detection at 1/w shingle density."""
+    signature for plagiarism/near-dup detection at 1/w shingle density.
+
+    Rows-only entry (xxhash64 has no DuckDB twin); its exact
+    oracle-paired companion is ``doc_winnow_fingerprints_md5``
+    (driver-green r03), the same winnowing recurrence over the house
+    md5-derived 64-bit hash."""
     docs = _docs(spark, sf_dir)
     fp = TX.winnow_fingerprints("text", k=5, w=4)
     # serialize the fingerprint set to a scalar string: the driver's
@@ -2254,6 +2259,115 @@ def source_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "source_doremi_mixture",
+    """
+    WITH tok AS (
+        SELECT source, UNNEST(STR_SPLIT(text, ' ')) AS term
+        FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT COUNT(*) AS n FROM tok),
+    src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / n), 9)
+                        AS DECIMAL(30,9))) AS s_dec
+        FROM tok JOIN counts USING (term) CROSS JOIN total
+        GROUP BY source
+    ),
+    ce AS (
+        SELECT source, n_tokens,
+               CAST(s_dec AS DOUBLE) / n_tokens AS ce_source,
+               CAST(SUM(s_dec) OVER () AS DOUBLE)
+                   / SUM(n_tokens) OVER () AS ce_corpus
+        FROM src
+    ),
+    w AS (
+        SELECT source, n_tokens, ce_source, ce_corpus,
+               CAST(ROUND(EXP(4.0 * (ce_source - ce_corpus)), 9)
+                    AS DECIMAL(20,9)) AS wr
+        FROM ce
+    )
+    SELECT source, n_tokens,
+           ROUND(ce_source, 6) AS ce_source,
+           ROUND(ce_source - ce_corpus, 6) + 0.0 AS excess_loss,
+           ROUND(CAST(wr AS DOUBLE)
+                 / CAST(SUM(wr) OVER () AS DOUBLE), 6) AS doremi_weight
+    FROM w
+    ORDER BY source
+    """,
+)
+def source_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain reweighting in the DoReMi family (Xie et al. 2023,
+    REMIX-style single exponentiated-gradient step): each source's
+    EXCESS LOSS — its mean -ln p(token) under the corpus unigram
+    reference minus the corpus-wide mean — drives a multiplicative
+    weight exp(eta * excess), normalized into a mixture. Sources the
+    reference models WORSE than average (positive excess: under-
+    represented patterns) are up-weighted for the next training pass;
+    over-learned sources shrink. Completes the mixing family
+    (temperature n^tau = size-based; DSIR = target-importance; this =
+    loss-based) with the member modern pre-training recipes actually
+    tune. eta=4 is a LITERAL (house convention: never compute shared
+    constants through libm at runtime).
+
+    Scale + exactness: one token explode feeds a vocab-sized count
+    table (broadcast back) and per-source sufficient statistics; the
+    corpus reference mean is a window total over the source-count-sized
+    frame — nothing corpus-sized moves twice. Per-token ln rounds to
+    9dp into DECIMAL(30,9) (order-free exact sums, both engines'
+    decimal->double casts single-rounded at this scale); EXP outputs
+    round to 9dp into decimal before normalizing so the weight sum is
+    order-free; excess_loss crosses zero by construction, so it carries
+    the `+ 0.0` signed-zero normalization (r07 cusum lesson)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("source", F.explode(TX.tokens("text")).alias("term"))
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    n_total = tok.count()
+    neg_ln = F.round(
+        -F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
+    ).cast("decimal(30,9)")
+    src = (
+        tok.join(F.broadcast(counts), "term")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(neg_ln).alias("s_dec"),
+        )
+    )
+    wall = Window.partitionBy()
+    ce = src.select(
+        "source",
+        "n_tokens",
+        (F.col("s_dec").cast("double") / F.col("n_tokens")).alias(
+            "ce_source"
+        ),
+        (
+            F.sum("s_dec").over(wall).cast("double")
+            / F.sum("n_tokens").over(wall)
+        ).alias("ce_corpus"),
+    )
+    wr = F.round(
+        F.exp(F.lit(4.0) * (F.col("ce_source") - F.col("ce_corpus"))), 9
+    ).cast("decimal(20,9)")
+    w = ce.select("source", "n_tokens", "ce_source", "ce_corpus", wr.alias("wr"))
+    return w.select(
+        "source",
+        "n_tokens",
+        F.round("ce_source", 6).alias("ce_source"),
+        (
+            F.round(F.col("ce_source") - F.col("ce_corpus"), 6)
+            + F.lit(0.0)
+        ).alias("excess_loss"),
+        F.round(
+            F.col("wr").cast("double")
+            / F.sum("wr").over(wall).cast("double"),
+            6,
+        ).alias("doremi_weight"),
+    ).orderBy("source")
 
 
 @query(
