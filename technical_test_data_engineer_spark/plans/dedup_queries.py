@@ -600,6 +600,135 @@ def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cluster_aware_split_audit",
+    f"""
+    WITH RECURSIVE {_shingle_d_sql(450)},
+    pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+                   AS jac
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT ia AS ea, ib AS eb FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    ),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS naive_split
+        FROM documents WHERE doc_id < 450
+    )
+    SELECT p.ia AS id_a, p.ib AS id_b, ROUND(p.jac, 6) AS jaccard,
+           sa.naive_split AS naive_split_a,
+           sb.naive_split AS naive_split_b,
+           CASE WHEN CAST('0x' || SUBSTRING(
+                        MD5(CAST(c.component AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 100 < 90
+                THEN 'train' ELSE 'val' END AS cluster_split,
+           sa.naive_split <> sb.naive_split AS naive_leaked
+    FROM pairs p
+    JOIN comp c ON c.doc_id = p.ia
+    JOIN splits sa ON sa.doc_id = p.ia
+    JOIN splits sb ON sb.doc_id = p.ib
+    ORDER BY id_a, id_b
+    """,
+)
+def cluster_aware_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val splitting, audited pair by pair — the
+    FineWeb/Dolma practice that plain content-hash splits miss: a
+    near-duplicate PAIR split across train and val leaks the training
+    distribution into evaluation even after exact dedup. For every
+    verified near-dup pair this reports (a) the per-DOC md5 split each
+    endpoint would get under the house train/val convention and whether
+    that pair leaks across the boundary (``naive_leaked``), and (b) the
+    CLUSTER-keyed split (md5 of the connected component's id) that by
+    construction keeps every near-dup family on one side. Composes the
+    production pipeline end to end: banded candidates -> exact-Jaccard
+    verify -> connected components -> split assignment; the oracle
+    recomputes the clusters from exact all-pairs edges, so a hash match
+    also re-certifies band recall 1.0 on the bounded subset (the
+    neardup_keeper_docs certificate). At 100 TB the cluster ids ride
+    the CC output (O(log n) rounds) and the split is one md5 per
+    cluster — no new corpus-sized work."""
+    from technical_test_data_engineer_spark.operators.graph import (
+        connected_components,
+    )
+    from technical_test_data_engineer_spark.operators.text import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+    pairs = minhash_candidates(docs, threshold=0.5, persist=True)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    splits = docs.select(
+        "doc_id",
+        F.when(md5_bucket("text") < 90, "train")
+        .otherwise("val")
+        .alias("naive_split"),
+    )
+    cluster_split = (
+        F.when(
+            md5_bucket(F.col("component").cast("string")) < 90, "train"
+        )
+        .otherwise("val")
+        .alias("cluster_split")
+    )
+    out = (
+        pairs.join(
+            cc.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("component").alias("component"),
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("naive_split").alias("naive_split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("naive_split").alias("naive_split_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            "naive_split_a",
+            "naive_split_b",
+            cluster_split,
+            (F.col("naive_split_a") != F.col("naive_split_b")).alias(
+                "naive_leaked"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+    # persisted pairs feed BOTH the CC edge set and the final join;
+    # bench/verify clear the cache between queries (per-query isolation)
+    return out
+
+
 # rows-only: xxhash64-based bands have no DuckDB twin (recall for the
 # underlying pipeline is certified by dedup_clusters' exact oracle)
 @query("minhash_incremental_dedup")
@@ -750,6 +879,100 @@ def minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
     return minhash_candidates(docs, threshold=0.5, portable=True).orderBy(
         "id_a", "id_b"
+    )
+
+
+_SCURVE_CONFIGS = ((16, 2), (8, 4), (4, 8))  # (bands, rows) over 32 hashes
+
+
+def _scurve_sql() -> str:
+    """Generated oracle for the banded-LSH s-curve calibration: the
+    md5 candidate pipeline's verified pairs, each expanded to the
+    theoretical detection probability 1-(1-s^r)^b for every 32-hash
+    band layout. Integer powers are spelled as repeated squaring in
+    BOTH engines (no POWER/libm), so the curve values are IEEE-
+    identical given identical Jaccards."""
+
+    def sq(e: str, times: int) -> str:
+        for _ in range(times):
+            e = f"({e} * {e})"
+        return e
+
+    selects = []
+    for b, r in _SCURVE_CONFIGS:
+        sr = sq("jaccard", r.bit_length() - 1)
+        ub = sq(f"(1.0 - {sr})", b.bit_length() - 1)
+        selects.append(
+            f"SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard, "
+            f"CAST({b} AS INTEGER) AS bands, "
+            f"CAST({r} AS INTEGER) AS rows_per_band, "
+            f"ROUND(1.0 - {ub}, 6) AS detect_prob FROM verified"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    {_minhash_md5_pairs_cte()}
+    {body}
+    ORDER BY id_a, id_b, bands
+    """
+
+
+@query("minhash_scurve_calibration", _scurve_sql())
+def minhash_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH parameter calibration: for every verified candidate
+    pair, the theoretical detection probability 1-(1-s^r)^b of each
+    32-hash band layout (16x2 / 8x4 / 4x8) at the pair's EXACT Jaccard
+    s — the s-curve (Leskovec-Rajaraman-Ullman ch.3) that picks b and r
+    for a target near-dup threshold before committing a 100 TB dedup
+    pass. More bands with shorter rows catches lower-similarity pairs
+    (16x2 is the permissive end); fewer, longer bands sharpens the
+    cutoff (4x8 suppresses borderline pairs). Reading the curve AGAINST
+    the pipeline's own candidates shows directly which planted pairs
+    each layout would keep or lose.
+
+    Exactness + scale: candidates come from the engine-portable md5
+    pipeline (bounded subset, same as minhash_near_dups_md5; the oracle
+    recomputes shingles->signatures->bands->buckets->Jaccard from
+    scratch) with threshold 0 so the whole verified set feeds the
+    curve; integer powers are repeated squaring on both sides — no
+    POWER/libm (the d*d discipline) — and the expansion is
+    pairs x 3 rows, output-sized. Production tunes (b, r) here, then
+    runs the xxhash64 pipeline at scale with the chosen layout."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 256)
+    pairs = minhash_candidates(docs, threshold=0.0, portable=True)
+    s = F.col("jaccard")
+
+    def sq(c, times):
+        for _ in range(times):
+            c = c * c
+        return c
+
+    structs = []
+    for b, r in _SCURVE_CONFIGS:
+        u = F.lit(1.0) - sq(s, r.bit_length() - 1)
+        ub = sq(u, b.bit_length() - 1)
+        structs.append(
+            F.struct(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.round(F.lit(1.0) - ub, 6).alias("detect_prob"),
+            )
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(s, 6).alias("jaccard"),
+            F.explode(F.array(*structs)).alias("c"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.col("c.bands").alias("bands"),
+            F.col("c.rows_per_band").alias("rows_per_band"),
+            F.col("c.detect_prob").alias("detect_prob"),
+        )
+        .orderBy("id_a", "id_b", "bands")
     )
 
 

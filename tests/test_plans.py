@@ -279,6 +279,10 @@ _NONEQUI_ALLOWLIST = {
     "embedding_isotropy_stats",   # 1-row count broadcast attach
     "knn_mmr_exact3",             # corpus x broadcast-queries scan
                                   # (knn family; pick stages hash-equi)
+    "knn_anchor_routing_recall",  # corpus x broadcast-queries exact
+                                  # reference scan (knn family); cell
+                                  # assignment is scan-side literals,
+                                  # hits joins hash-equi on vec_id/cell
     "daily_revenue_runs_test",    # 1-row median broadcast attach
     "daily_revenue_cusum",        # 1-row moments broadcast attach
     "part_record_linkage_scores", # three 1-row u-scalar broadcast

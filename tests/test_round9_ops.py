@@ -1,0 +1,142 @@
+"""Round-9 operator tests: independent references and invariants for
+the anchor-routing recall curve, the DoReMi-style mixture, the LSH
+s-curve calibration, and the cluster-aware split audit — complements
+the oracle gate with pure-Python recomputation (hashlib md5 splits,
+repeated-squaring s-curve) and the probe-all / monotonicity invariants
+the curves must satisfy by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+
+def test_anchor_recall_probeall_is_one_and_monotone(spark, sf_dir):
+    from technical_test_data_engineer_spark.plans.similarity_queries import (
+        N_ANCHOR_CELLS,
+        PROBE_GRID,
+        TOP_K,
+        knn_anchor_routing_recall,
+    )
+
+    rows = knn_anchor_routing_recall(spark, sf_dir).collect()
+    per_q: dict[int, dict[int, int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, {})[r.nprobe] = r.n_found
+    assert per_q, "no queries"
+    for q, found in per_q.items():
+        assert set(found) == set(PROBE_GRID)
+        # probing every cell must recover the entire exact top-k
+        assert found[N_ANCHOR_CELLS] == TOP_K, (q, found)
+        # recall is monotone nondecreasing in probe budget
+        seq = [found[p] for p in sorted(found)]
+        assert seq == sorted(seq), (q, seq)
+    # recall = n_found / k, re-derived per row
+    for r in rows:
+        assert r.recall_at_k == round(r.n_found / float(TOP_K), 6)
+
+
+def test_doremi_weights_normalize_and_order_by_excess(spark, sf_dir):
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        source_doremi_mixture,
+    )
+
+    rows = source_doremi_mixture(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    # mixture sums to 1 up to the 6dp output rounding
+    assert abs(sum(r.doremi_weight for r in rows) - 1.0) < 1e-4
+    # exponentiated-gradient: weight strictly increases with excess loss
+    by_excess = sorted(rows, key=lambda r: r.excess_loss)
+    weights = [r.doremi_weight for r in by_excess]
+    assert weights == sorted(weights), [
+        (r.source, r.excess_loss, r.doremi_weight) for r in by_excess
+    ]
+    # excess losses are centered: token-weighted mean is ~0
+    num = sum(r.excess_loss * r.n_tokens for r in rows)
+    assert abs(num / sum(r.n_tokens for r in rows)) < 1e-5
+
+
+def test_scurve_matches_pure_python_repeated_squaring(spark, sf_dir):
+    from technical_test_data_engineer_spark.plans.dedup_queries import (
+        _SCURVE_CONFIGS,
+        minhash_scurve_calibration,
+    )
+
+    rows = minhash_scurve_calibration(spark, sf_dir).collect()
+    assert rows, "calibration needs at least one candidate pair"
+    assert {(r.bands, r.rows_per_band) for r in rows} == set(_SCURVE_CONFIGS)
+    # per-row: detect_prob == 1-(1-s^r)^b recomputed with the SAME
+    # repeated-squaring order in python floats (IEEE-identical), from
+    # the rounded jaccard (within its 5e-7 rounding slack)
+    for r in rows:
+        s = r.jaccard
+
+        def sq(x: float, times: int) -> float:
+            for _ in range(times):
+                x = x * x
+            return x
+
+        u = 1.0 - sq(s, r.rows_per_band.bit_length() - 1)
+        expect = 1.0 - sq(u, r.bands.bit_length() - 1)
+        # jaccard was rounded to 6dp for output; the curve is Lipschitz
+        # (|d/ds| <= b*r on [0,1]), so 5e-7 input slack bounds the gap
+        assert abs(r.detect_prob - expect) <= 32 * 5e-7 + 1e-6, r
+    # permissive layouts dominate sharp ones at the near-dup end: at
+    # s >= 0.9 the 16x2 detection probability is effectively 1
+    for r in rows:
+        if r.jaccard >= 0.9 and (r.bands, r.rows_per_band) == (16, 2):
+            assert r.detect_prob >= 0.999, r
+
+
+def test_cluster_split_matches_hashlib_and_blocks_leaks(spark, sf_dir):
+    import duckdb
+
+    from technical_test_data_engineer_spark.plans.dedup_queries import (
+        cluster_aware_split_audit,
+    )
+
+    rows = cluster_aware_split_audit(spark, sf_dir).collect()
+    assert rows, "audit needs at least one near-dup pair"
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+            "WHERE doc_id < 450"
+        ).fetchall()
+    )
+
+    def md5_split(key: str) -> str:
+        b = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 90 else "val"
+
+    for r in rows:
+        # naive per-doc split re-derived with hashlib
+        assert r.naive_split_a == md5_split(texts[r.id_a]), r
+        assert r.naive_split_b == md5_split(texts[r.id_b]), r
+        assert r.naive_leaked == (r.naive_split_a != r.naive_split_b), r
+        # the cluster-keyed split is a single value per pair by
+        # construction — and it is a valid md5 bucket label
+        assert r.cluster_split in ("train", "val")
+    # the audit is non-vacuous only if the fixture plants enough pairs
+    # for the naive split to leak with high probability (~1 - 0.82^n);
+    # with >= 10 pairs a zero leak count would itself be suspicious,
+    # but we only assert the weaker structural property above.
+
+
+def test_scurve_monotone_in_similarity(spark, sf_dir):
+    """Within a fixed (bands, rows) layout the detection probability is
+    nondecreasing in Jaccard — the property that makes it an s-CURVE."""
+    from technical_test_data_engineer_spark.plans.dedup_queries import (
+        minhash_scurve_calibration,
+    )
+
+    rows = minhash_scurve_calibration(spark, sf_dir).collect()
+    by_cfg: dict[tuple, list] = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append(
+            (r.jaccard, r.detect_prob)
+        )
+    for cfg, pts in by_cfg.items():
+        pts.sort()
+        probs = [p for _, p in pts]
+        assert probs == sorted(probs), (cfg, pts)
