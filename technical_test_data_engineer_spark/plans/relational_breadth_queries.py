@@ -6429,8 +6429,19 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline maps these to (source, period) token flows), one
     revenue-ordered cumulative window over the parts frame, a 9-row
     rollup; parts under 3 active months excluded as unclassifiable.
-    All class boundaries apply to exact integer/DECIMAL ratios."""
-    li = load_table(spark, sf_dir, "lineitem")
+    All class boundaries apply to exact integer/DECIMAL ratios.
+    fan_out spreads the map-side decimal partial aggregation off the
+    single-row-group local scan task; order-free sums, same result."""
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+    )
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     # persisted: ONE lineitem scan builds the (part, month) grid with
     # BOTH measures; the CV stats and the ABC revenue roll up from it

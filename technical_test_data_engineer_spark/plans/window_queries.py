@@ -1331,8 +1331,18 @@ def lineitem_measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     query, extended to the full covariance battery (Spark's built-in
     corr() makes one pass PER PAIR; this is the k²-in-one-scan form a
     profiler wants). Final arithmetic in double, same op order as the
-    oracle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    oracle. fan_out spreads the nine decimal partial aggregations off
+    the single-row-group local scan task (4.4 s -> ~1 s at sf0.1);
+    decimal sums are order-free, so the result is unchanged."""
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
     s = li.agg(
