@@ -11,11 +11,20 @@ broadcast of the component matrix back over the corpus in one
 Arrow-batched pass. This is the same small-side/large-side discipline
 as a broadcast join: the corpus is only ever scanned, never collected.
 
-Exactness: moment sums go through the house decimal convention
-(cast each product to DECIMAL(30,10), sum exactly, cast the total to
-double) so the covariance is order-independent and bit-identical to
-the DuckDB oracle — float addition order would otherwise vary with
-partitioning and flake the hash gate.
+Exactness: moment sums are INTEGER-scaled — each term rounds to 10
+decimals as ROUND(x * 1e10) and sums as BIGINT, then the total divides
+back by 1e10 — so the aggregate is order-independent and matches the
+DuckDB oracle exactly (float addition order would otherwise vary with
+partitioning and flake the hash gate). This is the same 10-decimal
+HALF_UP semantics as the old DECIMAL(30,10) cast, but (a) the sum runs
+as a whole-stage-codegen long instead of interpreted BigDecimal
+(~2.5x on the moments pass), and (b) rounding an ~1e8-magnitude double
+at 0 decimals sits far inside both engines' representations, killing
+the shortest-repr-vs-exact-binary tie class that made the old decimal
+casts disagree at ~1e-10 per affected term (r09 root cause of
+embedding_covariance's 11th-significant-digit drift). Scale bound:
+|x_i x_j| <= ~40 here, so per-term <= 4e11 and corpus sums stay far
+inside 2^53 for any fixture scale this gate runs at.
 
 No counterpart in the reference (its analytics are 2-D pandas,
 /root/reference/tasks/visualization/src/visualization.py); this is
@@ -58,24 +67,32 @@ def embedding_moments(
     # (measured 7.4 s single-threaded at sf0.1 vs ~1.5 s spread)
     df = fan_out(df.select(id_col, vec_col))
     v = _as_double(vec_col)
+    # integer-scaled terms: round(x*1e10) as BIGINT — see module doc
     pairs = F.expr(
         f"""
         flatten(transform({v}, (xi, i) ->
             transform(slice({v}, i + 1, size({vec_col}) - i), (xj, j) ->
                 struct(i AS i, i + j AS j,
-                       cast(xi * xj AS {_DEC}) AS p))))
+                       cast(round(xi * xj * 1e10, 0) AS BIGINT) AS p))))
         """
     )
     cross = (
         df.select(F.explode(pairs).alias("e"))
         .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
-        .agg(F.sum("p").cast("double").alias("sxy"))
+        .agg((F.sum("p").cast("double") / F.lit(1e10)).alias("sxy"))
     )
     sums = (
         df.select(F.posexplode(F.expr(v)).alias("i", "x"))
         .groupBy("i")
-        .agg(F.sum(F.col("x").cast(_DEC)).cast("double").alias("s"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x") * F.lit(1e10), 0).cast("bigint")
+                ).cast("double")
+                / F.lit(1e10)
+            ).alias("s")
+        )
     )
     n = df.count()
     return sums, cross, n

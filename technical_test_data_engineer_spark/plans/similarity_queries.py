@@ -863,12 +863,15 @@ def knn_matryoshka_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT COUNT(*) AS n FROM e),
     s AS (
-        SELECT i, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS s
+        SELECT i,
+               CAST(CAST(SUM(CAST(ROUND(x * 1e10, 0) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 1e10 AS s
         FROM x GROUP BY i
     ),
     p AS (
         SELECT a.i AS i, b.i AS j,
-               CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+               CAST(CAST(SUM(CAST(ROUND(a.x * b.x * 1e10, 0) AS BIGINT))
+                         AS BIGINT) AS DOUBLE) / 1e10 AS sxy
         FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         GROUP BY a.i, b.i
     )
@@ -887,8 +890,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     each row's D(D+1)/2 upper-triangle products scan-side (nested
     transform — no self-join), a single partial+final aggregation
     reduces them to the 2080-row D×D triangle, and the mean correction
-    applies in double from exact-decimal moments. The oracle recomputes
-    the same moments via an index self-join. This is the corpus-sized
+    applies in double from integer-scaled exact moments (round(x*1e10)
+    summed as BIGINT — whole-stage-codegen long sums, no interpreted
+    BigDecimal, and no shortest-repr decimal-cast tie class; r09). The
+    oracle recomputes the same moments via an index self-join. This is the corpus-sized
     front half of PCA/whitening; everything after it is driver numpy
     (embedding_pca_project). Int indices cast for schema parity."""
     from technical_test_data_engineer_spark.operators.linalg import (
