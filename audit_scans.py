@@ -153,6 +153,17 @@ Expected multi-scans (all reviewed):
   (part_cf_similarity). The edge relation itself scans once
   (session-materialized). customer_decayed_value x2 on orders — the
   1-row horizon (max order date) attach, the cohort-LTV convention.
+- r09 review: knn_anchor_routing_recall embeddings x4 — the 8-row
+  anchor collect, the cell-assignment corpus pass, the query-bounded
+  probe filter, and the exact-reference brute-force pass; the two
+  full passes are the two sides of the recall definition (routing vs
+  truth), both EXACT_BOUND-bounded. cluster_aware_split_audit
+  documents x4 — the persisted band-pipeline pair frame plus CC-node /
+  split / text re-attach projections, all on the 450-row bounded
+  subset (the neardup_keeper_docs family shape).
+  source_doremi_mixture documents x2 — the token explode feeds the
+  vocab counts and re-scans for the per-source join side, the
+  doc_unigram_logprob / term_burstiness convention.
 
 Usage: python audit_scans.py [sf_dir]
 """

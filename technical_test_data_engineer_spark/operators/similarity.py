@@ -41,13 +41,14 @@ _DEC = "decimal(38,30)"
 def local_topk(
     scored: DataFrame,
     k: int,
-    query_id_col: str = "query_id",
+    query_id_col: str | list[str] = "query_id",
     id_col: str = "vec_id",
     score_col: str = "score",
 ) -> DataFrame:
     """Per-partition pre-top-k: keep only each partition's k best rows
     per query (score desc, id asc) BEFORE the global per-query ranking
-    window.
+    window. ``query_id_col`` may be a list for composite keys (e.g.
+    (query_id, dim) in the single-pass truncation-recall eval).
 
     Why: ``Window.partitionBy(query_id)`` shuffles every scored
     candidate row into ``n_queries`` partitions — with a full-corpus

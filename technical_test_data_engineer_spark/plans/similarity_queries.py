@@ -1193,41 +1193,71 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     premise). Per (dim, query) overlap counts, zero-filled via the
     dim x query grid so empty overlaps are visible rows, not silent
     holes (no-silent-caps discipline). All four rankings are
-    decimal-exact and share the EXACT_BOUND proof corpus; each
-    truncated pass is brute_force_topk — query-side broadcast,
-    local_topk pre-prune, no corpus shuffle — so the whole eval is
-    4 bounded scans at 100 TB, and in production the same grid is
-    computed on a sampled query set against the ANN index instead of
-    the exact ranking (identical plan shape)."""
-    from pyspark import StorageLevel
+    decimal-exact and share the EXACT_BOUND proof corpus.
 
-    # persist: the bounded proof corpus feeds FOUR brute-force passes
-    # (corpus + broadcast-query side each) — unpersisted that is 10
-    # scans of the embeddings table (audit_scans); cached it is one
-    # scan of <= EXACT_BOUND vectors.
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < EXACT_BOUND)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    Single-pass form (r09): ONE pair enumeration scores every
+    truncation — per (query, corpus) pair the four prefix dots are
+    slice-folds of the same two arrays (identical decimal values to
+    four separate sliced passes), exploded to (dim, score) rows and
+    pruned by one composite-key local_topk + one (query_id, dim) rank
+    window. The old form ran brute_force_topk four times: 4 corpus
+    scans, 4 crossJoin+prune pipelines, 4 windows — at 100 TB the
+    corpus-pass count IS the cost, and in production the same
+    single-pass grid runs on a sampled query set against the ANN
+    index."""
+    from technical_test_data_engineer_spark.operators.similarity import (
+        exact_dot,
+        local_topk,
     )
-    full = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
-    ).select("query_id", "vec_id")
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+    from pyspark.sql.window import Window
 
-    parts = []
-    for d in RECALL_DIMS:
-        sliced = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        t = brute_force_topk(
-            sliced, sliced.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
-        ).select(
-            F.lit(d).alias("dim"), "query_id", "vec_id"
-        )
-        parts.append(t)
-    trunc = parts[0]
-    for p in parts[1:]:
-        trunc = trunc.unionByName(p)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    paired = (
+        fan_out(emb)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    all_dims = (*RECALL_DIMS, _FULL_DIM)
+    scored = paired.select(
+        "query_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        exact_dot(
+                            F.slice("_qvec", 1, d),
+                            F.slice("embedding", 1, d),
+                        ).alias("score"),
+                    )
+                    for d in all_dims
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "vec_id", "s.dim", "s.score")
+    pruned = local_topk(scored, TOP_K, query_id_col=["query_id", "dim"])
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    topk = (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("dim", "query_id", "vec_id")
+        .persist()
+    )
+    full = topk.filter(F.col("dim") == _FULL_DIM).select(
+        "query_id", "vec_id"
+    )
+    trunc = topk.filter(F.col("dim") != _FULL_DIM)
 
     ov = (
         trunc.join(full, ["query_id", "vec_id"])
