@@ -126,6 +126,29 @@ def exact_dot(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
+def int_scaled_dot(a: Column, b: Column) -> Column:
+    """Order-stable inner product as an INTEGER-scaled BIGINT: each
+    per-element double product rounds to 10 decimals as round(x*1e10)
+    and sums as a long fold — exact, order-free, and cross-engine
+    bit-identical (the embedding_moments convention: rounding an
+    ~1e8-magnitude double at 0 decimals sits far inside both engines'
+    representations, and long adds beat interpreted BigDecimal ~2.5x).
+    Use where only the ORDERING of dots matters (cell argmax, bucket
+    routing) or where /1e10 precision suffices; :func:`exact_dot`
+    remains the convention for surfaced decimal-exact scores. DuckDB
+    twin: ``SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT))``."""
+    products = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.round(
+            x.cast("double") * y.cast("double") * F.lit(1e10), 0
+        ).cast("bigint"),
+    )
+    return F.aggregate(
+        products, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
 def fast_dot(a: Column, b: Column) -> Column:
     """Plain double inner product — ~5× faster than :func:`exact_dot`
     (no per-element decimal casts). Deterministic for a given row (the

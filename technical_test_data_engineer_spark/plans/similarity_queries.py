@@ -306,11 +306,10 @@ PROBE_GRID = (1, 2, 4, 8)
     ),
     ascore AS (
         SELECT c.vec_id, a.anchor_id,
-               CAST((
-                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
-                   FROM (SELECT UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
-                                UNNEST(CAST(a.avec AS DOUBLE[])) AS y)
-               ) AS DOUBLE) AS adot
+               (SELECT SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT))
+                FROM (SELECT UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+                             UNNEST(CAST(a.avec AS DOUBLE[])) AS y)
+               ) AS adot
         FROM corpus c CROSS JOIN a
     ),
     cells AS (
@@ -401,16 +400,18 @@ def knn_anchor_routing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in anchor_rows
     ]
     from technical_test_data_engineer_spark.operators.similarity import (
-        exact_dot,
+        int_scaled_dot,
     )
 
     # scan-side argmax cell: struct(dot, -anchor_id) maxes to the best
-    # dot with lowest-id tiebreak, no shuffle
+    # dot with lowest-id tiebreak, no shuffle; integer-scaled long
+    # folds (the embedding_moments convention) rank identically on
+    # both engines at ~2.5x less per-row cost than decimal folds
     cell_struct = F.array_max(
         F.array(
             *[
                 F.struct(
-                    exact_dot(F.col("embedding"), lit_vec).alias("d"),
+                    int_scaled_dot(F.col("embedding"), lit_vec).alias("d"),
                     F.lit(-j).alias("neg_id"),
                 )
                 for j, lit_vec in enumerate(anchor_lits)
@@ -431,7 +432,9 @@ def knn_anchor_routing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).cast("bigint").alias("cell"),
-                        exact_dot(F.col("embedding"), lit_vec).alias("adot"),
+                        int_scaled_dot(
+                            F.col("embedding"), lit_vec
+                        ).alias("adot"),
                     )
                     for j, lit_vec in enumerate(anchor_lits)
                 ]
