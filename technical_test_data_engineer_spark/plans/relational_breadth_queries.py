@@ -2521,10 +2521,10 @@ def customer_segment_target_encoding(
         SELECT SUM(n_bad) AS tb, SUM(n_good) AS tg FROM per_bin
     )
     SELECT CAST(bin AS INT) AS bin, n, n_bad, n_good, bal_min, bal_max,
-           ROUND(LN((CAST(n_good AS DOUBLE) / tg)
+           ROUND(LN(NULLIF(CAST(n_good AS DOUBLE) / tg, 0)
                     / NULLIF(CAST(n_bad AS DOUBLE) / tb, 0)), 6) AS woe,
            ROUND((CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
-                 * LN((CAST(n_good AS DOUBLE) / tg)
+                 * LN(NULLIF(CAST(n_good AS DOUBLE) / tg, 0)
                       / NULLIF(CAST(n_bad AS DOUBLE) / tb, 0)), 6) AS iv_term
     FROM per_bin CROSS JOIN tot
     ORDER BY bin
@@ -2543,7 +2543,11 @@ def customer_acctbal_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the first). Scale shape: the label join is one keyed semi join,
     the NTILE is the only full sort — the same cost as any global
     quantile binning — and everything after is a 10-row frame.
-    Rounded to 6dp (ln ulp)."""
+    Rounded to 6dp (ln ulp). Zero-count bins (possible only at tiny
+    fixture scales) yield NULL WOE on BOTH engines: Spark's log(0) is
+    NULL by definition, and the oracle mirrors it with NULLIF on both
+    class shares — DuckDB's LN(0) would otherwise raise (r09 sf0.001
+    sweep); inert at sf0.01+, where no decile bin is single-class."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     urgent = (
