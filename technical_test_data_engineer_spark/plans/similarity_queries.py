@@ -484,6 +484,180 @@ def knn_anchor_routing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "nprobe")
 
 
+CORESET_BOUND = 200
+
+
+def _coreset_sql() -> str:
+    """Generated oracle for the 3-step facility-location greedy:
+    integer-scaled similarities (SUM(ROUND(x*y*1e10)) as BIGINT — exact
+    end-to-end, zero float drift), per-step coverage argmax with
+    lowest-id tiebreak, coverage maxes carried as integers."""
+    sims = f"""
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {CORESET_BOUND}
+    ),
+    sims AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               GREATEST((SELECT SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT))
+                         FROM (SELECT UNNEST(a.v) AS x,
+                                      UNNEST(b.v) AS y)), 0) AS s
+        FROM corpus a CROSS JOIN corpus b
+    )"""
+    return f"""
+    WITH {sims},
+    t1 AS (SELECT i, SUM(s) AS tot FROM sims GROUP BY i),
+    c1 AS (SELECT i, tot FROM t1 ORDER BY tot DESC, i LIMIT 1),
+    cov1 AS (
+        SELECT j, s AS cov FROM sims WHERE i = (SELECT i FROM c1)
+    ),
+    g2 AS (
+        SELECT sims.i, SUM(GREATEST(cov1.cov, sims.s)) AS tot
+        FROM sims JOIN cov1 ON cov1.j = sims.j
+        WHERE sims.i <> (SELECT i FROM c1)
+        GROUP BY sims.i
+    ),
+    c2 AS (SELECT i, tot FROM g2 ORDER BY tot DESC, i LIMIT 1),
+    cov2 AS (
+        SELECT cov1.j, GREATEST(cov1.cov, s2.s) AS cov
+        FROM cov1 JOIN sims s2
+          ON s2.j = cov1.j AND s2.i = (SELECT i FROM c2)
+    ),
+    g3 AS (
+        SELECT sims.i, SUM(GREATEST(cov2.cov, sims.s)) AS tot
+        FROM sims JOIN cov2 ON cov2.j = sims.j
+        WHERE sims.i <> (SELECT i FROM c1)
+          AND sims.i <> (SELECT i FROM c2)
+        GROUP BY sims.i
+    ),
+    c3 AS (SELECT i, tot FROM g3 ORDER BY tot DESC, i LIMIT 1)
+    SELECT step, vec_id, coverage, marginal_gain FROM (
+        SELECT 1 AS step, (SELECT i FROM c1) AS vec_id,
+               ROUND((SELECT tot FROM c1) / 1e10, 6) AS coverage,
+               ROUND((SELECT tot FROM c1) / 1e10, 6) AS marginal_gain
+        UNION ALL
+        SELECT 2, (SELECT i FROM c2),
+               ROUND((SELECT tot FROM c2) / 1e10, 6),
+               ROUND(((SELECT tot FROM c2) - (SELECT tot FROM c1))
+                     / 1e10, 6)
+        UNION ALL
+        SELECT 3, (SELECT i FROM c3),
+               ROUND((SELECT tot FROM c3) / 1e10, 6),
+               ROUND(((SELECT tot FROM c3) - (SELECT tot FROM c2))
+                     / 1e10, 6)
+    )
+    ORDER BY step
+    """
+
+
+@query("embedding_coreset_facility3", _coreset_sql())
+def embedding_coreset_facility3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular data selection — facility-location greedy coreset
+    (Wei et al. 2015 lineage; the coreset/data-distillation member of
+    the curation family): pick documents one at a time to maximize
+    corpus coverage sum_j max_{c in picked} sim(c, j), the objective
+    whose greedy solution carries the classic (1 - 1/e) guarantee.
+    Three unrolled picks — the fixed-iteration oracle-pairing
+    convention (kcore_r3 / mmr_exact3 / channel_conversion_k8) — with
+    per-step coverage and the nonincreasing marginal gains that
+    certify submodularity in the output itself.
+
+    Exactness + scale: similarities are integer-scaled long dots
+    (int_scaled_dot: round(x*y*1e10) summed as BIGINT) CLAMPED AT ZERO
+    — facility location is monotone submodular only for nonnegative
+    similarity, and signed dots made the greedy gains non-monotone on
+    the uniform fixture — so EVERY
+    quantity through the argmaxes — coverage totals, maxes, gains —
+    is exact integer arithmetic on both engines; ties break on lowest
+    id. The all-pairs sim frame is the proof bound (CORESET_BOUND
+    vectors, persisted once, three tiny step reductions over it); the
+    production path swaps it for the banded/LSH candidate frame the
+    dedup family already builds, keeping the same greedy unroll."""
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+    from technical_test_data_engineer_spark.operators.similarity import (
+        int_scaled_dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < CORESET_BOUND
+    )
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    sims = (
+        fan_out(a)
+        .crossJoin(F.broadcast(b))
+        .select(
+            "i",
+            "j",
+            F.greatest(
+                int_scaled_dot(F.col("va"), F.col("vb")),
+                F.lit(0).cast("bigint"),
+            ).alias("s"),
+        )
+        .persist()
+    )
+    t1 = sims.groupBy("i").agg(F.sum("s").alias("tot"))
+    c1 = t1.orderBy(F.desc("tot"), F.asc("i")).limit(1)
+
+    def attach(df, picked, name):
+        return df.crossJoin(
+            F.broadcast(picked.select(F.col("i").alias(name)))
+        )
+
+    cov1 = (
+        attach(sims, c1, "_c1")
+        .filter(F.col("i") == F.col("_c1"))
+        .select("j", F.col("s").alias("cov"))
+    )
+    g2 = (
+        attach(sims, c1, "_c1")
+        .filter(F.col("i") != F.col("_c1"))
+        .join(F.broadcast(cov1), "j")
+        .groupBy("i")
+        .agg(F.sum(F.greatest(F.col("cov"), F.col("s"))).alias("tot"))
+    )
+    c2 = g2.orderBy(F.desc("tot"), F.asc("i")).limit(1)
+    cov2 = (
+        attach(sims, c2, "_c2")
+        .filter(F.col("i") == F.col("_c2"))
+        .select("j", F.col("s").alias("s2"))
+        .join(F.broadcast(cov1), "j")
+        .select("j", F.greatest(F.col("cov"), F.col("s2")).alias("cov"))
+    )
+    g3 = (
+        attach(attach(sims, c1, "_c1"), c2, "_c2")
+        .filter((F.col("i") != F.col("_c1")) & (F.col("i") != F.col("_c2")))
+        .join(F.broadcast(cov2), "j")
+        .groupBy("i")
+        .agg(F.sum(F.greatest(F.col("cov"), F.col("s"))).alias("tot"))
+    )
+    c3 = g3.orderBy(F.desc("tot"), F.asc("i")).limit(1)
+
+    def steprow(step, cur, prev):
+        row = cur.select(
+            F.lit(step).alias("step"),
+            F.col("i").alias("vec_id"),
+            F.round(F.col("tot") / F.lit(1e10), 6).alias("coverage"),
+            (
+                F.round(
+                    (F.col("tot") - F.col("_ptot")) / F.lit(1e10), 6
+                )
+                if prev is not None
+                else F.round(F.col("tot") / F.lit(1e10), 6)
+            ).alias("marginal_gain"),
+        )
+        return row
+
+    r1 = steprow(1, c1, None)
+    c2p = c2.crossJoin(F.broadcast(c1.select(F.col("tot").alias("_ptot"))))
+    r2 = steprow(2, c2p, True)
+    c3p = c3.crossJoin(F.broadcast(c2.select(F.col("tot").alias("_ptot"))))
+    r3 = steprow(3, c3p, True)
+    return r1.unionByName(r2).unionByName(r3).orderBy("step")
+
+
 # rows-only (approximate): PQ reconstruction is lossy by design; recall
 # + compression invariants are asserted in tests/test_similarity.py
 @query("knn_pq_ann")

@@ -283,6 +283,10 @@ _NONEQUI_ALLOWLIST = {
                                   # reference scan (knn family); cell
                                   # assignment is scan-side literals,
                                   # hits joins hash-equi on vec_id/cell
+    "embedding_coreset_facility3",  # bounded all-pairs sim frame
+                                  # (CORESET_BOUND proof corpus) + the
+                                  # 1-row picked-id broadcast attaches;
+                                  # step reductions join hash-equi on j
     "daily_revenue_runs_test",    # 1-row median broadcast attach
     "daily_revenue_cusum",        # 1-row moments broadcast attach
     "part_record_linkage_scores", # three 1-row u-scalar broadcast

@@ -181,3 +181,60 @@ def test_anchor_routing_scan_budget(spark, sf_dir):
     counts, plan = _scan_counts(spark, sf_dir, "knn_anchor_routing_recall")
     assert counts["embeddings"] <= 4, (counts, plan)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_coreset_matches_numpy_greedy_and_is_submodular(spark, sf_dir):
+    """Facility-location greedy re-derived in numpy over the SAME
+    integer-scaled similarities (sign-aware half-away rounding mirrors
+    both engines' ROUND): picks, coverages, and gains must match
+    exactly, and the marginal gains must be nonincreasing (the
+    submodularity certificate the query's output carries)."""
+    import duckdb
+    import numpy as np
+
+    from technical_test_data_engineer_spark.plans.similarity_queries import (
+        CORESET_BOUND,
+        embedding_coreset_facility3,
+    )
+
+    rows = embedding_coreset_facility3(spark, sf_dir).collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    gains = [r.marginal_gain for r in rows]
+    assert gains == sorted(gains, reverse=True), rows
+    assert len({r.vec_id for r in rows}) == 3
+
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+            f"WHERE vec_id < {CORESET_BOUND}"
+        ).fetchall()
+    )
+    ids = sorted(vecs)
+    X = np.array([vecs[i] for i in ids], dtype=np.float64)
+    # per-element rounding mirrors both engines exactly (numpy's fused
+    # matmul would differ in the last ulp BEFORE rounding); ReLU clamp
+    # matches the query's nonneg facility-location form
+    S = np.empty((len(ids), len(ids)), dtype=np.int64)
+    for ai in range(len(ids)):
+        terms = X[ai] * X * 1e10  # element-wise, row-broadcast
+        dots = (np.sign(terms) * np.floor(np.abs(terms) + 0.5)).sum(
+            axis=1
+        ).astype(np.int64)
+        S[ai] = np.maximum(dots, 0)
+    picked, cov = [], np.zeros(len(ids), dtype=np.int64)
+    prev_tot = 0
+    for step in range(3):
+        best_i, best_tot = None, None
+        for ai, i in enumerate(ids):
+            if i in picked:
+                continue
+            tot = int(np.maximum(cov, S[ai]).sum())
+            if best_tot is None or tot > best_tot:
+                best_i, best_tot, best_ai = i, tot, ai
+        picked.append(best_i)
+        cov = np.maximum(cov, S[best_ai])
+        r = rows[step]
+        assert r.vec_id == best_i, (step, r, best_i)
+        assert r.coverage == round(best_tot / 1e10, 6), (step, r, best_tot)
+        assert r.marginal_gain == round((best_tot - prev_tot) / 1e10, 6)
+        prev_tot = best_tot
