@@ -138,12 +138,25 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-10 rotation head: debt is zero after r9; future windows hold
-# (1) any r9 red re-earns, (2) queries added in r9 (never driver-run),
-# (3) re-earns for any plan rewritten after its green, then (4) the
-# oldest remaining greens (r02: doc_token_chunks, doc_token_stats,
-# q10/q17/q22/q7, running_customer_spend, shipmode_priority_matrix,
-# suppliers_with_shipments — then the r03 cohort).
+# Round-10 rotation head: debt is zero after r9; the r10 window holds
+# (1) any r9 red re-earns (root-cause first — the local gate now
+#     mirrors the driver's absolute rounding, so a red means a NEW
+#     canonicalizer class),
+# (2) the 5 oracle-paired queries added in r9, never driver-run:
+#     knn_anchor_routing_recall, source_doremi_mixture,
+#     minhash_scurve_calibration, cluster_aware_split_audit,
+#     embedding_coreset_facility3,
+# (3) re-earns for plans rewritten after their green:
+#     matryoshka_recall_curve (r09 single-pass rewrite; r06 green
+#     stale), embedding_covariance (r09 integer-scaled moments; r05
+#     green stale), lineitem_measure_correlations + part_abc_xyz_matrix
+#     (r09 fan_out — result-identical, but plan changed; cheap to
+#     re-earn), customer_acctbal_woe_iv (r09 oracle NULLIF guard,
+#     inert at sf0.01 — lowest priority),
+# (4) then the oldest remaining greens (r02: doc_token_chunks,
+#     doc_token_stats, q10/q17/q22/q7, running_customer_spend,
+#     shipmode_priority_matrix, suppliers_with_shipments — then the
+#     r03 cohort).
 
 _FRONT_ROWS_ONLY: set[str] = set()
 
