@@ -2371,6 +2371,115 @@ def source_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_best_of_n_yield",
+    """
+    WITH q AS (
+        SELECT source, doc_id,
+               CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)
+                   AS reward,
+               CAST('0x' || SUBSTRING(MD5(text), 1, 15) AS BIGINT) AS h
+        FROM (SELECT source, doc_id, text,
+                     STR_SPLIT(text, ' ') AS toks
+              FROM documents)
+    ),
+    r AS (
+        SELECT source, reward,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY h, doc_id) - 1 AS rn
+        FROM q
+    ),
+    g AS (
+        SELECT r.source, n.n,
+               CAST(FLOOR(rn / CAST(n.n AS DOUBLE)) AS BIGINT) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               MAX(reward) AS gmax
+        FROM r CROSS JOIN (SELECT UNNEST([1, 4, 16]) AS n) n
+        GROUP BY r.source, n.n, grp
+    )
+    SELECT source, CAST(n AS INTEGER) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           ROUND(CAST(SUM(CAST(ROUND(gmax, 9) AS DECIMAL(20,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_best
+    FROM g WHERE cnt = n
+    GROUP BY source, n
+    ORDER BY source, n
+    """,
+)
+def source_best_of_n_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection yield — the rejection-sampling dial RLHF
+    data pipelines tune (how much reward does drawing n candidates and
+    keeping the best buy?): per source, documents group into
+    deterministic pseudo-random n-tuples (md5-ordered row numbers —
+    the house RNG-free sampling convention) and E[max of n] is
+    estimated as the mean of per-group maxima at n = 1/4/16, with the
+    distinct-token ratio as the exact cross-engine reward (int/int
+    double — doc_quality_scores' battery). Incomplete trailing groups
+    are excluded (cnt = n), so every estimate averages true n-maxima;
+    n=1 is the plain per-source mean, making the uplift readable
+    directly off the curve. At 100 TB: one scan for rewards+hashes,
+    one source-keyed ranking window, two group-bys — the n-grid
+    multiplies rows by |grid| only. Group maxima round to 9dp into
+    DECIMAL before the mean so the aggregate is order-free."""
+    docs = _docs(spark, sf_dir)
+    toks = TX.tokens("text")
+    reward = (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    ).alias("reward")
+    q = docs.select(
+        "source",
+        "doc_id",
+        reward,
+        TX.md5_hash64(F.col("text")).alias("h"),
+    )
+    r = q.select(
+        "source",
+        "reward",
+        (
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("h", "doc_id")
+            )
+            - 1
+        ).alias("rn"),
+    )
+    grid = F.explode(F.array(F.lit(1), F.lit(4), F.lit(16))).alias("n")
+    g = (
+        r.select("source", "reward", "rn", grid)
+        .groupBy(
+            "source",
+            "n",
+            F.floor(
+                F.col("rn") / F.col("n").cast("double")
+            ).cast("bigint").alias("grp"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.max("reward").alias("gmax"),
+        )
+    )
+    return (
+        g.filter(F.col("cnt") == F.col("n"))
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.round(
+                F.sum(
+                    F.round(F.col("gmax"), 9).cast("decimal(20,9)")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_best"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("int").alias("n"),
+            "n_groups",
+            "mean_best",
+        )
+        .orderBy("source", "n")
+    )
+
+
+@query(
     "shard_balance_chisq",
     """
     WITH d AS (

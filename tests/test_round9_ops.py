@@ -238,3 +238,36 @@ def test_coreset_matches_numpy_greedy_and_is_submodular(spark, sf_dir):
         assert r.coverage == round(best_tot / 1e10, 6), (step, r, best_tot)
         assert r.marginal_gain == round((best_tot - prev_tot) / 1e10, 6)
         prev_tot = best_tot
+
+
+def test_best_of_n_yield_curve_shape(spark, sf_dir):
+    """E[max of n] estimates: bounded in [0, 1] (the reward is a
+    ratio), group accounting exact (n_groups * n <= source doc count),
+    and the curve rises with n (exact for nested aligned groups over
+    common coverage; 0.05 slack absorbs the trailing-group coverage
+    difference on small sources)."""
+    import duckdb
+
+    from technical_test_data_engineer_spark.plans.text_queries import (
+        source_best_of_n_yield,
+    )
+
+    rows = source_best_of_n_yield(spark, sf_dir).collect()
+    assert rows
+    counts = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(*) FROM '{sf_dir}/documents.parquet' "
+            "GROUP BY source"
+        ).fetchall()
+    )
+    per_src: dict[str, dict[int, float]] = {}
+    for r in rows:
+        assert 0.0 <= r.mean_best <= 1.0, r
+        assert r.n_groups * r.n <= counts[r.source], r
+        assert r.n_groups == counts[r.source] // r.n, r
+        per_src.setdefault(r.source, {})[r.n] = r.mean_best
+    for src, curve in per_src.items():
+        assert 1 in curve, (src, curve)
+        ns = sorted(curve)
+        for lo, hi in zip(ns, ns[1:]):
+            assert curve[hi] >= curve[lo] - 0.05, (src, curve)
