@@ -142,10 +142,10 @@ _FRONT_50 = [
 # (1) any r9 red re-earns (root-cause first — the local gate now
 #     mirrors the driver's absolute rounding, so a red means a NEW
 #     canonicalizer class),
-# (2) the 5 oracle-paired queries added in r9, never driver-run:
+# (2) the 6 oracle-paired queries added in r9, never driver-run:
 #     knn_anchor_routing_recall, source_doremi_mixture,
 #     minhash_scurve_calibration, cluster_aware_split_audit,
-#     embedding_coreset_facility3,
+#     embedding_coreset_facility3, source_best_of_n_yield,
 # (3) re-earns for plans rewritten after their green:
 #     matryoshka_recall_curve (r09 single-pass rewrite; r06 green
 #     stale), embedding_covariance (r09 integer-scaled moments; r05
