@@ -220,6 +220,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # Code-cache telemetry (stderr, r10): the r9 driver bench showed
+    # unchanged bounded plans at 4-6x solo steady state — the JVM's
+    # default 240 MB code cache fills mid-sweep and HotSpot flushes
+    # compiled fold methods (session.py now reserves 1 GiB). Record
+    # end-of-sweep usage so a recurrence is diagnosable from the log.
+    pools = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+    for i in range(pools.size()):
+        p = pools.get(i)
+        if "CodeHeap" in p.getName():
+            u = p.getUsage()
+            print(
+                f"# codecache {p.getName()}: "
+                f"{u.getUsed() // (1024 * 1024)} / "
+                f"{u.getMax() // (1024 * 1024)} MB",
+                file=sys.stderr,
+            )
     print(json.dumps(result))
     # The driver's BENCH_r{N}.json stores only a 2000-char stdout tail —
     # too short for 112 per-query timings, so round-over-round claims

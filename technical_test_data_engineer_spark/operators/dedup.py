@@ -459,6 +459,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     planes_tables: list[list[list[float]]] | None = None,
     exact_scores: bool = False,
+    score_metric: str | None = None,
 ) -> DataFrame:
     """Pairs with cosine(dot for unit vectors) ≥ threshold.
 
@@ -466,11 +467,16 @@ def embedding_near_dup_pairs(
     Without: full pair scoring — only for small/filtered inputs.
     ``exact_scores=True`` forces the decimal-exact dot on the LSH path
     too (oracle-paired companion queries); default keeps the 5× cheaper
-    double fold there.
+    double fold there. ``score_metric`` overrides the scorer outright:
+    ``"int"`` emits the integer-scaled BIGINT score (int_scaled_dot —
+    the r10 convention; the threshold compares as round(t·1e10) in the
+    same scaled domain, so the filter is the exact integer image of
+    ``score ≥ t``), ``"exact"``/``"fast"`` force those dots.
     """
     from technical_test_data_engineer_spark.operators.similarity import (
         exact_dot,
         fast_dot,
+        int_scaled_dot,
         srp_signatures_batch,
     )
 
@@ -502,7 +508,7 @@ def embedding_near_dup_pairs(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
         )
-        if exact_scores:
+        if exact_scores or score_metric == "int":
             cands = cands.dropDuplicates(["id_a", "id_b"])
         vecs = df.select(id_col, vec_col)
         cands = cands.join(
@@ -517,11 +523,21 @@ def embedding_near_dup_pairs(
         r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         cands = l.crossJoin(F.broadcast(r)).filter(F.col("id_a") < F.col("id_b"))
     # decimal exact_dot on the oracle-compared exact path; double
-    # fast_dot on the LSH path (rows-only checked, 5× cheaper).
-    dot = fast_dot if (planes_tables and not exact_scores) else exact_dot
+    # fast_dot on the LSH path (rows-only checked, 5× cheaper);
+    # score_metric overrides (the "int" path compares in the scaled
+    # integer domain — same predicate image, no float anywhere).
+    if score_metric == "int":
+        dot = int_scaled_dot
+        thresh = F.lit(int(round(threshold * 1e10))).cast("bigint")
+    else:
+        if score_metric is not None:
+            dot = exact_dot if score_metric == "exact" else fast_dot
+        else:
+            dot = fast_dot if (planes_tables and not exact_scores) else exact_dot
+        thresh = F.lit(threshold)
     out = (
         cands.withColumn("score", dot(F.col("_va"), F.col("_vb")))
-        .filter(F.col("score") >= threshold)
+        .filter(F.col("score") >= thresh)
         .select("id_a", "id_b", "score")
     )
     if planes_tables:

@@ -149,6 +149,29 @@ def int_scaled_dot(a: Column, b: Column) -> Column:
     )
 
 
+def metric_score(metric: str, a: Column, b: Column) -> Column:
+    """The shared scorer dial behind every top-k operator:
+
+    - ``"exact"`` — decimal-exact double (:func:`exact_dot`): the
+      convention for SURFACED float scores an oracle re-derives.
+    - ``"int"`` — :func:`int_scaled_dot` BIGINT (the r9 integer-scaled
+      convention): exact, order-free, ~2.5× cheaper than the
+      interpreted BigDecimal fold, and hash-checked as an integer (no
+      float rounding class at all). NaN-free by assumption — the
+      embeddings fixture and the decimal companions assert it; NaN
+      inputs would fold to 0-terms under the non-ANSI bigint cast
+      rather than NULL, so callers with NaN-able scores keep "exact".
+    - anything else — :func:`fast_dot` double (rows-only paths).
+
+    Float metrics pass through :func:`nan_safe_score` (the local_topk
+    NaN-free contract); the int metric must not — ``isnan`` does not
+    type on BIGINT, and the value cannot be NaN.
+    """
+    if metric == "int":
+        return int_scaled_dot(a, b)
+    return nan_safe_score((exact_dot if metric == "exact" else fast_dot)(a, b))
+
+
 def fast_dot(a: Column, b: Column) -> Column:
     """Plain double inner product — ~5× faster than :func:`exact_dot`
     (no per-element decimal casts). Deterministic for a given row (the
@@ -196,14 +219,17 @@ def brute_force_topk(
         )
     )
     paired = fan_out(corpus).crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
-    score = (
-        exact_dot(F.col("_qvec"), F.col(vec_col))
-        if metric == "dot"
-        else cosine(F.col("_qvec"), F.col(vec_col))
-    )
-    scored = paired.select(
-        query_id_col, id_col, nan_safe_score(score).alias("score")
-    )
+    if metric == "int":
+        # integer-scaled BIGINT scores (see metric_score) — NaN-free by
+        # construction, so no nan_safe wrap (isnan doesn't type on long)
+        score = int_scaled_dot(F.col("_qvec"), F.col(vec_col))
+    else:
+        score = nan_safe_score(
+            exact_dot(F.col("_qvec"), F.col(vec_col))
+            if metric == "dot"
+            else cosine(F.col("_qvec"), F.col(vec_col))
+        )
+    scored = paired.select(query_id_col, id_col, score.alias("score"))
     pruned = local_topk(scored, k, query_id_col, id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -439,14 +465,13 @@ def ivf_topk(
             F.explode(q_assign(F.col(vec_col))).alias("_cell"),
         )
     )
-    dot = exact_dot if metric == "exact" else fast_dot
     scored = (
         corpus_cells.join(query_cells, "_cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            nan_safe_score(dot(F.col("_qvec"), F.col(vec_col))).alias("score"),
+            metric_score(metric, F.col("_qvec"), F.col(vec_col)).alias("score"),
         )
     )
     pruned = local_topk(scored, k, query_id_col, id_col)
@@ -583,12 +608,10 @@ def lsh_topk(
             query_id_col,
             id_col,
             # fast_dot default: rows-only ranking needs within-run
-            # determinism only; "exact" buys bit-exact oracle match.
-            nan_safe_score(
-                (exact_dot if metric == "exact" else fast_dot)(
-                    F.col("_qvec"), F.col(vec_col)
-                )
-            ).alias("score"),
+            # determinism only; "exact"/"int" buy bit-exact oracle match.
+            metric_score(metric, F.col("_qvec"), F.col(vec_col)).alias(
+                "score"
+            ),
         )
     )
     pruned = local_topk(scored, k, query_id_col, id_col)
@@ -797,14 +820,12 @@ def pq_adc_topk(
         .select(
             query_id_col,
             id_col,
-            # rerank_metric="exact": with rerank ≥ corpus size the
+            # rerank_metric="exact"/"int": with rerank ≥ corpus size the
             # shortlist is the whole corpus and the refined ranking is
             # bit-identical to brute force — the oracle-paired limit
             # proof of the two-stage path (knn_pq_exact_rerankall)
-            nan_safe_score(
-                (exact_dot if rerank_metric == "exact" else fast_dot)(
-                    F.col("_qvec"), F.col(vec_col)
-                )
+            metric_score(
+                rerank_metric, F.col("_qvec"), F.col(vec_col)
             ).alias("score"),
         )
     )
@@ -1002,10 +1023,8 @@ def ivfpq_topk(
         .select(
             query_id_col,
             id_col,
-            nan_safe_score(
-                (exact_dot if rerank_metric == "exact" else fast_dot)(
-                    F.col("_qvec"), F.col(vec_col)
-                )
+            metric_score(
+                rerank_metric, F.col("_qvec"), F.col(vec_col)
             ).alias("score"),
         )
     )

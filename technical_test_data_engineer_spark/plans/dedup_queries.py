@@ -197,7 +197,11 @@ def _embedding_lsh_pairs_oracle(planes_tables, bound, threshold) -> str:
     """Generated oracle for the SRP-LSH near-dup PAIR pipeline: seeded
     sign-buckets recomputed from the identical plane literals
     (similarity_queries.srp_sigs_sql), bucket self-join, distinct
-    id_a < id_b pairs, decimal-exact scoring, threshold filter."""
+    id_a < id_b pairs, integer-scaled exact scoring (the r10
+    ``score_e10`` convention — int_scaled_dot's DuckDB twin; the
+    threshold compares as round(t·1e10) in the same scaled domain).
+    Outer CAST keeps the int64 tag (DuckDB SUM → HUGEINT floats
+    through the driver's pandas fetch)."""
     from technical_test_data_engineer_spark.plans.similarity_queries import (
         srp_sigs_sql,
     )
@@ -213,16 +217,16 @@ def _embedding_lsh_pairs_oracle(planes_tables, bound, threshold) -> str:
     scored AS (
         SELECT c.id_a, c.id_b,
                CAST((
-                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   SELECT SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT))
                    FROM (SELECT UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
                                 UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y)
-               ) AS DOUBLE) AS score
+               ) AS BIGINT) AS score_e10
         FROM cands c
         JOIN embeddings ea ON ea.vec_id = c.id_a
         JOIN embeddings eb ON eb.vec_id = c.id_b
     )
-    SELECT id_a, id_b, score FROM scored
-    WHERE score >= {threshold}
+    SELECT id_a, id_b, score_e10 FROM scored
+    WHERE score_e10 >= {int(round(threshold * 1e10))}
     ORDER BY id_a, id_b
     """
 
@@ -266,16 +270,24 @@ def embedding_near_dups_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     literals — bucketing, candidate join, dedup, scoring and threshold
     all cross-checked. Threshold 0.3 (not the production 0.8) so the
     uniform-random fixture yields a non-empty result — an empty==empty
-    pass would prove nothing. Corpus bounded (inactive at sf0.01)."""
+    pass would prove nothing. Corpus bounded (inactive at sf0.01).
+    r10: integer-scaled ``score_e10`` scores + scaled threshold
+    (int_scaled_dot / regenerated oracle) — drops the interpreted
+    BigDecimal folds that made this the r9 driver bench's largest
+    unexplained flag (8.04 s min-of-two-reps vs 2.7 s solo steady)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _NEARDUP_BOUND
     )
-    return embedding_near_dup_pairs(
-        emb,
-        threshold=_NEARDUP_THRESHOLD,
-        planes_tables=_neardup_planes(),
-        exact_scores=True,
-    ).orderBy("id_a", "id_b")
+    return (
+        embedding_near_dup_pairs(
+            emb,
+            threshold=_NEARDUP_THRESHOLD,
+            planes_tables=_neardup_planes(),
+            score_metric="int",
+        )
+        .withColumnRenamed("score", "score_e10")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(

@@ -39,12 +39,34 @@ EXACT_BOUND = 800
 PQ_EXACT_BOUND = 256
 
 
-def _exact_topk_oracle(bound: int | None = None) -> str:
-    """Exact top-k oracle, shared by knn_bruteforce (unbounded) and the
-    probe-all IVF companion (probing every cell scores every corpus
-    vector exactly once, so with decimal-exact scoring the two are
-    bit-identical by construction)."""
+def _exact_topk_oracle(bound: int | None = None, int_scaled: bool = False) -> str:
+    """Exact top-k oracle, shared by knn_bruteforce (unbounded, decimal
+    scores — the gate-calibration anchor for the last-ulp float class)
+    and the probe-all IVF / rerank-all PQ companions (probing every
+    cell / reranking everything scores every corpus vector exactly
+    once, so with an exact scorer the ranking is bit-identical to brute
+    force by construction). ``int_scaled=True`` emits the r10 integer-
+    scaled convention (SUM(ROUND(x·y·1e10)) AS BIGINT ``score_e10`` —
+    the int_scaled_dot twin): exact, integer-hashed, ~2.5× cheaper than
+    the interpreted decimal fold on the Spark side."""
     where = f"WHERE vec_id < {bound}" if bound else ""
+    if int_scaled:
+        # outer CAST: DuckDB SUM(BIGINT) widens to HUGEINT, which the
+        # driver's pandas fetch floats to float64 (the q12 red class) —
+        # BIGINT keeps the int64 type tag Spark surfaces
+        score_expr = """CAST((
+                   SELECT SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT))
+                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.embedding AS DOUBLE[])) AS y)
+               ) AS BIGINT)"""
+        score_col = "score_e10"
+    else:
+        score_expr = """CAST((
+                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
+                                UNNEST(CAST(e.embedding AS DOUBLE[])) AS y)
+               ) AS DOUBLE)"""
+        score_col = "score"
     return f"""
     WITH corpus AS (SELECT * FROM embeddings {where}),
     q AS (
@@ -53,19 +75,15 @@ def _exact_topk_oracle(bound: int | None = None) -> str:
     ),
     scored AS (
         SELECT q.query_id, e.vec_id,
-               CAST((
-                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
-                   FROM (SELECT UNNEST(CAST(q.qvec AS DOUBLE[])) AS x,
-                                UNNEST(CAST(e.embedding AS DOUBLE[])) AS y)
-               ) AS DOUBLE) AS score
+               {score_expr} AS {score_col}
         FROM corpus e CROSS JOIN q
         WHERE e.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, rank, score
+    SELECT query_id, vec_id, rank, {score_col}
     FROM (
-        SELECT query_id, vec_id, score,
+        SELECT query_id, vec_id, {score_col},
                CAST(ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+                   PARTITION BY query_id ORDER BY {score_col} DESC, vec_id ASC
                ) AS INTEGER) AS rank
         FROM scored
     )
@@ -109,7 +127,8 @@ def srp_sigs_sql(planes_tables, bound: int | None = None) -> str:
 def _lsh_exact_oracle(planes_tables, bound: int | None = None) -> str:
     """Generated oracle for the full LSH top-k pipeline: seeded
     sign-buckets (srp_sigs_sql), candidate join per hash table, distinct
-    pairs, decimal-exact re-score, per-query ranking."""
+    pairs, integer-scaled exact re-score (the r10 ``score_e10``
+    convention — int_scaled_dot's DuckDB twin), per-query ranking."""
     sigs = srp_sigs_sql(planes_tables, bound)
     return f"""
     WITH sigs AS ({sigs}),
@@ -125,19 +144,19 @@ def _lsh_exact_oracle(planes_tables, bound: int | None = None) -> str:
     scored AS (
         SELECT c.query_id, c.vec_id,
                CAST((
-                   SELECT SUM(CAST(x * y AS DECIMAL(38,30)))
+                   SELECT SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT))
                    FROM (SELECT UNNEST(CAST(eq.embedding AS DOUBLE[])) AS x,
                                 UNNEST(CAST(ec.embedding AS DOUBLE[])) AS y)
-               ) AS DOUBLE) AS score
+               ) AS BIGINT) AS score_e10
         FROM cands c
         JOIN embeddings eq ON eq.vec_id = c.query_id
         JOIN embeddings ec ON ec.vec_id = c.vec_id
     )
-    SELECT query_id, vec_id, rank, score
+    SELECT query_id, vec_id, rank, score_e10
     FROM (
-        SELECT query_id, vec_id, score,
+        SELECT query_id, vec_id, score_e10,
                CAST(ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+                   PARTITION BY query_id ORDER BY score_e10 DESC, vec_id ASC
                ) AS INTEGER) AS rank
         FROM scored
     )
@@ -225,15 +244,18 @@ def knn_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking are all cross-checked, not just row counts. Corpus bounded
     to EXACT_BOUND vectors — inactive at the driver's sf0.01 (500-vector
     corpus, fully checked), keeps the exact full-scoring proof off the
-    bench critical path at sf0.1+."""
+    bench critical path at sf0.1+. r10: scores migrated to the
+    integer-scaled BIGINT convention (``score_e10`` = int_scaled_dot;
+    oracle regenerated from the same plane literals) — exact, integer-
+    hashed, and off the interpreted-BigDecimal fold path entirely."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < EXACT_BOUND
     )
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = lsh_topk(emb, probes, _seeded_planes(8, 6), k=TOP_K, metric="exact")
+    out = lsh_topk(emb, probes, _seeded_planes(8, 6), k=TOP_K, metric="int")
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
-    ).select("query_id", "vec_id", "rank", "score")
+    ).select("query_id", "vec_id", "rank", F.col("score").alias("score_e10"))
 
 
 # rows-only (approximate): recall vs brute force asserted in tests
@@ -265,7 +287,7 @@ def knn_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "score")
 
 
-@query("knn_ivf_exact_probeall", _exact_topk_oracle(EXACT_BOUND))
+@query("knn_ivf_exact_probeall", _exact_topk_oracle(EXACT_BOUND, int_scaled=True))
 def knn_ivf_exact_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable IVF companion (round-2 verdict item 4): probe
     EVERY cell with decimal-exact scoring — each corpus vector is scored
@@ -278,18 +300,19 @@ def knn_ivf_exact_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_lsh_exact). Quantizer is k=4: probe-all ≡ brute force holds for
     ANY centroids (every corpus vector is scored exactly once), so the
     proof buys the cheapest training that still exercises the
-    machinery."""
+    machinery. r10: integer-scaled ``score_e10`` scores (int_scaled_dot
+    / regenerated oracle) — see knn_lsh_exact."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < EXACT_BOUND
     )
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     out = ivf_topk(
-        emb, probes, n_centroids=4, n_probe=4, k=TOP_K, metric="exact",
+        emb, probes, n_centroids=4, n_probe=4, k=TOP_K, metric="int",
         train_max_iter=1,
     )
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
-    ).select("query_id", "vec_id", "rank", "score")
+    ).select("query_id", "vec_id", "rank", F.col("score").alias("score_e10"))
 
 
 N_ANCHOR_CELLS = 8
@@ -730,7 +753,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_pq_exact_rerankall", _exact_topk_oracle(PQ_EXACT_BOUND))
+@query(
+    "knn_pq_exact_rerankall",
+    _exact_topk_oracle(PQ_EXACT_BOUND, int_scaled=True),
+)
 def knn_pq_exact_rerankall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable PQ companion — the exact-in-the-limit proof of
     the two-stage path: with ``rerank`` ≥ corpus size the ADC shortlist
@@ -743,7 +769,8 @@ def knn_pq_exact_rerankall(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit proof is bound-independent, and 256 keeps the decimal-exact
     rerank-everything stage off the bench critical path (round-3 item
     2: 17.2 s → target ≤5 s). Small codebooks — the proof holds for
-    ANY codebook."""
+    ANY codebook. r10: integer-scaled ``score_e10`` rerank scores
+    (int_scaled_dot / regenerated oracle) — see knn_lsh_exact."""
     from technical_test_data_engineer_spark.operators.similarity import (
         pq_adc_topk,
         train_pq_codebooks,
@@ -756,11 +783,11 @@ def knn_pq_exact_rerankall(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(emb, m=8, n_codes=16, n_iter=1)
     out = pq_adc_topk(
         emb, probes, books, k=TOP_K, rerank=PQ_EXACT_BOUND,
-        rerank_metric="exact",
+        rerank_metric="int",
     )
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
-    ).select("query_id", "vec_id", "rank", "score")
+    ).select("query_id", "vec_id", "rank", F.col("score").alias("score_e10"))
 
 
 # rows-only (approximate): IVF-PQ is doubly lossy (cell pruning +
@@ -1722,13 +1749,23 @@ _MMR_LAM = 0.7
 
 
 def _mmr_exact3_oracle() -> str:
-    """Generated oracle for the 3-step unrolled MMR: exact top-10
-    shortlist (decimal dots), pairwise candidate sims (decimal dots),
-    then three argmax CTEs stepping λ·rel − (1−λ)·max-sim literally."""
+    """Generated oracle for the 3-step unrolled MMR, r10 ALL-INTEGER
+    form: exact top-10 shortlist ranked by integer-scaled dots
+    (``rel_e10`` — int_scaled_dot's DuckDB twin), pairwise candidate
+    sims likewise, then three argmax CTEs stepping the MMR objective in
+    the exact integer domain: with λ = 0.7 = 7/10,
+        mmr·1e11 = 7·rel_e10 − (10−7)·sim_e10
+    so every score, comparison and tie-break is int64 arithmetic —
+    bit-identical across engines with no float class at all (the r9
+    deep-decimal unroll was the heaviest solo-session query in the
+    registry; the integer form drops the interpreted BigDecimal folds
+    entirely). Outer CASTs keep int64 tags (DuckDB SUM → HUGEINT
+    floats through the driver's pandas fetch)."""
+    lam_num = round(_MMR_LAM * 10)  # 7: λ as an exact tenth
     dot = (
-        "CAST((SELECT SUM(CAST(x * y AS DECIMAL(38,30))) "
+        "CAST((SELECT SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT)) "
         "FROM (SELECT UNNEST(CAST({a} AS DOUBLE[])) AS x, "
-        "UNNEST(CAST({b} AS DOUBLE[])) AS y)) AS DOUBLE)"
+        "UNNEST(CAST({b} AS DOUBLE[])) AS y)) AS BIGINT)"
     )
     return f"""
     WITH q AS (
@@ -1759,7 +1796,9 @@ def _mmr_exact3_oracle() -> str:
           ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
     ),
     s1 AS (
-        SELECT query_id, vec_id, {_MMR_LAM} * rel AS mmr FROM (
+        SELECT query_id, vec_id,
+               CAST({lam_num} * rel AS BIGINT) AS mmr
+        FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY rel DESC, vec_id
             ) AS rn FROM short
@@ -1767,7 +1806,8 @@ def _mmr_exact3_oracle() -> str:
     ),
     p2 AS (
         SELECT c.query_id, c.vec_id,
-               {_MMR_LAM} * c.rel - {1 - _MMR_LAM} * s.sim AS mmr
+               CAST({lam_num} * c.rel
+                    - {10 - lam_num} * s.sim AS BIGINT) AS mmr
         FROM short c
         JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
         JOIN sims s ON s.query_id = c.query_id
@@ -1782,8 +1822,9 @@ def _mmr_exact3_oracle() -> str:
     ),
     p3 AS (
         SELECT c.query_id, c.vec_id,
-               {_MMR_LAM} * c.rel
-                   - {1 - _MMR_LAM} * GREATEST(sa.sim, sb.sim) AS mmr
+               CAST({lam_num} * c.rel
+                    - {10 - lam_num} * GREATEST(sa.sim, sb.sim)
+                    AS BIGINT) AS mmr
         FROM short c
         JOIN s1 ON c.query_id = s1.query_id AND c.vec_id <> s1.vec_id
         JOIN s2 ON c.query_id = s2.query_id AND c.vec_id <> s2.vec_id
@@ -1799,7 +1840,7 @@ def _mmr_exact3_oracle() -> str:
             ) AS rn FROM p3
         ) WHERE rn = 1
     )
-    SELECT query_id, pick, vec_id, ROUND(mmr, 6) AS mmr_score FROM (
+    SELECT query_id, pick, vec_id, mmr AS mmr_e11 FROM (
         SELECT query_id, 1 AS pick, vec_id, mmr FROM s1
         UNION ALL SELECT query_id, 2, vec_id, mmr FROM s2
         UNION ALL SELECT query_id, 3, vec_id, mmr FROM s3
@@ -1814,20 +1855,26 @@ def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the grouped-map greedy (knn_mmr_rerank): a FIXED number of
     greedy picks unrolls into chained argmax stages (the k-core-peel /
     k-step-conversion convention), with relevance AND candidate-pair
-    similarities both decimal-exact dots, so every λ·rel − (1−λ)·maxsim
-    score is the identical double on both engines and the driver
-    value-checks the diversity re-rank itself — selection, scores, and
-    tie-breaks. Scale shape: the shortlist bounds everything — sims
-    are shortlist², and each pick stage is a shortlist-sized window."""
+    similarities both integer-scaled exact dots (int_scaled_dot — the
+    r10 rewrite of the r9 deep-decimal unroll, which was the heaviest
+    solo-session query in the registry: 10.1 s solo steady from
+    interpreted BigDecimal folds). With λ = 0.7 = 7/10 the objective
+    stays in the exact integer domain end to end:
+        mmr_e11 = 7·rel_e10 − 3·maxsim_e10
+    so every score, argmax and tie-break is int64 arithmetic, bit-
+    identical across engines, and the driver value-checks the
+    diversity re-rank itself — selection, scores, and tie-breaks.
+    Scale shape: the shortlist bounds everything — sims are
+    shortlist², and each pick stage is a shortlist-sized window."""
     from technical_test_data_engineer_spark.operators.similarity import (
-        exact_dot,
+        int_scaled_dot,
     )
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
     short = (
-        brute_force_topk(emb, probes, k=_MMR_SHORT)
+        brute_force_topk(emb, probes, k=_MMR_SHORT, metric="int")
         .select("query_id", "vec_id", F.col("score").alias("rel"))
         .persist()
     )
@@ -1846,12 +1893,14 @@ def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.query_id").alias("query_id"),
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
-            exact_dot(F.col("a.v"), F.col("b.v")).alias("sim"),
+            int_scaled_dot(F.col("a.v"), F.col("b.v")).alias("sim"),
         )
         .persist()
     )
-    lam = F.lit(_MMR_LAM)
-    one_m = F.lit(1 - _MMR_LAM)
+    # λ = 0.7 as the exact integer pair (7, 10−7): mmr is scaled by a
+    # further 10× (e11), keeping every pick-stage score in int64
+    lam = F.lit(round(_MMR_LAM * 10)).cast("bigint")
+    one_m = F.lit(10 - round(_MMR_LAM * 10)).cast("bigint")
     wrel = Window.partitionBy("query_id").orderBy(
         F.desc("rel"), F.asc("vec_id")
     )
@@ -1944,7 +1993,7 @@ def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("pick").cast("int").alias("pick"),
         "vec_id",
-        F.round("mmr", 6).alias("mmr_score"),
+        F.col("mmr").cast("bigint").alias("mmr_e11"),
     ).orderBy("query_id", "pick")
 
 

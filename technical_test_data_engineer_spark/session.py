@@ -33,6 +33,17 @@ DEFAULT_CONFS: dict[str, str] = {
     # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     # reader rejects; read as long nanos and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The JVM default ReservedCodeCacheSize (240 MB) is sized for one
+    # application, not a 339-query registry sweep: whole-stage-codegen
+    # Janino classes plus the interpreted decimal-HOF fold paths fill
+    # the code cache mid-sweep, HotSpot starts flushing compiled
+    # methods, and late-registry queries re-run their hot folds
+    # interpreted — measured as unchanged bounded plans landing 4-6x
+    # above solo steady state (r9 driver bench: embedding_near_dups_
+    # lsh_exact 8.04 s min-of-two-reps vs 2.7 s solo steady). 1 GiB
+    # keeps every compiled fold resident for the whole sweep. Only
+    # effective before JVM launch (like driver.memory).
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
 }
 
 
