@@ -76,25 +76,45 @@ def embedding_moments(
                        cast(round(xi * xj * 1e10, 0) AS BIGINT) AS p))))
         """
     )
+    n = df.count()
+
+    # Overflow guard (r10, ADVICE item): past int64 Spark's non-ANSI
+    # long SUM wraps silently while DuckDB's HUGEINT->BIGINT cast
+    # throws — the engines would fail differently with no error here.
+    # max(abs(term)) rides the same shuffle as the sum (one extra agg
+    # buffer); n * maxabs < 2^62 proves the fold could not wrap, else
+    # raise. The check is per GROUP (D² rows), so its cost is nil.
+    def _guarded(sum_col: str, maxabs_col: str, out: str):
+        return F.when(
+            F.col(maxabs_col) * F.lit(float(n)) < F.lit(float(2**62)),
+            F.col(sum_col).cast("double") / F.lit(1e10),
+        ).otherwise(
+            F.raise_error(F.lit(
+                f"embedding_moments: integer-scaled {out} fold may "
+                f"exceed int64 at n={n} — rescale or shard the corpus"
+            ))
+        ).alias(out)
+
     cross = (
         df.select(F.explode(pairs).alias("e"))
         .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
-        .agg((F.sum("p").cast("double") / F.lit(1e10)).alias("sxy"))
+        .agg(
+            F.sum("p").alias("_s"),
+            F.max(F.abs(F.col("p"))).alias("_m"),
+        )
+        .select("i", "j", _guarded("_s", "_m", "sxy"))
     )
+    xs = F.round(F.col("x") * F.lit(1e10), 0).cast("bigint")
     sums = (
         df.select(F.posexplode(F.expr(v)).alias("i", "x"))
         .groupBy("i")
         .agg(
-            (
-                F.sum(
-                    F.round(F.col("x") * F.lit(1e10), 0).cast("bigint")
-                ).cast("double")
-                / F.lit(1e10)
-            ).alias("s")
+            F.sum(xs).alias("_s"),
+            F.max(F.abs(xs)).alias("_m"),
         )
+        .select("i", _guarded("_s", "_m", "s"))
     )
-    n = df.count()
     return sums, cross, n
 
 

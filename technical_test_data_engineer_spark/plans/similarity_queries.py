@@ -317,6 +317,10 @@ def knn_ivf_exact_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_ANCHOR_CELLS = 8
 PROBE_GRID = (1, 2, 4, 8)
+# probe-all must be reachable: test_anchor_recall_probeall relies on the
+# largest grid point covering every cell (recall == 1.0 there), and the
+# oracle interpolates PROBE_GRID below — keep the two in lockstep
+assert max(PROBE_GRID) == N_ANCHOR_CELLS
 
 
 @query(
@@ -382,7 +386,8 @@ PROBE_GRID = (1, 2, 4, 8)
                 AS BIGINT) AS n_found,
            ROUND(SUM(CASE WHEN cell_rank <= nprobe THEN 1 ELSE 0 END)
                  / {float(TOP_K)!r}, 6) AS recall_at_k
-    FROM hits CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS nprobe) p
+    FROM hits CROSS JOIN (
+        SELECT UNNEST([{', '.join(map(str, PROBE_GRID))}]) AS nprobe) p
     GROUP BY query_id, nprobe
     ORDER BY query_id, nprobe
     """,
@@ -418,6 +423,10 @@ def knn_anchor_routing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    # the enumerate index below doubles as the cell id the ORACLE
+    # derives from vec_id — valid only while anchor vec_ids are exactly
+    # 0..N_ANCHOR_CELLS-1 (a gap would shift every cell label silently)
+    assert [r["vec_id"] for r in anchor_rows] == list(range(N_ANCHOR_CELLS))
     anchor_lits = [
         F.array(*[F.lit(float(x)) for x in r["embedding"]])
         for r in anchor_rows
@@ -1412,6 +1421,7 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from technical_test_data_engineer_spark.operators.similarity import (
         exact_dot,
         local_topk,
+        nan_safe_score,
     )
     from technical_test_data_engineer_spark.operators.partitioning import (
         fan_out,
@@ -1438,9 +1448,14 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(d).alias("dim"),
-                        exact_dot(
-                            F.slice("_qvec", 1, d),
-                            F.slice("embedding", 1, d),
+                        # nan_safe like brute_force_topk: local_topk's
+                        # NaN-free contract must hold for ANY scorer
+                        # swapped in here, not by accident of decimals
+                        nan_safe_score(
+                            exact_dot(
+                                F.slice("_qvec", 1, d),
+                                F.slice("embedding", 1, d),
+                            )
                         ).alias("score"),
                     )
                     for d in all_dims

@@ -72,9 +72,24 @@ def _norm_cell(v):
         # plausible driver rounding are the only ones the gate may call
         # green (finer P does NOT subsume coarser — a pair can agree at
         # 6dp yet straddle a .5e-4 boundary).
+        if not math.isfinite(v):  # ±inf (NaN folded above)
+            return f"f:{v!r}"
+        if abs(v) >= 1e16:
+            # no representable fractional part — rounding at any P is a
+            # no-op, and quantize would blow Decimal's context precision
+            return f"f:{v!r};{v!r};{v!r}"
         parts = []
         for p in (4, 5, 6):
-            r = round(v, p)
+            # HALF_UP on the shortest-repr decimal image, not Python's
+            # banker's round(): engine-produced values follow HALF_UP
+            # conventions, so a cell landing exactly on a .5e-P
+            # boundary must canonicalize under the same rule or the
+            # gate mis-sorts exact-boundary ties (r9 advice item).
+            r = float(
+                decimal.Decimal(repr(v)).quantize(
+                    decimal.Decimal(f"1e-{p}"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
             if r == 0:
                 parts.append("-0" if math.copysign(1.0, r) < 0 else "0")
             else:
