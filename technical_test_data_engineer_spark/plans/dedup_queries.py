@@ -51,6 +51,20 @@ def _shingle_d_sql(bound: int | None = None) -> str:
     )"""
 
 
+def _split_md5_sql(bound: int | None = None) -> str:
+    """Oracle twin of the md5-bucket train/val split (text_queries'
+    convention: first 8 hex digits of md5(text) mod 100, < 90 → train)."""
+    where = f" WHERE doc_id < {bound}" if bound is not None else ""
+    return f"""
+    split AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT)
+                         % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents{where}
+    )"""
+
+
 def shared_minhash_pairs(
     spark: SparkSession, sf_dir: str, persist: bool = False
 ) -> DataFrame:
@@ -487,8 +501,30 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy("doc_id")
 
 
-# rows-only: built on MinHash pairs (xxhash64, no DuckDB twin)
-@query("split_contamination_audit")
+@query(
+    "split_contamination_audit",
+    f"""
+    WITH {_shingle_d_sql()},
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                 / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+                 AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+              >= 0.5
+    ),
+    {_split_md5_sql()}
+    SELECT p.id_a, p.id_b,
+           sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+    JOIN split sa ON sa.doc_id = p.id_a
+    JOIN split sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    ORDER BY id_a, id_b
+    """,
+)
 def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination audit: near-duplicate pairs (MinHash+LSH,
     exact-verified Jaccard ≥ 0.5) that CROSS the content-hash train/val
@@ -496,7 +532,14 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     never cross (identical text ⇒ identical md5 bucket ⇒ same split);
     near-duplicates can, and each such pair is a val example the model
     effectively saw in training. Output: one row per leaking pair with
-    both splits, plus jaccard."""
+    both splits, plus jaccard.
+
+    Oracle-paired (r10, converted from rows-only): the oracle
+    recomputes the leaking pairs from EXACT all-pairs Jaccard plus the
+    md5 split — the ``dedup_clusters`` convention — so a hash match
+    also certifies the xxhash MinHash+LSH pipeline's recall is 1.0 on
+    the qualifying cross-split pairs of this corpus (precision is
+    exact by construction: every candidate is Jaccard-verified)."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = md5_bucket("text")
     split = docs.select(
@@ -986,19 +1029,6 @@ def minhash_scurve_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b", "bands")
     )
-
-
-def _split_md5_sql(bound: int) -> str:
-    """Oracle twin of the md5-bucket train/val split (text_queries'
-    convention: first 8 hex digits of md5(text) mod 100, < 90 → train)."""
-    return f"""
-    split AS (
-        SELECT doc_id,
-               CASE WHEN CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT)
-                         % 100 < 90
-                    THEN 'train' ELSE 'val' END AS split
-        FROM documents WHERE doc_id < {bound}
-    )"""
 
 
 _AUDIT_MD5_BOUND = 448

@@ -1328,10 +1328,48 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-# rows-only: iterative peeling is a SHRINKING fixpoint — recursive SQL
-# cannot re-aggregate degrees per round; planted-graph unit tests
-# (tests/test_graph.py) carry the correctness proof
-@query("part_copurchase_kcore")
+def _kcore_unrolled_sql(rounds: int, k: int = 2) -> str:
+    """Unrolled k-core peel oracle: ``rounds`` chained
+    (degree-filter, survivor-join) CTE pairs over the shared
+    co-purchase edge relation — the ``_r3`` recurrence generalized.
+    EQUAL to the true k-core whenever the peel reaches its fixpoint
+    within ``rounds`` (each round only ever removes nodes, so once a
+    round removes nobody every later round is the identity)."""
+    parts = [f"WITH {_PR_EDGE_CTE}"]
+    prev = "e"
+    for i in range(1, rounds + 1):
+        # AS MATERIALIZED: each round references the previous edge set
+        # TWICE (degree agg + survivor join), and DuckDB inlines plain
+        # CTEs — without the hint the expression tree doubles per round
+        # and the base co-purchase self-join is evaluated 2^rounds
+        # times (measured: 175 s at rounds=6 vs 2 s materialized).
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT u FROM "
+            f"(SELECT u, COUNT(*) AS c FROM {prev} GROUP BY u) "
+            f"WHERE c >= {k})"
+        )
+        parts.append(
+            f", e{i} AS MATERIALIZED (SELECT {prev}.u, {prev}.v FROM {prev} "
+            f"JOIN s{i} a ON {prev}.u = a.u "
+            f"JOIN s{i} b ON {prev}.v = b.u)"
+        )
+        prev = f"e{i}"
+    parts.append(
+        f" SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree"
+        f" FROM {prev} GROUP BY u ORDER BY node"
+    )
+    return "".join(parts)
+
+
+# Oracle peel depth for part_copurchase_kcore: the 2-core fixpoint is
+# reached in 1 round at sf0.001 and 3 at sf0.01 (measured r10); 6 gives
+# a 2x margin, and tests/test_round10_ops.py asserts fixpoint ==
+# 6-round peel on both gate fixtures so drift surfaces in pytest
+# before it can redden the driver gate.
+_KCORE_ORACLE_ROUNDS = 6
+
+
+@query("part_copurchase_kcore", _kcore_unrolled_sql(_KCORE_ORACLE_ROUNDS))
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the frequent co-purchase graph
     (``operators.graph.k_core``): strips pendant products to leave the
@@ -1339,10 +1377,14 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle query's output lives in (every triangle edge survives any
     2-core peel, asserted in tests).
 
-    Rows-only entry (the peel loop is iterative-until-fixpoint); its
-    exact oracle-paired companion is ``part_copurchase_kcore_r3``
-    (driver-green r07), which value-checks three unrolled peel rounds
-    of the same degree-filter recurrence."""
+    Oracle-paired (r10, converted from rows-only): the Spark side runs
+    the TRUE shrinking fixpoint; the oracle unrolls the peel recurrence
+    {_KCORE_ORACLE_ROUNDS} rounds — identical to the fixpoint whenever
+    convergence takes ≤ that many rounds, which holds with 2x margin on
+    both gate fixtures (1 round at sf0.001, 3 at sf0.01; pytest-pinned).
+    The earlier fixed-depth companion ``part_copurchase_kcore_r3``
+    (driver-green r07) stays — it value-checks the per-round machinery
+    at a depth where the peel is still strictly shrinking."""
     from technical_test_data_engineer_spark.operators.graph import k_core
 
     edges = _copurchase_edges(spark, sf_dir)
