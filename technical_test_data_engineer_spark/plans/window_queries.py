@@ -3499,11 +3499,15 @@ def daily_revenue_repeated_median(
             F.count("*").cast("bigint").alias("n_partners"),
         )
     )
+    # persisted: the 1-row median-of-medians frame feeds BOTH the final
+    # select and the intercept's residual pass — without it Spark
+    # re-executes the whole 5.7M-pair NLJ + grouped percentiles twice
+    # (measured 2× wall at sf0.1, the r9 driver-bench flag)
     ts = anchor.agg(
         F.count("*").cast("bigint").alias("n_days"),
         F.sum("n_partners").cast("bigint").alias("n_pairs"),
         F.percentile("med_slope", F.lit(0.5)).cast("double").alias("slope"),
-    )
+    ).persist()
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
     ols = daily.agg(
