@@ -1456,3 +1456,74 @@ def event_type_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ic.cast("double") / F.nullif(kept.cast("double"), F.lit(0.0)), 6
         ).alias("jaccard_est"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "source_mixture_drift",
+    """
+    WITH rollup AS (
+        SELECT CAST(FLOOR(doc_id / 200.0) AS BIGINT) AS batch_id,
+               source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT batch_id, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / SUM(n_tokens) OVER (PARTITION BY batch_id), 6)
+               AS batch_share,
+           ROUND(CAST(SUM(n_tokens) OVER (PARTITION BY source) AS DOUBLE)
+                 / SUM(n_tokens) OVER (), 6) AS corpus_share,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                     / SUM(n_tokens) OVER (PARTITION BY batch_id)
+                 - CAST(SUM(n_tokens) OVER (PARTITION BY source) AS DOUBLE)
+                     / SUM(n_tokens) OVER (), 6) + 0.0 AS drift
+    FROM rollup
+    ORDER BY batch_id, source
+    """,
+)
+def source_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture monitoring — the streaming-operable twin of the
+    mixing family (temperature / DSIR / DoReMi set the TARGET mixture;
+    this watches what actually ARRIVES). Per ingest batch (doc_id div
+    200, the micro-batch proxy — documents carry no event time) and
+    source: doc/token counts, the source's token share within the
+    batch, its corpus-wide share, and the signed drift between them —
+    the number an ingestion monitor alerts on when one source's shard
+    feed surges or stalls mid-run.
+
+    The corpus-sized work is ONE projection + grouped aggregation
+    (streaming/transforms.source_mixture_rollup — the identical
+    function runs under readStream in complete mode;
+    tests/test_streaming.py asserts stream == batch). Every window here
+    partitions the batches×sources-bounded rollup, never the corpus:
+    at 100 TB the shares are window sums over a few thousand rows.
+    Shares are single double divisions of exact BIGINT token counts
+    (< 2^53 by construction); drift re-derives from the raw shares and
+    rounds once, with the signed-zero normalization (r07 cusum lesson)
+    since it crosses zero by construction."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        source_mixture_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rollup = source_mixture_rollup(docs, batch_size=200)
+    w_batch = Window.partitionBy("batch_id")
+    w_source = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    batch_share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(
+        w_batch
+    )
+    corpus_share = F.sum("n_tokens").over(w_source).cast("double") / F.sum(
+        "n_tokens"
+    ).over(w_all)
+    return rollup.select(
+        "batch_id",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(batch_share, 6).alias("batch_share"),
+        F.round(corpus_share, 6).alias("corpus_share"),
+        (F.round(batch_share - corpus_share, 6) + F.lit(0.0)).alias("drift"),
+    ).orderBy("batch_id", "source")

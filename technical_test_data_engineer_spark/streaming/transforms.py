@@ -260,3 +260,40 @@ def attribution_full_outer(
         "view_ts",
         "click_ts",
     )
+
+
+def source_mixture_rollup(
+    docs: DataFrame,
+    batch_size: int = 200,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-ingest-batch source mixture: (batch_id, source) → doc count +
+    whitespace-token count. The shared kernel behind the batch
+    ``source_mixture_drift`` monitor and its streaming twin — documents
+    carry no event time, so the arrival axis is the ingest order proxy
+    ``doc_id div batch_size`` (exactly the micro-batch boundary a file
+    stream over doc_id-ordered shards sees).
+
+    Streaming-safe by construction: one projection + one grouped
+    aggregation (no window-over, no ordering), so the same function runs
+    under ``readStream`` in complete/update mode and incrementally
+    maintains the mixture as shards land. At 100 TB this is the ONE
+    corpus-sized pass; everything downstream (share, drift vs target)
+    operates on the batches×sources-bounded rollup.
+    """
+    return (
+        docs.select(
+            F.floor(F.col(id_col) / batch_size)
+            .cast("bigint")
+            .alias("batch_id"),
+            F.col(source_col).alias("source"),
+            F.size(F.split(F.col(text_col), " ")).alias("_ntok"),
+        )
+        .groupBy("batch_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_ntok").cast("bigint").alias("n_tokens"),
+        )
+    )

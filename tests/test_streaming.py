@@ -526,3 +526,30 @@ def test_stream_stream_full_outer_join_equals_batch(
         "user_id", "view_ts", "click_ts",
     )
     assert got_pairs == _rows(inner, "user_id", "view_ts", "click_ts")
+
+
+def test_source_mixture_rollup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The source-mixture monitor's kernel (source_mixture_rollup) is
+    one projection + one grouped agg, so the SAME function maintains
+    the mixture incrementally over a document stream: complete-mode
+    output after availableNow drains must equal the batch rollup —
+    the contract the batch-side oracle pairing of source_mixture_drift
+    extends to the unbounded path."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        source_mixture_rollup,
+    )
+
+    docs_dir = str(tmp_path / "docs_mix_stream")
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(docs_dir)
+    batch = spark.read.parquet(docs_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(docs_dir)
+    got = _rows(
+        _run_stream(
+            spark, source_mixture_rollup(stream, batch_size=200), "mix_stream"
+        ),
+        "batch_id",
+        "source",
+    )
+    want = _rows(source_mixture_rollup(batch, batch_size=200), "batch_id", "source")
+    assert got == want and len(want) > 0
