@@ -1460,3 +1460,225 @@ def part_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "curation_pipeline_e2e",
+    f"""
+    WITH RECURSIVE {_shingle_d_sql(450)},
+    pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+              >= 0.5
+    ),
+    edges AS (
+        SELECT ia AS ea, ib AS eb FROM pairs
+        UNION ALL SELECT ib, ia FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM d
+        UNION
+        SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
+    ),
+    comp AS (
+        SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    ),
+    toks AS (
+        SELECT doc_id, source, text,
+               LEN(STR_SPLIT(text, ' ')) AS n_tok
+        FROM documents WHERE doc_id < 450
+    ),
+    keep AS (
+        SELECT c.doc_id, c.component, t.source, t.text,
+               ROW_NUMBER() OVER (PARTITION BY c.component
+                                  ORDER BY t.n_tok DESC, c.doc_id) AS rn
+        FROM comp c JOIN toks t USING (doc_id)
+    ),
+    surv AS (
+        SELECT doc_id, component, source, text FROM keep WHERE rn = 1
+    ),
+    train AS (
+        SELECT doc_id, source, text FROM surv
+        WHERE CAST('0x' || SUBSTRING(
+                  MD5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT)
+              % 100 < 90
+    ),
+    tok AS (SELECT source, UNNEST(STR_SPLIT(text, ' ')) AS term FROM train),
+    counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT COUNT(*) AS n FROM tok),
+    src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS train_tokens,
+               SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / n), 9)
+                        AS DECIMAL(30,9))) AS s_dec
+        FROM tok JOIN counts USING (term) CROSS JOIN total
+        GROUP BY source
+    ),
+    ce AS (
+        SELECT source, train_tokens,
+               CAST(s_dec AS DOUBLE) / train_tokens AS ce_source,
+               CAST(SUM(s_dec) OVER () AS DOUBLE)
+                   / SUM(train_tokens) OVER () AS ce_corpus
+        FROM src
+    ),
+    w AS (
+        SELECT source, train_tokens, ce_source, ce_corpus,
+               CAST(ROUND(EXP(4.0 * (ce_source - ce_corpus)), 9)
+                    AS DECIMAL(20,9)) AS wr
+        FROM ce
+    ),
+    sizes AS (
+        SELECT t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(s.doc_id) AS BIGINT) AS kept_docs,
+               CAST(COUNT(tr.doc_id) AS BIGINT) AS train_docs
+        FROM toks t
+        LEFT JOIN surv s ON s.doc_id = t.doc_id
+        LEFT JOIN train tr ON tr.doc_id = t.doc_id
+        GROUP BY t.source
+    )
+    SELECT z.source, z.n_docs, z.kept_docs, z.train_docs,
+           w.train_tokens,
+           ROUND(w.ce_source, 6) AS ce_source,
+           ROUND(w.ce_source - w.ce_corpus, 6) + 0.0 AS excess_loss,
+           ROUND(CAST(w.wr AS DOUBLE)
+                 / CAST(SUM(w.wr) OVER () AS DOUBLE), 6) AS doremi_weight
+    FROM sizes z JOIN w USING (source)
+    ORDER BY z.source
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline a 100 TB pre-training run actually
+    executes, as ONE plan (the r9 pieces chained end to end): banded
+    MinHash candidates → exact-Jaccard verify at the s-curve-calibrated
+    threshold 0.5 (minhash_scurve_calibration certifies (b=8, r=4) puts
+    the steep part of the collision curve there) → connected components
+    → ONE keeper per near-dup cluster (most tokens, lowest doc_id on
+    ties — neardup_keeper_docs' policy) → CLUSTER-keyed md5 train/val
+    split of the survivors (cluster_aware_split_audit's leak-free
+    convention) → DoReMi excess-loss mixture weights fit on the curated
+    TRAIN split only (source_doremi_mixture's convention, reference LM
+    = the train corpus unigram). Per source: funnel counts (raw → kept
+    → train), train token mass, cross-entropy vs the train-corpus LM,
+    excess loss, and the next-epoch mixture weight.
+
+    The oracle recomputes every stage from exact all-pairs Jaccard +
+    recursive-CTE components, so a hash match certifies band recall
+    1.0 AND the whole composition — not just each stage in isolation
+    (stage boundaries are where split/dedup pipelines actually break:
+    a keeper policy applied before clustering, a split keyed on doc
+    instead of cluster, a mixture fit on pre-dedup counts all produce
+    plausible-looking numbers this query would red).
+
+    Scale: the bounded doc_id<450 subset is the PROOF shape; the
+    production path swaps nothing structural — banded candidates are
+    already the capped LSH pipeline, CC is the O(log n) large-star/
+    small-star loop, the keeper window partitions by component (cluster
+    -sized frames), the split is one md5 per cluster, and the DoReMi
+    pass is the one-explode + vocab-sized-broadcast shape. Nothing
+    corpus-sized moves more than once per stage."""
+    from pyspark.sql.window import Window
+
+    from technical_test_data_engineer_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+    pairs = minhash_candidates(docs, threshold=0.5, persist=True)
+    cc = connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    wr_keep = Window.partitionBy("component").orderBy(
+        F.desc("n_tok"), F.asc("doc_id")
+    )
+    surv = (
+        cc.join(toks, "doc_id")
+        .withColumn("_rn", F.row_number().over(wr_keep))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "component", "source", "text")
+    )
+    train = (
+        surv.filter(md5_bucket(F.col("component").cast("string")) < 90)
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+    tok = train.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    n_total = tok.count()
+    neg_ln = F.round(
+        -F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
+    ).cast("decimal(30,9)")
+    src = (
+        tok.join(F.broadcast(counts), "term")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("train_tokens"),
+            F.sum(neg_ln).alias("s_dec"),
+        )
+    )
+    wall = Window.partitionBy()
+    ce = src.select(
+        "source",
+        "train_tokens",
+        (F.col("s_dec").cast("double") / F.col("train_tokens")).alias(
+            "ce_source"
+        ),
+        (
+            F.sum("s_dec").over(wall).cast("double")
+            / F.sum("train_tokens").over(wall)
+        ).alias("ce_corpus"),
+    )
+    wr = F.round(
+        F.exp(F.lit(4.0) * (F.col("ce_source") - F.col("ce_corpus"))), 9
+    ).cast("decimal(20,9)")
+    w = ce.select(
+        "source", "train_tokens", "ce_source", "ce_corpus", wr.alias("wr")
+    )
+    sizes = (
+        toks.select("doc_id", "source")
+        .join(
+            surv.select("doc_id", F.lit(1).alias("_kept")), "doc_id", "left"
+        )
+        .join(
+            train.select("doc_id", F.lit(1).alias("_train")), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("_kept").cast("bigint").alias("kept_docs"),
+            F.count("_train").cast("bigint").alias("train_docs"),
+        )
+    )
+    return (
+        sizes.join(w, "source")
+        .select(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "train_docs",
+            "train_tokens",
+            F.round("ce_source", 6).alias("ce_source"),
+            (
+                F.round(F.col("ce_source") - F.col("ce_corpus"), 6)
+                + F.lit(0.0)
+            ).alias("excess_loss"),
+            F.round(
+                F.col("wr").cast("double")
+                / F.sum("wr").over(wall).cast("double"),
+                6,
+            ).alias("doremi_weight"),
+        )
+        .orderBy("source")
+    )

@@ -164,3 +164,136 @@ def test_mmr_e11_matches_pure_python(spark, sf_dir):
         for r in knn_mmr_exact3(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_curation_pipeline_matches_pure_python(spark, sf_dir):
+    """curation_pipeline_e2e re-derived with hashlib + set algebra +
+    union-find: the per-source funnel (raw -> kept -> train) and train
+    token mass must match EXACTLY (integer counts certify every stage
+    boundary — dedup before split, split keyed on cluster, mixture fit
+    on post-split docs); the DoReMi floats match to 1e-6 (the oracle
+    pairing owns cross-engine bit-exactness)."""
+    import math
+    from decimal import Decimal
+
+    from technical_test_data_engineer_spark.plans.dedup_queries import (
+        curation_pipeline_e2e,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 450")
+        .collect()
+    )
+    text = {r.doc_id: r.text for r in rows}
+    source = {r.doc_id: r.source for r in rows}
+    sh = {d: _py_shingles(t) for d, t in text.items()}
+    ids = sorted(text)
+
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {d: find(d) for d in ids}
+
+    ntok = {d: len(t.split(" ")) for d, t in text.items()}
+    kept = set()
+    by_comp: dict[int, list[int]] = {}
+    for d in ids:
+        by_comp.setdefault(comp[d], []).append(d)
+    for members in by_comp.values():
+        kept.add(min(members, key=lambda d: (-ntok[d], d)))
+    train = {
+        d
+        for d in kept
+        if int(hashlib.md5(str(comp[d]).encode()).hexdigest()[:8], 16) % 100
+        < 90
+    }
+
+    counts: dict[str, int] = {}
+    n_total = 0
+    for d in train:
+        for t in text[d].split(" "):
+            counts[t] = counts.get(t, 0) + 1
+            n_total += 1
+    s_dec: dict[str, Decimal] = {}
+    tok_src: dict[str, int] = {}
+    for d in train:
+        s = source[d]
+        for t in text[d].split(" "):
+            s_dec[s] = s_dec.get(s, Decimal(0)) + round(
+                Decimal(repr(-math.log(counts[t] / n_total))), 9
+            )
+            tok_src[s] = tok_src.get(s, 0) + 1
+    ce = {s: float(s_dec[s]) / tok_src[s] for s in s_dec}
+    ce_corpus = float(sum(s_dec.values())) / n_total
+    wr = {
+        s: round(Decimal(repr(math.exp(4.0 * (ce[s] - ce_corpus)))), 9)
+        for s in ce
+    }
+    wr_sum = float(sum(wr.values()))
+
+    got = {r.source: r for r in curation_pipeline_e2e(spark, sf_dir).collect()}
+    assert set(got) == set(tok_src)
+    for s, r in got.items():
+        assert r.n_docs == sum(1 for d in ids if source[d] == s)
+        assert r.kept_docs == sum(1 for d in kept if source[d] == s)
+        assert r.train_docs == sum(1 for d in train if source[d] == s)
+        assert r.train_tokens == tok_src[s]
+        assert abs(r.ce_source - ce[s]) < 1e-6
+        assert abs(r.excess_loss - (ce[s] - ce_corpus)) < 1e-6
+        assert abs(r.doremi_weight - float(wr[s]) / wr_sum) < 1e-6
+    assert len(kept) < len(ids), "vacuous fixture: nothing deduped"
+    assert len(train) < len(kept), "vacuous fixture: nothing held out"
+
+
+def test_source_mixture_drift_matches_pure_python(spark, sf_dir):
+    """source_mixture_drift re-derived with dict arithmetic: exact
+    batch/source token counts, shares and drift to 1e-6."""
+    from technical_test_data_engineer_spark.plans.streaming_queries import (
+        source_mixture_drift,
+    )
+    from technical_test_data_engineer_spark.sources.parquet_source import (
+        load_table,
+    )
+
+    rows = load_table(spark, sf_dir, "documents").collect()
+    cell: dict[tuple[int, str], list[int]] = {}
+    for r in rows:
+        key = (r.doc_id // 200, r.source)
+        n = len(r.text.split(" "))
+        c = cell.setdefault(key, [0, 0])
+        c[0] += 1
+        c[1] += n
+    batch_tot: dict[int, int] = {}
+    src_tot: dict[str, int] = {}
+    for (b, s), (_, nt) in cell.items():
+        batch_tot[b] = batch_tot.get(b, 0) + nt
+        src_tot[s] = src_tot.get(s, 0) + nt
+    total = sum(src_tot.values())
+
+    got = list(source_mixture_drift(spark, sf_dir).collect())
+    assert len(got) == len(cell)
+    for r in got:
+        nd, nt = cell[(r.batch_id, r.source)]
+        assert (r.n_docs, r.n_tokens) == (nd, nt)
+        bs = nt / batch_tot[r.batch_id]
+        cs = src_tot[r.source] / total
+        assert abs(r.batch_share - bs) < 1e-6
+        assert abs(r.corpus_share - cs) < 1e-6
+        assert abs(r.drift - (bs - cs)) < 1e-6
+    assert len(batch_tot) > 1, "vacuous fixture: single batch"
