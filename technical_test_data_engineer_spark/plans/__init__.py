@@ -56,80 +56,77 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # ==== Round-9 rotation: FINAL debt drain + oldest-green re-earns.
-    # CORRECTNESS_r08 came back 48/50; the two reds (orders_weekday_
-    # anova, daily_revenue_changepoint) were root-caused to the
-    # high-magnitude absolute-rounding class (see verify_local._norm_
-    # cell) and re-enter after their determinism rewrites. Window =
-    # the complete 24-query never-driver-green debt (13 deferred from
-    # r8 + 9 added in r8 + the 2 r8 reds) + 26 re-earns: embedding_
-    # silhouette (its r06 green predates the r08 long-form rewrite),
-    # sales_grouping_sets and knn_bruteforce (the two calibration
-    # anchors for the r09 gate model — known 1.19e-7 / last-ulp gaps
-    # that the absolute-rounding hash must accept), and the 23 other
-    # oldest greens (every r01 query + ten r02 queries), so the oldest
-    # standing evidence in the registry is refreshed under current
-    # code. After this window the rotation debt is ZERO and no
-    # oracle-paired green is older than r03 except queries whose
-    # operator families carry newer twins.
-    # -- r8 reds, re-earn after determinism rewrites --
-    "orders_weekday_anova",
-    "daily_revenue_changepoint",
-    # -- 13 deferred from the r8 drain --
-    "customer_theil_index",
-    "segment_growth_contribution",
-    "customer_lorenz_curve",
-    "daily_revenue_kendall_tau",
-    "event_value_mann_whitney",
-    "yearly_price_index_fisher",
-    "daily_revenue_interpolated",
-    "orders_perfect_rate",
-    "customer_interpurchase_cv",
-    "monthly_revenue_gumbel",
-    "nation_jackknife_mean",
-    "ab_test_bayes_beta",
-    "source_vocab_jaccard",
-    # -- 9 added in r8 (two-scale + vanilla verified, never driver-run) --
-    "doc_gopher_repetition",
-    "source_cross_duplication",
-    "dedup_cluster_size_stats",
-    "user_funnel_staged_24h",       # + NULL-ts symmetry fix (r09)
-    "copurchase_brand_modularity",
-    "nation_t_closeness",
-    "doc_char_bigram_entropy",
-    "order_es_weighted_sample",
-    "customer_decayed_value",
-    # -- re-earn: plan changed after last green --
-    "embedding_silhouette",          # r08 long-form rewrite
-    # -- re-earn: r01 greens (entire cohort) --
-    "acctbal_quantiles_by_segment",
-    "active_priority_histogram",
-    "brand_supplier_counts",
-    "cheapest_part_per_brand",
-    "customer_spend_quartiles",
-    "doc_fingerprints",
-    "late_order_counts",
-    "nation_region_join",
-    "nation_status_unpivot",         # also clears the r06 3.7x bench flag
-    "orders_column_profile",
-    "orders_monthly_revenue",
-    "price_histogram",
-    "promo_revenue_ratio",
-    "segment_churn_set_ops",
-    # -- re-earn: r02 greens (10 of 19, one per family) --
-    "dedup_exact_documents",
-    "distinct_mktsegments",
-    "doc_train_val_split",
-    "events_hourly_rollup",
-    "global_minmax_orders",
-    "media_frame_sample_stats",
-    "ngram_jaccard_pairs",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "sales_grouping_sets",           # gate-calibration anchor (1.19e-7)
-    # -- re-earn: knn score class anchor (r03 green, last-ulp gaps) --
-    "knn_bruteforce",
+    # ==== Round-10 rotation: CORRECTNESS_r09 came back 50/50 and the
+    # never-driver-green debt is ZERO, so this window is (1) the two
+    # r10 additions (the composed curation pipeline + the streaming-
+    # twin mixture monitor), (2) the two r10 rows-only -> oracle-paired
+    # conversions, (3) the 6 r9 additions that ran after the r9 gate,
+    # (4) re-earns for every plan rewritten after its last green (the
+    # int-scaled ANN/MMR/near-dup migration, the repeated-median
+    # persist, the moments overflow guard, the r9 fan_out/oracle-guard
+    # rewrites), then (5) the oldest greens (entire r02 cohort + the
+    # r03 cohort head). Remaining r03 greens (doc_winnow_
+    # fingerprints_md5, doc_simhash_md5, minhash_near_dups_md5 + 16
+    # more) are the r11 rotation head.
+    # -- r10 additions (never driver-run) --
+    "curation_pipeline_e2e",
+    "source_mixture_drift",
+    # -- r10 rows-only -> oracle-paired conversions --
+    "split_contamination_audit",
+    "part_copurchase_kcore",
+    # -- r9 additions (never driver-run) --
+    "knn_anchor_routing_recall",
+    "source_doremi_mixture",
+    "minhash_scurve_calibration",
+    "cluster_aware_split_audit",
+    "embedding_coreset_facility3",
+    "source_best_of_n_yield",
+    # -- re-earn: int-scaled score migration (r10, 560d0a2) --
+    "knn_lsh_exact",
+    "knn_ivf_exact_probeall",
+    "knn_pq_exact_rerankall",
+    "knn_mmr_exact3",
+    "embedding_near_dups_lsh_exact",
+    # -- re-earn: perf rewrite (1-row ts persist) --
+    "daily_revenue_repeated_median",
+    # -- re-earn: plans rewritten after last green (r9 closing work) --
+    "matryoshka_recall_curve",       # single-pass + nan_safe wrap
+    "embedding_covariance",          # integer-scaled moments + guard
+    "lineitem_measure_correlations", # fan_out
+    "part_abc_xyz_matrix",           # fan_out
+    "customer_acctbal_woe_iv",       # NULLIF oracle guard
+    # -- re-earn: r02 greens (the 9 remaining) --
+    "doc_token_stats",
+    "doc_token_chunks",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q22_idle_rich_customers",
+    "running_customer_spend",
+    "suppliers_with_shipments",
+    "shipmode_priority_matrix",
+    # -- re-earn: r03 cohort head (19 of 38) --
+    "q1_pricing_summary",
+    "top_order_per_customer",
+    "priority_status_legend",
+    "customers_per_nation_left",
+    "orders_active_on_day",
+    "events_tumbling_30m",
+    "doc_quality_scores",
+    "doc_language_id",
+    "tfidf_top_terms",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q21_waiting_suppliers",
+    "order_gap_days",
+    "asof_click_attribution",
+    "part_slug_filter",
+    "nation_orderstatus_pivot",
+    "doc_unigram_logprob",
+    "doc_repetition_stats",
+    "dedup_clusters_exact",
 ]
+
 
 # Earlier windows (rotation rationale for rounds 4-8) are preserved in
 # git history — see _FRONT_50 at commits 9688206 (r7) / 97a6b66 (r8).
@@ -138,25 +135,15 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-10 rotation head: debt is zero after r9; the r10 window holds
-# (1) any r9 red re-earns (root-cause first — the local gate now
-#     mirrors the driver's absolute rounding, so a red means a NEW
-#     canonicalizer class),
-# (2) the 6 oracle-paired queries added in r9, never driver-run:
-#     knn_anchor_routing_recall, source_doremi_mixture,
-#     minhash_scurve_calibration, cluster_aware_split_audit,
-#     embedding_coreset_facility3, source_best_of_n_yield,
-# (3) re-earns for plans rewritten after their green:
-#     matryoshka_recall_curve (r09 single-pass rewrite; r06 green
-#     stale), embedding_covariance (r09 integer-scaled moments; r05
-#     green stale), lineitem_measure_correlations + part_abc_xyz_matrix
-#     (r09 fan_out — result-identical, but plan changed; cheap to
-#     re-earn), customer_acctbal_woe_iv (r09 oracle NULLIF guard,
-#     inert at sf0.01 — lowest priority),
-# (4) then the oldest remaining greens (r02: doc_token_chunks,
-#     doc_token_stats, q10/q17/q22/q7, running_customer_spend,
-#     shipmode_priority_matrix, suppliers_with_shipments — then the
-#     r03 cohort).
+# Round-11 rotation head (after the r10 window lands): the remaining
+# r03 greens — doc_winnow_fingerprints_md5, doc_simhash_md5,
+# minhash_near_dups_md5, q8_market_share, q9_product_profit,
+# q11_important_parts, q13_order_count_distribution, q15_top_supplier,
+# q20_volume_suppliers, customer_value_ranks, rolling_7day_revenue,
+# sales_cube, events_campaign_attribution, events_gapfilled_by_type,
+# user_conversion_funnel, weekly_retention_cohorts, dedup_clusters
+# (exact twin re-earned in r10) — plus any r10 additions that miss the
+# r10 window and any plan rewritten after its r10 green.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 
