@@ -165,6 +165,20 @@ Expected multi-scans (all reviewed):
   vocab counts and re-scans for the per-source join side, the
   doc_unigram_logprob / term_burstiness convention.
 
+- r10 review (sweep run 2026-08-16, diff-clean otherwise):
+  curation_pipeline_e2e documents x5 — the composed pipeline's five
+  roles of the 450-row bounded subset (band pipeline build, CC node
+  list, token/keeper frame, funnel-count re-scan, train text
+  re-attach); every scan is a pruned read of a doc_id<450 filter
+  (partition/footer-prunable at scale), the cluster_aware_split_audit
+  x4 family plus the DoReMi funnel role. source_mixture_drift,
+  minhash_scurve_calibration, source_best_of_n_yield, and
+  part_copurchase_kcore (post-conversion) scan their source ONCE.
+  embedding_coreset_facility3 x2 — persisted sim frame + the
+  CORESET_BOUND corpus side (the knn-family re-attach shape).
+  knn_lsh_exact/knn_pq_exact_rerankall keep their documented knn-
+  family counts under the metric="int" migration (no new scans).
+
 Usage: python audit_scans.py [sf_dir]
 """
 
