@@ -297,3 +297,59 @@ def test_source_mixture_drift_matches_pure_python(spark, sf_dir):
         assert abs(r.corpus_share - cs) < 1e-6
         assert abs(r.drift - (bs - cs)) < 1e-6
     assert len(batch_tot) > 1, "vacuous fixture: single batch"
+
+
+def _scan_counts(spark, sf_dir, name: str):
+    """Per-table parquet scan counts from the formatted plan — the
+    audit_scans.py metric (see tests/test_round9_ops.py)."""
+    import re
+    from collections import Counter
+
+    from technical_test_data_engineer_spark.plans import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pat = re.compile(
+        r"InMemoryFileIndex\s*(?:\(\d+ paths\))?\s*\[[^\]]*?/(\w+)\.parquet"
+    )
+    return Counter(pat.findall(plan)), plan
+
+
+def test_curation_pipeline_scan_budget(spark, sf_dir):
+    """The composed pipeline's contract: documents scans stay at the
+    five documented roles (band build, CC nodes, token/keeper frame,
+    funnel re-scan, train text re-attach — audit_scans.py r10 review),
+    every one a doc_id<450-pruned read. A sixth scan means a stage
+    started re-deriving an upstream frame instead of consuming the
+    persisted pair/train relations."""
+    counts, plan = _scan_counts(spark, sf_dir, "curation_pipeline_e2e")
+    assert counts["documents"] <= 5, (counts, plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_mixture_drift_single_scan(spark, sf_dir):
+    """The mixture monitor is ONE corpus pass by contract (the rollup
+    kernel); shares/drift are windows over the bounded rollup. A second
+    documents scan means a share started re-reading the corpus."""
+    counts, plan = _scan_counts(spark, sf_dir, "source_mixture_drift")
+    assert counts["documents"] == 1, (counts, plan)
+
+
+def test_repeated_median_single_pair_pass(spark, sf_dir):
+    """daily_revenue_repeated_median's r10 fix: the 1-row ts frame is
+    persisted, so the 5.7M-pair NLJ + grouped-percentile pipeline is
+    ONE live subtree (the unpersisted form re-executed it for the
+    intercept branch — 2x wall). Tree-section operator counts are
+    unusable (InMemoryRelation definitions echo per reference), but the
+    DETAIL section prints one block per unique operator id: two live
+    pipelines carry two distinct partial_percentile(slope ...) ids,
+    the persisted form exactly one."""
+    from technical_test_data_engineer_spark.plans import QUERIES
+
+    df = QUERIES["daily_revenue_repeated_median"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("partial_percentile(slope") == 1, plan
