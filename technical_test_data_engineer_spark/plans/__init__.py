@@ -124,7 +124,13 @@ _FRONT_50 = [
     "nation_orderstatus_pivot",
     "doc_unigram_logprob",
     "doc_repetition_stats",
-    "dedup_clusters_exact",
+    # minhash_incremental_dedup: converted rows-only -> oracle-paired
+    # late in r10 (exact all-pairs oracle restricted to >=1 new side —
+    # certifies incremental band recall 1.0); takes the slot of
+    # dedup_clusters_exact, whose CC-over-exact-edges proof
+    # curation_pipeline_e2e carries in-window this round
+    "minhash_incremental_dedup",
+    "doc_winnow_fingerprints_md5",   # oldest r03 md5-twin family green
 ]
 
 
@@ -136,13 +142,15 @@ _FRONT_50 = [
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
 # Round-11 rotation head (after the r10 window lands): the remaining
-# r03 greens — doc_winnow_fingerprints_md5, doc_simhash_md5,
+# r03 greens — doc_simhash_md5,
 # minhash_near_dups_md5, q8_market_share, q9_product_profit,
 # q11_important_parts, q13_order_count_distribution, q15_top_supplier,
 # q20_volume_suppliers, customer_value_ranks, rolling_7day_revenue,
 # sales_cube, events_campaign_attribution, events_gapfilled_by_type,
-# user_conversion_funnel, weekly_retention_cohorts, dedup_clusters
-# (exact twin re-earned in r10) — plus any r10 additions that miss the
+# user_conversion_funnel, weekly_retention_cohorts, dedup_clusters,
+# dedup_clusters_exact (displaced late-r10 by the incremental-dedup
+# conversion; its CC proof rode curation_pipeline_e2e) — plus any r10
+# additions that miss the
 # r10 window and any plan rewritten after its r10 green.
 
 _FRONT_ROWS_ONLY: set[str] = set()

@@ -786,14 +786,39 @@ def cluster_aware_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # rows-only: xxhash64-based bands have no DuckDB twin (recall for the
 # underlying pipeline is certified by dedup_clusters' exact oracle)
-@query("minhash_incremental_dedup")
+@query(
+    "minhash_incremental_dedup",
+    f"""
+    WITH {_shingle_d_sql()},
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+                 / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+                 AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE (a.doc_id >= 300 OR b.doc_id >= 300)
+          AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+              >= 0.5
+    )
+    SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+    """,
+)
 def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: docs with doc_id >= 300 play the
     day's new batch; near-dup pairs are reported only where a NEW doc
     is involved — old-vs-old pairs are never generated (that quadratic
     recheck is what stops working first at 100 TB). Same MinHash+LSH
     parameters as minhash_near_dups, so the result is exactly that
-    query's pairs minus the old-only ones."""
+    query's pairs minus the old-only ones.
+
+    Oracle-paired (r10, converted from rows-only — the
+    split_contamination_audit convention): the oracle recomputes the
+    qualifying pairs from EXACT all-pairs Jaccard restricted to
+    at-least-one-new-side, so a hash match certifies the incremental
+    band join's recall is 1.0 on this corpus (precision is exact by
+    construction: every candidate is Jaccard-verified). The old/new
+    agreement pytest (planted pairs) remains the structural anchor."""
     from technical_test_data_engineer_spark.operators.dedup import (
         minhash_incremental_pairs,
     )
