@@ -348,6 +348,10 @@ def test_repeated_median_single_pair_pass(spark, sf_dir):
     the persisted form exactly one."""
     from technical_test_data_engineer_spark.plans import QUERIES
 
+    # cold-cache the plan: a still-materialized persist from an earlier
+    # test swaps in InMemoryRelations whose definitions echo the
+    # percentile block a second time (suite-order dependent otherwise)
+    spark.catalog.clearCache()
     df = QUERIES["daily_revenue_repeated_median"](spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
