@@ -565,14 +565,14 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_keeper_docs",
     f"""
     WITH RECURSIVE {_shingle_d_sql(450)},
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS ia, b.doc_id AS ib
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
               >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT ia AS ea, ib AS eb FROM pairs
         UNION ALL SELECT ib, ia FROM pairs
     ),
@@ -581,14 +581,14 @@ def split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
     ),
-    comp AS (
+    comp AS MATERIALIZED (
         SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
     ),
-    toks AS (
+    toks AS MATERIALIZED (
         SELECT doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tokens
         FROM documents WHERE doc_id < 450
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
         SELECT c.component, c.doc_id, t.n_tokens,
                ROW_NUMBER() OVER (
                    PARTITION BY c.component
@@ -659,7 +659,7 @@ def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster_aware_split_audit",
     f"""
     WITH RECURSIVE {_shingle_d_sql(450)},
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS ia, b.doc_id AS ib,
                CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
                / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
@@ -669,7 +669,7 @@ def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
               >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT ia AS ea, ib AS eb FROM pairs
         UNION ALL SELECT ib, ia FROM pairs
     ),
@@ -678,10 +678,10 @@ def neardup_keeper_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
     ),
-    comp AS (
+    comp AS MATERIALIZED (
         SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
     ),
-    splits AS (
+    splits AS MATERIALIZED (
         SELECT doc_id,
                CASE WHEN CAST('0x' || SUBSTRING(MD5(text), 1, 8) AS BIGINT)
                          % 100 < 90
@@ -1491,14 +1491,14 @@ def part_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_pipeline_e2e",
     f"""
     WITH RECURSIVE {_shingle_d_sql(450)},
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS ia, b.doc_id AS ib
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
               >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT ia AS ea, ib AS eb FROM pairs
         UNION ALL SELECT ib, ia FROM pairs
     ),
@@ -1507,33 +1507,33 @@ def part_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea
     ),
-    comp AS (
+    comp AS MATERIALIZED (
         SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
     ),
-    toks AS (
+    toks AS MATERIALIZED (
         SELECT doc_id, source, text,
                LEN(STR_SPLIT(text, ' ')) AS n_tok
         FROM documents WHERE doc_id < 450
     ),
-    keep AS (
+    keep AS MATERIALIZED (
         SELECT c.doc_id, c.component, t.source, t.text,
                ROW_NUMBER() OVER (PARTITION BY c.component
                                   ORDER BY t.n_tok DESC, c.doc_id) AS rn
         FROM comp c JOIN toks t USING (doc_id)
     ),
-    surv AS (
+    surv AS MATERIALIZED (
         SELECT doc_id, component, source, text FROM keep WHERE rn = 1
     ),
-    train AS (
+    train AS MATERIALIZED (
         SELECT doc_id, source, text FROM surv
         WHERE CAST('0x' || SUBSTRING(
                   MD5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT)
               % 100 < 90
     ),
-    tok AS (SELECT source, UNNEST(STR_SPLIT(text, ' ')) AS term FROM train),
-    counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+    tok AS MATERIALIZED (SELECT source, UNNEST(STR_SPLIT(text, ' ')) AS term FROM train),
+    counts AS MATERIALIZED (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
     total AS (SELECT COUNT(*) AS n FROM tok),
-    src AS (
+    src AS MATERIALIZED (
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS train_tokens,
                SUM(CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / n), 9)
