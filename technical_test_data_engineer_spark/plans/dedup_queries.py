@@ -382,14 +382,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_shingle_d_sql()},
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS ia, b.doc_id AS ib
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
               >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT ia AS ea, ib AS eb FROM pairs
         UNION ALL SELECT ib, ia FROM pairs
     ),
@@ -431,14 +431,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters_exact",
     f"""
     WITH RECURSIVE {_shingle_d_sql(450)},
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS ia, b.doc_id AS ib
         FROM d a JOIN d b ON a.doc_id < b.doc_id
         WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
               / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
               >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT ia AS ea, ib AS eb FROM pairs
         UNION ALL SELECT ib, ia FROM pairs
     ),
