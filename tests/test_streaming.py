@@ -553,3 +553,36 @@ def test_source_mixture_rollup_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     want = _rows(source_mixture_rollup(batch, batch_size=200), "batch_id", "source")
     assert got == want and len(want) > 0
+
+
+def test_source_mixture_rollup_incremental_microbatches(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger=1 → the mixture accumulates across 4
+    micro-batches (each file carries a doc_id slice, so most
+    (batch_id, source) groups UPDATE across triggers rather than
+    arriving whole); the final complete-mode table must equal the
+    batch rollup — the incremental-maintenance contract an ingestion
+    monitor actually relies on."""
+    from technical_test_data_engineer_spark.streaming.transforms import (
+        source_mixture_rollup,
+    )
+
+    docs_dir = str(tmp_path / "docs_mix_incr")
+    load_table(spark, sf_dir, "documents").repartition(4).write.parquet(docs_dir)
+    batch = spark.read.parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    got = _rows(
+        _run_stream(
+            spark,
+            source_mixture_rollup(stream, batch_size=200),
+            "mix_incr",
+        ),
+        "batch_id",
+        "source",
+    )
+    want = _rows(source_mixture_rollup(batch, batch_size=200), "batch_id", "source")
+    assert got == want and len(want) > 0
