@@ -149,8 +149,11 @@ _FRONT_50 = [
 # sales_cube, events_campaign_attribution, events_gapfilled_by_type,
 # user_conversion_funnel, weekly_retention_cohorts, dedup_clusters,
 # dedup_clusters_exact (displaced late-r10 by the incremental-dedup
-# conversion; its CC proof rode curation_pipeline_e2e) — plus any r10
-# additions that miss the
+# conversion; its CC proof rode curation_pipeline_e2e), and the three
+# pairs whose ORACLE text gained AS MATERIALIZED after their green
+# (results hash-identical, locally re-verified, but the pair changed):
+# dedup_clusters, dedup_clusters_exact, neardup_keeper_docs — plus any
+# r10 additions that miss the
 # r10 window and any plan rewritten after its r10 green.
 
 _FRONT_ROWS_ONLY: set[str] = set()
