@@ -82,6 +82,7 @@ def main() -> None:
     )
     from technical_test_data_engineer_spark.operators.similarity import (
         exact_dot,
+        int_scaled_dot,
     )
 
     _rng = _random.Random(0)
@@ -91,6 +92,14 @@ def main() -> None:
     )
     _vecs.crossJoin(_vecs.selectExpr("embedding AS _e2")).select(
         exact_dot(F.col("embedding"), F.col("_e2")).alias("d")
+    ).write.format("noop").mode("overwrite").save()
+    # the r10/r11 integer-scaled fold (zip_with round-to-BIGINT sum) is
+    # a distinct HOF shape from the decimal fold — with knn_bruteforce
+    # migrated to metric="int" (r11) it is now the bench's heaviest fold
+    # family, so burn it in too (measured: 7.4 s cold vs 1.1 s warm solo
+    # at sf0.1)
+    _vecs.crossJoin(_vecs.selectExpr("embedding AS _e2")).select(
+        int_scaled_dot(F.col("embedding"), F.col("_e2")).alias("d")
     ).write.format("noop").mode("overwrite").save()
     _docs = spark.createDataFrame(
         [(i, f"warm {i} " + " ".join(f"w{j}" for j in range(40)))

@@ -40,8 +40,9 @@ PQ_EXACT_BOUND = 256
 
 
 def _exact_topk_oracle(bound: int | None = None, int_scaled: bool = False) -> str:
-    """Exact top-k oracle, shared by knn_bruteforce (unbounded, decimal
-    scores — the gate-calibration anchor for the last-ulp float class)
+    """Exact top-k oracle, shared by knn_bruteforce (unbounded;
+    int-scaled since r11 — the decimal last-ulp gate anchor now rides
+    knn_ivfpq_exact + embedding_label_centroids)
     and the probe-all IVF / rerank-all PQ companions (probing every
     cell / reranking everything scores every corpus vector exactly
     once, so with an exact scorer the ranking is bit-identical to brute
@@ -165,16 +166,28 @@ def _lsh_exact_oracle(planes_tables, bound: int | None = None) -> str:
     """
 
 
-@query("knn_bruteforce", _exact_topk_oracle())
+@query("knn_bruteforce", _exact_topk_oracle(int_scaled=True))
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 nearest neighbors (dot product ≡ cosine — the corpus
-    is unit-normalized) for 5 probe vectors, broadcast-scan plan."""
+    is unit-normalized) for 5 probe vectors, broadcast-scan plan.
+
+    r11: migrated to the integer-scaled BIGINT convention
+    (``score_e10`` = int_scaled_dot; shared oracle with
+    ``int_scaled=True``) — the r10 driver bench flagged this query
+    3.7× (0.80 → 2.96 s) on an unchanged plan because the sibling
+    migrations left it the last HEAVY consumer of the interpreted-
+    BigDecimal fold family, whose JIT burn-in volume the bench no
+    longer guarantees. The decimal gate-calibration anchor duty (a
+    driver-paired query whose oracle hashes a DECIMAL-folded DOUBLE)
+    moves to the cheap bounded companions that still score decimal:
+    ``knn_ivfpq_exact`` (rerank_metric="exact", PQ_EXACT_BOUND=256)
+    and ``embedding_label_centroids`` (decimal sums)."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
-    out = brute_force_topk(emb, probes, k=TOP_K)
+    out = brute_force_topk(emb, probes, k=TOP_K, metric="int")
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
-    ).select("query_id", "vec_id", "rank", "score")
+    ).select("query_id", "vec_id", "rank", F.col("score").alias("score_e10"))
 
 
 # rows-only (approximate): recall vs brute force asserted in tests
