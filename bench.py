@@ -176,6 +176,20 @@ def main() -> None:
         ),
         ["k"], ["t"], "v", alpha=0.5,
     ).write.format("noop").mode("overwrite").save()
+    # ... and the interpolated-percentile ImperativeAggregate (another
+    # non-codegen family): daily_revenue_repeated_median's r10 driver
+    # number (4.80 s vs 2.6 s builder steady) decomposes to NLJ 0.3 s +
+    # grouped percentile 0.63 s warm locally, so the residual is this
+    # family's JIT, not the plan — burn one grouped + one global
+    # percentile through the same eval shape (r11 triage)
+    _pct = spark.range(200_000).selectExpr(
+        "id % 512 AS g", "CAST(id AS DOUBLE) / 7.0 AS v"
+    )
+    _pct.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("m")
+    ).agg(F.percentile("m", F.lit(0.5)).alias("mm")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     rep2_floor = float(os.environ.get("SPARK_GRAFT_BENCH_REP2_FLOOR", "1.5"))
 
