@@ -186,28 +186,67 @@ def pca_components(
     return mean, comps, vals[order]
 
 
+def project_embeddings(
+    df: DataFrame,
+    mean,
+    comps,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    int_scaled: bool = False,
+) -> DataFrame:
+    """The Arrow-batched projection pass shared by the self-trained PCA
+    path and the literal-components oracle companion: (x − mean) @ Wᵀ
+    with the (k × D) matrix broadcast inside the ``pandas_udf`` closure
+    (numpy matmul per batch — the vectorized slow-path rule: Python
+    only where Spark lacks the operator, and then always batched).
+
+    ``int_scaled=True`` emits the r10/r11 integer convention instead:
+    each TERM rounds away-from-zero at 1e10 before an integer sum
+    (``pc_e10[c] = Σ_i round((x_i − mean_i)·W[c][i]·1e10)`` as int64),
+    matching DuckDB's ``SUM(CAST(ROUND(t·1e10, 0) AS BIGINT))`` exactly
+    — the projection arithmetic becomes order-independent and
+    oracle-hashable (a float matmul's pairwise-summation order is not).
+    Returns (id_col, ``pc`` array<double> or array<long>).
+    One corpus scan, zero shuffles."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    mean = np.asarray(mean, dtype=np.float64)
+    comps = np.asarray(comps, dtype=np.float64)
+
+    if int_scaled:
+
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def _proj(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            # terms: batch × k × D, rounded away-from-zero per term
+            # (numpy rint is half-even — would drift from ROUND's
+            # half-away on exact .5 products)
+            t = (m[:, None, :] - mean[None, None, :]) * comps[None, :, :]
+            t *= 1e10
+            t = np.sign(t) * np.floor(np.abs(t) + 0.5)
+            out = t.sum(axis=2).astype(np.int64)
+            return pd.Series(list(out))
+
+    else:
+
+        @pandas_udf(T.ArrayType(T.DoubleType()))
+        def _proj(vecs: pd.Series) -> pd.Series:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+            out = (m - mean) @ comps.T
+            return pd.Series(list(out))
+
+    return df.select(F.col(id_col), _proj(F.col(vec_col)).alias("pc"))
+
+
 def pca_project(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
 ) -> DataFrame:
-    """Project every vector onto the top-k PCs: (x − mean) @ Wᵀ.
-
-    The (k × D) component matrix broadcasts inside an Arrow-batched
-    ``pandas_udf`` closure (numpy matmul per batch — the vectorized
-    slow-path rule: Python only where Spark lacks the operator, and
-    then always batched). Returns (id_col, ``pc`` array<double>).
-    One corpus scan, zero shuffles."""
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
+    """Project every vector onto the top-k PCs: (x − mean) @ Wᵀ —
+    self-trained path: components from the distributed covariance +
+    driver eigh, projection via :func:`project_embeddings`."""
     mean, comps, _ = pca_components(df, vec_col, id_col, k)
-
-    @pandas_udf(T.ArrayType(T.DoubleType()))
-    def _proj(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
-        out = (m - mean) @ comps.T
-        return pd.Series(list(out))
-
-    return df.select(F.col(id_col), _proj(F.col(vec_col)).alias("pc"))
+    return project_embeddings(df, mean, comps, vec_col, id_col)

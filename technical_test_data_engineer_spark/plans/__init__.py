@@ -56,81 +56,74 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # ==== Round-10 rotation: CORRECTNESS_r09 came back 50/50 and the
-    # never-driver-green debt is ZERO, so this window is (1) the two
-    # r10 additions (the composed curation pipeline + the streaming-
-    # twin mixture monitor), (2) the two r10 rows-only -> oracle-paired
-    # conversions, (3) the 6 r9 additions that ran after the r9 gate,
-    # (4) re-earns for every plan rewritten after its last green (the
-    # int-scaled ANN/MMR/near-dup migration, the repeated-median
-    # persist, the moments overflow guard, the r9 fan_out/oracle-guard
-    # rewrites), then (5) the oldest greens (entire r02 cohort + the
-    # r03 cohort head). Remaining r03 greens (doc_winnow_
-    # fingerprints_md5, doc_simhash_md5, minhash_near_dups_md5 + 16
-    # more) are the r11 rotation head.
-    # -- r10 additions (never driver-run) --
-    "curation_pipeline_e2e",
-    "source_mixture_drift",
-    # -- r10 rows-only -> oracle-paired conversions --
-    "split_contamination_audit",
-    "part_copurchase_kcore",
-    # -- r9 additions (never driver-run) --
-    "knn_anchor_routing_recall",
-    "source_doremi_mixture",
-    "minhash_scurve_calibration",
-    "cluster_aware_split_audit",
-    "embedding_coreset_facility3",
-    "source_best_of_n_yield",
-    # -- re-earn: int-scaled score migration (r10, 560d0a2) --
-    "knn_lsh_exact",
-    "knn_ivf_exact_probeall",
-    "knn_pq_exact_rerankall",
-    "knn_mmr_exact3",
-    "embedding_near_dups_lsh_exact",
-    # -- re-earn: perf rewrite (1-row ts persist) --
-    "daily_revenue_repeated_median",
-    # -- re-earn: plans rewritten after last green (r9 closing work) --
-    "matryoshka_recall_curve",       # single-pass + nan_safe wrap
-    "embedding_covariance",          # integer-scaled moments + guard
-    "lineitem_measure_correlations", # fan_out
-    "part_abc_xyz_matrix",           # fan_out
-    "customer_acctbal_woe_iv",       # NULLIF oracle guard
-    # -- re-earn: r02 greens (the 9 remaining) --
-    "doc_token_stats",
-    "doc_token_chunks",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q22_idle_rich_customers",
-    "running_customer_spend",
-    "suppliers_with_shipments",
-    "shipmode_priority_matrix",
-    # -- re-earn: r03 cohort head (19 of 38) --
-    "q1_pricing_summary",
-    "top_order_per_customer",
-    "priority_status_legend",
-    "customers_per_nation_left",
-    "orders_active_on_day",
-    "events_tumbling_30m",
-    "doc_quality_scores",
-    "doc_language_id",
-    "tfidf_top_terms",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q21_waiting_suppliers",
-    "order_gap_days",
-    "asof_click_attribution",
-    "part_slug_filter",
-    "nation_orderstatus_pivot",
-    "doc_unigram_logprob",
-    "doc_repetition_stats",
-    # minhash_incremental_dedup: converted rows-only -> oracle-paired
-    # late in r10 (exact all-pairs oracle restricted to >=1 new side —
-    # certifies incremental band recall 1.0); takes the slot of
-    # dedup_clusters_exact, whose CC-over-exact-edges proof
-    # curation_pipeline_e2e carries in-window this round
-    "minhash_incremental_dedup",
-    "doc_winnow_fingerprints_md5",   # oldest r03 md5-twin family green
+    # ==== Round-11 rotation (r10 verdict item 3, recomputed from the
+    # mechanical CORRECTNESS_r01..r10 union): (1) the r11 conversions /
+    # addition (never driver-green under their new pairs), (2) the r11
+    # plan rewrite (knn_bruteforce int-scaled migration), (3) the three
+    # pairs whose ORACLE text gained AS MATERIALIZED after their last
+    # green (results hash-identical, locally re-verified, but the pair
+    # changed), (4) every remaining r03-green (latest-green == r03),
+    # then (5) the oldest r04 greens, alphabetical. The 16 r04 greens
+    # that don't fit (part_name_fuzzy_pairs .. views_unconverted_30m,
+    # listed below) are the r12 rotation head.
+    # -- r11 rows-only -> oracle-paired conversions (never driver-
+    #    checked under these pairs) --
+    "minhash_near_dups",          # exact all-pairs Jaccard oracle
+    "knn_lsh_multiprobe",         # Hamming-1 probe-set generated oracle
+    # -- r11 addition --
+    "embedding_project_literal",  # literal-components projection twin
+    # -- re-earn: r11 plan rewrite --
+    "knn_bruteforce",             # int-scaled migration (r10 flag fix)
+    # -- re-earn: oracle text changed after last green (AS MATERIALIZED
+    #    CTE hints, a08b4c2/6a5eda8) --
+    "dedup_clusters",
+    "dedup_clusters_exact",
+    "neardup_keeper_docs",
+    # -- re-earn: the entire remaining r03 cohort (latest green == r03)
+    "doc_simhash_md5",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q20_volume_suppliers",
+    "customer_value_ranks",
+    "rolling_7day_revenue",
+    "sales_cube",
+    "events_campaign_attribution",
+    "events_gapfilled_by_type",
+    "user_conversion_funnel",
+    "weekly_retention_cohorts",
+    # -- re-earn: oldest r04 greens (29 of 45, alphabetical) --
+    "bpe_merge_candidates",
+    "corpus_mix_rebalance",
+    "curation_pipeline",
+    "customers_without_orders",
+    "doc_above_lang_median",
+    "doc_bpe_token_counts",
+    "doc_charclass_stats",
+    "doc_gopher_filter",
+    "doc_greedy_packing",
+    "doc_hash_sample",
+    "doc_pattern_audit",
+    "doc_repeated_spans",
+    "doc_stratified_sample",
+    "doc_tfidf_neighbors",
+    "embedding_label_centroids",  # also the r10 watch flag — fresh evidence
+    "event_value_outliers",
+    "events_gapfilled_hourly",
+    "events_heavy_hitters_cms",
+    "events_json_extract",
+    "hybrid_rrf_retrieval",
+    "incremental_daily_revenue",
+    "knn_ivfpq_exact",            # now also the decimal gate anchor
+    "media_decode_meta",
+    "minhash_incremental_md5",
+    "orders_cdc_merge",
+    "orders_quality_audit",
+    "pareto_parts",
+    "part_copurchase_pagerank",
+    "part_copurchase_triangles",
 ]
 
 
@@ -141,20 +134,15 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-11 rotation head (after the r10 window lands): the remaining
-# r03 greens — doc_simhash_md5,
-# minhash_near_dups_md5, q8_market_share, q9_product_profit,
-# q11_important_parts, q13_order_count_distribution, q15_top_supplier,
-# q20_volume_suppliers, customer_value_ranks, rolling_7day_revenue,
-# sales_cube, events_campaign_attribution, events_gapfilled_by_type,
-# user_conversion_funnel, weekly_retention_cohorts, dedup_clusters,
-# dedup_clusters_exact (displaced late-r10 by the incremental-dedup
-# conversion; its CC proof rode curation_pipeline_e2e), and the three
-# pairs whose ORACLE text gained AS MATERIALIZED after their green
-# (results hash-identical, locally re-verified, but the pair changed):
-# dedup_clusters, dedup_clusters_exact, neardup_keeper_docs — plus any
-# r10 additions that miss the
-# r10 window and any plan rewritten after its r10 green.
+# Round-12 rotation head (after the r11 window lands): the 16 r04
+# greens that didn't fit this window — part_name_fuzzy_pairs,
+# part_reachability_hops, prep_orders_pipeline, priority_legend_colors,
+# q18_large_orders, q19_disjunctive_predicates, rollup_acctbal,
+# salted_segment_revenue, segment_revenue_trend, semantic_dedup_keep,
+# session_paths_top, split_contamination_audit_md5, user_type_scd2,
+# user_value_ewma, view_click_within_30m, views_unconverted_30m — plus
+# any r11 additions that miss the r11 window and any plan rewritten
+# after its r11 green.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 

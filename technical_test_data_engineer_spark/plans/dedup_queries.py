@@ -159,10 +159,38 @@ def embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hash-based pipelines: rows-only (xxhash64 has no DuckDB twin) ---
 
 
-@query("minhash_near_dups")
+@query(
+    "minhash_near_dups",
+    f"""
+    WITH {_shingle_d_sql()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+             AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+          / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+          >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup pairs over the full documents
-    table, exact-Jaccard-verified at ≥ 0.5. Deterministic (seed 42)."""
+    table, exact-Jaccard-verified at ≥ 0.5. Deterministic (seed 42).
+
+    Oracle-paired (r11, converted from rows-only — the r10
+    set-theoretic trick): the pipeline ends in an exact-Jaccard verify,
+    so its output is hash-independent and the oracle recomputes it from
+    EXACT all-pairs Jaccard (split_contamination_audit's oracle minus
+    the split join). A hash match therefore also certifies the xxhash
+    MinHash+LSH band recall is 1.0 on this corpus's qualifying pairs
+    (precision is exact by construction). NOTE the contract this
+    creates (the split_contamination_audit/ minhash_incremental_dedup
+    precedent, ADVICE r10): band recall AND the hot-bucket cap
+    (DEFAULT_HOT_BUCKET_CAP in minhash_candidates) are now part of
+    pass/fail — a future fixture with a ≥0.5 pair missed by all 8
+    bands or trimmed by the cap reds this query as RECALL, not as a
+    plan bug."""
     return shared_minhash_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
@@ -818,7 +846,15 @@ def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-one-new-side, so a hash match certifies the incremental
     band join's recall is 1.0 on this corpus (precision is exact by
     construction: every candidate is Jaccard-verified). The old/new
-    agreement pytest (planted pairs) remains the structural anchor."""
+    agreement pytest (planted pairs) remains the structural anchor.
+
+    TRIAGE NOTE (ADVICE r10): because the oracle is exact, LSH band
+    recall AND the hot-bucket cap (DEFAULT_HOT_BUCKET_CAP inside
+    minhash_incremental_pairs) are part of this pass/fail contract —
+    a future fixture with a ≥0.5 pair missed by all 8 bands or
+    trimmed by the cap reds this query as designed-in RECALL loss,
+    not a plan bug. The cap is deliberately kept (not None) so the
+    driver checks the PRODUCTION shape."""
     from technical_test_data_engineer_spark.operators.dedup import (
         minhash_incremental_pairs,
     )
@@ -1603,7 +1639,21 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star loop, the keeper window partitions by component (cluster
     -sized frames), the split is one md5 per cluster, and the DoReMi
     pass is the one-explode + vocab-sized-broadcast shape. Nothing
-    corpus-sized moves more than once per stage."""
+    corpus-sized moves more than once per stage.
+
+    DEFINED-SEMANTICS NOTES (ADVICE r10): (1) the final
+    ``sizes.join(w, "source")`` is INNER on both engines (oracle:
+    ``sizes JOIN w USING (source)``) — a source whose docs all fall
+    out of the train split has no DoReMi weight and its funnel row is
+    intentionally dropped rather than emitted with train_docs=0; the
+    current fixtures have no such source, and if one appears both
+    sides drop it identically (stays green). Left-join + zero-weight
+    rows would be the alternative — change BOTH sides together.
+    (2) The eager ``tok.count()`` and the two persists
+    (``minhash_candidates(persist=True)``, ``train.persist()``) follow
+    the repo convention that bench/verify clearCache per query; a
+    long-lived multi-query session reusing this plan should hoist the
+    count into the job or unpersist after collect."""
     from pyspark.sql.window import Window
 
     from technical_test_data_engineer_spark.operators.graph import (

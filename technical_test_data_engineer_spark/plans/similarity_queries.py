@@ -125,21 +125,40 @@ def srp_sigs_sql(planes_tables, bound: int | None = None) -> str:
     return " UNION ALL ".join(per_table)
 
 
-def _lsh_exact_oracle(planes_tables, bound: int | None = None) -> str:
+def _lsh_exact_oracle(
+    planes_tables, bound: int | None = None, probe_bits: int = 0
+) -> str:
     """Generated oracle for the full LSH top-k pipeline: seeded
     sign-buckets (srp_sigs_sql), candidate join per hash table, distinct
     pairs, integer-scaled exact re-score (the r10 ``score_e10``
-    convention — int_scaled_dot's DuckDB twin), per-query ranking."""
+    convention — int_scaled_dot's DuckDB twin), per-query ranking.
+
+    ``probe_bits`` > 0 (r11) additionally enumerates each query's
+    Hamming-1 probe buckets from the SAME plane literals — the
+    lsh_topk multi-probe twin: bucket XOR m for m ∈ {0} ∪ {1<<j}.
+    With probe_bits=0 the emitted text is byte-identical to the r10
+    form (knn_lsh_exact's green oracle is unchanged)."""
     sigs = srp_sigs_sql(planes_tables, bound)
+    if probe_bits:
+        masks = ", ".join(["0"] + [str(1 << j) for j in range(probe_bits)])
+        probe_cte = f""",
+    probes AS (
+        SELECT DISTINCT query_id, tbl, XOR(bucket, m) AS bucket
+        FROM q CROSS JOIN (SELECT UNNEST([{masks}]) AS m)
+    )"""
+        cand_src = "probes q"
+    else:
+        probe_cte = ""
+        cand_src = "q"
     return f"""
     WITH sigs AS ({sigs}),
     q AS (
         SELECT vec_id AS query_id, tbl, bucket FROM sigs
         WHERE vec_id < {N_QUERIES}
-    ),
+    ){probe_cte},
     cands AS (
         SELECT DISTINCT q.query_id, s.vec_id
-        FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket
+        FROM sigs s JOIN {cand_src} ON s.tbl = q.tbl AND s.bucket = q.bucket
         WHERE s.vec_id <> q.query_id
     ),
     scored AS (
@@ -214,34 +233,41 @@ def knn_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank", "score")
 
 
-# rows-only (approximate): candidate-superset + recall asserted in tests
-@query("knn_lsh_multiprobe")
+@query(
+    "knn_lsh_multiprobe",
+    _lsh_exact_oracle(_seeded_planes(8, 6), EXACT_BOUND, probe_bits=6),
+)
 def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-5 (Lv et al., VLDB'07): the HIGH-planes
-    regime — planes sized one step tighter than knn_lsh_ann's adaptive
-    count (so buckets are ~2× smaller and the candidate join is ~2×
-    lighter), with each query also probing every Hamming-1 bucket to
-    buy the recall back. The production trade at corpus scale: probe
-    fan-out is query-side only (broadcast-small), while the equivalent
-    recall from extra TABLES would re-scan and re-shuffle corpus
-    signatures per table.
+    regime — planes sized tighter than knn_lsh_ann's adaptive count
+    (so buckets are smaller and the candidate join lighter), with each
+    query also probing every Hamming-1 bucket to buy the recall back.
+    The production trade at corpus scale: probe fan-out is query-side
+    only (broadcast-small), while the equivalent recall from extra
+    TABLES would re-scan and re-shuffle corpus signatures per table.
 
-    Rows-only entry; its exact oracle-paired companion is
-    ``knn_lsh_exact`` (driver-green r03) — same seeded SRP bucketing
-    with generated-oracle exact scoring — plus recall-floor tests
-    against ``knn_bruteforce``."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_planes = adaptive_n_planes(emb.count(), target_bucket=32)
+    Oracle-paired (r11, converted from rows-only): fixed seeded planes
+    (8 tables × 6 planes, the knn_lsh_exact literals) with
+    ``probe_bits=6`` — full Hamming-1 coverage, 7 probe buckets per
+    (query, table) — and integer-scaled exact scoring; the GENERATED
+    oracle enumerates the same probe set from the same plane literals
+    (bucket XOR m), so bucketing, probe fan-out, candidate join,
+    dedup, scoring and ranking are all value-checked. Corpus bounded
+    to EXACT_BOUND (inactive at the driver's sf0.01, same convention
+    as knn_lsh_exact). The ADAPTIVE-planes multiprobe path stays
+    exercised by tests/test_similarity.py (candidate-superset +
+    recall-floor asserts via lsh_topk directly)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EXACT_BOUND
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
     out = lsh_topk(
-        emb,
-        emb.filter(F.col("vec_id") < N_QUERIES),
-        seeded_planes(8, n_planes, 64),
-        k=TOP_K,
-        probe_bits=n_planes,
+        emb, probes, _seeded_planes(8, 6), k=TOP_K, metric="int",
+        probe_bits=6,
     )
     return out.orderBy("query_id", "rank").withColumn(
         "rank", F.col("rank").cast("int")
-    ).select("query_id", "vec_id", "rank", "score")
+    ).select("query_id", "vec_id", "rank", F.col("score").alias("score_e10"))
 
 
 @query("knn_lsh_exact", _lsh_exact_oracle(_seeded_planes(8, 6), EXACT_BOUND))
@@ -1140,8 +1166,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # rows-only: eigendecomposition has no SQL form; exactness is proven by
 # tests/test_linalg.py (projected variance == eigenvalues, parity with
-# numpy PCA on the collected corpus) and the oracle-paired covariance
-# the components derive from.
+# numpy PCA on the collected corpus), the oracle-paired covariance the
+# components derive from, and the oracle-paired projection companion
+# embedding_project_literal (r11) which value-checks the SAME
+# project_embeddings pass onto literal components.
 @query("embedding_pca_project")
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection (``operators.linalg.pca_project``): top-8
@@ -1170,6 +1198,103 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("component").cast("int").alias("component"),
             F.round(F.col("value"), 6).alias("value"),
+        )
+        .orderBy("vec_id", "component")
+    )
+
+
+def _seeded_projection(k: int = 8, dim: int = 64):
+    """Seeded literal (mean, components) shared by the Spark
+    literal-projection companion and its generated DuckDB oracle — the
+    ``_seeded_planes`` convention: one definition, two consumers, so
+    both engines project with bit-identical doubles. Components are
+    unit-norm seeded Gaussian rows (representative magnitude; the
+    companion proves the PROJECTION machinery, which is basis-
+    agnostic), mean a small seeded offset."""
+    import random
+
+    rng = random.Random(1337)
+    mean = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+    comps = []
+    for _ in range(k):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = sum(x * x for x in v) ** 0.5
+        comps.append([x / n for x in v])
+    return mean, comps
+
+
+def _projection_literal_oracle(mean, comps) -> str:
+    """Generated oracle for the literal-components projection: per-term
+    away-from-zero rounding at 1e10 then BIGINT sums (the int-scaled
+    convention — project_embeddings(int_scaled=True)'s DuckDB twin),
+    with the SAME mean/component literals indexed from list literals.
+    Outer CAST keeps the int64 tag (DuckDB SUM → HUGEINT floats
+    through the driver's pandas fetch)."""
+    k, dim = len(comps), len(mean)
+    mean_lit = "[" + ", ".join(repr(float(v)) for v in mean) + "]"
+    comps_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]"
+            for row in comps
+        )
+        + "]"
+    )
+    return f"""
+    WITH dims AS (SELECT UNNEST(RANGE(1, {dim + 1})) AS g),
+    mw AS (SELECT d.g, ({mean_lit})[d.g] AS m FROM dims d),
+    w AS (
+        SELECT c.c, d.g, ({comps_lit})[c.c][d.g] AS w
+        FROM (SELECT UNNEST(RANGE(1, {k + 1})) AS c) c CROSS JOIN dims d
+    )
+    SELECT e.vec_id,
+           CAST(w.c - 1 AS INTEGER) AS component,
+           CAST(SUM(CAST(ROUND(
+               (CAST(e.embedding[w.g] AS DOUBLE) - mw.m) * w.w * 1e10, 0
+           ) AS BIGINT)) AS BIGINT) AS value_e10
+    FROM embeddings e
+    CROSS JOIN w
+    JOIN mw ON mw.g = w.g
+    GROUP BY e.vec_id, w.c
+    ORDER BY vec_id, component
+    """
+
+
+_PROJ_MEAN, _PROJ_COMPS = _seeded_projection()
+
+
+@query(
+    "embedding_project_literal",
+    _projection_literal_oracle(_PROJ_MEAN, _PROJ_COMPS),
+)
+def embedding_project_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable projection companion for the PCA path (r10
+    verdict item 4): the SAME Arrow-batched projection pass as
+    ``embedding_pca_project`` (``operators.linalg.project_embeddings``
+    — broadcast k×D matrix in the pandas_udf closure, one corpus scan,
+    zero shuffles) but onto LITERAL seeded components, the way the
+    colormap/anchor queries ship literals — so the projection
+    arithmetic is oracle-expressible while eigh (no SQL form) stays on
+    the rows-only self-trained entry. Integer-scaled per-term sums
+    (``value_e10``) make the fold order-independent and hashable; a
+    float matmul's pairwise-summation order is not. Long-form output
+    (vec_id, component, value_e10) — the registry's atomic-schema
+    convention."""
+    from technical_test_data_engineer_spark.operators.linalg import (
+        project_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = project_embeddings(emb, _PROJ_MEAN, _PROJ_COMPS, int_scaled=True)
+    return (
+        out.select(
+            "vec_id",
+            F.posexplode(F.col("pc")).alias("component", "value_e10"),
+        )
+        .select(
+            "vec_id",
+            F.col("component").cast("int").alias("component"),
+            "value_e10",
         )
         .orderBy("vec_id", "component")
     )
