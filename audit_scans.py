@@ -179,6 +179,15 @@ Expected multi-scans (all reviewed):
   knn_lsh_exact/knn_pq_exact_rerankall keep their documented knn-
   family counts under the metric="int" migration (no new scans).
 
+- r11 review (sweep run 2026-08-16, diff-clean otherwise):
+  knn_bruteforce keeps its documented x2 (corpus scan + broadcast
+  probe filter, the knn family shape) under the metric="int"
+  migration. knn_lsh_multiprobe keeps its documented x4 (sig branches
+  + vector re-attach) under the bounded/int-scaled conversion.
+  minhash_near_dups (materialized pair relation) and the new
+  embedding_project_literal (one corpus scan, zero joins) are not
+  flagged — single-scan plans.
+
 Usage: python audit_scans.py [sf_dir]
 """
 
