@@ -162,18 +162,66 @@ def pca_components(
     output deterministic across LAPACK builds. Returns
     ``(mean, components, eigenvalues)`` as numpy arrays with
     components[r] = r-th PC (descending eigenvalue)."""
-    # one moments pipeline feeds BOTH the covariance and the mean —
-    # the D²-bounded relations collect; the cov assembles driver-side
-    sums, cross, n = embedding_moments(df, vec_col, id_col)
-    s_rows = sums.collect()
-    d = max(r["i"] for r in s_rows) + 1
+    from technical_test_data_engineer_spark.operators.partitioning import (
+        fan_out,
+    )
+
+    # ONE action (r11): the first-moment terms ride the cross-product
+    # explode as sentinel rows (j = -1) and n rides the agg as a group
+    # count (every (i, j) group receives exactly one row per input
+    # row), so the corpus is scanned once and collected once — the
+    # split embedding_moments form (count + sums collect + cross
+    # collect) paid three scans per call (~2 s of this query's 4 s solo
+    # at sf0.1). Sums are the identical integer-scaled BIGINT folds, so
+    # mean/cov/eigh are bit-for-bit the old values (numpy-parity tests
+    # unchanged). embedding_moments itself stays the shared primitive
+    # for covariance_matrix, whose oracle-paired query's plan must not
+    # drift (green r10).
+    dfp = fan_out(df.select(id_col, vec_col))
+    v = _as_double(vec_col)
+    terms = F.expr(
+        f"""
+        flatten(transform({v}, (xi, i) -> concat(
+            array(struct(i AS i, -1 AS j,
+                         cast(round(xi * 1e10, 0) AS BIGINT) AS p)),
+            transform(slice({v}, i + 1, size({vec_col}) - i), (xj, j) ->
+                struct(i AS i, i + j AS j,
+                       cast(round(xi * xj * 1e10, 0) AS BIGINT) AS p)))))
+        """
+    )
+    rows = (
+        dfp.select(F.explode(terms).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("p").alias("_s"),
+            F.max(F.abs(F.col("p"))).alias("_m"),
+            F.count("*").alias("_c"),
+        )
+        .collect()
+    )
+    n = rows[0]["_c"]
+    # same overflow guard as embedding_moments, applied driver-side on
+    # the D²-bounded collected frame
+    if any(r["_m"] * float(n) >= float(2**62) for r in rows):
+        raise ValueError(
+            f"pca_components: integer-scaled fold may exceed int64 at "
+            f"n={n} — rescale or shard the corpus"
+        )
+    d = max(r["i"] for r in rows) + 1
     s = np.zeros(d)
-    for r in s_rows:
-        s[r["i"]] = r["s"]
+    # float(_s) FIRST, then /1e10 — the old path was Spark
+    # cast(long AS double) / 1e10, and Python's exact-int division
+    # could differ by an ulp past 2^53
+    for r in rows:
+        if r["j"] == -1:
+            s[r["i"]] = float(r["_s"]) / 1e10
     mean = s / n
     cov = np.zeros((d, d))
-    for r in cross.collect():
-        c = (r["sxy"] - s[r["i"]] * s[r["j"]] / n) / (n - 1)
+    for r in rows:
+        if r["j"] == -1:
+            continue
+        c = (float(r["_s"]) / 1e10 - s[r["i"]] * s[r["j"]] / n) / (n - 1)
         cov[r["i"], r["j"]] = c
         cov[r["j"], r["i"]] = c
     vals, vecs = np.linalg.eigh(cov)
