@@ -200,6 +200,14 @@ def streaming_ingest_dedup(
     the batch pipeline's split. Returns the started StreamingQuery
     (AvailableNow trigger — the bounded-backfill shape; a continuous
     deployment swaps the trigger and nothing else).
+
+    Failure semantics (documented limitation): foreachBatch is
+    at-least-once across job RESTARTS — a replayed batch re-appends
+    its band rows (harmless for pair content: the candidate join
+    dedups per batch) but re-appends its result rows too. A production
+    deployment makes both writes idempotent by keying them on the
+    foreachBatch ``batch_id`` (e.g. overwrite-by-batch-partition), the
+    standard exactly-once recipe for foreachBatch sinks.
     """
     from technical_test_data_engineer_spark.operators.dedup import (
         incremental_candidates_vs_band_table,
