@@ -63,9 +63,13 @@ _FRONT_50 = [
     # pairs whose ORACLE text gained AS MATERIALIZED after their last
     # green (results hash-identical, locally re-verified, but the pair
     # changed), (4) every remaining r03-green (latest-green == r03),
-    # then (5) the oldest r04 greens, alphabetical. The 16 r04 greens
-    # that don't fit (part_name_fuzzy_pairs .. views_unconverted_30m,
-    # listed below) are the r12 rotation head.
+    # then (5) the oldest r04 greens, alphabetical. The 17 r04 greens
+    # that don't fit (part_copurchase_triangles + part_name_fuzzy_pairs
+    # .. views_unconverted_30m, listed below) are the r12 rotation
+    # head. (Head recomputed mechanically late-r11: minhash_near_dups_
+    # md5 is an r03 green distinct from the converted minhash_near_dups
+    # and belongs in this window; part_copurchase_triangles, the newest
+    # r04 filler, moved to the r12 head to make room.)
     # -- r11 rows-only -> oracle-paired conversions (never driver-
     #    checked under these pairs) --
     "minhash_near_dups",          # exact all-pairs Jaccard oracle
@@ -81,6 +85,7 @@ _FRONT_50 = [
     "neardup_keeper_docs",
     # -- re-earn: the entire remaining r03 cohort (latest green == r03)
     "doc_simhash_md5",
+    "minhash_near_dups_md5",
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
@@ -94,7 +99,7 @@ _FRONT_50 = [
     "events_gapfilled_by_type",
     "user_conversion_funnel",
     "weekly_retention_cohorts",
-    # -- re-earn: oldest r04 greens (29 of 45, alphabetical) --
+    # -- re-earn: oldest r04 greens (28 of 45, alphabetical) --
     "bpe_merge_candidates",
     "corpus_mix_rebalance",
     "curation_pipeline",
@@ -123,7 +128,6 @@ _FRONT_50 = [
     "orders_quality_audit",
     "pareto_parts",
     "part_copurchase_pagerank",
-    "part_copurchase_triangles",
 ]
 
 
@@ -134,8 +138,9 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-12 rotation head (after the r11 window lands): the 16 r04
-# greens that didn't fit this window — part_name_fuzzy_pairs,
+# Round-12 rotation head (after the r11 window lands): the 17 r04
+# greens that didn't fit this window — part_copurchase_triangles,
+# part_name_fuzzy_pairs,
 # part_reachability_hops, prep_orders_pipeline, priority_legend_colors,
 # q18_large_orders, q19_disjunctive_predicates, rollup_acctbal,
 # salted_segment_revenue, segment_revenue_trend, semantic_dedup_keep,
