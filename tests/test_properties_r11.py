@@ -111,3 +111,79 @@ def test_project_embeddings_int_scaled_matches_numpy(spark, vecs, seed):
             t = np.sign(t) * np.floor(np.abs(t) + 0.5)
             want[(i, c)] = int(t.sum())
     assert got == want
+
+
+buckets_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),   # band
+        st.integers(0, 3),   # band hash (few distinct -> hot buckets)
+        st.integers(0, 99),  # doc id
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=buckets_strategy, cap=st.integers(1, 6))
+@settings(**SETTINGS)
+def test_cap_hot_buckets_properties(spark, rows, cap):
+    """cap_hot_buckets on random bucket populations: (1) output is a
+    subset of the input rows; (2) a bucket survives IFF its population
+    is <= cap, and it survives WHOLE (all-or-nothing — the production
+    semantics: a degenerate bucket is dropped, never sampled); (3)
+    cap=None is the identity."""
+    from collections import Counter
+
+    from technical_test_data_engineer_spark.operators.dedup import (
+        cap_hot_buckets,
+    )
+
+    rows = list({(b, h, i) for b, h, i in rows})  # distinct members
+    df = spark.createDataFrame(rows, "_band long, _bh long, doc_id long")
+    got = {
+        (r._band, r._bh, r.doc_id)
+        for r in cap_hot_buckets(df, ["_band", "_bh"], cap).collect()
+    }
+    pop = Counter((b, h) for b, h, _ in rows)
+    want = {(b, h, i) for b, h, i in rows if pop[(b, h)] <= cap}
+    assert got == want
+    assert {
+        tuple(r) for r in cap_hot_buckets(df, ["_band", "_bh"], None).collect()
+    } == set(rows)
+
+
+texts_strategy = st.lists(
+    st.integers(min_value=0, max_value=60),  # token count per doc
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(n_tokens=texts_strategy, chunk=st.integers(2, 10), stride=st.integers(1, 10))
+@settings(**SETTINGS)
+def test_token_chunks_cover_exactly(spark, n_tokens, chunk, stride):
+    """token_chunks on synthetic token streams: chunk starts are exactly
+    1, 1+stride, ... <= max(n,1); each chunk is the verbatim token
+    window of length min(chunk_size, remaining); concatenating stride-
+    prefixes of the chunks (plus the last chunk's tail) reconstructs
+    the document — no token lost, none duplicated beyond the designed
+    overlap."""
+    from technical_test_data_engineer_spark.operators.text import token_chunks
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)) if n else "")
+        for i, n in enumerate(n_tokens)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.chunks
+        for r in df.select(
+            "doc_id", token_chunks("text", chunk, stride).alias("chunks")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        toks = text.split(" ")  # note: "" splits to [""] — one token,
+        # matching Spark's split semantics on the empty string
+        starts = list(range(0, max(len(toks), 1), stride))
+        want = [" ".join(toks[s : s + chunk]) for s in starts]
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
