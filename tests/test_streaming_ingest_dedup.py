@@ -92,6 +92,34 @@ def test_streaming_ingest_dedup_loop_parity(spark, sf_dir, new_docs_dir):
     )
     assert n_band_docs == docs.count()
 
+    # the 100 TB property must SURVIVE the appends: after 4 bucketed
+    # append batches, a day-5 candidate join still reads the corpus
+    # bands in place — exactly two exchanges (new batch to the bucket
+    # layout + the pair dropDuplicates), none above the corpus scan
+    from technical_test_data_engineer_spark.operators.dedup import (
+        incremental_candidates_vs_band_table,
+    )
+
+    day5 = spark.createDataFrame(
+        [(10_000, docs.filter("doc_id = 0").collect()[0].text + " xx")],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands5 = incremental_candidates_vs_band_table(
+            spark, "ingest_band_loop", day5, hot_bucket_cap=None
+        )
+        cands5.collect()
+        plan = (
+            cands5._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert plan.count("Exchange hashpartitioning") == 2, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     for t in ("ingest_band_loop", "ingest_pairs_loop"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
