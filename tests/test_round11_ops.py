@@ -22,11 +22,14 @@ def _away_from_zero(t: np.ndarray) -> np.ndarray:
     return np.sign(t) * np.floor(np.abs(t) + 0.5)
 
 
-def test_minhash_near_dups_matches_pure_python(spark, sf_dir):
+def test_minhash_near_dups_matches_pure_python(spark):
     """minhash_near_dups re-derived with set algebra: every pair with
     exact 3-gram Jaccard >= 0.5 and nothing else — certifies the xxhash
     MinHash+LSH band recall/precision independently of the new DuckDB
-    oracle (the split_contamination_audit r10 pattern)."""
+    oracle (the split_contamination_audit r10 pattern). Pinned on BOTH
+    gate fixtures (the k-core precedent): the driver's oracle gate runs
+    at sf0.01, so corpus drift there must surface HERE as a recall
+    failure before it can red the gate."""
     from technical_test_data_engineer_spark.plans.dedup_queries import (
         minhash_near_dups,
     )
@@ -34,27 +37,28 @@ def test_minhash_near_dups_matches_pure_python(spark, sf_dir):
         load_table,
     )
 
-    docs = {
-        r.doc_id: r.text
-        for r in load_table(spark, sf_dir, "documents").collect()
-    }
-    sh = {d: _py_shingles(t) for d, t in docs.items()}
-    ids = sorted(docs)
-    expected = {}
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            inter = len(sh[a] & sh[b])
-            if inter == 0:
-                continue
-            j = inter / (len(sh[a]) + len(sh[b]) - inter)
-            if j >= 0.5:
-                expected[(a, b)] = j
-    got = {
-        (r.id_a, r.id_b): r.jaccard
-        for r in minhash_near_dups(spark, sf_dir).collect()
-    }
-    assert got == expected
-    assert expected, "vacuous fixture: no near-dup pairs"
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = {
+            r.doc_id: r.text
+            for r in load_table(spark, sf_dir, "documents").collect()
+        }
+        sh = {d: _py_shingles(t) for d, t in docs.items()}
+        ids = sorted(docs)
+        expected = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sh[a] & sh[b])
+                if inter == 0:
+                    continue
+                j = inter / (len(sh[a]) + len(sh[b]) - inter)
+                if j >= 0.5:
+                    expected[(a, b)] = j
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_near_dups(spark, sf_dir).collect()
+        }
+        assert got == expected, sf_dir
+        assert expected, f"vacuous fixture: no near-dup pairs in {sf_dir}"
 
 
 def test_multiprobe_query_matches_pure_python(spark, sf_dir):
