@@ -2046,10 +2046,23 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final agg, and the rule join touches only pair-bounded
     rows with item supports broadcast. Doubles enter only in the final
     confidence/lift divisions with identical expression trees on both
-    engines."""
+    engines.
+
+    ONE action (r12 fusion, the ``pca_components`` fix class): the
+    basket count ``n_orders`` used to be an eager driver-side
+    ``.count()`` — a second full lineitem scan + distinct ahead of the
+    main job. It now rides as a broadcast 1-row aggregate attached via
+    ``crossJoin`` (house broadcast-scalar idiom); both it and the item
+    supports hang off the SAME ``op.distinct()`` subplan, so Catalyst's
+    ReusedExchange dedupes the expensive distinct instead of running it
+    twice. ``n_orders`` is an exact integer well under 2^53, so casting
+    the aggregate to double is value-identical to the old
+    ``F.lit(float(n_orders))``."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = op.select("l_orderkey").distinct().count()
+    n_df = op.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("_n_orders")
+    )
     item = op.groupBy("l_partkey").agg(F.count("*").alias("supp_item"))
     pairs = _copurchase_edges(
         spark, sf_dir, min_support=3, keep_support=True
@@ -2076,6 +2089,7 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rules.join(F.broadcast(ia), "antecedent")
         .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "antecedent",
             "consequent",
@@ -2085,7 +2099,7 @@ def basket_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (
                 F.col("supp_pair").cast("double")
-                * F.lit(float(n_orders))
+                * F.col("_n_orders")
                 / (F.col("_sa") * F.col("_sc"))
             ).alias("lift"),
         )
