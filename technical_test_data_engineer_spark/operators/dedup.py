@@ -583,6 +583,7 @@ def materialize_band_table(
     name: str,
     n_buckets: int = 16,
     mode: str = "overwrite",
+    ingest_batch: int | None = None,
     **band_kwargs,
 ) -> None:
     """Persist the corpus band relation as a table BUCKETED on the band
@@ -591,13 +592,30 @@ def materialize_band_table(
     this table shuffles only the (small) new batch to the bucket
     layout, while the corpus bands are read in place (no Exchange above
     their scan — asserted in tests/test_dedup.py). Daily refresh is an
-    append of the new batch's bands (mode="append")."""
+    append of the new batch's bands (mode="append").
+
+    ``ingest_batch`` (streaming ingest-dedup loop, r12): when set, every
+    row carries an ``_ingest_batch`` BIGINT column recording which
+    foreachBatch wrote it — the data itself is the write ledger, which
+    is what lets a replayed batch detect that its append already
+    committed (``streaming.neardup.process_ingest_batch``). Extra
+    columns never disturb the bucket layout (bucketing hashes only
+    ``_band``/``_bh``) and every band consumer selects its columns
+    explicitly. A table created WITHOUT the column cannot later be
+    appended with it (parquet schema mismatch), so a loop-managed band
+    table must pass ``ingest_batch`` from day 0 (-1 for the initial
+    backfill, by convention)."""
     from technical_test_data_engineer_spark.sources.parquet_source import (
         write_bucketed_table,
     )
 
+    bands = band_table(df, **band_kwargs)
+    if ingest_batch is not None:
+        bands = bands.withColumn(
+            "_ingest_batch", F.lit(int(ingest_batch)).cast("bigint")
+        )
     write_bucketed_table(
-        band_table(df, **band_kwargs),
+        bands,
         name,
         ["_band", "_bh"],
         n_buckets=n_buckets,

@@ -165,6 +165,102 @@ def stream_minhash_candidates(
     )
 
 
+def _batch_already_written(spark, table_name: str, batch_id: int) -> bool:
+    """True iff ``table_name`` exists and already holds rows stamped
+    ``_ingest_batch == batch_id`` — i.e. this batch's append COMMITTED
+    in a previous (crashed or replayed) run. Spark's file-commit
+    protocol makes each append job atomic (task files live under
+    _temporary until job commit), so presence of any stamped row means
+    the whole batch landed. The filter is a parquet min/max row-group
+    prune; a production table would additionally partition on the
+    stamp column for directory-level pruning."""
+    if not spark.catalog.tableExists(table_name):
+        return False
+    tbl = spark.table(table_name)
+    if "_ingest_batch" not in tbl.columns:
+        raise ValueError(
+            f"table {table_name!r} has no _ingest_batch column — a "
+            "loop-managed table must be created with "
+            "materialize_band_table(..., ingest_batch=-1) from day 0 "
+            "so replays can detect committed writes"
+        )
+    return not tbl.filter(F.col("_ingest_batch") == batch_id).isEmpty()
+
+
+def process_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    band_table_name: str,
+    result_table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
+    **band_kwargs,
+) -> None:
+    """One idempotent turn of the ingest-dedup loop — the foreachBatch
+    body, module-level so a replayed batch can be exercised directly
+    (tests/test_streaming_ingest_dedup.py re-runs it with the same
+    ``batch_id`` and asserts both tables unchanged).
+
+    Exactly-once across restarts (r11 verdict item 3): foreachBatch
+    re-delivers the SAME data under the SAME ``batch_id`` after a
+    restart, so each of the two appends stamps its rows with
+    ``_ingest_batch = batch_id`` and is skipped when any stamped row is
+    already present (``_batch_already_written``). The two writes commit
+    independently, and every crash point replays correctly:
+
+    - crash before the band append commits → replay redoes both writes
+      (nothing landed);
+    - crash between the appends → replay skips the band append (its
+      stamp is present) and recomputes the candidate join — against the
+      same corpus state the original run saw, because append-before-join
+      means the original join ALREADY included this batch's own bands;
+    - crash after both commit → replay skips both.
+
+    Idempotent band appends also keep hot-bucket populations exact: a
+    replayed batch can never double-count a bucket toward
+    ``hot_bucket_cap`` (the failure mode of naive blind appends)."""
+    from technical_test_data_engineer_spark.operators.dedup import (
+        incremental_candidates_vs_band_table,
+        materialize_band_table,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    batch = batch_df.select(id_col, text_col).persist()
+    try:
+        if not _batch_already_written(spark, band_table_name, batch_id):
+            materialize_band_table(
+                batch,
+                band_table_name,
+                n_buckets=n_buckets,
+                mode="append",
+                ingest_batch=batch_id,
+                id_col=id_col,
+                text_col=text_col,
+                **band_kwargs,
+            )
+        if not _batch_already_written(spark, result_table_name, batch_id):
+            cands = incremental_candidates_vs_band_table(
+                spark,
+                band_table_name,
+                batch,
+                id_col=id_col,
+                hot_bucket_cap=hot_bucket_cap,
+                text_col=text_col,
+                **band_kwargs,
+            ).withColumn(
+                "_ingest_batch", F.lit(int(batch_id)).cast("bigint")
+            )
+            cands.write.mode("append").format("parquet").saveAsTable(
+                result_table_name
+            )
+    finally:
+        batch.unpersist()
+
+
 def streaming_ingest_dedup(
     docs_stream: DataFrame,
     band_table_name: str,
@@ -193,56 +289,42 @@ def streaming_ingest_dedup(
     each other through the table. Each qualifying pair is emitted
     exactly once across the stream's lifetime: a pair lands in the
     batch of its LATER side, whose join sees the earlier side's bands
-    already stored — the stream-of-batches therefore equals the
-    one-shot batch-incremental run (parity asserted in
-    tests/test_streaming_ingest_dedup.py). Output is CANDIDATES;
-    exact-verify joins text back downstream where it lives, mirroring
-    the batch pipeline's split. Returns the started StreamingQuery
-    (AvailableNow trigger — the bounded-backfill shape; a continuous
-    deployment swaps the trigger and nothing else).
+    already stored. With ``hot_bucket_cap=None`` the stream-of-batches
+    result EQUALS the one-shot batch-incremental run (parity asserted
+    in tests/test_streaming_ingest_dedup.py). With a cap the two can
+    legitimately diverge: the loop evaluates the cap per batch against
+    the corpus-so-far, so a bucket that crosses the cap mid-stream has
+    already emitted its early pairs, while the one-shot run (cap over
+    the FINAL corpus) drops the whole bucket — time-varying-cap
+    semantics, the streaming analogue of ``stream_minhash_candidates``'
+    first-cap-ids rule. Output is CANDIDATES; exact-verify joins text
+    back downstream where it lives, mirroring the batch pipeline's
+    split. Returns the started StreamingQuery (AvailableNow trigger —
+    the bounded-backfill shape; a continuous deployment swaps the
+    trigger and nothing else).
 
-    Failure semantics (documented limitation): foreachBatch is
-    at-least-once across job RESTARTS — a replayed batch re-appends
-    its band rows (harmless for pair content: the candidate join
-    dedups per batch) but re-appends its result rows too. A production
-    deployment makes both writes idempotent by keying them on the
-    foreachBatch ``batch_id`` (e.g. overwrite-by-batch-partition), the
-    standard exactly-once recipe for foreachBatch sinks.
+    Failure semantics: EXACTLY-ONCE across restarts. Both appends are
+    idempotent, keyed on the foreachBatch ``batch_id`` via an
+    ``_ingest_batch`` stamp column checked before writing — see
+    ``process_ingest_batch`` for the crash-point analysis. The band
+    table must therefore be created with
+    ``materialize_band_table(..., ingest_batch=-1)`` on day 0 (a
+    stamp-less table raises immediately rather than silently running
+    at-least-once).
     """
-    from technical_test_data_engineer_spark.operators.dedup import (
-        incremental_candidates_vs_band_table,
-        materialize_band_table,
-    )
 
-    def _process(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch = batch_df.select(id_col, text_col).persist()
-        try:
-            materialize_band_table(
-                batch,
-                band_table_name,
-                n_buckets=n_buckets,
-                mode="append",
-                id_col=id_col,
-                text_col=text_col,
-                **band_kwargs,
-            )
-            spark = batch_df.sparkSession
-            cands = incremental_candidates_vs_band_table(
-                spark,
-                band_table_name,
-                batch,
-                id_col=id_col,
-                hot_bucket_cap=hot_bucket_cap,
-                text_col=text_col,
-                **band_kwargs,
-            )
-            cands.write.mode("append").format("parquet").saveAsTable(
-                result_table_name
-            )
-        finally:
-            batch.unpersist()
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_ingest_batch(
+            batch_df,
+            batch_id,
+            band_table_name,
+            result_table_name,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            hot_bucket_cap=hot_bucket_cap,
+            **band_kwargs,
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_process)

@@ -51,8 +51,11 @@ def test_streaming_ingest_dedup_loop_parity(spark, sf_dir, new_docs_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
 
-    # day 0: the corpus band table exists before the stream starts
-    materialize_band_table(old, "ingest_band_loop", n_buckets=4)
+    # day 0: the corpus band table exists before the stream starts —
+    # created WITH the _ingest_batch stamp (exactly-once contract)
+    materialize_band_table(
+        old, "ingest_band_loop", n_buckets=4, ingest_batch=-1
+    )
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)
@@ -121,5 +124,96 @@ def test_streaming_ingest_dedup_loop_parity(spark, sf_dir, new_docs_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     for t in ("ingest_band_loop", "ingest_pairs_loop"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+
+def test_ingest_batch_replay_is_exactly_once(spark, sf_dir):
+    """Restart semantics (r11 verdict item 3): foreachBatch re-delivers
+    the same data under the same batch_id after a crash. Re-running
+    process_ingest_batch with an already-committed batch_id must leave
+    BOTH tables byte-identical (no re-appended band rows, no duplicate
+    result rows), and a crash BETWEEN the two appends (band committed,
+    result not) must replay to the same result the uncrashed run
+    produces."""
+    from technical_test_data_engineer_spark.streaming.neardup import (
+        process_ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter("doc_id < 300")
+    b1 = docs.filter("doc_id >= 300 AND doc_id < 400")
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("replay_band", "replay_pairs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    materialize_band_table(old, "replay_band", n_buckets=4, ingest_batch=-1)
+    process_ingest_batch(
+        b1, 0, "replay_band", "replay_pairs",
+        n_buckets=4, hot_bucket_cap=None,
+    )
+    bands_once = sorted(
+        map(tuple, spark.table("replay_band").collect())
+    )
+    pairs_once = sorted(
+        map(tuple, spark.table("replay_pairs").collect())
+    )
+    assert pairs_once, "fixture produced no candidate pairs"
+
+    # full replay (crash after both commits): both tables unchanged
+    process_ingest_batch(
+        b1, 0, "replay_band", "replay_pairs",
+        n_buckets=4, hot_bucket_cap=None,
+    )
+    assert sorted(map(tuple, spark.table("replay_band").collect())) \
+        == bands_once
+    assert sorted(map(tuple, spark.table("replay_pairs").collect())) \
+        == pairs_once
+
+    # crash BETWEEN the appends: batch 1's band append committed but its
+    # result append did not — replaying must skip the band append and
+    # produce the result rows exactly once
+    b2 = docs.filter("doc_id >= 400 AND doc_id < 500")
+    from technical_test_data_engineer_spark.operators.dedup import (
+        incremental_candidates_vs_band_table,
+    )
+
+    materialize_band_table(
+        b2, "replay_band", n_buckets=4, mode="append", ingest_batch=1
+    )  # the half-committed state the crash leaves behind
+    bands_half = sorted(map(tuple, spark.table("replay_band").collect()))
+    process_ingest_batch(
+        b2, 1, "replay_band", "replay_pairs",
+        n_buckets=4, hot_bucket_cap=None,
+    )
+    assert sorted(map(tuple, spark.table("replay_band").collect())) \
+        == bands_half  # band append skipped, not duplicated
+    got_b2 = {
+        (r.id_a, r.id_b)
+        for r in spark.table("replay_pairs")
+        .filter("_ingest_batch = 1").collect()
+    }
+    want_b2 = {
+        (r.id_a, r.id_b)
+        for r in incremental_candidates_vs_band_table(
+            spark, "replay_band", b2, hot_bucket_cap=None
+        ).collect()
+    }
+    assert got_b2 == want_b2 and want_b2
+
+    # a stamp-less table refuses to run the loop (fail loud, not
+    # silently at-least-once)
+    spark.sql("DROP TABLE IF EXISTS replay_band")
+    shutil.rmtree(f"{warehouse}/replay_band", ignore_errors=True)
+    materialize_band_table(old, "replay_band", n_buckets=4)
+    with pytest.raises(Exception, match="_ingest_batch"):
+        process_ingest_batch(
+            b1, 0, "replay_band", "replay_pairs",
+            n_buckets=4, hot_bucket_cap=None,
+        )
+
+    for t in ("replay_band", "replay_pairs"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
