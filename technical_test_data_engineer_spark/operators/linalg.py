@@ -200,7 +200,22 @@ def pca_components(
         )
         .collect()
     )
-    n = rows[0]["_c"]
+    if not rows:
+        raise ValueError(
+            "pca_components: empty corpus (no embedding rows to factor)"
+        )
+    # every (i, j) group receives exactly one row per input row, so all
+    # group counts must agree; ragged or null vectors would break that
+    # invariant and make n depend on collect order — fail loud instead
+    # (the old df.count() path failed loud too, just later)
+    n_lo = min(r["_c"] for r in rows)
+    n = max(r["_c"] for r in rows)
+    if n_lo != n:
+        raise ValueError(
+            f"pca_components: ragged or null {vec_col!r} vectors — "
+            f"per-term counts range {n_lo}..{n}, expected one count "
+            "for every (i, j) pair"
+        )
     # same overflow guard as embedding_moments, applied driver-side on
     # the D²-bounded collected frame
     if any(r["_m"] * float(n) >= float(2**62) for r in rows):

@@ -54,6 +54,25 @@ def test_pca_components_orthonormal_and_ordered(spark):
         assert comps[r, int(np.argmax(np.abs(comps[r])))] > 0
 
 
+def test_pca_components_fails_loud_on_bad_input(spark):
+    """Empty corpus and ragged vectors must raise clear errors, not an
+    IndexError / a collect-order-dependent n (advice r11)."""
+    import pytest
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        pca_components(empty, k=2)
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged or null"):
+        pca_components(ragged, k=2)
+
+
 def test_pca_projection_variance_equals_eigenvalues(spark):
     emb, mat = _corpus(spark)
     _, _, vals = pca_components(emb, k=4)
