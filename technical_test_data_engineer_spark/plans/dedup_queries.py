@@ -1606,6 +1606,9 @@ def part_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(w.ce_source - w.ce_corpus, 6) + 0.0 AS excess_loss,
            ROUND(CAST(w.wr AS DOUBLE)
                  / CAST(SUM(w.wr) OVER () AS DOUBLE), 6) AS doremi_weight
+    -- INNER by design (matches the Spark plan's sizes.join(w, "source")):
+    -- a source whose docs all fall out of the train split has no DoReMi
+    -- weight and its funnel row drops on BOTH engines identically
     FROM sizes z JOIN w USING (source)
     ORDER BY z.source
     """,
