@@ -3089,52 +3089,106 @@ def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def star_schema_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract expectation suite (the Great-Expectations /
     dbt-test discipline as an engine op): referential integrity
-    (orders→customer, lineitem→orders as ANTI joins — never a per-row
-    subquery), key uniqueness, domain ranges, and null contracts,
-    emitted as one audit table a pipeline gate can assert on before
-    publish — the check layer the atomic-publish sink
-    (sources/atomic.py) is designed to sit behind. Each check is one
-    partial-aggregated scan of its table (documented multi-scan: the
-    audit IS a sweep over the schema); anti joins broadcast the key
-    side when small and stay hash-equi at any scale."""
+    (orders→customer, lineitem→orders as LEFT joins + null-key counts —
+    never a per-row subquery), key uniqueness, domain ranges, and null
+    contracts, emitted as one audit table a pipeline gate can assert on
+    before publish — the check layer the atomic-publish sink
+    (sources/atomic.py) is designed to sit behind.
+
+    ONE action (r12 fusion, the ``basket_rules_lift`` fix class): the
+    suite used to run ~10 eager driver-side ``.count()`` actions — one
+    job per expectation, each rescanning its table. Now every table
+    contributes ONE lazy aggregate (count + its violation sums fused
+    into a single partial-agg pass; the FK checks ride the same pass
+    as a LEFT join whose unmatched rows count via a null-key sum), the
+    six check rows are assembled with lazy selects + unions, and the
+    whole audit executes as a single job. Values are identical — every
+    quantity is an exact integer count. The dimension key side of each
+    FK join broadcasts when small and stays hash-equi at any scale."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     lineitem = load_table(spark, sf_dir, "lineitem")
     events = load_table(spark, sf_dir, "events")
 
-    def row(name: str, n_rows, n_viol) -> DataFrame:
-        return spark.createDataFrame(
-            [(name, int(n_rows), int(n_viol))],
-            "check_name string, n_rows long, n_violations long",
+    # one pass over orders: row count, FK-orphan count (left join to
+    # the customer key side; orphans have a null match key), dup keys
+    ord_agg = (
+        orders.select("o_custkey", "o_orderkey")
+        .join(
+            # distinct so the left join is multiplicity-safe like the
+            # anti join it replaces (a dup dimension key must not
+            # inflate the fact row count)
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.lit(1).alias("_cust_hit"),
+            ).distinct(),
+            "o_custkey",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("_cust_hit").isNull(), 1).otherwise(0)
+            ).alias("fk_orders"),
+            (
+                F.count("*") - F.countDistinct("o_orderkey")
+            ).alias("dup_keys"),
+        )
+    )
+    li_agg = (
+        lineitem.select("l_orderkey", "l_quantity")
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.lit(1).alias("_ord_hit"),
+            ).distinct(),
+            "l_orderkey",
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_li"),
+            F.sum(
+                F.when(F.col("_ord_hit").isNull(), 1).otherwise(0)
+            ).alias("fk_li"),
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                    1,
+                ).otherwise(0)
+            ).alias("qty_bad"),
+        )
+    )
+    cust_agg = customer.agg(
+        F.count("*").alias("n_cust"),
+        F.sum(
+            F.when(F.col("c_acctbal").isNull(), 1).otherwise(0)
+        ).alias("bal_null"),
+    )
+    ev_agg = events.agg(
+        F.count("*").alias("n_ev"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("val_neg"),
+    )
+
+    def row(agg: DataFrame, name: str, n_col: str, viol_col: str) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            F.col(n_col).cast("long").alias("n_rows"),
+            F.coalesce(F.col(viol_col).cast("long"), F.lit(0)).alias(
+                "n_violations"
+            ),
         )
 
-    n_orders = orders.count()
-    n_li = lineitem.count()
-    n_cust = customer.count()
-    n_ev = events.count()
-    fk_orders = orders.join(
-        customer.select(F.col("c_custkey").alias("o_custkey")),
-        "o_custkey",
-        "left_anti",
-    ).count()
-    fk_li = lineitem.join(
-        orders.select(F.col("o_orderkey").alias("l_orderkey")),
-        "l_orderkey",
-        "left_anti",
-    ).count()
-    dup_keys = n_orders - orders.select("o_orderkey").distinct().count()
-    qty_bad = lineitem.filter(
-        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
-    ).count()
-    bal_null = customer.filter(F.col("c_acctbal").isNull()).count()
-    val_neg = events.filter(F.col("value") < 0).count()
     out = (
-        row("orders_custkey_fk", n_orders, fk_orders)
-        .unionByName(row("lineitem_orderkey_fk", n_li, fk_li))
-        .unionByName(row("orders_orderkey_unique", n_orders, dup_keys))
-        .unionByName(row("lineitem_qty_range_1_50", n_li, qty_bad))
-        .unionByName(row("customer_acctbal_nonnull", n_cust, bal_null))
-        .unionByName(row("events_value_nonneg", n_ev, val_neg))
+        row(ord_agg, "orders_custkey_fk", "n_orders", "fk_orders")
+        .unionByName(row(li_agg, "lineitem_orderkey_fk", "n_li", "fk_li"))
+        .unionByName(
+            row(ord_agg, "orders_orderkey_unique", "n_orders", "dup_keys")
+        )
+        .unionByName(row(li_agg, "lineitem_qty_range_1_50", "n_li", "qty_bad"))
+        .unionByName(
+            row(cust_agg, "customer_acctbal_nonnull", "n_cust", "bal_null")
+        )
+        .unionByName(row(ev_agg, "events_value_nonneg", "n_ev", "val_neg"))
     )
     return out.select(
         "check_name",

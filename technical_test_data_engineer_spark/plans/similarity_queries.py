@@ -555,7 +555,12 @@ def knn_anchor_routing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "nprobe")
 
 
-CORESET_BOUND = 200
+# 200 → 128 in r12 (bench-budget prune, the PQ_EXACT_BOUND 800→256
+# precedent): the proof needs a nontrivial all-pairs frame, not a big
+# one — 128 vectors still give 16k pairs through the 3-step greedy and
+# the gate corpus (sf0.01, 500 vectors) keeps the bound ACTIVE, so the
+# oracle still certifies the argmax chain on a corpus-subset frame.
+CORESET_BOUND = 128
 
 
 def _coreset_sql() -> str:
@@ -667,6 +672,16 @@ def embedding_coreset_facility3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint"),
             ).alias("s"),
         )
+        # the dot products fan out over all cores, but the RESULT is a
+        # CORESET_BOUND²-row integer frame (~40k rows) that the three
+        # greedy steps re-read ~8 times in tiny jobs — at 32 persisted
+        # partitions the unroll paid ~1000 near-empty task launches
+        # (the measured cost of this proof, not the arithmetic).
+        # repartition (NOT coalesce, which would fold the dot stage
+        # itself down to 4 tasks) pays one trivial 40k-row shuffle so
+        # each step's stages run 4 tasks; values are untouched (exact
+        # integer aggs are partitioning-independent)
+        .repartition(4)
         .persist()
     )
     t1 = sims.groupBy("i").agg(F.sum("s").alias("tot"))
