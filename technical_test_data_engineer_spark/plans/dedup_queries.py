@@ -866,6 +866,112 @@ def minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the ingest-loop twin's corpus slices: day-0 backfill, then one ingest
+# batch and its restart replay. One batch, not two — each loop turn is
+# ~7 Spark jobs of fixed overhead (stamp probes + two table writes) and
+# the second batch proved nothing the first doesn't: cross-batch pairing
+# through the stored table is already driver-certified by
+# minhash_incremental_dedup (identical join), while what's NEW here —
+# bands flowing through process_ingest_batch's idempotent appends and
+# the replay writing nothing — needs exactly one batch + one replay.
+_LOOP_TWIN_BOUND = 448
+_LOOP_TWIN_SPLIT1 = 256
+
+
+@query(
+    "ingest_loop_exactly_once",
+    f"""
+    WITH {_shingle_d_sql(_LOOP_TWIN_BOUND)}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+             / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+             AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE (a.doc_id >= {_LOOP_TWIN_SPLIT1} OR b.doc_id >= {_LOOP_TWIN_SPLIT1})
+      AND CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+          / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)))
+          >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ingest_loop_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest-dedup LOOP as a driver-checkable batch twin
+    (r11 verdict items 3+6): day-0 backfill materializes the bucketed
+    band table, one ingest turn runs through the loop's own foreachBatch
+    body (``streaming.neardup.process_ingest_batch`` — append bands,
+    join, append candidates), then the batch REPLAYS with the same
+    batch_id, exactly as a restarted stream re-delivers it. The stored
+    candidate rows are exact-Jaccard-verified against the shingles
+    (the downstream verify the loop's docstring prescribes) and
+    returned WITHOUT dedup.
+
+    What a hash match certifies, in one shot: (1) loop recall — every
+    exact-Jaccard ≥ 0.5 pair with at least one ingested side came out
+    of the stored-band-table join (same-batch pairs included, via
+    append-before-join); (2) loop precision — exact by the verify;
+    (3) EXACTLY-ONCE — the replayed batch must write nothing, because
+    a re-appended candidate row would duplicate its verified output
+    row and red the count/hash (no dropDuplicates anywhere after the
+    per-batch join). The oracle is the same exact all-pairs form as
+    ``minhash_incremental_dedup``'s, restricted to at-least-one-side-
+    ingested on the bounded corpus; the same band-recall +
+    hot-bucket-cap contract applies (the cap is live production shape,
+    inactive at the gate fixtures — pinned in tests/test_dedup.py).
+    Multi-batch sequencing (cross-batch pairs, crash between the two
+    appends) is covered by tests/test_streaming_ingest_dedup.py.
+
+    Managed-table hygiene: both tables are DROPPED and recreated per
+    call (location cleared too — an orphaned dir would fail the next
+    CREATE), so re-runs and sf switches within one session stay
+    correct. Scale: identical to the production loop — per ingest the
+    corpus band side is read in place (bucketed, no shuffle) and only
+    the batch's bands move; the replay costs one partition-pruned
+    stamp probe and writes nothing."""
+    import shutil
+
+    from technical_test_data_engineer_spark.operators.dedup import (
+        _jaccard_verify,
+        materialize_band_table,
+    )
+    from technical_test_data_engineer_spark.streaming.neardup import (
+        process_ingest_batch,
+    )
+
+    band_t, res_t = "ingest_twin_band", "ingest_twin_pairs"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in (band_t, res_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _LOOP_TWIN_BOUND
+    )
+    base = docs.filter(F.col("doc_id") < _LOOP_TWIN_SPLIT1)
+    b0 = docs.filter(F.col("doc_id") >= _LOOP_TWIN_SPLIT1)
+
+    materialize_band_table(base, band_t, n_buckets=4, ingest_batch=-1)
+    process_ingest_batch(b0, 0, band_t, res_t, n_buckets=4)
+    # the restart: the batch re-delivered under its original batch_id —
+    # exactly-once means NO new rows in either table
+    process_ingest_batch(b0, 0, band_t, res_t, n_buckets=4)
+
+    if not spark.catalog.tableExists(res_t):
+        # no batch ever produced a candidate (possible on a tiny or
+        # all-empty ingest): the loop's output is the empty pair set
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+    cands = spark.table(res_t).select("id_a", "id_b")
+    shingled = docs.select(
+        "doc_id", word_shingles("text", 3).alias("_sh")
+    )
+    return _jaccard_verify(cands, shingled, "doc_id", 0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query(
     "doc_simhash_md5",
     """

@@ -287,6 +287,9 @@ _NONEQUI_ALLOWLIST = {
                                   # (CORESET_BOUND proof corpus) + the
                                   # 1-row picked-id broadcast attaches;
                                   # step reductions join hash-equi on j
+    "basket_rules_lift",          # 1-row basket-count broadcast attach
+                                  # (r12 single-action fusion; rule
+                                  # joins stay broadcast hash-equi)
     "daily_revenue_runs_test",    # 1-row median broadcast attach
     "daily_revenue_cusum",        # 1-row moments broadcast attach
     "part_record_linkage_scores", # three 1-row u-scalar broadcast
