@@ -56,78 +56,73 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # ==== Round-11 rotation (r10 verdict item 3, recomputed from the
-    # mechanical CORRECTNESS_r01..r10 union): (1) the r11 conversions /
-    # addition (never driver-green under their new pairs), (2) the r11
-    # plan rewrite (knn_bruteforce int-scaled migration), (3) the three
-    # pairs whose ORACLE text gained AS MATERIALIZED after their last
-    # green (results hash-identical, locally re-verified, but the pair
-    # changed), (4) every remaining r03-green (latest-green == r03),
-    # then (5) the oldest r04 greens, alphabetical. The 17 r04 greens
-    # that don't fit (part_copurchase_triangles + part_name_fuzzy_pairs
-    # .. views_unconverted_30m, listed below) are the r12 rotation
-    # head. (Head recomputed mechanically late-r11: minhash_near_dups_
-    # md5 is an r03 green distinct from the converted minhash_near_dups
-    # and belongs in this window; part_copurchase_triangles, the newest
-    # r04 filler, moved to the r12 head to make room.)
-    # -- r11 rows-only -> oracle-paired conversions (never driver-
-    #    checked under these pairs) --
-    "minhash_near_dups",          # exact all-pairs Jaccard oracle
-    "knn_lsh_multiprobe",         # Hamming-1 probe-set generated oracle
-    # -- r11 addition --
-    "embedding_project_literal",  # literal-components projection twin
-    # -- re-earn: r11 plan rewrite --
-    "knn_bruteforce",             # int-scaled migration (r10 flag fix)
-    # -- re-earn: oracle text changed after last green (AS MATERIALIZED
-    #    CTE hints, a08b4c2/6a5eda8) --
-    "dedup_clusters",
-    "dedup_clusters_exact",
-    "neardup_keeper_docs",
-    # -- re-earn: the entire remaining r03 cohort (latest green == r03)
-    "doc_simhash_md5",
-    "minhash_near_dups_md5",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q20_volume_suppliers",
-    "customer_value_ranks",
-    "rolling_7day_revenue",
-    "sales_cube",
-    "events_campaign_attribution",
-    "events_gapfilled_by_type",
-    "user_conversion_funnel",
-    "weekly_retention_cohorts",
-    # -- re-earn: oldest r04 greens (28 of 45, alphabetical) --
-    "bpe_merge_candidates",
-    "corpus_mix_rebalance",
-    "curation_pipeline",
-    "customers_without_orders",
-    "doc_above_lang_median",
-    "doc_bpe_token_counts",
-    "doc_charclass_stats",
-    "doc_gopher_filter",
-    "doc_greedy_packing",
-    "doc_hash_sample",
-    "doc_pattern_audit",
-    "doc_repeated_spans",
-    "doc_stratified_sample",
-    "doc_tfidf_neighbors",
-    "embedding_label_centroids",  # also the r10 watch flag — fresh evidence
-    "event_value_outliers",
-    "events_gapfilled_hourly",
-    "events_heavy_hitters_cms",
-    "events_json_extract",
-    "hybrid_rrf_retrieval",
-    "incremental_daily_revenue",
-    "knn_ivfpq_exact",            # now also the decimal gate anchor
-    "media_decode_meta",
-    "minhash_incremental_md5",
-    "orders_cdc_merge",
-    "orders_quality_audit",
-    "pareto_parts",
-    "part_copurchase_pagerank",
+    # ==== Round-12 rotation (r11 verdict item 2, recomputed from the
+    # mechanical CORRECTNESS_r01..r11 union — latest-green counts at
+    # the r11 close: r04×17, r05×30, r06×39, ...). Composition, in
+    # order: (1) the r12 addition, (2) the four r12 changed pairs
+    # (plan rewrites / oracle-text changes — never driver-green in
+    # their current form), (3) the 17 r04 greens pre-listed as this
+    # round's head at the r11 close, (4) the oldest r05 greens,
+    # alphabetical — 28 of the 29 remaining after basket_rules_lift
+    # moved up as a rewrite. view_click_dwell_overlaps (the last r05
+    # green alphabetically) does not fit and is the r13 rotation head,
+    # together with any r12 additions that miss this window and any
+    # plan rewritten after its r12 green.
+    # -- r12 addition (never driver-checked) --
+    "ingest_loop_exactly_once",     # exactly-once ingest loop twin
+    # -- re-earn: r12 plan rewrites / changed pairs --
+    "basket_rules_lift",            # single-action fusion (r11 flag)
+    "star_schema_expectations",     # single-action fusion
+    "embedding_coreset_facility3",  # CORESET_BOUND 200→128 + repartition
+    "curation_pipeline_e2e",        # oracle text: join-semantics note
+    # -- re-earn: the 17 r04 greens (the pre-listed r12 head) --
+    "part_copurchase_triangles",
+    "part_name_fuzzy_pairs",
+    "part_reachability_hops",
+    "prep_orders_pipeline",
+    "priority_legend_colors",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "rollup_acctbal",
+    "salted_segment_revenue",
+    "segment_revenue_trend",
+    "semantic_dedup_keep",
+    "session_paths_top",
+    "split_contamination_audit_md5",
+    "user_type_scd2",
+    "user_value_ewma",
+    "view_click_within_30m",
+    "views_unconverted_30m",
+    # -- re-earn: oldest r05 greens (28 of 29 after basket_rules_lift
+    #    moved up; alphabetical) --
+    "acctbal_winsorized_stats",
+    "copurchase_edge_churn",
+    "corpus_stats_card",
+    "daily_active_users",
+    "daily_bounce_rate",
+    "doc_bigram_logprob",
+    "doc_novelty_scores",
+    "doc_weighted_sample",
+    "dsir_en_selection",
+    "embedding_near_dup_exact",
+    "event_value_ab_test",
+    "event_value_ks_drift",
+    "events_user_sessions",
+    "knn_matryoshka_trunc",
+    "lineitem_measures_unpivot",
+    "media_chunk_checksums",
+    "monthly_from_daily_rollup",
+    "monthly_new_customers_cumulative",
+    "nation_trade_balance",
+    "order_calendar_features",
+    "orders_equidepth_hist",
+    "purchase_tier_at_time",
+    "purchase_touch_attribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q4_order_priority",
+    "time_to_first_purchase",
+    "user_event_type_map",
 ]
 
 
@@ -138,16 +133,11 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-12 rotation head (after the r11 window lands): the 17 r04
-# greens that didn't fit this window — part_copurchase_triangles,
-# part_name_fuzzy_pairs,
-# part_reachability_hops, prep_orders_pipeline, priority_legend_colors,
-# q18_large_orders, q19_disjunctive_predicates, rollup_acctbal,
-# salted_segment_revenue, segment_revenue_trend, semantic_dedup_keep,
-# session_paths_top, split_contamination_audit_md5, user_type_scd2,
-# user_value_ewma, view_click_within_30m, views_unconverted_30m — plus
-# any r11 additions that miss the r11 window and any plan rewritten
-# after its r11 green.
+# Round-13 rotation head (after the r12 window lands):
+# view_click_dwell_overlaps (the one r05 green that didn't fit this
+# window), then the r06 cohort (39 queries with latest-green r06 at
+# the r11 close — the next-oldest debt), plus any r12 additions that
+# miss the r12 window and any plan rewritten after its r12 green.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 
