@@ -135,9 +135,14 @@ Expected multi-scans (all reviewed):
   FROM that frame instead of re-scanning orders), so the sweep is
   clean except customer_segment_target_encoding ×2 on the customer
   DIM — the persisted-definition echo (q2 convention), the executed
-  plan scans each table once. star_schema_expectations runs one
-  bounded aggregation job per declared check by design (the audit IS
-  a schema sweep; each check scans only its own pruned table).
+  plan scans each table once. star_schema_expectations (r12 fusion)
+  runs ONE action (was ~10 eager counts): each table contributes one
+  fused aggregate consumed by its two check rows. The audit's
+  orders×4/customer×3/lineitem×2 are union-branch echoes of those
+  shared aggregates plus orders' genuine second role as the FK key
+  side of the lineitem check; at runtime the executed plan shows 2
+  ReusedExchange over the duplicated agg branches (measured 5.3→3.1 s
+  solo).
   customer_cohort_ltv x2 — first-order cohort frame (persisted) and the
   revenue grid are two roles of orders (the stream-split convention).
   orders_double_submission x2 — banded self-join pair sides (the
@@ -187,6 +192,18 @@ Expected multi-scans (all reviewed):
   minhash_near_dups (materialized pair relation) and the new
   embedding_project_literal (one corpus scan, zero joins) are not
   flagged — single-scan plans.
+- r12 review (sweep run 2026-08-16, diff-clean otherwise):
+  basket_rules_lift lineitem×3 under the single-action fusion = the
+  op-distinct subplan echoed by its two consumers (item supports +
+  the 1-row basket-count attach; exchange-reused at runtime) + the
+  edge build's own scan (absorbed by the materialized relation in a
+  real sweep). star_schema_expectations — see the r07 entry update
+  above. ingest_loop_exactly_once documents×2 = the ingest batch
+  side + the shingle re-attach of the exact verify (the
+  split_contamination convention: recompute measured cheaper than
+  persisting shingles across the loop's table writes).
+  embedding_coreset_facility3 keeps its documented embeddings×2
+  (bounded all-pairs sides) under the 128 bound + repartition.
 
 Usage: python audit_scans.py [sf_dir]
 """
