@@ -269,6 +269,7 @@ def streaming_ingest_dedup(
     text_col: str = "text",
     n_buckets: int = 16,
     hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
     **band_kwargs,
 ):
     """The production 100 TB ingest-dedup LOOP, closed end to end
@@ -311,6 +312,24 @@ def streaming_ingest_dedup(
     ``materialize_band_table(..., ingest_batch=-1)`` on day 0 (a
     stamp-less table raises immediately rather than silently running
     at-least-once).
+
+    ``checkpoint_dir`` is REQUIRED for any restartable deployment:
+    the stamp ledger relies on the engine's same-batch_id ⇒ same-data
+    replay contract, which only holds when offsets are checkpointed —
+    an UNcheckpointed restart renumbers batches from 0, so the ledger
+    would see fresh data under already-stamped ids and wrongly skip
+    it. Restart-resume (stop after a prefix of batches, restart the
+    same checkpoint over a grown source, ids continue monotonically,
+    nothing reprocessed or skipped) is asserted in
+    tests/test_streaming_ingest_dedup.py.
+
+    Reader caveat: the appends run in per-batch session CLONES, whose
+    saveAsTable refreshes the clone's relation cache only — a reader
+    holding the same long-lived outer SparkSession must
+    ``spark.catalog.refreshTable(...)`` before re-reading either table
+    after a stream run, or it can see a stale file listing. The loop's
+    own stamp probes and candidate joins always read in the session
+    that writes, so they are never stale.
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -326,8 +345,9 @@ def streaming_ingest_dedup(
             **band_kwargs,
         )
 
-    return (
-        docs_stream.writeStream.foreachBatch(_process)
-        .trigger(availableNow=True)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
