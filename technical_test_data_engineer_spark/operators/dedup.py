@@ -598,28 +598,35 @@ def materialize_band_table(
     row carries an ``_ingest_batch`` BIGINT column recording which
     foreachBatch wrote it — the data itself is the write ledger, which
     is what lets a replayed batch detect that its append already
-    committed (``streaming.neardup.process_ingest_batch``). Extra
-    columns never disturb the bucket layout (bucketing hashes only
-    ``_band``/``_bh``) and every band consumer selects its columns
-    explicitly. A table created WITHOUT the column cannot later be
-    appended with it (parquet schema mismatch), so a loop-managed band
-    table must pass ``ingest_batch`` from day 0 (-1 for the initial
-    backfill, by convention)."""
+    committed (``streaming.neardup.process_ingest_batch``) — and the
+    table is additionally PARTITIONED on that column under the bucket
+    layout, so each append lands in its own directory (one file per
+    bucket per batch) and the replay's stamp probe is a directory
+    prune, not a footer scan. The bucketed join stays shuffle-free
+    across partitions. Extra columns never disturb the bucket layout
+    (bucketing hashes only ``_band``/``_bh``) and every band consumer
+    selects its columns explicitly. A table created WITHOUT the stamp
+    cannot later be appended with it (parquet schema mismatch), so a
+    loop-managed band table must pass ``ingest_batch`` from day 0 (-1
+    for the initial backfill, by convention)."""
     from technical_test_data_engineer_spark.sources.parquet_source import (
         write_bucketed_table,
     )
 
     bands = band_table(df, **band_kwargs)
+    partition_cols = None
     if ingest_batch is not None:
         bands = bands.withColumn(
             "_ingest_batch", F.lit(int(ingest_batch)).cast("bigint")
         )
+        partition_cols = ["_ingest_batch"]
     write_bucketed_table(
         bands,
         name,
         ["_band", "_bh"],
         n_buckets=n_buckets,
         mode=mode,
+        partition_cols=partition_cols,
     )
 
 

@@ -74,6 +74,7 @@ def write_bucketed_table(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Bucketed managed table: rows hash-distributed into ``n_buckets``
     files by ``bucket_cols`` at WRITE time. Two tables bucketed the same
@@ -95,6 +96,14 @@ def write_bucketed_table(
     # the cluster.
     dfp = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
     writer = dfp.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if partition_cols:
+        # Hive-style partition dirs UNDER the bucket layout: each
+        # partition holds its own n_buckets files, the bucketed join
+        # stays shuffle-free across partitions (asserted in
+        # tests/test_streaming_ingest_dedup.py), and a filter on the
+        # partition column becomes a directory prune instead of a
+        # footer scan — what makes per-batch stamp probes O(1)
+        writer = writer.partitionBy(*partition_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(name)
