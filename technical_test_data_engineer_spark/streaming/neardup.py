@@ -254,9 +254,11 @@ def process_ingest_batch(
             ).withColumn(
                 "_ingest_batch", F.lit(int(batch_id)).cast("bigint")
             )
-            cands.write.mode("append").format("parquet").saveAsTable(
-                result_table_name
-            )
+            # partitioned on the stamp like the band table: per-batch
+            # output directories, directory-pruned stamp probes
+            cands.write.mode("append").partitionBy(
+                "_ingest_batch"
+            ).format("parquet").saveAsTable(result_table_name)
     finally:
         batch.unpersist()
 
