@@ -116,3 +116,47 @@ def test_dynamic_partition_pruning_engages(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got_years == {1996}
+
+
+def test_bucketed_write_emits_one_file_per_bucket(spark, sf_dir):
+    """The r12 layout contract: write_bucketed_table pre-repartitions
+    onto the bucket keys (repartition's HashPartitioning == bucketBy's
+    Murmur3-pmod assignment), so a write emits exactly n_buckets files
+    — not input-partitions × buckets small files — and with
+    partition_cols, exactly n_buckets files under EACH partition dir."""
+    import glob
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in ("one_per_bucket", "one_per_bucket_part"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .repartition(16)  # many input partitions on purpose
+    )
+    write_bucketed_table(df, "one_per_bucket", ["o_orderkey"], n_buckets=4)
+    files = glob.glob(f"{warehouse}/one_per_bucket/part-*")
+    assert len(files) == 4, sorted(files)
+
+    stamped = df.withColumn("_b", (F.col("o_orderkey") % 2).cast("bigint"))
+    write_bucketed_table(
+        stamped,
+        "one_per_bucket_part",
+        ["o_orderkey"],
+        n_buckets=4,
+        partition_cols=["_b"],
+    )
+    for part in ("_b=0", "_b=1"):
+        files = glob.glob(f"{warehouse}/one_per_bucket_part/{part}/part-*")
+        assert len(files) == 4, (part, sorted(files))
+    # round-trips: partitioned + bucketed table reads back complete
+    assert spark.table("one_per_bucket_part").count() == df.count()
+
+    for t in ("one_per_bucket", "one_per_bucket_part"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
