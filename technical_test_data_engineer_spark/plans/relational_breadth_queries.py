@@ -3130,6 +3130,12 @@ def star_schema_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("_cust_hit").isNull(), 1).otherwise(0)
             ).alias("fk_orders"),
+            # countDistinct ignores NULL keys, so this form counts
+            # every null-key row as a duplicate — deliberate here: a
+            # NULL primary key is itself an integrity violation, and
+            # o_orderkey is NOT NULL by schema (the oracle's COUNT
+            # DISTINCT has identical null semantics, so the two
+            # engines agree either way)
             (
                 F.count("*") - F.countDistinct("o_orderkey")
             ).alias("dup_keys"),

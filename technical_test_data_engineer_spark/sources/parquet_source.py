@@ -75,6 +75,7 @@ def write_bucketed_table(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     partition_cols: list[str] | None = None,
+    coalesce_buckets: bool = True,
 ) -> None:
     """Bucketed managed table: rows hash-distributed into ``n_buckets``
     files by ``bucket_cols`` at WRITE time. Two tables bucketed the same
@@ -82,6 +83,14 @@ def write_bucketed_table(
     way to pre-pay the shuffle for a fact table that joins on the same
     key every day. At 100 TB this converts the nightly join's dominant
     exchange into a free scan-side zip.
+
+    ``coalesce_buckets`` (default True) pre-shuffles onto the bucket
+    keys for a one-file-per-bucket layout — the contract the loop's
+    band tables rely on. It also CAPS write parallelism at
+    ``n_buckets`` tasks and concentrates a skewed bucket key into a
+    single task, so a large caller whose input dwarfs its bucket count
+    should pass False and keep full input parallelism (layout then
+    reverts to up-to input-partitions files per bucket).
     """
     from pyspark.sql import functions as F
 
@@ -94,7 +103,11 @@ def write_bucketed_table(
     # and a small-file explosion on every daily refresh. The bucket
     # count is the parallelism dial: size n_buckets for the table, not
     # the cluster.
-    dfp = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    dfp = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        if coalesce_buckets
+        else df
+    )
     writer = dfp.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if partition_cols:
         # Hive-style partition dirs UNDER the bucket layout: each

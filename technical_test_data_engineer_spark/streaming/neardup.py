@@ -165,15 +165,47 @@ def stream_minhash_candidates(
     )
 
 
+def _assert_atomic_job_commit(spark) -> None:
+    """The stamp ledger infers "whole batch committed" from the
+    presence of ANY row carrying the batch's stamp, which is only
+    sound when a job's output becomes visible atomically — i.e.
+    FileOutputCommitter ALGORITHM 1 (task files move to the job
+    attempt dir, then ONE job-commit rename publishes everything).
+    Algorithm 2 publishes per-TASK: a crash mid-append leaves a
+    partial batch visible and the replay would permanently skip the
+    remainder — silent recall loss. So the loop refuses to run under
+    v2 rather than degrade silently. (On object stores without atomic
+    rename, deploy with a committer providing atomic job commit — the
+    EMRFS/S3A "magic" committers' single-manifest publish — or swap
+    the stamp probe for an explicit per-batch marker committed AFTER
+    the data append.)"""
+    v = (
+        spark.sparkContext._jsc.hadoopConfiguration().get(
+            "mapreduce.fileoutputcommitter.algorithm.version"
+        )
+        or "1"
+    )
+    if v != "1":
+        raise RuntimeError(
+            "ingest-dedup loop requires atomic job commit: "
+            "mapreduce.fileoutputcommitter.algorithm.version is "
+            f"{v!r}, but the _ingest_batch stamp ledger is only "
+            "crash-safe under algorithm 1 (see "
+            "_assert_atomic_job_commit)"
+        )
+
+
 def _batch_already_written(spark, table_name: str, batch_id: int) -> bool:
     """True iff ``table_name`` exists and already holds rows stamped
     ``_ingest_batch == batch_id`` — i.e. this batch's append COMMITTED
     in a previous (crashed or replayed) run. Spark's file-commit
-    protocol makes each append job atomic (task files live under
-    _temporary until job commit), so presence of any stamped row means
-    the whole batch landed. The filter is a parquet min/max row-group
-    prune; a production table would additionally partition on the
-    stamp column for directory-level pruning."""
+    protocol makes each append job atomic under committer algorithm 1
+    (asserted by ``_assert_atomic_job_commit`` at loop entry; task
+    files stay invisible until the single job-commit rename), so
+    presence of any stamped row means the whole batch landed. The
+    filter is a parquet min/max row-group prune; a production table
+    would additionally partition on the stamp column for
+    directory-level pruning."""
     if not spark.catalog.tableExists(table_name):
         return False
     tbl = spark.table(table_name)
@@ -229,9 +261,13 @@ def process_ingest_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
+    _assert_atomic_job_commit(spark)
     batch = batch_df.select(id_col, text_col).persist()
     try:
-        if not _batch_already_written(spark, band_table_name, batch_id):
+        band_done = _batch_already_written(
+            spark, band_table_name, batch_id
+        )
+        if not band_done:
             materialize_band_table(
                 batch,
                 band_table_name,
@@ -242,7 +278,15 @@ def process_ingest_batch(
                 text_col=text_col,
                 **band_kwargs,
             )
-        if not _batch_already_written(spark, result_table_name, batch_id):
+        # The result append runs strictly AFTER the band append in
+        # every run, so a fresh band stamp (band_done False) proves the
+        # result stamp cannot exist either — the second probe is only
+        # needed on the replay path (band_done True), saving a catalog
+        # round-trip per ordinary ingest turn.
+        if not (
+            band_done
+            and _batch_already_written(spark, result_table_name, batch_id)
+        ):
             cands = incremental_candidates_vs_band_table(
                 spark,
                 band_table_name,
@@ -272,6 +316,7 @@ def streaming_ingest_dedup(
     n_buckets: int = 16,
     hot_bucket_cap: int | None = DEFAULT_HOT_BUCKET_CAP,
     checkpoint_dir: str | None = None,
+    allow_uncheckpointed: bool = False,
     **band_kwargs,
 ):
     """The production 100 TB ingest-dedup LOOP, closed end to end
@@ -315,14 +360,18 @@ def streaming_ingest_dedup(
     stamp-less table raises immediately rather than silently running
     at-least-once).
 
-    ``checkpoint_dir`` is REQUIRED for any restartable deployment:
-    the stamp ledger relies on the engine's same-batch_id ⇒ same-data
+    ``checkpoint_dir`` is REQUIRED, and this function RAISES without
+    one unless ``allow_uncheckpointed=True`` is passed explicitly: the
+    stamp ledger relies on the engine's same-batch_id ⇒ same-data
     replay contract, which only holds when offsets are checkpointed —
     an UNcheckpointed restart renumbers batches from 0, so the ledger
-    would see fresh data under already-stamped ids and wrongly skip
-    it. Restart-resume (stop after a prefix of batches, restart the
-    same checkpoint over a grown source, ids continue monotonically,
-    nothing reprocessed or skipped) is asserted in
+    would see fresh data under already-stamped ids and SILENTLY SKIP
+    it in both tables (data loss, strictly worse than the pre-ledger
+    at-least-once duplicates). ``allow_uncheckpointed`` is for
+    single-run jobs and tests that never restart; production always
+    checkpoints. Restart-resume (stop after a prefix of batches,
+    restart the same checkpoint over a grown source, ids continue
+    monotonically, nothing reprocessed or skipped) is asserted in
     tests/test_streaming_ingest_dedup.py.
 
     Reader caveat: the appends run in per-batch session CLONES, whose
@@ -333,6 +382,15 @@ def streaming_ingest_dedup(
     own stamp probes and candidate joins always read in the session
     that writes, so they are never stale.
     """
+
+    if checkpoint_dir is None and not allow_uncheckpointed:
+        raise ValueError(
+            "streaming_ingest_dedup needs checkpoint_dir: without "
+            "checkpointed offsets a restart renumbers batch_ids from 0 "
+            "and the _ingest_batch ledger silently SKIPS the renumbered "
+            "fresh data. Pass allow_uncheckpointed=True only for a "
+            "job that will never be restarted."
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_ingest_batch(

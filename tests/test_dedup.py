@@ -298,3 +298,36 @@ def test_semantic_dedup_hot_cluster_cap_keeps_universe(spark):
     assert capped.count() == 50  # nothing pruned: cell skipped pairing
     uncapped = semantic_dedup(df, centroids, threshold=0.8, hot_cluster_cap=None)
     assert uncapped.count() == 1  # full pairing collapses the clones
+
+
+def test_loop_twin_fixture_cap_inactive(spark):
+    """The pin ingest_loop_exactly_once's docstring promises: at the
+    driver gate fixture (sf0.01 documents, doc_id < _LOOP_TWIN_BOUND)
+    the DEFAULT_HOT_BUCKET_CAP is INACTIVE — no (band, bucket)
+    population reaches the cap, so the twin's exact-recall oracle can
+    never be redded by cap drops. Doubly safe: the fixture has fewer
+    docs than the cap, so no bucket CAN saturate; the empirical max is
+    asserted anyway so a cap or banding change trips here first, not
+    at the driver."""
+    from technical_test_data_engineer_spark.operators.dedup import (
+        DEFAULT_HOT_BUCKET_CAP,
+        band_table,
+    )
+    from technical_test_data_engineer_spark.plans.dedup_queries import (
+        _LOOP_TWIN_BOUND,
+    )
+
+    assert _LOOP_TWIN_BOUND <= DEFAULT_HOT_BUCKET_CAP  # counting argument
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < _LOOP_TWIN_BOUND)
+    )
+    max_bucket = (
+        band_table(docs)
+        .groupBy("_band", "_bh")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_bucket < DEFAULT_HOT_BUCKET_CAP, max_bucket
