@@ -56,73 +56,74 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # ==== Round-12 rotation (r11 verdict item 2, recomputed from the
-    # mechanical CORRECTNESS_r01..r11 union — latest-green counts at
-    # the r11 close: r04×17, r05×30, r06×39, ...). Composition, in
-    # order: (1) the r12 addition, (2) the four r12 changed pairs
-    # (plan rewrites / oracle-text changes — never driver-green in
-    # their current form), (3) the 17 r04 greens pre-listed as this
-    # round's head at the r11 close, (4) the oldest r05 greens,
-    # alphabetical — 28 of the 29 remaining after basket_rules_lift
-    # moved up as a rewrite. view_click_dwell_overlaps (the last r05
-    # green alphabetically) does not fit and is the r13 rotation head,
-    # together with any r12 additions that miss this window and any
-    # plan rewritten after its r12 green.
-    # -- r12 addition (never driver-checked) --
-    "ingest_loop_exactly_once",     # exactly-once ingest loop twin
-    # -- re-earn: r12 plan rewrites / changed pairs --
-    "basket_rules_lift",            # single-action fusion (r11 flag)
-    "star_schema_expectations",     # single-action fusion
-    "embedding_coreset_facility3",  # CORESET_BOUND 200→128 + repartition
-    "curation_pipeline_e2e",        # oracle text: join-semantics note
-    # -- re-earn: the 17 r04 greens (the pre-listed r12 head) --
-    "part_copurchase_triangles",
-    "part_name_fuzzy_pairs",
-    "part_reachability_hops",
-    "prep_orders_pipeline",
-    "priority_legend_colors",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "rollup_acctbal",
-    "salted_segment_revenue",
-    "segment_revenue_trend",
-    "semantic_dedup_keep",
-    "session_paths_top",
-    "split_contamination_audit_md5",
-    "user_type_scd2",
-    "user_value_ewma",
-    "view_click_within_30m",
-    "views_unconverted_30m",
-    # -- re-earn: oldest r05 greens (28 of 29 after basket_rules_lift
-    #    moved up; alphabetical) --
-    "acctbal_winsorized_stats",
-    "copurchase_edge_churn",
-    "corpus_stats_card",
-    "daily_active_users",
-    "daily_bounce_rate",
-    "doc_bigram_logprob",
-    "doc_novelty_scores",
-    "doc_weighted_sample",
-    "dsir_en_selection",
-    "embedding_near_dup_exact",
-    "event_value_ab_test",
-    "event_value_ks_drift",
-    "events_user_sessions",
-    "knn_matryoshka_trunc",
-    "lineitem_measures_unpivot",
-    "media_chunk_checksums",
-    "monthly_from_daily_rollup",
-    "monthly_new_customers_cumulative",
-    "nation_trade_balance",
-    "order_calendar_features",
-    "orders_equidepth_hist",
-    "purchase_tier_at_time",
-    "purchase_touch_attribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q4_order_priority",
-    "time_to_first_purchase",
-    "user_event_type_map",
+    # ==== Round-13 rotation (r12 verdict item 1, recomputed from the
+    # mechanical CORRECTNESS_r01..r12 union — latest-green counts at
+    # the r12 close: r05×1, r06×39, r07×44, ...). Composition, in
+    # order: (1) the rotation head pre-listed at the r12 close —
+    # view_click_dwell_overlaps (the one r05 green) + the full 39-query
+    # r06 cohort; (2) this round's changed pairs (plan rewrites /
+    # oracle regenerations — never driver-green in their current
+    # form); (3) the oldest r07 greens to fill 50 (first-green r01
+    # first, then alphabetical, preferring the r12 watch items).
+    # The remaining 41 r07 greens are the r14 rotation head.
+    # -- the one r05 green --
+    "view_click_dwell_overlaps",
+    # -- the r06 cohort (39, alphabetical) --
+    "ab_test_cuped",
+    "copurchase_degree_stats",
+    "corpus_drift_psi",
+    "customer_k_anonymity",
+    "customer_pseudonymized",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "doc_epoch_shards",
+    "doc_neyman_sample",
+    "doc_pii_redacted",
+    "doc_readability",
+    "doc_template_keys",
+    "doc_token_ids",
+    "dp_noisy_counts",
+    "eval_ngram_contamination",
+    "eval_substring_contamination",
+    "event_transition_probs",
+    "hard_negative_mining",
+    "hourly_traffic_anomalies",
+    "knn_maxsim_late_interaction",
+    "lineitem_bloom_prune_revenue",
+    "nation_l_diversity",
+    "orderkey_skew_report",
+    "orders_benford_audit",
+    "part_cf_similarity",
+    "part_label_propagation",
+    "part_name_entities",
+    "price_quantity_elasticity",
+    "q12_ship_class_priority",
+    "segment_price_geomean",
+    "ship_latency_percentiles",
+    "source_dedup_report",
+    "source_loo_impact",
+    "source_score_calibration",
+    "source_token_js_divergence",
+    "user_conversion_survival",
+    "view_click_full_outer_30m",
+    "vocab_growth_curve",
+    "vocab_zipf_slope",
+    # -- re-earn: r13 changed pairs --
+    "ingest_loop_exactly_once",     # bound 448→256 + session-suffixed
+                                    # tables + probe-skip (oracle regen)
+    "curation_pipeline_e2e",        # single-action fusion (tok.count)
+    "part_record_linkage_scores",   # single-action fusion (p.count;
+                                    # also an r07 green — double duty)
+    # -- re-earn: oldest r07 greens (first-green r01 first, then the
+    #    r12 watch items, then alphabetical) --
+    "events_sliding_1h_15m",        # first-green r01
+    "flagship_daily_backlog",       # first-green r01
+    "order_value_poisson_bootstrap",  # r12 driver flag (plan unchanged
+                                    # — root-caused in BASELINE.md r13)
+    "shard_balance_chisq",          # r12 watch item
+    "ab_test_covariate_balance",
+    "ab_test_ipw_ate",
+    "ab_test_sprt",
 ]
 
 
@@ -133,11 +134,10 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-13 rotation head (after the r12 window lands):
-# view_click_dwell_overlaps (the one r05 green that didn't fit this
-# window), then the r06 cohort (39 queries with latest-green r06 at
-# the r11 close — the next-oldest debt), plus any r12 additions that
-# miss the r12 window and any plan rewritten after its r12 green.
+# Round-14 rotation head (after the r13 window lands): the 41
+# remaining r07 greens (44 minus the three in this window), plus any
+# r13 additions that miss the r13 window and any plan rewritten after
+# its r13 green.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 
