@@ -61,11 +61,11 @@ _FRONT_50 = [
     # the r12 close: r05×1, r06×39, r07×44, ...). Composition, in
     # order: (1) the rotation head pre-listed at the r12 close —
     # view_click_dwell_overlaps (the one r05 green) + the full 39-query
-    # r06 cohort; (2) this round's changed pairs (plan rewrites /
-    # oracle regenerations — never driver-green in their current
-    # form); (3) the oldest r07 greens to fill 50 (first-green r01
-    # first, then alphabetical, preferring the r12 watch items).
-    # The remaining 41 r07 greens are the r14 rotation head.
+    # r06 cohort; (2) this round's one changed pair (oracle
+    # regeneration — never driver-green in its current form); (3) the
+    # oldest r07 greens to fill 50 (first-green r01 first, then
+    # alphabetical, preferring the r12 watch items).
+    # The remaining 40 r07 greens are the r14 rotation head.
     # -- the one r05 green --
     "view_click_dwell_overlaps",
     # -- the r06 cohort (39, alphabetical) --
@@ -108,14 +108,15 @@ _FRONT_50 = [
     "view_click_full_outer_30m",
     "vocab_growth_curve",
     "vocab_zipf_slope",
-    # -- re-earn: r13 changed pairs --
+    # -- re-earn: r13 changed pair (the round's only plan whose
+    #    current form was never driver-green) --
     "ingest_loop_exactly_once",     # bound 448→256 + session-suffixed
                                     # tables + probe-skip (oracle regen)
-    "curation_pipeline_e2e",        # single-action fusion (tok.count)
-    "part_record_linkage_scores",   # single-action fusion (p.count;
-                                    # also an r07 green — double duty)
     # -- re-earn: oldest r07 greens (first-green r01 first, then the
-    #    r12 watch items, then alphabetical) --
+    #    r12 watch items, then alphabetical; part_record_linkage_
+    #    scores' count-fusion was A/B-measured SLOWER and reverted —
+    #    byte-identical r12 plan, refreshes as ordinary r07 debt) --
+    "part_record_linkage_scores",
     "events_sliding_1h_15m",        # first-green r01
     "flagship_daily_backlog",       # first-green r01
     "order_value_poisson_bootstrap",  # r12 driver flag (plan unchanged
@@ -124,6 +125,7 @@ _FRONT_50 = [
     "ab_test_covariate_balance",
     "ab_test_ipw_ate",
     "ab_test_sprt",
+    "ab_test_uplift_deciles",
 ]
 
 

@@ -1574,21 +1574,16 @@ def part_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ").getItem(0).alias("adj"),
         F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("band"),
     ).persist()
-    # r13: the former eager p.count() action rides each u-estimation
-    # agg as a broadcast 1-row aggregate over the SAME persisted frame
-    # (the basket_rules_lift fusion class) — identical double division,
-    # one action for the whole query
-    nn_df = p.agg(F.count("*").cast("double").alias("_nn"))
+    nn = p.count()
 
     def u_of(col: str):
         return (
             p.groupBy(col)
             .agg(F.count("*").cast("double").alias("c"))
-            .crossJoin(F.broadcast(nn_df))
             .agg(
                 F.sum(
-                    (F.col("c") / F.col("_nn"))
-                    * (F.col("c") / F.col("_nn"))
+                    (F.col("c") / F.lit(float(nn)))
+                    * (F.col("c") / F.lit(float(nn)))
                 ).alias("u")
             )
         )
@@ -1775,12 +1770,17 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     current fixtures have no such source, and if one appears both
     sides drop it identically (stays green). Left-join + zero-weight
     rows would be the alternative — change BOTH sides together.
-    (2) The two persists (``minhash_candidates(persist=True)``,
-    ``train.persist()``) follow the repo convention that bench/verify
-    clearCache per query; a long-lived multi-query session reusing
-    this plan should unpersist after collect. (r13: the former eager
-    ``tok.count()`` is fused into the job as a broadcast 1-row
-    aggregate — the plan now runs as a single action.)"""
+    (2) The eager ``tok.count()`` and the two persists
+    (``minhash_candidates(persist=True)``, ``train.persist()``) follow
+    the repo convention that bench/verify clearCache per query; a
+    long-lived multi-query session reusing this plan should hoist the
+    count into the job or unpersist after collect. The count also
+    MATERIALIZES the train persist before the main job launches —
+    A/B-measured r13: fusing it away (broadcast 1-row attach, or
+    SUM(cnt) OVER () on the counts frame) made the query 0.5-1.5 s
+    SLOWER, because the broadcast subtrees then race to compute the
+    unpopulated train cache; the eager count is the cheap cache
+    warmer, kept deliberately."""
     from pyspark.sql.window import Window
 
     from technical_test_data_engineer_spark.operators.graph import (
@@ -1818,16 +1818,12 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
-    # r13: the former eager tok.count() action now rides the job as a
-    # broadcast 1-row aggregate (the basket_rules_lift fusion class) —
-    # same double division, one fewer pass over the train explode
-    n_total = tok.agg(F.count("*").cast("double").alias("_n_total"))
+    n_total = tok.count()
     neg_ln = F.round(
-        -F.log(F.col("cnt").cast("double") / F.col("_n_total")), 9
+        -F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
     ).cast("decimal(30,9)")
     src = (
         tok.join(F.broadcast(counts), "term")
-        .crossJoin(F.broadcast(n_total))
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("train_tokens"),

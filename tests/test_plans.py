@@ -290,9 +290,6 @@ _NONEQUI_ALLOWLIST = {
     "basket_rules_lift",          # 1-row basket-count broadcast attach
                                   # (r12 single-action fusion; rule
                                   # joins stay broadcast hash-equi)
-    "curation_pipeline_e2e",      # 1-row train-token-total broadcast
-                                  # attach (r13 single-action fusion;
-                                  # every corpus-sized join hash-equi)
     "daily_revenue_runs_test",    # 1-row median broadcast attach
     "daily_revenue_cusum",        # 1-row moments broadcast attach
     "part_record_linkage_scores", # three 1-row u-scalar broadcast
