@@ -166,37 +166,100 @@ def pca_components(
         fan_out,
     )
 
-    # ONE action (r11): the first-moment terms ride the cross-product
-    # explode as sentinel rows (j = -1) and n rides the agg as a group
-    # count (every (i, j) group receives exactly one row per input
-    # row), so the corpus is scanned once and collected once — the
-    # split embedding_moments form (count + sums collect + cross
-    # collect) paid three scans per call (~2 s of this query's 4 s solo
-    # at sf0.1). Sums are the identical integer-scaled BIGINT folds, so
+    # ONE action, Arrow-batched partial fold (r13; supersedes the r11
+    # scan-side struct explode): each task reduces its Arrow batches to
+    # D(D+1)/2 + D integer partial sums in numpy — the explode form
+    # materialized ~D²/2 struct rows PER VECTOR (128M rows at sf0.1)
+    # through Generate + hash-agg, and that row traffic, not the
+    # arithmetic, was the query's dominant cost (solo 2.4 s → ~0.7 s).
+    # Every per-term value is bit-identical to the old fold: the same
+    # away-from-zero rounding at 1e10 (sign·floor(|p|+0.5) == Spark
+    # ROUND's HALF_UP — the project_embeddings int_scaled convention)
+    # into int64 partial sums, whose addition is associative, so
     # mean/cov/eigh are bit-for-bit the old values (numpy-parity tests
-    # unchanged). embedding_moments itself stays the shared primitive
-    # for covariance_matrix, whose oracle-paired query's plan must not
+    # unchanged). First moments keep the j = -1 sentinel encoding; the
+    # final (i, j) aggregate is D²-bounded. Raggedness surfaces the
+    # same way as before: vectors of different lengths contribute
+    # partials to different (i, j) sets, so the per-pair counts
+    # disagree and the driver-side uniformity check raises; null
+    # vectors contribute nothing (the explode form skipped them too).
+    # embedding_moments stays the shared primitive for
+    # covariance_matrix, whose oracle-paired query's plan must not
     # drift (green r10).
     dfp = fan_out(df.select(id_col, vec_col))
-    v = _as_double(vec_col)
-    terms = F.expr(
-        f"""
-        flatten(transform({v}, (xi, i) -> concat(
-            array(struct(i AS i, -1 AS j,
-                         cast(round(xi * 1e10, 0) AS BIGINT) AS p)),
-            transform(slice({v}, i + 1, size({vec_col}) - i), (xj, j) ->
-                struct(i AS i, i + j AS j,
-                       cast(round(xi * xj * 1e10, 0) AS BIGINT) AS p)))))
-        """
-    )
+    vec_field = vec_col
+
+    def _partial_fold(batches):
+        from collections import defaultdict
+
+        acc: dict = defaultdict(lambda: None)
+        for pdf in batches:
+            groups = defaultdict(list)
+            for v in pdf[vec_field]:
+                if v is not None:
+                    groups[len(v)].append(v)
+            for dlen, vs in groups.items():
+                m = np.asarray(vs, dtype=np.float64)
+                st = acc[dlen]
+                if st is None:
+                    st = acc[dlen] = [
+                        np.zeros(dlen, dtype=np.int64),      # Σ p1
+                        np.zeros(dlen, dtype=np.int64),      # max |p1|
+                        np.zeros((dlen, dlen), dtype=np.int64),  # Σ p2
+                        np.zeros((dlen, dlen), dtype=np.int64),  # max |p2|
+                        0,                                    # rows
+                    ]
+                for lo in range(0, m.shape[0], 256):
+                    ch = m[lo : lo + 256]
+                    p1 = ch * 1e10
+                    p1 = (np.sign(p1) * np.floor(np.abs(p1) + 0.5)).astype(
+                        np.int64
+                    )
+                    p2 = ch[:, :, None] * ch[:, None, :] * 1e10
+                    p2 = (np.sign(p2) * np.floor(np.abs(p2) + 0.5)).astype(
+                        np.int64
+                    )
+                    st[0] += p1.sum(axis=0)
+                    np.maximum(st[1], np.abs(p1).max(axis=0), out=st[1])
+                    st[2] += p2.sum(axis=0)
+                    np.maximum(st[3], np.abs(p2).max(axis=0), out=st[3])
+                    st[4] += ch.shape[0]
+        out_i, out_j, out_s, out_m, out_c = [], [], [], [], []
+        for dlen, st in acc.items():
+            if st is None:
+                continue
+            s1, m1, s2, m2, c = st
+            iu, ju = np.triu_indices(dlen)
+            out_i.extend(range(dlen))
+            out_j.extend([-1] * dlen)
+            out_s.extend(s1.tolist())
+            out_m.extend(m1.tolist())
+            out_c.extend([c] * dlen)
+            out_i.extend(iu.tolist())
+            out_j.extend(ju.tolist())
+            out_s.extend(s2[iu, ju].tolist())
+            out_m.extend(m2[iu, ju].tolist())
+            out_c.extend([c] * len(iu))
+        if out_i:
+            yield pd.DataFrame(
+                {
+                    "i": np.asarray(out_i, dtype=np.int32),
+                    "j": np.asarray(out_j, dtype=np.int32),
+                    "p": np.asarray(out_s, dtype=np.int64),
+                    "pm": np.asarray(out_m, dtype=np.int64),
+                    "pc": np.asarray(out_c, dtype=np.int64),
+                }
+            )
+
     rows = (
-        dfp.select(F.explode(terms).alias("e"))
-        .select("e.i", "e.j", "e.p")
+        dfp.mapInPandas(
+            _partial_fold, "i int, j int, p long, pm long, pc long"
+        )
         .groupBy("i", "j")
         .agg(
             F.sum("p").alias("_s"),
-            F.max(F.abs(F.col("p"))).alias("_m"),
-            F.count("*").alias("_c"),
+            F.max("pm").alias("_m"),
+            F.sum("pc").alias("_c"),
         )
         .collect()
     )
