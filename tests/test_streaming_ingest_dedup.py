@@ -324,3 +324,42 @@ def test_ingest_batch_replay_is_exactly_once(spark, sf_dir):
         )
 
     _drop_tables(spark, band_t, pairs_t)
+
+
+def test_loop_refuses_uncheckpointed_and_committer_v2(spark, sf_dir):
+    """The two r13 misuse guards: (1) streaming_ingest_dedup without a
+    checkpoint_dir raises unless explicitly waived (an uncheckpointed
+    restart renumbers batch_ids and the stamp ledger silently SKIPS
+    fresh data); (2) process_ingest_batch refuses to run under
+    FileOutputCommitter algorithm 2, where partial task output is
+    visible and the any-stamped-row commit inference is unsound."""
+    from technical_test_data_engineer_spark.streaming.neardup import (
+        process_ingest_batch,
+        streaming_ingest_dedup,
+    )
+
+    stream = (
+        spark.readStream.format("rate")
+        .load()
+        .selectExpr("value AS doc_id", "'x' AS text")
+    )
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        streaming_ingest_dedup(stream, "never_band", "never_pairs")
+
+    batch = load_table(spark, sf_dir, "documents").filter(
+        "doc_id < 10"
+    ).select("doc_id", "text")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.algorithm.version"
+    prev = hconf.get(key)
+    hconf.set(key, "2")
+    try:
+        with pytest.raises(RuntimeError, match="algorithm"):
+            process_ingest_batch(
+                batch, 0, "never_band", "never_pairs", n_buckets=4
+            )
+    finally:
+        if prev is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev)
