@@ -2380,14 +2380,26 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         WHERE l_quantity > 0 AND l_extendedprice > 0
     ),
-    m AS (
+    ml AS (
         SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+               CAST(SUM(CAST(ROUND(x * 1e10, 0) AS BIGINT)) AS BIGINT) AS sxl,
+               CAST(SUM(CAST(ROUND(y * 1e10, 0) AS BIGINT)) AS BIGINT) AS syl,
+               CAST(SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS sxyl,
+               CAST(SUM(CAST(ROUND(x * x * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS sxxl,
+               CAST(SUM(CAST(ROUND(y * y * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS syyl
         FROM p
+    ),
+    m AS (
+        SELECT n,
+               CAST(sxl AS DOUBLE) / 1e10 AS sx,
+               CAST(syl AS DOUBLE) / 1e10 AS sy,
+               CAST(sxyl AS DOUBLE) / 1e10 AS sxy,
+               CAST(sxxl AS DOUBLE) / 1e10 AS sxx,
+               CAST(syyl AS DOUBLE) / 1e10 AS syy
+        FROM ml
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            ROUND((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0), 6)
@@ -2410,8 +2422,10 @@ def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept and r². No MLlib, no iteration, no second scan — at
     100 TB this is a single partial-aggregated scan. Per-row LN runs
     on identical doubles (unit price is one exact-rounded division);
-    moments accumulate in DECIMAL so partition order can't drift the
-    hash; NULLIF guards degenerate zero-variance fixtures. The
+    moments accumulate as integer-scaled BIGINT folds (round(t*1e10),
+    the embedding_moments convention) so partition order can't drift
+    the hash and the sums stay in whole-stage codegen; NULLIF guards
+    degenerate zero-variance fixtures. The
     synthetic fixture's slope ≈ 0 is itself the correct readout
     (price and quantity are drawn independently) — asserted in
     tests, alongside an exact-slope planted-line fixture."""
@@ -2422,14 +2436,30 @@ def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
         F.log(F.col("l_quantity")).alias("y"),
     )
-    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    # r13: integer-scaled long folds (round(t*1e10) summed as BIGINT —
+    # the embedding_moments convention) replace the DECIMAL(30,12)
+    # accumulators: same order-independence, whole-stage-codegen long
+    # sums instead of interpreted BigDecimal (A/B 1.32 vs 2.11 s at
+    # sf0.1). bigint->double then /1e10 mirrors the oracle's
+    # CAST(BIGINT AS DOUBLE)/1e10 exactly (one rounding each). |terms|
+    # <= ~1.3e12, so sums stay under 2^62 up to ~3.5e6 rows per table
+    # at this scale; a 100 TB deployment rescales or shards per the
+    # embedding_moments guard class.
+    i10 = lambda c: F.round(c * F.lit(1e10), 0).cast("bigint")  # noqa: E731
     m = p.agg(
         F.count("*").alias("n"),
-        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
-        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(i10(F.col("x"))).alias("sxl"),
+        F.sum(i10(F.col("y"))).alias("syl"),
+        F.sum(i10(F.col("x") * F.col("y"))).alias("sxyl"),
+        F.sum(i10(F.col("x") * F.col("x"))).alias("sxxl"),
+        F.sum(i10(F.col("y") * F.col("y"))).alias("syyl"),
+    ).select(
+        "n",
+        (F.col("sxl").cast("double") / F.lit(1e10)).alias("sx"),
+        (F.col("syl").cast("double") / F.lit(1e10)).alias("sy"),
+        (F.col("sxyl").cast("double") / F.lit(1e10)).alias("sxy"),
+        (F.col("sxxl").cast("double") / F.lit(1e10)).alias("sxx"),
+        (F.col("syyl").cast("double") / F.lit(1e10)).alias("syy"),
     )
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     varx = F.nullif(
