@@ -184,6 +184,19 @@ Expected multi-scans (all reviewed):
   knn_lsh_exact/knn_pq_exact_rerankall keep their documented knn-
   family counts under the metric="int" migration (no new scans).
 
+- r13 review (sweep run 2026-08-16, diff-clean otherwise): no new
+  undocumented multi-scans from the round's changed plans.
+  part_cf_similarity dropped OFF the report — the derived-n shape's
+  duplicate basket aggregation compiles to one lineitem scan here
+  (small-input plan folds the reuse; at bench scale the duplicate
+  scan is the A/B-measured cheapest shape, see the plan comment).
+  price_quantity_elasticity keeps its single-scan moment agg under
+  the int-scaled fold migration. embedding_pca_project keeps its
+  documented embeddings x2 (mapInPandas partial fold + the Arrow
+  projection pass). curation_pipeline_e2e / part_record_linkage_
+  scores are byte-identical to their r12-green forms (fusion A/B
+  reverted — BASELINE r13).
+
 - r11 review (sweep run 2026-08-16, diff-clean otherwise):
   knn_bruteforce keeps its documented x2 (corpus scan + broadcast
   probe filter, the knn family shape) under the metric="int"
