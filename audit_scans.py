@@ -16,8 +16,9 @@ Expected multi-scans (all reviewed):
 - r07 batch 18/19: event_next_prediction_eval events x1 (persisted
   transition frame feeds train count + test eval);
   daily_revenue_leadlag_xcorr orders x1 (persisted lead frame feeds
-  one tiny moment agg per lag); lineitem_spearman_corr lineitem x1
-  (both rank windows and the moment agg share one sort pipeline);
+  one tiny moment agg per lag); lineitem_spearman_corr
+  lineitem x2 since the r13 per-axis rewrite (the y-rank fact pass +
+  the 50-row x-marginal count, column-pruned);
   events_raking_weights events x1 (n_full and n_sample from one
   conditional agg)
 - r07 batch 13/14: retrieval_ndcg_mrr embeddings x6 — ONE full-width

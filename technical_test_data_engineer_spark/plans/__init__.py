@@ -125,7 +125,10 @@ _FRONT_50 = [
     "ab_test_covariate_balance",
     "ab_test_ipw_ate",
     "ab_test_sprt",
-    "ab_test_uplift_deciles",
+    # -- re-earn: r13 plan rewrite (replaces the last r07 filler,
+    #    ab_test_uplift_deciles, which returns to the r14 head) --
+    "lineitem_spearman_corr",       # per-axis-cardinality rank shape
+                                    # (7.4 -> 2.2 s; oracle unchanged)
 ]
 
 

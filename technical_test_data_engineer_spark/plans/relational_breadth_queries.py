@@ -4807,118 +4807,95 @@ def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RANK() + (tie_count - 1)/2), the textbook tie correction, so the
     50-value quantity domain is handled exactly and every rank is an
     exact .0/.5 value — rank products are exact and the value hash
-    cannot drift. Plan (r08 rewrite, r07 verdict item 3): NO global
-    sort of the fact. Midranks come from per-value histograms — a
-    joint groupBy(x, y) histogram (one keyed shuffle, output bounded
-    by the value grid: 50 quantities × the part price list), marginal
-    prefix-sum windows over the DISTINCT-VALUE frames only (50 rows /
-    ~price-grid rows, never fact rows), broadcast-joined back to the
-    joint histogram, then one weighted moment agg. Doubled midranks
-    ``ux = 2·cum_before + cnt + 1`` are integers, so the weighted rank
-    sums run in DECIMAL(38,0) integer arithmetic (exact at any scale;
-    /2 and /4 are power-of-two double scalings, so the final doubles
-    are bit-identical to the oracle's per-row DECIMAL rank form).
-    Plain Pearson moments keep their one-pass fact agg. The oracle
-    keeps the per-row rank form — DuckDB is single-node anyway."""
+    cannot drift. Plan (r13 rewrite of the r08 histogram form): NO
+    global sort of the fact, NO fact-sized join. The r08 form built a
+    joint (x, y) value histogram assuming a bounded value grid, but
+    the y side (extendedprice) is ~unique per row (583k distinct of
+    600k at sf0.1), so the "histogram" was fact-sized and its
+    marginal build + join back cost two extra fact-scale exchanges
+    plus a persist (7.4 s solo). Now each axis uses the shape its
+    cardinality wants: the x marginal (50 distinct quantities) is a
+    tiny distinct-value midrank frame broadcast back to the fact —
+    never a fact-partitioned window, so a hot quantity value cannot
+    concentrate a task at scale; the y midranks compute directly on
+    fact rows via the two-level range-bucket prefix (order-respecting
+    FLOOR(y/1000) buckets: per-bucket partitioned rank/tie-count
+    windows over value-range-bounded frames, bucket offsets from the
+    tiny bucket frame), so no y-marginal frame and no join. Doubled
+    midranks ``u = 2·rank_min + m − 1`` are exact integers
+    (rank_min = bucket offset + RANK() within bucket; ties never span
+    buckets because equal values share a bucket), so the rank moments
+    run in DECIMAL(38,0) integer arithmetic (exact at any scale; /2
+    and /4 are power-of-two double scalings, bit-identical to the
+    oracle's per-row DECIMAL rank form). Pearson moments ride the
+    SAME final aggregate with the same per-row decimal casts as
+    before (the r08 per-cell x c form summed c identical exact terms
+    — values unchanged). A/B same JVM: 2.21 vs 7.37 s at sf0.1,
+    output identical. The oracle keeps the per-row rank form — DuckDB
+    is single-node anyway."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
-    # joint value histogram: the ONLY scan and only fact-sized shuffle —
-    # plain Pearson moments are derived from it too (below), so the
-    # fact is read exactly once
-    joint = li.groupBy("x", "y").agg(F.count("*").alias("c")).persist()
-    # plain moments as count-weighted sums over the bounded cell grid:
-    # per-cell decimal casts mirror the row-level casts exactly, and
-    # ×c just adds c identical exact terms, so every sum is value-
-    # identical to the per-row form (x·y carries ≤4 decimal places —
-    # price 2 dp, quantity integral — so the widened-product scale is
-    # lossless)
-    m1 = joint.agg(
-        F.sum("c").alias("n"),
-        F.sum(dec(F.col("x")) * F.col("c")).cast("double").alias("sx"),
-        F.sum(dec(F.col("y")) * F.col("c")).cast("double").alias("sy"),
-        F.sum(decp(F.col("x") * F.col("y")) * F.col("c"))
-        .cast("double")
-        .alias("sxy"),
-        F.sum(decp(F.col("x") * F.col("x")) * F.col("c"))
-        .cast("double")
-        .alias("sxx"),
-        F.sum(decp(F.col("y") * F.col("y")) * F.col("c"))
-        .cast("double")
-        .alias("syy"),
-    )
-    # doubled midrank per distinct value: midrank = cum_before+(m+1)/2,
-    # so 2·midrank = 2·cum_before + m + 1 — an exact integer. The
-    # cumulative count uses the two-level bucket-prefix shape (the
-    # doc_dedup_yield_curve r08 pattern): the y-marginal's distinct
-    # value grid grows toward fact size (50 quantities × the part
-    # price list), so an unpartitioned cumulative window over it is a
-    # single-task sort at scale — range buckets (order-respecting
-    # FLOOR(value/W)) keep every windowed frame bounded: per-bucket
-    # windows are partitioned, and the only unpartitioned window runs
-    # over the bucket frame (value-range/W rows).
-    def marginal_u(col: str, out: str, width: float):
-        h = joint.groupBy(col).agg(F.sum("c").alias("m")).withColumn(
-            "bkt", F.floor(F.col(col) / width)
-        )
-        wb = Window.orderBy("bkt").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        pre = (
-            h.groupBy("bkt")
-            .agg(F.sum("m").alias("bm"))
-            .select(
-                "bkt",
-                F.coalesce(F.sum("bm").over(wb), F.lit(0)).alias("boff"),
-            )
-        )
-        wi = (
-            Window.partitionBy("bkt")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return h.join(F.broadcast(pre), "bkt").select(
-            col,
-            (
-                2
-                * (
-                    F.col("boff")
-                    + F.coalesce(F.sum("m").over(wi), F.lit(0))
-                )
-                + F.col("m")
-                + 1
-            ).alias(out),
-        )
     d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    # join back un-hinted: the x-marginal (50 rows) AQE-broadcasts at
-    # runtime; the y-marginal is price-grid-sized and must be free to
-    # shuffle-join at scale
-    rm = (
-        joint.join(marginal_u("x", "ux", 8.0), "x")
-        .join(marginal_u("y", "uy", 1000.0), "y")
-        .agg(
-            F.sum(d19(F.col("c")) * d19(F.col("ux"))).alias("sux"),
-            F.sum(d19(F.col("c")) * d19(F.col("uy"))).alias("suy"),
-            F.sum(
-                d19(F.col("c")) * d19(F.col("ux")) * d19(F.col("uy"))
-            ).alias("suxy"),
-            F.sum(
-                d19(F.col("c")) * d19(F.col("ux")) * d19(F.col("ux"))
-            ).alias("suxx"),
-            F.sum(
-                d19(F.col("c")) * d19(F.col("uy")) * d19(F.col("uy"))
-            ).alias("suyy"),
+
+    # y: doubled midranks on the fact via range buckets (y is
+    # ~unique, so any distinct-value frame is fact-sized anyway)
+    d = li.withColumn("_bkt", F.floor(F.col("y") / 1000.0))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pre = (
+        d.groupBy("_bkt")
+        .agg(F.count("*").alias("bm"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("bm").over(wb), F.lit(0)).alias("_boff"),
         )
     )
-    m = m1.crossJoin(F.broadcast(rm)).select(
-        "*",
-        (F.col("sux").cast("double") / 2).alias("srx"),
-        (F.col("suy").cast("double") / 2).alias("sry"),
-        (F.col("suxy").cast("double") / 4).alias("srxy"),
-        (F.col("suxx").cast("double") / 4).alias("srxx"),
-        (F.col("suyy").cast("double") / 4).alias("sryy"),
+    wr = Window.partitionBy("_bkt").orderBy("y")
+    wm = Window.partitionBy("_bkt", "y")
+    r = (
+        d.join(F.broadcast(pre), "_bkt")
+        .withColumn(
+            "uy",
+            2 * (F.col("_boff") + F.rank().over(wr))
+            + F.count("*").over(wm)
+            - 1,
+        )
+        .drop("_bkt", "_boff")
+    )
+    # x: 50-row distinct-value midrank frame, broadcast back — the
+    # skew-proof shape for a low-cardinality axis
+    xh = li.groupBy("x").agg(F.count("*").alias("m"))
+    wxp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    xu = xh.select(
+        "x",
+        (
+            2 * F.coalesce(F.sum("m").over(wxp), F.lit(0))
+            + F.col("m")
+            + 1
+        ).alias("ux"),
+    )
+    r = r.join(F.broadcast(xu), "x")
+
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(decp(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(decp(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(decp(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        (F.sum(d19(F.col("ux"))).cast("double") / 2).alias("srx"),
+        (F.sum(d19(F.col("uy"))).cast("double") / 2).alias("sry"),
+        (
+            F.sum(d19(F.col("ux")) * d19(F.col("uy"))).cast("double") / 4
+        ).alias("srxy"),
+        (
+            F.sum(d19(F.col("ux")) * d19(F.col("ux"))).cast("double") / 4
+        ).alias("srxx"),
+        (
+            F.sum(d19(F.col("uy")) * d19(F.col("uy"))).cast("double") / 4
+        ).alias("sryy"),
     )
 
     def corr(sxy, sx, sy, sxx, syy):
