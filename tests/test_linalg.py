@@ -96,3 +96,45 @@ def test_pca_projection_variance_equals_eigenvalues(spark):
             comps[r] = -comps[r]
     want = (mat - mean) @ comps.T
     assert np.allclose(p, want, atol=1e-8)
+
+
+def test_pca_fold_partials_match_numpy_random(spark):
+    """The r13 Arrow-batched partial fold must reproduce straight-numpy
+    moments on a random corpus (negatives, repeated vectors, several
+    partitions) — the per-term away-from-zero integer convention makes
+    the expected sums exactly computable in numpy."""
+    import random
+
+    rng = random.Random(97)
+    d = 5
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(d)]) for i in range(203)
+    ]
+    rows += [(1000 + i, rows[i][1]) for i in range(7)]  # exact repeats
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+    mean, comps, vals = pca_components(df, k=3)
+
+    m = np.asarray([v for _, v in rows], dtype=np.float64)
+
+    def away(p):
+        return np.sign(p) * np.floor(np.abs(p) + 0.5)
+
+    want_mean = away(m * 1e10).sum(axis=0) / 1e10 / len(rows)
+    assert np.allclose(mean, want_mean, atol=1e-9)
+    # covariance from the same integer-scaled pair sums
+    n = len(rows)
+    s = away(m * 1e10).sum(axis=0) / 1e10
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            sxy = away(m[:, i] * m[:, j] * 1e10).sum() / 1e10
+            c = (sxy - s[i] * s[j] / n) / (n - 1)
+            cov[i, j] = cov[j, i] = c
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(vals, w, atol=1e-9)
+    # components orthonormal + sign convention
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    for r in range(3):
+        assert comps[r, int(np.argmax(np.abs(comps[r])))] > 0

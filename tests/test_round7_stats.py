@@ -170,3 +170,42 @@ def test_jackknife_pseudovalues_average_to_estimate(spark, sf_dir):
     )
     assert rows[0]["jk_se"] > 0
     assert pseudo.std() > 0
+
+
+def test_spearman_random_heavy_ties_matches_pandas(spark, tmp_path):
+    """The r13 per-axis rank shape under adversarial tie structure:
+    x drawn from only 4 distinct values, y quantized so duplicates
+    land ON range-bucket boundaries (value % 1000 == 0 for some rows)
+    — midranks must still match pandas' average-rank correlation."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(5000):
+        x = float(rng.choice([1, 2, 3, 50]))
+        # cluster y on exact multiples of the 1000.0 bucket width for
+        # ~20% of rows so tie groups sit exactly on bucket boundaries
+        y = (
+            float(rng.randrange(1, 8) * 1000)
+            if rng.random() < 0.2
+            else round(rng.uniform(900.0, 8000.0), 2)
+        )
+        rows.append((i, x, y, 1.0))
+    pdf = pd.DataFrame(rows, columns=["k", "x", "y", "pad"])
+    # write the minimal lineitem shape the query reads
+    spark.createDataFrame(
+        pdf.rename(
+            columns={"x": "l_quantity", "y": "l_extendedprice"}
+        )[["l_quantity", "l_extendedprice"]]
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from technical_test_data_engineer_spark.plans.relational_breadth_queries import (  # noqa: E501
+        lineitem_spearman_corr,
+    )
+
+    out = lineitem_spearman_corr(spark, str(tmp_path)).collect()[0]
+    rx, ry = pdf["x"].rank(method="average"), pdf["y"].rank(method="average")
+    assert out["n_rows"] == len(pdf)
+    assert abs(out["spearman"] - rx.corr(ry)) < 1e-6
+    assert abs(out["pearson"] - pdf["x"].corr(pdf["y"])) < 1e-6
