@@ -6040,15 +6040,34 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     duel self-join is part-keyed (suppliers-per-part bounded) and runs
     in whole-stage codegen — measured 1.6× faster than the HOF
     collect_list/transform pair generator, whose nested lambdas
-    evaluate interpreted (r08 experiment). MM bookkeeping is one pass
-    per round (r08, r07 verdict item 7): round-1's totals, uniform
-    denominator, and strength fuse into a single supplier-keyed agg
-    whose result (supplier-count rows) is collected once — the house
-    vocab-bounded-solve discipline — and re-enters round-2 as a
-    LocalTableScan broadcast (hash-join lookups with no lineage to
-    re-materialize; every value was engine-rounded before collection
-    and binary64 round-trips exactly), replacing round-7's two
-    lineage-replaying broadcast joins plus `tot` join."""
+    evaluate interpreted (r08 experiment).
+
+    MM bookkeeping (r14, r13 verdict item 4): the DISTRIBUTED work is
+    exactly the fact-sized part — unit prices, the part-keyed duel
+    join, and the duel→pair-count reduction. The reduced pair-count
+    matrix is supplier²/2-bounded (499,500 rows ≈ 20 MB at sf0.1 —
+    the bound is C(|supplier|, 2), stated per the house
+    bounded-collect discipline), so it is fetched ONCE via Arrow and
+    BOTH MM rounds run driver-side in numpy (the channel_conversion_k8
+    attribution discipline), replacing r08's second pair-frame pass +
+    two broadcast joins + distributed top-20 sort. Driver arithmetic
+    mirrors the oracle step for step: wins and their sums are exact
+    halves (< 2^52, order-free); round-1's Σ ROUND(n/2.0, 9) is
+    exactly games/2 (n/2.0 is exactly representable and survives
+    9-digit rounding unchanged, each term casts to DECIMAL(30,12)
+    exactly, and the decimal sum games/2 round-trips to binary64);
+    round-2 terms ROUND(n/(s_i+s_j), 9) are folded as 1e9-scaled
+    int64 (exact — the decimal-sum-then-CAST-DOUBLE of 9-digit
+    multiples is the correctly-rounded quotient sum/1e9, and the
+    scaled sum stays < 2^53 through sf1), with the half-up rounding
+    computed as floor(t·1e9 + 0.5) EXCEPT in a guard band of 1e-4
+    around .5 boundaries where the decimal-repr-faithful
+    Decimal(repr(t)) path runs instead — wide enough to absorb the
+    ~1e-5 absolute float error of t·1e9 at t ~ 100, so every term
+    matches BigDecimal(Double.toString) HALF_UP bit-for-bit (the
+    linalg r13 ADVICE boundary-window class, closed by construction
+    here). All per-supplier strengths, rank keys, and display
+    roundings take the exact Decimal path (supplier-bounded)."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     ps = (
@@ -6059,7 +6078,8 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(dec(F.col("l_quantity"))).cast("double")
             ).alias("price")
         )
-        .persist()  # feeds both sides of the part-keyed duel self-join
+        # no persist: the self-join's two sides reuse one shuffle via
+        # ReusedExchange (same-JVM A/B r14: persist 2.90 vs bare 2.92 s)
     )
     a = ps.select(
         F.col("l_partkey").alias("pk"),
@@ -6092,68 +6112,95 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_u = duel.groupBy("i", "j").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("w").cast("double").alias("wins"),
-    ).persist()  # BOTH union branches below and (through them) both MM
-    # rounds replay from here — without this the SMJ runs once per branch
-    pair = pair_u.unionByName(
-        pair_u.select(
-            F.col("j").alias("i"),
-            F.col("i").alias("j"),
-            "n",
-            (F.col("n").cast("double") - F.col("wins")).alias("wins"),
-        )
     )
-    # round 1 fused: totals + uniform-start denominator + strength in
-    # ONE supplier-keyed agg, engine-rounded, then a bounded collect
-    stats = pair.groupBy("i").agg(
-        F.sum("n").alias("games"),
-        F.round(F.sum("wins"), 6).alias("w_i"),
-        F.sum(F.round(F.col("n") / 2.0, 9).cast("decimal(30,12)"))
-        .cast("double")
-        .alias("den"),
+    # bounded collect — C(|supplier|, 2) rows max (499,500 / ~20 MB at
+    # sf0.1): the whole MM solve below is pair-matrix-sized, so it runs
+    # driver-side off this ONE Arrow fetch (see docstring)
+    from pyspark.sql import types as T
+
+    pdf = pair_u.toPandas()
+    key_type = li.schema["l_suppkey"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("suppkey", key_type),
+            T.StructField("n_games", T.LongType()),
+            T.StructField("n_wins", T.DoubleType()),
+            T.StructField("bt_strength", T.DoubleType()),
+        ]
     )
-    s1 = stats.select(
-        "i",
-        "games",
-        "w_i",
-        F.round(F.col("w_i") / F.col("den"), 12).alias("s"),
-    )
-    s1_local = spark.createDataFrame(s1.collect(), schema=s1.schema)
-    si = s1_local.select(
-        F.col("i").alias("_i"),
-        F.col("games"),
-        F.col("w_i"),
-        F.col("s").alias("si"),
-    )
-    sj = s1_local.select(F.col("i").alias("_j"), F.col("s").alias("sj"))
-    s2 = (
-        pair.join(F.broadcast(si), pair.i == F.col("_i"))
-        .join(F.broadcast(sj), pair.j == F.col("_j"))
-        .groupBy("i", "games", "w_i")
-        .agg(
-            F.sum(
-                F.round(F.col("n") / (F.col("si") + F.col("sj")), 9)
-                .cast("decimal(30,12)")
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r(x: float, digits: int) -> float:
+        # Spark ROUND on double: BigDecimal(Double.toString(x)) HALF_UP
+        # — repr() is the same shortest round-trip decimal form
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-digits), ROUND_HALF_UP
             )
-            .cast("double")
-            .alias("den")
         )
-        .select(
-            "i",
-            "games",
-            "w_i",
-            F.round(F.col("w_i") / F.col("den"), 12).alias("s"),
-        )
+
+    # mirror both duel directions: wins_ji = n - wins_ij (exact — per-
+    # game w flips 1<->0, 0.5 stays, and sums of halves are exact)
+    iu = pdf["i"].to_numpy()
+    ju = pdf["j"].to_numpy()
+    nu = pdf["n"].to_numpy(dtype=np.int64)
+    wu = pdf["wins"].to_numpy(dtype=np.float64)
+    src = np.concatenate([iu, ju])
+    dst = np.concatenate([ju, iu])
+    n = np.concatenate([nu, nu])
+    wins = np.concatenate([wu, nu.astype(np.float64) - wu])
+
+    supp = np.unique(src)
+    idx = {int(s): k for k, s in enumerate(supp)}
+    si_ix = np.fromiter((idx[int(s)] for s in src), np.int64, len(src))
+    sj_ix = np.fromiter((idx[int(s)] for s in dst), np.int64, len(dst))
+    games = np.bincount(si_ix, weights=n, minlength=len(supp))
+    # exact: wins are multiples of 0.5 and games < 2^52
+    w_i = np.bincount(si_ix, weights=wins, minlength=len(supp))
+    w_i = np.array([_r(x, 6) for x in w_i])
+    # round 1: Σ_j ROUND(n/2.0, 9) == games/2 exactly (see docstring)
+    s1 = np.array(
+        [_r(w, 12) for w in w_i / (games / 2.0)]
     )
-    return (
-        s2.orderBy(F.round(F.col("s"), 9).desc(), F.asc("i"))
-        .limit(20)
-        .select(
-            F.col("i").alias("suppkey"),
-            F.col("games").cast("bigint").alias("n_games"),
-            F.round("w_i", 2).alias("n_wins"),
-            F.round("s", 6).alias("bt_strength"),
+
+    def _fold_terms(t: np.ndarray) -> np.ndarray:
+        """1e9-scaled int64 of ROUND(t, 9): vectorized floor(f+0.5)
+        with the ulp-window terms recomputed via Decimal(repr)."""
+        f = t * 1e9
+        scaled = np.floor(f + 0.5).astype(np.int64)
+        frac = f - np.floor(f)
+        risky = np.abs(frac - 0.5) < 1e-4
+        for k in np.nonzero(risky)[0]:
+            scaled[k] = int(
+                (
+                    Decimal(repr(float(t[k]))) * (10**9)
+                ).quantize(Decimal(1), ROUND_HALF_UP)
+            )
+        return scaled
+
+    den2_scaled = np.zeros(len(supp), dtype=np.int64)
+    terms = _fold_terms(n / (s1[si_ix] + s1[sj_ix]))
+    np.add.at(den2_scaled, si_ix, terms)
+    den2 = den2_scaled.astype(np.float64) / 1e9
+    s2 = np.array([_r(w, 12) for w in w_i / den2])
+
+    order = sorted(
+        range(len(supp)),
+        key=lambda k: (-_r(s2[k], 9), int(supp[k])),
+    )[:20]
+    rows = [
+        (
+            int(supp[k]),
+            int(games[k]),
+            _r(w_i[k], 2),
+            _r(s2[k], 6),
         )
-    )
+        for k in order
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 @query(
