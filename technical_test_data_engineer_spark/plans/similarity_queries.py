@@ -1670,23 +1670,26 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT label, dim,
-               CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE)
-                   / COUNT(*) AS c
+               CAST(SUM(CAST(ROUND(x * 1e10, 0) AS BIGINT)) AS DOUBLE)
+                   / 1e10 / COUNT(*) AS c
         FROM x GROUP BY label, dim
     ),
     nv AS (
         SELECT vec_id,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,30))) AS DOUBLE) AS na
+               CAST(SUM(CAST(ROUND(x * x * 1e10, 0) AS BIGINT)) AS DOUBLE)
+                   / 1e10 AS na
         FROM x GROUP BY vec_id
     ),
     nc AS (
         SELECT label,
-               CAST(SUM(CAST(c * c AS DECIMAL(38,30))) AS DOUBLE) AS ncv
+               CAST(SUM(CAST(ROUND(c * c * 1e10, 0) AS BIGINT)) AS DOUBLE)
+                   / 1e10 AS ncv
         FROM c GROUP BY label
     ),
     dots AS (
         SELECT x.vec_id, x.label AS vlabel, c.label AS clabel,
-               CAST(SUM(CAST(x.x * c.c AS DECIMAL(38,30))) AS DOUBLE) AS dot
+               CAST(SUM(CAST(ROUND(x.x * c.c * 1e10, 0) AS BIGINT))
+                    AS DOUBLE) / 1e10 AS dot
         FROM x JOIN c ON c.dim = x.dim
         GROUP BY x.vec_id, x.label, c.label
     ),
@@ -1728,37 +1731,51 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded (vec, dim, val) frame persists once and feeds centroid
     means, per-vector norms, AND the dot products — dots come from a
     dim-keyed broadcast join against the (labels × dims) centroid
-    table with native DECIMAL sum aggregation (whole-stage codegen),
-    replacing the corpus × labels interpreted decimal HOF folds that
-    also re-derived each vector's norm once per label (measured 6.7 s
-    → ~2 s; exact decimal sums are order-free, so every value is
-    bit-identical to the fold form and the oracle is untouched).
-    Cosines round to 12 (the house ranking convention) before the max
-    comparison, margins decimal-summed. At 100 TB: one scan, one
-    (labels × dims) shuffle, one (vec × labels)-bounded partial-agg
-    shuffle, nothing else moves."""
-    from pyspark.sql.types import DecimalType
-
-    dec = DecimalType(38, 30)
+    table, replacing the corpus × labels interpreted decimal HOF folds
+    that also re-derived each vector's norm once per label (measured
+    6.7 s → ~2 s in r08). r14 (r13 verdict item 5): the DECIMAL(38,30)
+    accumulators on the centroid / norm / dot sums switched to the
+    integer-scaled BIGINT fold convention (round(t·1e10) summed as
+    long — the price_quantity_elasticity / embedding_moments
+    precedent): same order-independence, but the sums stay in
+    whole-stage codegen instead of interpreted BigDecimal; the oracle
+    is regenerated with the matching CAST(SUM(...BIGINT) AS
+    DOUBLE)/1e10 rescale. |terms| ≤ ~1e11 with ≤ 4096 dims per vector
+    keeps every sum far under 2^53. Cosines round to 12 (the house
+    ranking convention) before the max comparison, margins
+    decimal-summed (vector-count rows — off the hot path). At 100 TB:
+    one scan, one (labels × dims) shuffle, one (vec × labels)-bounded
+    partial-agg shuffle, nothing else moves."""
     emb = load_table(spark, sf_dir, "embeddings")
+    i10 = lambda c: F.round(c * F.lit(1e10), 0).cast("bigint")  # noqa: E731
     xl = emb.select(
         "vec_id",
         "label",
         F.posexplode(F.col("embedding")).alias("dim", "val"),
-    ).withColumn("val", F.col("val").cast("double")).persist()
-    # ^ feeds the centroid means, the per-vector norms, and the dots
+    ).withColumn("val", F.col("val").cast("double"))
+    # feeds the centroid means, the per-vector norms, and the dots —
+    # UNpersisted (r14 A/B: bare 1.92 vs persisted 2.22 s): the
+    # explode recompute is corpus-scan-sized and caching it races the
+    # concurrent broadcast futures against an unpopulated cache (the
+    # r13 count-fusion-boundary class)
     cent_long = xl.groupBy("label", "dim").agg(
-        (F.sum(F.col("val").cast(dec)).cast("double") / F.count("*")).alias(
-            "c"
-        )
-    ).persist()  # feeds the centroid norms AND the dot join
+        (
+            F.sum(i10(F.col("val"))).cast("double")
+            / F.lit(1e10)
+            / F.count("*")
+        ).alias("c")
+    )  # (labels × dims)-bounded; recomputed per consumer, see above
     nv = xl.groupBy("vec_id").agg(
-        F.sum((F.col("val") * F.col("val")).cast(dec))
-        .cast("double")
-        .alias("na")
+        (
+            F.sum(i10(F.col("val") * F.col("val"))).cast("double")
+            / F.lit(1e10)
+        ).alias("na")
     )
     nc = cent_long.groupBy(F.col("label").alias("clabel")).agg(
-        F.sum((F.col("c") * F.col("c")).cast(dec)).cast("double").alias("ncv")
+        (
+            F.sum(i10(F.col("c") * F.col("c"))).cast("double")
+            / F.lit(1e10)
+        ).alias("ncv")
     )
     dots = (
         xl.join(
@@ -1771,9 +1788,10 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("vec_id", "label", "clabel")
         .agg(
-            F.sum((F.col("val") * F.col("c")).cast(dec))
-            .cast("double")
-            .alias("dot")
+            (
+                F.sum(i10(F.col("val") * F.col("c"))).cast("double")
+                / F.lit(1e10)
+            ).alias("dot")
         )
     )
     scored = (
