@@ -179,13 +179,41 @@ def _assert_atomic_job_commit(spark) -> None:
     EMRFS/S3A "magic" committers' single-manifest publish — or swap
     the stamp probe for an explicit per-batch marker committed AFTER
     the data append.)"""
-    v = (
-        spark.sparkContext._jsc.hadoopConfiguration().get(
-            "mapreduce.fileoutputcommitter.algorithm.version"
+    try:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        try:
+            # resolve an UNSET key the way FileOutputCommitter itself
+            # does — with the running Hadoop line's compiled-in default
+            # (ADVICE r13: on lines whose code default is 2, a bare "1"
+            # fallback would pass the guard while the actual committer
+            # publishes per-task)
+            default = int(
+                spark._jvm.org.apache.hadoop.mapreduce.lib.output
+                .FileOutputCommitter.FILEOUTPUTCOMMITTER_ALGORITHM_VERSION_DEFAULT
+            )
+        except Exception:
+            default = 1  # pre-algorithm-2 Hadoop lines had only v1
+        v = hconf.getInt(
+            "mapreduce.fileoutputcommitter.algorithm.version", default
         )
-        or "1"
-    )
-    if v != "1":
+    except Exception:
+        # Spark Connect: no JVM bridge to read the Hadoop conf. The
+        # documented degrade is WARN-and-proceed rather than refuse —
+        # the guard is an operational backstop, and a Connect
+        # deployment configures its committer server-side where this
+        # client cannot see it.
+        import warnings
+
+        warnings.warn(
+            "cannot verify mapreduce.fileoutputcommitter.algorithm."
+            "version (no JVM bridge — Spark Connect?); the ingest-dedup "
+            "stamp ledger is only crash-safe under committer algorithm "
+            "1 — verify the server-side committer configuration",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
+    if v != 1:
         raise RuntimeError(
             "ingest-dedup loop requires atomic job commit: "
             "mapreduce.fileoutputcommitter.algorithm.version is "
@@ -195,6 +223,58 @@ def _assert_atomic_job_commit(spark) -> None:
         )
 
 
+def _stamp_dir_probe(
+    spark, table_name: str, batch_id: int
+) -> bool | None:
+    """Driver-side form of the stamp probe for stamp-PARTITIONED local
+    tables: list ``<location>/_ingest_batch=<id>/`` and report whether
+    a committed data file is present. Same source of truth as the
+    Spark-job probe — the FILES — just read from the driver: under
+    committer algorithm 1 (asserted at loop entry) task files live in
+    ``_temporary`` until the single job-commit rename drops them into
+    the partition directory, so a non-hidden file there means the
+    append committed. Returns None (caller falls back to the job
+    probe) when the table isn't partitioned on exactly
+    ``_ingest_batch`` or lives on a non-local filesystem — at which
+    point correctness is unchanged and only the ~1 s/probe scheduler
+    saving is lost."""
+    import os
+
+    try:
+        rows = spark.sql(f"DESC FORMATTED {table_name}").collect()
+    except Exception:
+        return None
+    part_cols: list[str] = []
+    in_part = False
+    location = None
+    for r in rows:
+        name = r.col_name or ""
+        if name == "# Partition Information":
+            in_part = True
+            continue
+        if in_part:
+            if name == "# col_name":
+                continue
+            if not name or name.startswith("#"):
+                in_part = False
+                continue
+            part_cols.append(name)
+        if name == "Location":
+            location = r.data_type
+    if part_cols != ["_ingest_batch"] or not location:
+        return None
+    if not location.startswith("file:"):
+        return None
+    pdir = os.path.join(
+        location.removeprefix("file:"), f"_ingest_batch={batch_id}"
+    )
+    if not os.path.isdir(pdir):
+        return False
+    return any(
+        not f.startswith(("_", ".")) for f in os.listdir(pdir)
+    )
+
+
 def _batch_already_written(spark, table_name: str, batch_id: int) -> bool:
     """True iff ``table_name`` exists and already holds rows stamped
     ``_ingest_batch == batch_id`` — i.e. this batch's append COMMITTED
@@ -202,10 +282,11 @@ def _batch_already_written(spark, table_name: str, batch_id: int) -> bool:
     protocol makes each append job atomic under committer algorithm 1
     (asserted by ``_assert_atomic_job_commit`` at loop entry; task
     files stay invisible until the single job-commit rename), so
-    presence of any stamped row means the whole batch landed. The
-    filter is a parquet min/max row-group prune; a production table
-    would additionally partition on the stamp column for
-    directory-level pruning."""
+    presence of any stamped file means the whole batch landed. On a
+    stamp-partitioned local table the probe is a driver-side directory
+    listing (``_stamp_dir_probe`` — r14: each Spark-job probe cost ~1 s
+    of pure scheduler latency, 3× per ingest+replay turn); otherwise
+    it falls back to a partition/row-group-pruned emptiness job."""
     if not spark.catalog.tableExists(table_name):
         return False
     tbl = spark.table(table_name)
@@ -216,6 +297,9 @@ def _batch_already_written(spark, table_name: str, batch_id: int) -> bool:
             "materialize_band_table(..., ingest_batch=-1) from day 0 "
             "so replays can detect committed writes"
         )
+    fast = _stamp_dir_probe(spark, table_name, batch_id)
+    if fast is not None:
+        return fast
     return not tbl.filter(F.col("_ingest_batch") == batch_id).isEmpty()
 
 

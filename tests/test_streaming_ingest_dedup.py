@@ -363,3 +363,36 @@ def test_loop_refuses_uncheckpointed_and_committer_v2(spark, sf_dir):
             hconf.unset(key)
         else:
             hconf.set(key, prev)
+
+
+def test_stamp_dir_probe_fast_path_and_fallback(spark, sf_dir):
+    """The r14 driver-side stamp probe: on a stamp-PARTITIONED local
+    table it answers from the partition directory listing (True for a
+    committed stamp, False for an absent one); on a table NOT
+    partitioned on _ingest_batch it returns None and
+    _batch_already_written falls back to the pruned emptiness job with
+    the same answers."""
+    from technical_test_data_engineer_spark.streaming.neardup import (
+        _batch_already_written,
+        _stamp_dir_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 30")
+    (band_t,) = _fresh_tables(spark, "probe_band")
+    materialize_band_table(docs, band_t, n_buckets=4, ingest_batch=-1)
+
+    assert _stamp_dir_probe(spark, band_t, -1) is True
+    assert _stamp_dir_probe(spark, band_t, 7) is False
+    assert _batch_already_written(spark, band_t, -1) is True
+    assert _batch_already_written(spark, band_t, 7) is False
+
+    # unpartitioned-but-stamped table: probe abstains, job path answers
+    (flat_t,) = _fresh_tables(spark, "probe_flat")
+    docs.select(
+        "doc_id", F.lit(3).cast("bigint").alias("_ingest_batch")
+    ).write.saveAsTable(flat_t)
+    assert _stamp_dir_probe(spark, flat_t, 3) is None
+    assert _batch_already_written(spark, flat_t, 3) is True
+    assert _batch_already_written(spark, flat_t, 4) is False
+
+    _drop_tables(spark, band_t, flat_t)
