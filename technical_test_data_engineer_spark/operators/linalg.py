@@ -147,6 +147,35 @@ def covariance_matrix(
     )
 
 
+def _round_half_up_1e10(p: np.ndarray) -> np.ndarray:
+    """int64 of ROUND(p, 0) under Spark's double-ROUND semantics
+    (BigDecimal(Double.toString(p)) HALF_UP — away from zero on the
+    decimal-repr tie). Vectorized sign·floor(|p|+0.5) everywhere
+    except a 1e-4 guard band around |frac| = 0.5, where the
+    decimal-repr-faithful Decimal(repr(p)) path runs instead — wide
+    enough to absorb both the ulp-level gap between a double's exact
+    binary value and its shortest decimal repr and the float error of
+    the +0.5 probe at |p| ~ 1e11 (ulp ≈ 1.6e-5), so every element
+    matches Spark ROUND bit-for-bit (ADVICE r13: the bare floor form
+    can round across the boundary inside those ulp-wide windows)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    v = np.abs(p)
+    out = (np.sign(p) * np.floor(v + 0.5)).astype(np.int64)
+    frac = v - np.floor(v)
+    risky = np.abs(frac - 0.5) < 1e-4
+    if risky.any():
+        flat = out.reshape(-1)
+        pv = p.reshape(-1)
+        for k in np.nonzero(risky.reshape(-1))[0]:
+            flat[k] = int(
+                Decimal(repr(float(pv[k]))).quantize(
+                    Decimal(1), ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def pca_components(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -172,12 +201,13 @@ def pca_components(
     # materialized ~D²/2 struct rows PER VECTOR (128M rows at sf0.1)
     # through Generate + hash-agg, and that row traffic, not the
     # arithmetic, was the query's dominant cost (solo 2.4 s → ~0.7 s).
-    # Every per-term value is bit-identical to the old fold: the same
-    # away-from-zero rounding at 1e10 (sign·floor(|p|+0.5) == Spark
-    # ROUND's HALF_UP — the project_embeddings int_scaled convention)
+    # Every per-term value matches Spark ROUND HALF_UP bit-for-bit via
+    # _round_half_up_1e10 (r14: vectorized floor with a guard-band
+    # Decimal(repr) path in the ulp-wide .5 windows where bare
+    # sign·floor(|p|+0.5) can differ — the r13 ADVICE boundary class)
     # into int64 partial sums, whose addition is associative, so
-    # mean/cov/eigh are bit-for-bit the old values (numpy-parity tests
-    # unchanged). First moments keep the j = -1 sentinel encoding; the
+    # mean/cov/eigh cannot depend on partition order (numpy-parity
+    # tests, incl. boundary-value cases, pin it). First moments keep the j = -1 sentinel encoding; the
     # final (i, j) aggregate is D²-bounded. Raggedness surfaces the
     # same way as before: vectors of different lengths contribute
     # partials to different (i, j) sets, so the per-pair counts
@@ -209,15 +239,17 @@ def pca_components(
                         np.zeros((dlen, dlen), dtype=np.int64),  # max |p2|
                         0,                                    # rows
                     ]
-                for lo in range(0, m.shape[0], 256):
-                    ch = m[lo : lo + 256]
-                    p1 = ch * 1e10
-                    p1 = (np.sign(p1) * np.floor(np.abs(p1) + 0.5)).astype(
-                        np.int64
-                    )
-                    p2 = ch[:, :, None] * ch[:, None, :] * 1e10
-                    p2 = (np.sign(p2) * np.floor(np.abs(p2) + 0.5)).astype(
-                        np.int64
+                # chunk rows to a fixed ~64 MB outer-product block
+                # budget (ADVICE r13: a FIXED 256-row chunk is
+                # 256·D²·8 B — ~537 MB at D = 512, an executor-OOM
+                # risk where the old explode form merely got slow);
+                # 256 stays the cap so D ≤ ~181 keeps the old shape
+                chunk = max(1, min(256, (64 << 20) // (8 * dlen * dlen)))
+                for lo in range(0, m.shape[0], chunk):
+                    ch = m[lo : lo + chunk]
+                    p1 = _round_half_up_1e10(ch * 1e10)
+                    p2 = _round_half_up_1e10(
+                        ch[:, :, None] * ch[:, None, :] * 1e10
                     )
                     st[0] += p1.sum(axis=0)
                     np.maximum(st[1], np.abs(p1).max(axis=0), out=st[1])

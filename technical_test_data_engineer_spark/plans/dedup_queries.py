@@ -953,6 +953,41 @@ def ingest_loop_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
+    # ADVICE r13: session-suffixed names killed the cross-session
+    # DROP/CREATE race but let DEAD sessions' twin tables accumulate in
+    # the shared warehouse forever. Sweep STALE siblings here — any
+    # ingest_twin_* table/dir under another session's suffix whose
+    # warehouse dir is missing (orphaned catalog entry) or untouched
+    # for >1 h (a live twin runs in seconds; an unconditional sweep
+    # would re-create the very mid-query race the suffixes fixed).
+    import os
+    import time
+
+    def _stale(dirpath: str) -> bool:
+        try:
+            return time.time() - os.path.getmtime(dirpath) > 3600
+        except OSError:
+            return True  # dir gone: orphaned catalog entry
+
+    for base in ("ingest_twin_band", "ingest_twin_pairs"):
+        mine = session_table_name(spark, base)
+        for tbl in spark.catalog.listTables():
+            if (
+                tbl.name.startswith(f"{base}_")
+                and tbl.name != mine
+                and _stale(os.path.join(warehouse, tbl.name))
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+        if os.path.isdir(warehouse):
+            for d in os.listdir(warehouse):
+                if (
+                    d.startswith(f"{base}_")
+                    and d != mine
+                    and _stale(os.path.join(warehouse, d))
+                ):
+                    shutil.rmtree(
+                        os.path.join(warehouse, d), ignore_errors=True
+                    )
     for t in (band_t, res_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)

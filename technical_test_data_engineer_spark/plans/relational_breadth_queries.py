@@ -1207,6 +1207,11 @@ def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         [
             (
+                # countDistinct ignores NULL keys, so this form counts
+                # every null-key row as a duplicate — deliberate (a
+                # NULL primary key is itself a violation; o_orderkey is
+                # NOT NULL by schema, and the oracle's COUNT DISTINCT
+                # has identical null semantics)
                 "orderkey_dup_rows",
                 F.count("*") - F.countDistinct("o_orderkey"),
                 lambda o: o == 0,

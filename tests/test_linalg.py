@@ -138,3 +138,66 @@ def test_pca_fold_partials_match_numpy_random(spark):
     assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
     for r in range(3):
         assert comps[r, int(np.argmax(np.abs(comps[r])))] > 0
+
+
+def test_round_half_up_1e10_matches_spark_round(spark):
+    """Boundary-value cases for the fold's rounding (ADVICE r13): at,
+    one-ulp-below, and one-ulp-above every probed k + 0.5 tie — plus
+    generic magnitudes up to ~1e11 where the +0.5 float probe is
+    fuzziest — the helper must equal Spark's ROUND(p, 0) bit-for-bit,
+    because Spark IS the convention the fold claims."""
+    from pyspark.sql import functions as F
+
+    from technical_test_data_engineer_spark.operators.linalg import (
+        _round_half_up_1e10,
+    )
+
+    vals = []
+    for k in (0, 1, 2, 7, 123, 10**6, 10**9, 123456789012, 2**52 - 1):
+        for sign in (1.0, -1.0):
+            base = sign * (k + 0.5)
+            vals += [
+                base,
+                np.nextafter(base, -np.inf),
+                np.nextafter(base, np.inf),
+            ]
+    rng = np.random.default_rng(5)
+    vals += [float(v) for v in rng.uniform(-1e11, 1e11, 300)]
+    arr = np.asarray(vals, dtype=np.float64)
+    got = _round_half_up_1e10(arr).tolist()
+    sdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "idx long, p double"
+    )
+    want = {
+        r.idx: r.r
+        for r in sdf.select(
+            "idx", F.round(F.col("p"), 0).cast("bigint").alias("r")
+        ).collect()
+    }
+    assert got == [want[i] for i in range(len(vals))]
+
+
+def test_pca_fold_wide_vectors_use_smaller_chunks(spark):
+    """The r14 byte-budget chunking (ADVICE r13 OOM note): a D where
+    64 MB / (8 D^2) < 256 must still reproduce straight-numpy moments
+    — same parity contract as the random test, exercised on the
+    shrunken-chunk path."""
+    import random
+
+    rng = random.Random(31)
+    d = 250  # chunk = 64MB // (8 * 250^2) = 134 < 256
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(37)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(3)
+    mean, comps, vals = pca_components(df, k=2)
+    m = np.asarray([v for _, v in rows], dtype=np.float64)
+
+    def away(p):
+        return np.sign(p) * np.floor(np.abs(p) + 0.5)
+
+    want_mean = away(m * 1e10).sum(axis=0) / 1e10 / len(rows)
+    assert np.allclose(mean, want_mean, atol=1e-9)
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)

@@ -348,8 +348,6 @@ _NONEQUI_ALLOWLIST = {
                                   # attaches onto the user frame
     "copurchase_sppmi",           # 1-row co-occurrence-total broadcast
                                   # attach (PMI normalizer)
-                                  # onto the 1-row plain-moment agg
-                                  # (r08 histogram-midrank form)
     "nation_t_closeness",         # bounded quasi-id x sensitive dense
                                   # grid (segments broadcast + 1-row
                                   # corpus total attach)
