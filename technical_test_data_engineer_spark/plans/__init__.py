@@ -56,79 +56,79 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # ==== Round-13 rotation (r12 verdict item 1, recomputed from the
-    # mechanical CORRECTNESS_r01..r12 union — latest-green counts at
-    # the r12 close: r05×1, r06×39, r07×44, ...). Composition, in
-    # order: (1) the rotation head pre-listed at the r12 close —
-    # view_click_dwell_overlaps (the one r05 green) + the full 39-query
-    # r06 cohort; (2) this round's one changed pair (oracle
-    # regeneration — never driver-green in its current form); (3) the
-    # oldest r07 greens to fill 50 (first-green r01 first, then
-    # alphabetical, preferring the r12 watch items).
-    # The remaining 40 r07 greens are the r14 rotation head.
-    # -- the one r05 green --
-    "view_click_dwell_overlaps",
-    # -- the r06 cohort (39, alphabetical) --
-    "ab_test_cuped",
-    "copurchase_degree_stats",
-    "corpus_drift_psi",
-    "customer_k_anonymity",
-    "customer_pseudonymized",
-    "customer_revenue_gini",
-    "customer_rfm_segments",
-    "doc_epoch_shards",
-    "doc_neyman_sample",
-    "doc_pii_redacted",
-    "doc_readability",
-    "doc_template_keys",
-    "doc_token_ids",
-    "dp_noisy_counts",
-    "eval_ngram_contamination",
-    "eval_substring_contamination",
-    "event_transition_probs",
-    "hard_negative_mining",
-    "hourly_traffic_anomalies",
-    "knn_maxsim_late_interaction",
-    "lineitem_bloom_prune_revenue",
-    "nation_l_diversity",
-    "orderkey_skew_report",
-    "orders_benford_audit",
-    "part_cf_similarity",
-    "part_label_propagation",
-    "part_name_entities",
-    "price_quantity_elasticity",
-    "q12_ship_class_priority",
-    "segment_price_geomean",
-    "ship_latency_percentiles",
-    "source_dedup_report",
-    "source_loo_impact",
-    "source_score_calibration",
-    "source_token_js_divergence",
-    "user_conversion_survival",
-    "view_click_full_outer_30m",
-    "vocab_growth_curve",
-    "vocab_zipf_slope",
-    # -- re-earn: r13 changed pair (the round's only plan whose
-    #    current form was never driver-green) --
-    "ingest_loop_exactly_once",     # bound 448→256 + session-suffixed
-                                    # tables + probe-skip (oracle regen)
-    # -- re-earn: oldest r07 greens (first-green r01 first, then the
-    #    r12 watch items, then alphabetical; part_record_linkage_
-    #    scores' count-fusion was A/B-measured SLOWER and reverted —
-    #    byte-identical r12 plan, refreshes as ordinary r07 debt) --
-    "part_record_linkage_scores",
-    "events_sliding_1h_15m",        # first-green r01
-    "flagship_daily_backlog",       # first-green r01
-    "order_value_poisson_bootstrap",  # r12 driver flag (plan unchanged
-                                    # — root-caused in BASELINE.md r13)
-    "shard_balance_chisq",          # r12 watch item
-    "ab_test_covariate_balance",
-    "ab_test_ipw_ate",
-    "ab_test_sprt",
-    # -- re-earn: r13 plan rewrite (replaces the last r07 filler,
-    #    ab_test_uplift_deciles, which returns to the r14 head) --
-    "lineitem_spearman_corr",       # per-axis-cardinality rank shape
-                                    # (7.4 -> 2.2 s; oracle unchanged)
+    # ==== Round-14 rotation (r13 verdict item 1, recomputed from the
+    # mechanical CORRECTNESS_r01..r13 union — latest-green counts at
+    # the r13 close: r07×36, r08×46, ...; the pre-listed "41 r07"
+    # estimate resolved to 36 once the r13 window's own greens were
+    # unioned in). Composition, in order: (1) the full 36-query r07
+    # cohort (includes ab_test_uplift_deciles, displaced from the r13
+    # window by the late spearman swap); (2) this round's changed
+    # pairs — the three r13-verdict perf rewrites — plus the round's
+    # one addition (never driver-green by definition); (3) the oldest
+    # r08 greens to fill 50 (first-green r07 first, then
+    # alphabetical). The remaining 36 r08 greens are the r15 rotation
+    # head. Late in-round plan rewrites swap into the LAST fill slots,
+    # displacing r08 fillers back to the r15 head (the r13 spearman
+    # precedent).
+    # -- the r07 cohort (36, alphabetical) --
+    "ab_test_uplift_deciles",
+    "channel_conversion_k8",
+    "customer_bg_nbd_stats",
+    "customer_cohort_ltv",
+    "customer_rfm_kmeans2",
+    "customer_segment_target_encoding",
+    "daily_arrivals_dispersion",
+    "daily_revenue_acf",
+    "daily_revenue_decomposition",
+    "daily_revenue_forecast_backtest",
+    "daily_revenue_runs_test",
+    "dataset_version_manifest",
+    "elasticity_kfold_cv",
+    "embedding_isotropy_stats",
+    "event_path_trigrams",
+    "hourly_traffic_profile",
+    "join_key_health",
+    "media_ahash_sigs",
+    "monthly_latency_control_chart",
+    "order_pit_features",
+    "order_value_conformal",
+    "orders_concurrency_sweepline",
+    "orders_double_submission",
+    "orders_littles_law",
+    "part_copurchase_kcore_r3",
+    "retrieval_ndcg_mrr",
+    "source_distinctive_terms",
+    "source_temperature_mixing",
+    "supplier_pareto_abc",
+    "user_bot_scores",
+    "user_capture_recapture",
+    "user_event_entropy",
+    "user_kmv_distinct",
+    "user_score_reliability",
+    "user_value_holtwinters",
+    "yearly_price_index_laspeyres",
+    # -- re-earn: r14 changed pairs (the r13 verdict's three perf
+    #    directives — none driver-green in their current form) --
+    "supplier_bradley_terry",       # MM rounds driver-side off one
+                                    # bounded collect (also r08 debt)
+    "embedding_silhouette",         # int-scaled BIGINT folds
+                                    # (oracle regen)
+    "ingest_loop_exactly_once",     # driver-side stamp-dir probes +
+                                    # stale-sibling sweep
+    # -- the round's one addition (r13 verdict item 7) --
+    "user_hll_md5_estimate",        # open HLL registers + merge twin
+    # -- re-earn: oldest r08 greens (first-green r07 first, then
+    #    alphabetical) --
+    "copurchase_negative_samples",  # first-green r07
+    "ab_test_bh_fdr",
+    "ab_test_cmh_odds",
+    "ab_test_did",
+    "ab_test_permutation",
+    "copurchase_adamic_adar",
+    "copurchase_assortativity",
+    "copurchase_sppmi",
+    "customer_mahalanobis_outliers",
+    "customer_partition_ari",
 ]
 
 
@@ -139,10 +139,12 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-14 rotation head (after the r13 window lands): the 41
-# remaining r07 greens (44 minus the three in this window), plus any
-# r13 additions that miss the r13 window and any plan rewritten after
-# its r13 green.
+# Round-15 rotation head (after the r14 window lands): the 36
+# remaining r08 greens (46 minus the ten fillers in this window, minus
+# supplier_bradley_terry which re-earns as a changed pair), plus any
+# r14 additions that miss the r14 window and any plan rewritten after
+# its r14 green. Recompute mechanically from the CORRECTNESS union as
+# always.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 

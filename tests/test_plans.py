@@ -359,6 +359,9 @@ _NONEQUI_ALLOWLIST = {
                                   # (relative probe band)
     "daily_revenue_changepoint",  # 1-row series-total broadcast attach
                                   # (split-gain normalizer)
+    "user_hll_md5_estimate",      # 1-row estimate + 1-row exact-count
+                                  # broadcast attaches onto the 256-max
+                                  # register frame
     "event_type_overlap_kmv",     # |event_types|^2 pair enumeration on
                                   # the k-row theta frame (sketch algebra
                                   # moves only k x types rows)
