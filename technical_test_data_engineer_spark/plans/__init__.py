@@ -66,10 +66,10 @@ _FRONT_50 = [
     # pairs — the three r13-verdict perf rewrites — plus the round's
     # one addition (never driver-green by definition); (3) the oldest
     # r08 greens to fill 50 (first-green r07 first, then
-    # alphabetical). The remaining 36 r08 greens are the r15 rotation
-    # head. Late in-round plan rewrites swap into the LAST fill slots,
-    # displacing r08 fillers back to the r15 head (the r13 spearman
-    # precedent).
+    # alphabetical). The remaining 37 r08 greens are the r15 rotation
+    # head (incl. customer_partition_ari, displaced by the late
+    # part_abc swap below — the r13 spearman precedent: late in-round
+    # plan rewrites take the LAST fill slots).
     # -- the r07 cohort (36, alphabetical) --
     "ab_test_uplift_deciles",
     "channel_conversion_k8",
@@ -128,7 +128,11 @@ _FRONT_50 = [
     "copurchase_assortativity",
     "copurchase_sppmi",
     "customer_mahalanobis_outliers",
-    "customer_partition_ari",
+    # -- re-earn: r14 in-round plan rewrite (replaces the last r08
+    #    filler, customer_partition_ari, which returns to the r15
+    #    head — the r13 spearman swap precedent) --
+    "part_abc_xyz_matrix",          # rev fused into the stats agg
+                                    # (persist+join+shuffle removed)
 ]
 
 
@@ -139,9 +143,10 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-15 rotation head (after the r14 window lands): the 36
-# remaining r08 greens (46 minus the ten fillers in this window, minus
-# supplier_bradley_terry which re-earns as a changed pair), plus any
+# Round-15 rotation head (after the r14 window lands): the 37
+# remaining r08 greens (46 minus the nine fillers in this window,
+# minus supplier_bradley_terry which re-earns as a changed pair, plus
+# the displaced customer_partition_ari), plus any
 # r14 additions that miss the r14 window and any plan rewritten after
 # its r14 green. Recompute mechanically from the CORRECTNESS union as
 # always.
