@@ -218,6 +218,18 @@ Expected multi-scans (all reviewed):
   persisting shingles across the loop's table writes).
   embedding_coreset_facility3 keeps its documented embeddings×2
   (bounded all-pairs sides) under the 128 bound + repartition.
+- r14 review (sweep run 2026-08-17, diff-clean otherwise): none of
+  the round's four rewrites flags. supplier_bradley_terry's duel
+  self-join resolves to ONE lineitem scan (the unpersisted ps agg's
+  two sides reuse one exchange — the measured A/B basis for dropping
+  the persist). embedding_silhouette's unpersisted explode frame also
+  resolves to a single reported scan (cent/nv/dots consumers; the
+  LSH-sig-recompute class — recompute A/B'd cheaper than caching
+  locally; at 100 TB persist the exploded frame, see its docstring).
+  part_abc_xyz_matrix drops from the flagged set entirely (the
+  revenue rollup now rides the CV stats agg — single (part, month)
+  pipeline, no persist). user_hll_md5_estimate is single-scan (the
+  exact-count attach shares the hashed projection).
 
 Usage: python audit_scans.py [sf_dir]
 """

@@ -1743,9 +1743,13 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE)/1e10 rescale. |terms| ≤ ~1e11 with ≤ 4096 dims per vector
     keeps every sum far under 2^53. Cosines round to 12 (the house
     ranking convention) before the max comparison, margins
-    decimal-summed (vector-count rows — off the hot path). At 100 TB:
-    one scan, one (labels × dims) shuffle, one (vec × labels)-bounded
-    partial-agg shuffle, nothing else moves."""
+    decimal-summed (vector-count rows — off the hot path). Locally the
+    exploded frame is UNpersisted (the LSH-sig-recompute audit class:
+    re-deriving it per consumer measured faster than caching, A/B 1.92
+    vs 2.22 s); at 100 TB the same plan persists/checkpoints the
+    exploded frame once — one corpus scan, one (labels × dims)
+    shuffle, one (vec × labels)-bounded partial-agg shuffle — and that
+    is the ONLY knob that changes with scale."""
     emb = load_table(spark, sf_dir, "embeddings")
     i10 = lambda c: F.round(c * F.lit(1e10), 0).cast("bigint")  # noqa: E731
     xl = emb.select(
