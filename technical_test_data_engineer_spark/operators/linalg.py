@@ -151,19 +151,20 @@ def _round_half_up_1e10(p: np.ndarray) -> np.ndarray:
     """int64 of ROUND(p, 0) under Spark's double-ROUND semantics
     (BigDecimal(Double.toString(p)) HALF_UP — away from zero on the
     decimal-repr tie). Vectorized sign·floor(|p|+0.5) everywhere
-    except a 1e-4 guard band around |frac| = 0.5, where the
-    decimal-repr-faithful Decimal(repr(p)) path runs instead — wide
-    enough to absorb both the ulp-level gap between a double's exact
-    binary value and its shortest decimal repr and the float error of
-    the +0.5 probe at |p| ~ 1e11 (ulp ≈ 1.6e-5), so every element
-    matches Spark ROUND bit-for-bit (ADVICE r13: the bare floor form
-    can round across the boundary inside those ulp-wide windows)."""
+    except a MAGNITUDE-AWARE guard band — max(1e-4, 8 ulp of p) —
+    around |frac| = 0.5, where the decimal-repr-faithful
+    Decimal(repr(p)) path runs instead. The band scales with |p|
+    because the drift between the probe and the decimal repr is
+    ulp-proportional (repr-vs-binary gap + the +0.5 addition, ≤ 2
+    ulp; 8 ulp is a 4× margin), so every element matches Spark ROUND
+    bit-for-bit at ANY magnitude (ADVICE r13: the bare floor form can
+    round across the boundary inside those ulp-wide windows)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     v = np.abs(p)
     out = (np.sign(p) * np.floor(v + 0.5)).astype(np.int64)
     frac = v - np.floor(v)
-    risky = np.abs(frac - 0.5) < 1e-4
+    risky = np.abs(frac - 0.5) < np.maximum(1e-4, 8.0 * np.spacing(v))
     if risky.any():
         flat = out.reshape(-1)
         pv = p.reshape(-1)

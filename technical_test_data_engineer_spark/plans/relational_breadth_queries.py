@@ -6065,14 +6065,15 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (exact — the decimal-sum-then-CAST-DOUBLE of 9-digit
     multiples is the correctly-rounded quotient sum/1e9, and the
     scaled sum stays < 2^53 through sf1), with the half-up rounding
-    computed as floor(t·1e9 + 0.5) EXCEPT in a guard band of 1e-4
-    around .5 boundaries where the decimal-repr-faithful
-    Decimal(repr(t)) path runs instead — wide enough to absorb the
-    ~1e-5 absolute float error of t·1e9 at t ~ 100, so every term
-    matches BigDecimal(Double.toString) HALF_UP bit-for-bit (the
-    linalg r13 ADVICE boundary-window class, closed by construction
-    here). All per-supplier strengths, rank keys, and display
-    roundings take the exact Decimal path (supplier-bounded)."""
+    computed as floor(t·1e9 + 0.5) EXCEPT in a magnitude-aware guard
+    band — max(1e-4, 8 ulp of t·1e9) — around .5 boundaries, where the
+    decimal-repr-faithful Decimal(repr(t)) path runs instead; the band
+    scales with the term because the float product's drift is
+    ulp-proportional, so every term matches
+    BigDecimal(Double.toString) HALF_UP bit-for-bit at ANY magnitude
+    (the linalg r13 ADVICE boundary-window class, closed by
+    construction here). All per-supplier strengths, rank keys, and
+    display roundings take the exact Decimal path (supplier-bounded)."""
     li = load_table(spark, sf_dir, "lineitem")
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     ps = (
@@ -6158,10 +6159,11 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = np.concatenate([nu, nu])
     wins = np.concatenate([wu, nu.astype(np.float64) - wu])
 
-    supp = np.unique(src)
-    idx = {int(s): k for k, s in enumerate(supp)}
-    si_ix = np.fromiter((idx[int(s)] for s in src), np.int64, len(src))
-    sj_ix = np.fromiter((idx[int(s)] for s in dst), np.int64, len(dst))
+    supp, inv = np.unique(
+        np.concatenate([src, dst]), return_inverse=True
+    )
+    si_ix = inv[: len(src)]
+    sj_ix = inv[len(src) :]
     games = np.bincount(si_ix, weights=n, minlength=len(supp))
     # exact: wins are multiples of 0.5 and games < 2^52
     w_i = np.bincount(si_ix, weights=wins, minlength=len(supp))
@@ -6173,11 +6175,18 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _fold_terms(t: np.ndarray) -> np.ndarray:
         """1e9-scaled int64 of ROUND(t, 9): vectorized floor(f+0.5)
-        with the ulp-window terms recomputed via Decimal(repr)."""
+        with terms near a .5 boundary recomputed via Decimal(repr).
+        The guard band is MAGNITUDE-AWARE — max(1e-4, 8 ulp of f) —
+        because the float product f = t·1e9 carries ~2-ulp error,
+        which at f ~ 1e13 is ~2e-3 in units of the last decimal
+        digit: a fixed 1e-4 band would miss real boundary cases for
+        large terms (8 ulp = 4× the worst-case drift budget:
+        repr-vs-binary gap + multiply + probe-add roundings)."""
         f = t * 1e9
         scaled = np.floor(f + 0.5).astype(np.int64)
         frac = f - np.floor(f)
-        risky = np.abs(frac - 0.5) < 1e-4
+        band = np.maximum(1e-4, 8.0 * np.spacing(np.abs(f)))
+        risky = np.abs(frac - 0.5) < band
         for k in np.nonzero(risky)[0]:
             scaled[k] = int(
                 (
