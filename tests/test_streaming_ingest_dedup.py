@@ -386,6 +386,18 @@ def test_stamp_dir_probe_fast_path_and_fallback(spark, sf_dir):
     assert _batch_already_written(spark, band_t, -1) is True
     assert _batch_already_written(spark, band_t, 7) is False
 
+    # a partition dir holding only hidden/committer artifacts (the
+    # state an aborted job can leave) must read as NOT committed
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    ghost = os.path.join(wh, band_t, "_ingest_batch=9")
+    os.makedirs(ghost, exist_ok=True)
+    open(os.path.join(ghost, "_SUCCESS"), "w").close()
+    open(os.path.join(ghost, ".part-0.crc"), "w").close()
+    assert _stamp_dir_probe(spark, band_t, 9) is False
+    assert _batch_already_written(spark, band_t, 9) is False
+
     # unpartitioned-but-stamped table: probe abstains, job path answers
     (flat_t,) = _fresh_tables(spark, "probe_flat")
     docs.select(
