@@ -1010,7 +1010,11 @@ def ingest_loop_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "id_a long, id_b long, jaccard double"
         )
-    cands = spark.table(res_t).select("id_a", "id_b")
+    from technical_test_data_engineer_spark.streaming.neardup import (
+        stored_candidates,
+    )
+
+    cands = stored_candidates(spark, res_t).select("id_a", "id_b")
     shingled = docs.select(
         "doc_id", word_shingles("text", 3).alias("_sh")
     )

@@ -379,16 +379,44 @@ def process_ingest_batch(
                 hot_bucket_cap=hot_bucket_cap,
                 text_col=text_col,
                 **band_kwargs,
-            ).withColumn(
+            )
+            # every result append also carries ONE NULL-id commit-marker
+            # row (r14): a batch with ZERO candidates otherwise writes
+            # no files, its stamp never appears, and every replay/
+            # restart re-runs its candidate join forever — quiet
+            # batches are common in production and were the one case
+            # the ledger couldn't close. Markers are invisible to every
+            # consumer (candidate reads go through stored_candidates /
+            # an inner join on the id, where NULL never matches).
+            marker = spark.range(1).select(
+                F.lit(None).cast(cands.schema["id_a"].dataType).alias(
+                    "id_a"
+                ),
+                F.lit(None).cast(cands.schema["id_b"].dataType).alias(
+                    "id_b"
+                ),
+            )
+            out = cands.unionByName(marker).withColumn(
                 "_ingest_batch", F.lit(int(batch_id)).cast("bigint")
             )
             # partitioned on the stamp like the band table: per-batch
             # output directories, directory-pruned stamp probes
-            cands.write.mode("append").partitionBy(
+            out.write.mode("append").partitionBy(
                 "_ingest_batch"
             ).format("parquet").saveAsTable(result_table_name)
     finally:
         batch.unpersist()
+
+
+def stored_candidates(spark, result_table_name: str) -> DataFrame:
+    """Candidate pairs from a loop-managed result table with the
+    per-batch NULL-id commit-marker rows filtered out — the one
+    accessor every reader of the results table should use (downstream
+    verify joins drop the markers implicitly because NULL never
+    equi-matches, but an explicit read keeps counts honest)."""
+    return spark.table(result_table_name).filter(
+        F.col("id_a").isNotNull()
+    )
 
 
 def streaming_ingest_dedup(

@@ -22,6 +22,7 @@ from technical_test_data_engineer_spark.sources.catalog import (
 )
 from technical_test_data_engineer_spark.sources.parquet_source import load_table
 from technical_test_data_engineer_spark.streaming.neardup import (
+    stored_candidates,
     streaming_ingest_dedup,
 )
 
@@ -90,7 +91,7 @@ def test_streaming_ingest_dedup_loop_parity(spark, sf_dir, new_docs_dir):
     )
     q.awaitTermination()
 
-    got_rows = spark.table(pairs_t).collect()
+    got_rows = stored_candidates(spark, pairs_t).collect()
     got = {(r.id_a, r.id_b) for r in got_rows}
     # exactly-once: no pair may be emitted by two different batches
     assert len(got_rows) == len(got)
@@ -227,7 +228,8 @@ def test_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     # end state == the one-shot batch-incremental run over everything
     got = {
         (r.id_a, r.id_b)
-        for r in spark.table(pairs_t).select("id_a", "id_b").collect()
+        for r in stored_candidates(spark, pairs_t)
+        .select("id_a", "id_b").collect()
     }
     want = {
         (r.id_a, r.id_b)
@@ -267,10 +269,14 @@ def test_ingest_batch_replay_is_exactly_once(spark, sf_dir):
     bands_once = sorted(
         map(tuple, spark.table(band_t).collect())
     )
-    pairs_once = sorted(
-        map(tuple, spark.table(pairs_t).collect())
-    )
-    assert pairs_once, "fixture produced no candidate pairs"
+    def _nsort(rows):  # None-safe (the r14 commit-marker rows)
+        return sorted(
+            map(tuple, rows),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    pairs_once = _nsort(spark.table(pairs_t).collect())
+    assert len(pairs_once) > 1, "fixture produced no candidate pairs"
 
     # full replay (crash after both commits): both tables unchanged
     process_ingest_batch(
@@ -279,8 +285,7 @@ def test_ingest_batch_replay_is_exactly_once(spark, sf_dir):
     )
     assert sorted(map(tuple, spark.table(band_t).collect())) \
         == bands_once
-    assert sorted(map(tuple, spark.table(pairs_t).collect())) \
-        == pairs_once
+    assert _nsort(spark.table(pairs_t).collect()) == pairs_once
 
     # crash BETWEEN the appends: batch 1's band append committed but its
     # result append did not — replaying must skip the band append and
@@ -302,7 +307,7 @@ def test_ingest_batch_replay_is_exactly_once(spark, sf_dir):
         == bands_half  # band append skipped, not duplicated
     got_b2 = {
         (r.id_a, r.id_b)
-        for r in spark.table(pairs_t)
+        for r in stored_candidates(spark, pairs_t)
         .filter("_ingest_batch = 1").collect()
     }
     want_b2 = {
