@@ -6159,11 +6159,15 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = np.concatenate([nu, nu])
     wins = np.concatenate([wu, nu.astype(np.float64) - wu])
 
-    supp, inv = np.unique(
-        np.concatenate([src, dst]), return_inverse=True
-    )
-    si_ix = inv[: len(src)]
-    sj_ix = inv[len(src) :]
+    # src already contains every duel participant (both directions are
+    # mirrored above), so one 2M-element unique + a dense LUT over the
+    # key range replaces the 4M-element return_inverse sort (~0.8 s →
+    # ~0.2 s); suppkeys are 1..|supplier| so the LUT is supplier-sized
+    supp = np.unique(src)
+    lut = np.zeros(int(supp[-1]) + 1, dtype=np.int64)
+    lut[supp] = np.arange(len(supp))
+    si_ix = lut[src]
+    sj_ix = lut[dst]
     games = np.bincount(si_ix, weights=n, minlength=len(supp))
     # exact: wins are multiples of 0.5 and games < 2^52
     w_i = np.bincount(si_ix, weights=wins, minlength=len(supp))
