@@ -646,9 +646,23 @@ def embedding_coreset_facility3(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity through the argmaxes — coverage totals, maxes, gains —
     is exact integer arithmetic on both engines; ties break on lowest
     id. The all-pairs sim frame is the proof bound (CORESET_BOUND
-    vectors, persisted once, three tiny step reductions over it); the
-    production path swaps it for the banded/LSH candidate frame the
-    dedup family already builds, keeping the same greedy unroll."""
+    vectors); the production path swaps it for the banded/LSH
+    candidate frame the dedup family already builds, keeping the same
+    greedy unroll.
+
+    r14 (guide §1.2/§2.4): the DISTRIBUTED work is exactly the dot-
+    product pass; the greedy itself is arithmetic over the
+    CORESET_BOUND²-row INTEGER sim frame (16k rows / ~0.4 MB — the
+    bound is a module literal, stated per the house bounded-collect
+    discipline), so it is fetched ONCE via Arrow and all three steps
+    run driver-side in numpy int64 (the supplier_bradley_terry /
+    channel_conversion_k8 discipline). The r13 unroll re-read the
+    persisted frame in ~10 tiny Spark jobs (plus the final union
+    re-computing each pick's broadcast subtree) — measured as pure
+    job-launch overhead, not arithmetic. Coverage totals, maxes and
+    gains stay exact int64 end to end; only the display ROUND(t/1e10,
+    6) touches floats, mirrored via the Decimal(repr) HALF_UP helper
+    (identical input double on both paths)."""
     from technical_test_data_engineer_spark.operators.partitioning import (
         fan_out,
     )
@@ -672,76 +686,73 @@ def embedding_coreset_facility3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint"),
             ).alias("s"),
         )
-        # the dot products fan out over all cores, but the RESULT is a
-        # CORESET_BOUND²-row integer frame (~40k rows) that the three
-        # greedy steps re-read ~8 times in tiny jobs — at 32 persisted
-        # partitions the unroll paid ~1000 near-empty task launches
-        # (the measured cost of this proof, not the arithmetic).
-        # repartition (NOT coalesce, which would fold the dot stage
-        # itself down to 4 tasks) pays one trivial 40k-row shuffle so
-        # each step's stages run 4 tasks; values are untouched (exact
-        # integer aggs are partitioning-independent)
-        .repartition(4)
-        .persist()
     )
-    t1 = sims.groupBy("i").agg(F.sum("s").alias("tot"))
-    c1 = t1.orderBy(F.desc("tot"), F.asc("i")).limit(1)
+    import numpy as np
+    from pyspark.sql import types as T
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def attach(df, picked, name):
-        return df.crossJoin(
-            F.broadcast(picked.select(F.col("i").alias(name)))
+    def _r(x: float, digits: int) -> float:
+        # Spark ROUND on double: BigDecimal(Double.toString(x)) HALF_UP
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-digits), ROUND_HALF_UP
+            )
         )
 
-    cov1 = (
-        attach(sims, c1, "_c1")
-        .filter(F.col("i") == F.col("_c1"))
-        .select("j", F.col("s").alias("cov"))
+    pdf = sims.toPandas()
+    key_type = emb.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("step", T.IntegerType(), False),
+            T.StructField("vec_id", key_type),
+            T.StructField("coverage", T.DoubleType()),
+            T.StructField("marginal_gain", T.DoubleType()),
+        ]
     )
-    g2 = (
-        attach(sims, c1, "_c1")
-        .filter(F.col("i") != F.col("_c1"))
-        .join(F.broadcast(cov1), "j")
-        .groupBy("i")
-        .agg(F.sum(F.greatest(F.col("cov"), F.col("s"))).alias("tot"))
-    )
-    c2 = g2.orderBy(F.desc("tot"), F.asc("i")).limit(1)
-    cov2 = (
-        attach(sims, c2, "_c2")
-        .filter(F.col("i") == F.col("_c2"))
-        .select("j", F.col("s").alias("s2"))
-        .join(F.broadcast(cov1), "j")
-        .select("j", F.greatest(F.col("cov"), F.col("s2")).alias("cov"))
-    )
-    g3 = (
-        attach(attach(sims, c1, "_c1"), c2, "_c2")
-        .filter((F.col("i") != F.col("_c1")) & (F.col("i") != F.col("_c2")))
-        .join(F.broadcast(cov2), "j")
-        .groupBy("i")
-        .agg(F.sum(F.greatest(F.col("cov"), F.col("s"))).alias("tot"))
-    )
-    c3 = g3.orderBy(F.desc("tot"), F.asc("i")).limit(1)
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
 
-    def steprow(step, cur, prev):
-        row = cur.select(
-            F.lit(step).alias("step"),
-            F.col("i").alias("vec_id"),
-            F.round(F.col("tot") / F.lit(1e10), 6).alias("coverage"),
-            (
-                F.round(
-                    (F.col("tot") - F.col("_ptot")) / F.lit(1e10), 6
-                )
-                if prev is not None
-                else F.round(F.col("tot") / F.lit(1e10), 6)
-            ).alias("marginal_gain"),
+    ids = np.unique(pdf["i"].to_numpy())
+    idx = {int(v): k for k, v in enumerate(ids)}
+    m = len(ids)
+    S = np.zeros((m, m), dtype=np.int64)
+    S[
+        pdf["i"].map(idx).to_numpy(), pdf["j"].map(idx).to_numpy()
+    ] = pdf["s"].to_numpy(dtype=np.int64)
+
+    def argbest(tot: np.ndarray, excluded: set[int]) -> int:
+        best = -1
+        for k in range(m):
+            if k in excluded:
+                continue
+            if best < 0 or tot[k] > tot[best] or (
+                tot[k] == tot[best] and ids[k] < ids[best]
+            ):
+                best = k
+        return best
+
+    t1 = S.sum(axis=1)
+    c1 = argbest(t1, set())
+    cov = S[c1].copy()
+    g2 = np.maximum(cov[None, :], S).sum(axis=1)
+    c2 = argbest(g2, {c1})
+    cov2 = np.maximum(cov, S[c2])
+    g3 = np.maximum(cov2[None, :], S).sum(axis=1)
+    c3 = argbest(g3, {c1, c2})
+    tots = [int(t1[c1]), int(g2[c2]), int(g3[c3])]
+    picks = [c1, c2, c3]
+    rows = [
+        (
+            step + 1,
+            int(ids[picks[step]]),
+            _r(tots[step] / 1e10, 6),
+            _r(
+                (tots[step] - (tots[step - 1] if step else 0)) / 1e10, 6
+            ),
         )
-        return row
-
-    r1 = steprow(1, c1, None)
-    c2p = c2.crossJoin(F.broadcast(c1.select(F.col("tot").alias("_ptot"))))
-    r2 = steprow(2, c2p, True)
-    c3p = c3.crossJoin(F.broadcast(c2.select(F.col("tot").alias("_ptot"))))
-    r3 = steprow(3, c3p, True)
-    return r1.unionByName(r2).unionByName(r3).orderBy("step")
+        for step in range(3)
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 # rows-only (approximate): PQ reconstruction is lossy by design; recall
@@ -2055,14 +2066,26 @@ def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines, and the driver value-checks the
     diversity re-rank itself — selection, scores, and tie-breaks.
     Scale shape: the shortlist bounds everything — sims are
-    shortlist², and each pick stage is a shortlist-sized window."""
+    shortlist², and each pick is a shortlist-sized argmax.
+
+    r14 (guide §1.2/§2.4): the DISTRIBUTED work is the brute-force
+    shortlist scoring and the shortlist² exact sim grid; the pick
+    chain itself is integer argmax over N_QUERIES × _MMR_SHORT ≤ 50
+    relevance rows + ≤ 450 sim rows, so both bounded frames are
+    fetched ONCE and the three picks run driver-side in exact int
+    arithmetic (the supplier_bradley_terry / coreset discipline).
+    The r13 unroll ran the picks as 8 chained broadcast-join + window
+    stages over two persisted tiny frames — job-launch overhead, not
+    arithmetic. All scores stay in int64 (λ = 7/10 exact); no floats
+    anywhere driver-side, so values are bit-identical by construction."""
     from technical_test_data_engineer_spark.operators.similarity import (
         int_scaled_dot,
     )
-    from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    # persisted: the shortlist feeds its own collect AND the sim grid's
+    # subtree — without it the brute-force scoring pass would run twice
     short = (
         brute_force_topk(emb, probes, k=_MMR_SHORT, metric="int")
         .select("query_id", "vec_id", F.col("score").alias("rel"))
@@ -2072,7 +2095,6 @@ def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", F.col("embedding").alias("v")), "vec_id"
     )
     a, b = cv.alias("a"), cv.alias("b")
-    # persisted: the shortlist² sim grid feeds picks 2 and 3
     sims = (
         a.join(
             b,
@@ -2085,106 +2107,67 @@ def knn_mmr_exact3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vb"),
             int_scaled_dot(F.col("a.v"), F.col("b.v")).alias("sim"),
         )
-        .persist()
     )
-    # λ = 0.7 as the exact integer pair (7, 10−7): mmr is scaled by a
-    # further 10× (e11), keeping every pick-stage score in int64
-    lam = F.lit(round(_MMR_LAM * 10)).cast("bigint")
-    one_m = F.lit(10 - round(_MMR_LAM * 10)).cast("bigint")
-    wrel = Window.partitionBy("query_id").orderBy(
-        F.desc("rel"), F.asc("vec_id")
-    )
-    wmmr = Window.partitionBy("query_id").orderBy(
-        F.desc("mmr"), F.asc("vec_id")
-    )
-    s1 = (
-        short.withColumn("rn", F.row_number().over(wrel))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "vec_id", (lam * F.col("rel")).alias("mmr"))
-    )
-    p2 = (
-        short.join(
-            s1.select("query_id", F.col("vec_id").alias("sel1")), "query_id"
-        )
-        .filter(F.col("vec_id") != F.col("sel1"))
-        .join(
-            sims.select(
-                "query_id",
-                F.col("va").alias("vec_id"),
-                F.col("vb").alias("sel1"),
-                "sim",
-            ),
-            ["query_id", "vec_id", "sel1"],
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            (lam * F.col("rel") - one_m * F.col("sim")).alias("mmr"),
-        )
-    )
-    s2 = (
-        p2.withColumn("rn", F.row_number().over(wmmr))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "vec_id", "mmr")
-    )
-    p3 = (
-        short.join(
-            s1.select("query_id", F.col("vec_id").alias("sel1")), "query_id"
-        )
-        .join(
-            s2.select("query_id", F.col("vec_id").alias("sel2")), "query_id"
-        )
-        .filter(
-            (F.col("vec_id") != F.col("sel1"))
-            & (F.col("vec_id") != F.col("sel2"))
-        )
-        .join(
-            sims.select(
-                "query_id",
-                F.col("va").alias("vec_id"),
-                F.col("vb").alias("sel1"),
-                F.col("sim").alias("sim1"),
-            ),
-            ["query_id", "vec_id", "sel1"],
-        )
-        .join(
-            sims.select(
-                "query_id",
-                F.col("va").alias("vec_id"),
-                F.col("vb").alias("sel2"),
-                F.col("sim").alias("sim2"),
-            ),
-            ["query_id", "vec_id", "sel2"],
-        )
-        .select(
-            "query_id",
-            "vec_id",
+    # two bounded fetches (≤ 50 + ≤ 450 rows); the persisted shortlist
+    # makes the second a cache read, not a recompute
+    short_rows = short.collect()
+    sim_rows = sims.collect()
+
+    lam = round(_MMR_LAM * 10)
+    one_m = 10 - lam
+    simd = {(r.query_id, r.va, r.vb): r.sim for r in sim_rows}
+    byq: dict = {}
+    for r in short_rows:
+        byq.setdefault(r.query_id, []).append((r.vec_id, r.rel))
+
+    rows = []
+    for q in byq:
+        cands = byq[q]
+        # pick 1: argmax rel, lowest vec_id tiebreak
+        sel1, rel1 = min(cands, key=lambda t: (-t[1], t[0]))
+        rows.append((q, 1, sel1, lam * rel1))
+        # pick 2: 7·rel − 3·sim(·, sel1)
+        p2 = [
+            (v, lam * rel - one_m * simd[(q, v, sel1)])
+            for v, rel in cands
+            if v != sel1 and (q, v, sel1) in simd
+        ]
+        if not p2:
+            continue
+        sel2, mmr2 = min(p2, key=lambda t: (-t[1], t[0]))
+        rows.append((q, 2, sel2, mmr2))
+        # pick 3: 7·rel − 3·max(sim to sel1, sim to sel2)
+        p3 = [
             (
-                lam * F.col("rel")
-                - one_m * F.greatest(F.col("sim1"), F.col("sim2"))
-            ).alias("mmr"),
-        )
+                v,
+                lam * rel
+                - one_m
+                * max(simd[(q, v, sel1)], simd[(q, v, sel2)]),
+            )
+            for v, rel in cands
+            if v != sel1
+            and v != sel2
+            and (q, v, sel1) in simd
+            and (q, v, sel2) in simd
+        ]
+        if not p3:
+            continue
+        sel3, mmr3 = min(p3, key=lambda t: (-t[1], t[0]))
+        rows.append((q, 3, sel3, mmr3))
+
+    from pyspark.sql import types as T
+
+    key_type = emb.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", key_type),
+            T.StructField("pick", T.IntegerType(), False),
+            T.StructField("vec_id", key_type),
+            T.StructField("mmr_e11", T.LongType()),
+        ]
     )
-    s3 = (
-        p3.withColumn("rn", F.row_number().over(wmmr))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "vec_id", "mmr")
-    )
-    out = (
-        s1.select("query_id", F.lit(1).alias("pick"), "vec_id", "mmr")
-        .unionByName(
-            s2.select("query_id", F.lit(2).alias("pick"), "vec_id", "mmr")
-        )
-        .unionByName(
-            s3.select("query_id", F.lit(3).alias("pick"), "vec_id", "mmr")
-        )
-    )
-    return out.select(
-        "query_id",
-        F.col("pick").cast("int").alias("pick"),
-        "vec_id",
-        F.col("mmr").cast("bigint").alias("mmr_e11"),
-    ).orderBy("query_id", "pick")
+    rows.sort(key=lambda t: (t[0], t[1]))
+    return spark.createDataFrame(rows, out_schema)
 
 
 _EVAL_QUERIES = 20
