@@ -2948,29 +2948,42 @@ def order_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         WHERE l_quantity > 0 AND l_extendedprice > 0
     ),
-    m AS (
+    ml AS (
         SELECT fold, COUNT(*) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+               CAST(SUM(CAST(ROUND(x * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS sxl,
+               CAST(SUM(CAST(ROUND(y * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS syl,
+               CAST(SUM(CAST(ROUND(x * y * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS sxyl,
+               CAST(SUM(CAST(ROUND(x * x * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS sxxl,
+               CAST(SUM(CAST(ROUND(y * y * 1e10, 0) AS BIGINT)) AS BIGINT)
+                   AS syyl
         FROM p GROUP BY fold
+    ),
+    m AS (
+        SELECT fold, n,
+               CAST(sxl AS DOUBLE) / 1e10 AS sx,
+               CAST(syl AS DOUBLE) / 1e10 AS sy,
+               CAST(sxyl AS DOUBLE) / 1e10 AS sxy,
+               CAST(sxxl AS DOUBLE) / 1e10 AS sxx,
+               CAST(syyl AS DOUBLE) / 1e10 AS syy
+        FROM ml
     ),
     t AS (
         SELECT SUM(n) AS n,
-               CAST(SUM(CAST(sx AS DECIMAL(30,12))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(sy AS DECIMAL(30,12))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(sxy AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(sxx AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(syy AS DECIMAL(30,12))) AS DOUBLE) AS syy
-        FROM m
+               SUM(sxl) AS sxl, SUM(syl) AS syl, SUM(sxyl) AS sxyl,
+               SUM(sxxl) AS sxxl
+        FROM ml
     ),
     tr AS (
-        SELECT m.fold, t.n - m.n AS n, t.sx - m.sx AS sx,
-               t.sy - m.sy AS sy, t.sxy - m.sxy AS sxy,
-               t.sxx - m.sxx AS sxx
-        FROM m CROSS JOIN t
+        SELECT ml.fold, t.n - ml.n AS n,
+               CAST(t.sxl - ml.sxl AS DOUBLE) / 1e10 AS sx,
+               CAST(t.syl - ml.syl AS DOUBLE) / 1e10 AS sy,
+               CAST(t.sxyl - ml.sxyl AS DOUBLE) / 1e10 AS sxy,
+               CAST(t.sxxl - ml.sxxl AS DOUBLE) / 1e10 AS sxx
+        FROM ml CROSS JOIN t
     ),
     ab AS (
         SELECT fold, b, (sy - b * sx) / n AS a
@@ -3017,7 +3030,12 @@ def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         32,
     )
-    dec = lambda c: c.cast("decimal(30,12)")  # noqa: E731
+    # r14: integer-scaled long folds (round(t*1e10) summed as BIGINT —
+    # the price_quantity_elasticity r13 precedent, oracle mirrored in
+    # lockstep) replace the DECIMAL(30,12) accumulators; complement
+    # moments subtract EXACTLY in the integer domain before the one
+    # double conversion. |terms| ≤ ~1.3e12 ⇒ sums < 2^60 through sf1.
+    i10 = lambda c: F.round(c * F.lit(1e10), 0).cast("bigint")  # noqa: E731
     p = li.select(
         F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
         F.log("l_quantity").alias("y"),
@@ -3032,29 +3050,38 @@ def elasticity_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persisted: the 5-row fold-moments frame feeds totals, complement
     # fits, and the MSE join — one lineitem scan total (audit_scans r07)
-    m = p.groupBy("fold").agg(
+    ml = p.groupBy("fold").agg(
         F.count("*").alias("n"),
-        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
-        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(i10(F.col("x"))).alias("sxl"),
+        F.sum(i10(F.col("y"))).alias("syl"),
+        F.sum(i10(F.col("x") * F.col("y"))).alias("sxyl"),
+        F.sum(i10(F.col("x") * F.col("x"))).alias("sxxl"),
+        F.sum(i10(F.col("y") * F.col("y"))).alias("syyl"),
     ).persist()
-    t = m.agg(
-        F.sum("n").alias("tn"),
-        F.sum(dec(F.col("sx"))).cast("double").alias("tsx"),
-        F.sum(dec(F.col("sy"))).cast("double").alias("tsy"),
-        F.sum(dec(F.col("sxy"))).cast("double").alias("tsxy"),
-        F.sum(dec(F.col("sxx"))).cast("double").alias("tsxx"),
-        F.sum(dec(F.col("syy"))).cast("double").alias("tsyy"),
+    e10 = lambda c: c.cast("double") / F.lit(1e10)  # noqa: E731
+    m = ml.select(
+        "fold",
+        "n",
+        e10(F.col("sxl")).alias("sx"),
+        e10(F.col("syl")).alias("sy"),
+        e10(F.col("sxyl")).alias("sxy"),
+        e10(F.col("sxxl")).alias("sxx"),
+        e10(F.col("syyl")).alias("syy"),
     )
-    tr = m.crossJoin(F.broadcast(t)).select(
+    t = ml.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sxl").alias("tsxl"),
+        F.sum("syl").alias("tsyl"),
+        F.sum("sxyl").alias("tsxyl"),
+        F.sum("sxxl").alias("tsxxl"),
+    )
+    tr = ml.crossJoin(F.broadcast(t)).select(
         "fold",
         (F.col("tn") - F.col("n")).alias("trn"),
-        (F.col("tsx") - F.col("sx")).alias("trsx"),
-        (F.col("tsy") - F.col("sy")).alias("trsy"),
-        (F.col("tsxy") - F.col("sxy")).alias("trsxy"),
-        (F.col("tsxx") - F.col("sxx")).alias("trsxx"),
+        e10(F.col("tsxl") - F.col("sxl")).alias("trsx"),
+        e10(F.col("tsyl") - F.col("syl")).alias("trsy"),
+        e10(F.col("tsxyl") - F.col("sxyl")).alias("trsxy"),
+        e10(F.col("tsxxl") - F.col("sxxl")).alias("trsxx"),
     )
     b = (
         F.col("trn") * F.col("trsxy") - F.col("trsx") * F.col("trsy")
@@ -4041,10 +4068,11 @@ def copurchase_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH py AS (
         SELECT l_partkey,
                CAST(YEAR(CAST(l_shipdate AS DATE)) AS INT) AS yr,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-                   / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+               (CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0)
+                   / CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
                           AS DOUBLE) AS unit_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)
                    AS qty
         FROM lineitem
         GROUP BY l_partkey, YEAR(CAST(l_shipdate AS DATE))
@@ -4085,6 +4113,15 @@ def yearly_price_index_laspeyres(
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     # persisted: the (part, year) grid feeds the base-year slice and
     # the index join — one lineitem scan total (audit_scans r07)
+    # r14 (guide §2.3 narrower types): exact BIGINT cents/units folds
+    # replace the DECIMAL(30,10) accumulators — unit_price and qty are
+    # BIT-IDENTICAL doubles (prices are exact 2-decimal values,
+    # quantities integral; both forms produce the correctly-rounded
+    # double of the same exact rational — the supplier_bradley_terry
+    # proof), so every downstream product, decimal sum and index value
+    # is unchanged; the oracle mirrors the same fold.
+    cents = F.round(F.col("l_extendedprice") * F.lit(100), 0).cast("bigint")
+    qint = F.round(F.col("l_quantity"), 0).cast("bigint")
     py = (
         li.groupBy(
             "l_partkey",
@@ -4092,10 +4129,10 @@ def yearly_price_index_laspeyres(
         )
         .agg(
             (
-                F.sum(dec(F.col("l_extendedprice"))).cast("double")
-                / F.sum(dec(F.col("l_quantity"))).cast("double")
+                (F.sum(cents).cast("double") / F.lit(100.0))
+                / F.sum(qint).cast("double")
             ).alias("unit_price"),
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("qty"),
+            F.sum(qint).cast("double").alias("qty"),
         )
         .persist()
     )
@@ -5710,10 +5747,11 @@ def copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH py AS (
         SELECT l_partkey,
                CAST(YEAR(CAST(l_shipdate AS DATE)) AS INT) AS yr,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-                   / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+               (CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                     AS DOUBLE) / 100.0)
+                   / CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))
                           AS DOUBLE) AS unit_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+               CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS DOUBLE)
                    AS qty
         FROM lineitem
         GROUP BY l_partkey, YEAR(CAST(l_shipdate AS DATE))
@@ -5763,6 +5801,15 @@ def yearly_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     # persisted: the (part, year) grid feeds the base-year slice and
     # the index join — one lineitem scan total (audit_scans r07)
+    # r14 (guide §2.3 narrower types): exact BIGINT cents/units folds
+    # replace the DECIMAL(30,10) accumulators — unit_price and qty are
+    # BIT-IDENTICAL doubles (prices are exact 2-decimal values,
+    # quantities integral; both forms produce the correctly-rounded
+    # double of the same exact rational — the supplier_bradley_terry
+    # proof), so every downstream product, decimal sum and index value
+    # is unchanged; the oracle mirrors the same fold.
+    cents = F.round(F.col("l_extendedprice") * F.lit(100), 0).cast("bigint")
+    qint = F.round(F.col("l_quantity"), 0).cast("bigint")
     py = (
         li.groupBy(
             "l_partkey",
@@ -5770,10 +5817,10 @@ def yearly_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             (
-                F.sum(dec(F.col("l_extendedprice"))).cast("double")
-                / F.sum(dec(F.col("l_quantity"))).cast("double")
+                (F.sum(cents).cast("double") / F.lit(100.0))
+                / F.sum(qint).cast("double")
             ).alias("unit_price"),
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("qty"),
+            F.sum(qint).cast("double").alias("qty"),
         )
         .persist()
     )
@@ -6638,14 +6685,14 @@ def supplier_acctbal_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pm AS (
         SELECT l_partkey,
                DATE_TRUNC('month', CAST(l_shipdate AS DATE)) AS month,
-               SUM(CAST(l_quantity AS DECIMAL(30,10))) AS q
+               SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS q
         FROM lineitem GROUP BY 1, 2
     ),
     stats AS (
         SELECT l_partkey,
                CAST(COUNT(*) AS BIGINT) AS n_months,
                CAST(SUM(q) AS DOUBLE) AS demand,
-               SQRT(CAST(SUM(CAST(q * q AS DECIMAL(38,8))) AS DOUBLE)
+               SQRT(CAST(SUM(q * q) AS DOUBLE)
                     / COUNT(*)
                     - POW(CAST(SUM(q) AS DOUBLE) / COUNT(*), 2))
                  / (CAST(SUM(q) AS DOUBLE) / COUNT(*)) AS cv
@@ -6723,7 +6770,11 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month"
         ),
     ).agg(
-        F.sum(dec(F.col("l_quantity"))).alias("q"),
+        # r14: quantities are integral, so the demand side folds as
+        # exact BIGINT units (bit-identical downstream doubles — the
+        # price-index-grid proof); revenue keeps the decimal path
+        # (p·(1−d) is an arbitrary double)
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("q"),
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
                 "decimal(30,10)"
@@ -6736,9 +6787,7 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_months"),
             F.sum("q").alias("sq"),
-            F.sum((F.col("q") * F.col("q")).cast("decimal(38,8)")).alias(
-                "sqq"
-            ),
+            F.sum(F.col("q") * F.col("q")).alias("sqq"),
             F.sum("rm").alias("r"),
         )
         .select(

@@ -3754,10 +3754,22 @@ def doc_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = bg.groupBy("doc_id", "source", "b").agg(
         F.count("*").cast("bigint").alias("c")
-    ).persist()  # feeds the per-doc totals AND the entropy rollup
-    n = cnt.groupBy("doc_id", "source").agg(
-        F.sum("c").cast("bigint").alias("n_bigrams"),
-        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    # r14 (guide §2.4): per-doc totals ride a window over the SAME
+    # (doc, source) clustering the final rollup needs, replacing the
+    # r13 persist + totals agg + broadcast join back — one exchange and
+    # the multi-M-row cache materialization gone; the final groupBy
+    # reuses the window's partitioning (its keys are a superset), so
+    # the plan is scan → (doc,source,b) agg → (doc,source) window+agg.
+    from pyspark.sql.window import Window as W
+
+    wd = W.partitionBy("doc_id", "source")
+    counted = cnt.select(
+        "doc_id",
+        "source",
+        "c",
+        F.sum("c").over(wd).cast("bigint").alias("n_bigrams"),
+        F.count("*").over(wd).cast("bigint").alias("n_distinct"),
     )
     term = F.round(
         (F.col("c").cast("double") / F.col("n_bigrams"))
@@ -3765,8 +3777,7 @@ def doc_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         12,
     ).cast("decimal(30,15)")
     return (
-        n.join(cnt, ["doc_id", "source"])
-        .groupBy("doc_id", "source", "n_bigrams", "n_distinct")
+        counted.groupBy("doc_id", "source", "n_bigrams", "n_distinct")
         .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"))
         .orderBy("doc_id")
     )
