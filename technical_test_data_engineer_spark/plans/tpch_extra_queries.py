@@ -336,7 +336,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pq AS (
         SELECT l_partkey, l_suppkey,
-               SUM(CAST(l_quantity AS DECIMAL(30,10))) AS sq
+               SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sq
         FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     pt AS (SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY l_partkey)
@@ -358,9 +358,12 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_partkey."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
-    # persist: pq feeds both the per-part total and the share filter
+    # persist: pq feeds both the per-part total and the share filter.
+    # r14: quantities are integral in this schema, so the sums fold as
+    # exact BIGINT units (bit-identical doubles at the share filter —
+    # the price-index-grid proof); oracle mirrored in lockstep
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("sq")
+        F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("sq")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pt = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
     majority = (
