@@ -123,16 +123,25 @@ _FRONT_50 = [
     "ab_test_bh_fdr",
     "ab_test_cmh_odds",
     "ab_test_did",
-    "ab_test_permutation",
-    "copurchase_adamic_adar",
-    "copurchase_assortativity",
-    "copurchase_sppmi",
-    "customer_mahalanobis_outliers",
-    # -- re-earn: r14 in-round plan rewrite (replaces the last r08
-    #    filler, customer_partition_ari, which returns to the r15
-    #    head — the r13 spearman swap precedent) --
+    # -- re-earn: r14 in-round plan/oracle rewrites (the r13 spearman
+    #    swap precedent: late in-round rewrites take the LAST fill
+    #    slots; the displaced r08 fillers — ab_test_permutation,
+    #    copurchase_adamic_adar, copurchase_assortativity,
+    #    copurchase_sppmi, customer_mahalanobis_outliers,
+    #    customer_partition_ari — return to the r15 head) --
     "part_abc_xyz_matrix",          # rev fused into the stats agg
                                     # (persist+join+shuffle removed)
+                                    # + demand-side BIGINT fold
+    "yearly_price_index_fisher",    # (part,year) grid BIGINT fold
+                                    # (oracle mirrored, bit-identical)
+    "q20_volume_suppliers",         # (part,supp) qty BIGINT fold
+                                    # (oracle mirrored, bit-identical)
+    "embedding_coreset_facility3",  # bounded-collect driver greedy
+                                    # (oracle unchanged)
+    "knn_mmr_exact3",               # bounded-collect driver MMR picks
+                                    # (oracle unchanged)
+    "doc_char_bigram_entropy",      # totals via window on the agg's
+                                    # clustering (oracle unchanged)
 ]
 
 
@@ -143,13 +152,15 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-15 rotation head (after the r14 window lands): the 37
-# remaining r08 greens (46 minus the nine fillers in this window,
-# minus supplier_bradley_terry which re-earns as a changed pair, plus
-# the displaced customer_partition_ari), plus any
-# r14 additions that miss the r14 window and any plan rewritten after
-# its r14 green. Recompute mechanically from the CORRECTNESS union as
-# always.
+# Round-15 rotation head (after the r14 window lands): the 42
+# remaining r08 greens (46 minus the four r08 fillers still in this
+# window, minus supplier_bradley_terry which re-earns as a changed
+# pair, plus the displaced fillers customer_partition_ari,
+# ab_test_permutation, copurchase_adamic_adar,
+# copurchase_assortativity, copurchase_sppmi,
+# customer_mahalanobis_outliers), plus any r14 additions that miss the
+# r14 window and any plan rewritten after its r14 green. Recompute
+# mechanically from the CORRECTNESS union as always.
 
 _FRONT_ROWS_ONLY: set[str] = set()
 
