@@ -33,7 +33,18 @@ def journey_transition_counts(
     """Distributed transition counts over per-user journeys truncated
     at the FIRST conversion: START→first-touch, touch→touch,
     last-touch→CONV/DROP, plus START→CONV for users converting with no
-    prior touches. Output (src, dst, n) is channel-vocabulary-sized."""
+    prior touches. Output (src, dst, n) is channel-vocabulary-sized.
+
+    Shape (r14): the old union-of-three-projections form ran the
+    per-user window TWICE (mid and last branches — Catalyst reuses the
+    exchange under it but not the Sort+Window). Now every seq row
+    explodes into its mid transition plus, on the journey's last row,
+    its CONV/DROP transition, so one window pass feeds the
+    vocabulary-sized aggregation. The no-touch-converter branch stays
+    a lazy union (its two extra fact scans run in parallel inside the
+    same job; an eager persist+count fix-up was measured ~0.5 s SLOWER
+    solo — sequential job latency beats the scan savings at bench
+    scale, and both forms scan the fact O(1) times at 100 TB)."""
     conv = (
         events.filter(F.col("event_type") == conversion_type)
         .groupBy("user_id")
@@ -54,23 +65,28 @@ def journey_transition_counts(
         F.lag("event_type").over(w).alias("prev"),
         F.lead("event_type").over(w).alias("nxt"),
     )
-    mid = seq.select(
+    mid_pair = F.struct(
         F.coalesce("prev", F.lit(START)).alias("src"),
         F.col("ch").alias("dst"),
     )
-    last = seq.filter(F.col("nxt").isNull()).select(
+    last_pair = F.struct(
         F.col("ch").alias("src"),
         F.when(F.col("conv_ts").isNotNull(), F.lit(CONV))
         .otherwise(F.lit(DROP))
         .alias("dst"),
     )
+    pairs = seq.select(
+        F.explode(
+            F.when(F.col("nxt").isNull(), F.array(mid_pair, last_pair))
+            .otherwise(F.array(mid_pair))
+        ).alias("t")
+    ).select("t.src", "t.dst")
     no_touch = (
         conv.join(touches.select("user_id").distinct(), "user_id", "left_anti")
         .select(F.lit(START).alias("src"), F.lit(CONV).alias("dst"))
     )
     return (
-        mid.unionByName(last)
-        .unionByName(no_touch)
+        pairs.unionByName(no_touch)
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
     )

@@ -11,9 +11,43 @@ actually needs.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Lazy-PLAN memo, per live SparkSession: building a parquet scan is
+# driver-side work (file listing + footer schema inference + py4j
+# round-trips, measured ~60-100 ms per call), and a registry sweep
+# makes ~2 load_table calls per query — tens of seconds of pure
+# plan-construction overhead. A DataFrame is an immutable lazy plan,
+# so sharing one scan node per (session, path) changes no plan shape
+# and caches no data: every action still reads the parquet. Entries
+# are invalidated when the directory's (name, mtime, size) signature
+# changes (tests overwrite fixture paths in place) and die with their
+# session (weak keys), so a restarted session never sees a stale plan.
+_PLAN_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _path_signature(path: str):
+    """(name, mtime_ns, size) of every entry under ``path`` (or of the
+    file itself) — cheap local stat calls; None when absent so a
+    missing path never caches."""
+    try:
+        with os.scandir(path) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in it
+                )
+            )
+    except NotADirectoryError:
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_mtime_ns, st.st_size),)
+    except FileNotFoundError:
+        return None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -31,11 +65,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampType — the same ns→µs truncation DuckDB's
     ``CAST(ts AS TIMESTAMP)`` performs, keeping the oracle comparable.
     """
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
+        # set on every call (hit or miss): the legacy-nanos conf is
+        # consulted at scan time, not only at schema inference
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    memo = _PLAN_MEMO.setdefault(spark, {})
+    sig = _path_signature(path)
+    hit = memo.get(path)
+    if hit is not None and sig is not None and hit[0] == sig:
+        return hit[1]
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if sig is not None:
+        memo[path] = (sig, df)
     return df
 
 
