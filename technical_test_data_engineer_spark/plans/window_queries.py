@@ -3113,8 +3113,8 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                CAST(COUNT(*) - 1 AS BIGINT) AS x,
                CAST(MAX(CAST(o_orderdate AS DATE))
-                    - MIN(CAST(o_orderdate AS DATE)) AS DOUBLE) AS t_x,
-               CAST(MAX(mxd) - MIN(CAST(o_orderdate AS DATE)) AS DOUBLE)
+                    - MIN(CAST(o_orderdate AS DATE)) AS BIGINT) AS t_x,
+               CAST(MAX(mxd) - MIN(CAST(o_orderdate AS DATE)) AS BIGINT)
                    AS t_obs
         FROM orders CROSS JOIN mx
         GROUP BY o_custkey
@@ -3126,9 +3126,9 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(x_bucket AS INT) AS repeat_orders,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(CAST(t_x AS DECIMAL(30,10))) AS DOUBLE)
+           ROUND(CAST(SUM(t_x) AS DOUBLE)
                  / COUNT(*), 6) AS avg_recency_days,
-           ROUND(CAST(SUM(CAST(t_obs AS DECIMAL(30,10))) AS DOUBLE)
+           ROUND(CAST(SUM(t_obs) AS DOUBLE)
                  / COUNT(*), 6) AS avg_age_days
     FROM b GROUP BY x_bucket ORDER BY repeat_orders
     """,
@@ -3141,9 +3141,12 @@ def customer_bg_nbd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the whole 100 TB history reduces to ~11 rows of sufficient
     statistics — the same compression discipline as the OLS/CUPED
     moments, applied to CLV). One keyed aggregation; the max-date
-    scalar attaches broadcast; day arithmetic is integer-exact."""
+    scalar attaches broadcast; day arithmetic is integer-exact —
+    r14: the day sums fold as exact BIGINT (t_x / t_obs are integer
+    day counts, so the old DECIMAL(30,10)-of-double accumulators were
+    integer sums in disguise; bit-identical by construction, oracle
+    mirrored in lockstep)."""
     orders = load_table(spark, sf_dir, "orders")
-    dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     # one orders scan (the kmeans2 discipline): per-customer first/last
     # dates aggregate first (persisted); the observation horizon is the
     # max of per-customer last dates, attached broadcast
@@ -3156,10 +3159,10 @@ def customer_bg_nbd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = cust0.crossJoin(F.broadcast(mx)).select(
         (F.col("cnt") - 1).cast("bigint").alias("x"),
         F.datediff(F.col("last_od"), F.col("first_od"))
-        .cast("double")
+        .cast("bigint")
         .alias("t_x"),
         F.datediff(F.col("mxd"), F.col("first_od"))
-        .cast("double")
+        .cast("bigint")
         .alias("t_obs"),
     )
     b = cust.select(
@@ -3172,10 +3175,10 @@ def customer_bg_nbd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
             F.round(
-                F.sum(dec(F.col("t_x"))).cast("double") / F.count("*"), 6
+                F.sum("t_x").cast("double") / F.count("*"), 6
             ).alias("avg_recency_days"),
             F.round(
-                F.sum(dec(F.col("t_obs"))).cast("double") / F.count("*"), 6
+                F.sum("t_obs").cast("double") / F.count("*"), 6
             ).alias("avg_age_days"),
         )
         .orderBy("repeat_orders")
