@@ -371,3 +371,35 @@ def test_merge_schema_read_unions_evolved_columns(spark, tmp_path):
     # the reason additive evolution must be read with the option on
     default_cols = set(spark.read.parquet(path).columns)
     assert default_cols <= {"id", "name", "score"}
+
+
+def test_load_table_memo_hit_and_staleness(spark, sf_dir, tmp_path):
+    """r14 memo: load_table returns the SAME lazy plan object for a
+    repeated (session, path) load — no re-listing, no footer re-read —
+    but an in-place rewrite of the path (new mtime/size signature)
+    invalidates the entry and the reload sees the new data. The memo
+    shares PLANS, never results: an action after an overwrite must
+    reflect the files on disk."""
+    name = "memo_fixture"
+    path = str(tmp_path / f"{name}.parquet")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "id long, v string"
+    ).write.parquet(path)
+
+    a = load_table(spark, str(tmp_path), name)
+    b = load_table(spark, str(tmp_path), name)
+    assert a is b, "second load of an unchanged path must be a memo hit"
+    assert a.count() == 5
+
+    # overwrite in place: directory signature changes → fresh plan
+    spark.createDataFrame(
+        [(i, f"w{i}") for i in range(9)], "id long, v string"
+    ).write.mode("overwrite").parquet(path)
+    c = load_table(spark, str(tmp_path), name)
+    assert c is not a, "overwritten path must invalidate the memo entry"
+    assert c.count() == 9
+
+    # the real star-schema tables memo-hit too (the bench-path case)
+    t1 = load_table(spark, sf_dir, "orders")
+    t2 = load_table(spark, sf_dir, "orders")
+    assert t1 is t2
