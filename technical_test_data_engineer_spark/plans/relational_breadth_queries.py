@@ -2867,10 +2867,18 @@ def order_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-bucket convention (80/10/10) so membership is recomputable
     from the data alone. Scale shape: one fact-fact co-keyed join for
     the feature, then three scans reduce to scalars (moments,
-    interpolated ``percentile`` ≡ PERCENTILE_CONT, coverage) with the
-    fitted scalars broadcast. Rounded to 6dp at output only —
-    comparisons run on unrounded doubles built from identical
-    expression order on both engines."""
+    interpolated ``percentile`` ≡ PERCENTILE_CONT, coverage). r14: the
+    (a, b) and q90 scalars attach as collected LITERALS (the bradley /
+    channel_conversion_k8 bounded-collect discipline) instead of
+    broadcast crossJoins — the lazy form re-executed the train-moments
+    agg 6x and the interpreted percentile 2x (78-operator plan, zero
+    exchange reuse; ``plans/r14/order_value_conformal_before.txt``),
+    because every broadcast consumer re-derived its 1-row input. The
+    collected doubles are the SAME Spark-computed values (bit-exact;
+    literal re-embedding), and each stage now runs exactly once; the
+    rounds stay JVM-side. Rounded to 6dp at output only — comparisons
+    run on unrounded doubles built from identical expression order on
+    both engines."""
     from technical_test_data_engineer_spark.operators.text import md5_bucket
 
     orders = load_table(spark, sf_dir, "orders")
@@ -2898,41 +2906,45 @@ def order_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     ab = fit.select("n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"))
-    resid = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
-    cal = (
+    # bounded collect #1 (1 row): a/b are Spark-computed doubles; the
+    # literal re-embeds the exact bits the broadcast column carried
+    fit_row = ab.collect()[0]
+    a_l = F.lit(fit_row["a"]).cast("double")
+    b_l = F.lit(fit_row["b"]).cast("double")
+    resid = F.abs(F.col("y") - (a_l + b_l * F.col("x")))
+    # bounded collect #2 (1 row): q90 from the interpreted percentile
+    # aggregate, now executed exactly once
+    cal_row = (
         feat.filter((F.col("bucket") >= 80) & (F.col("bucket") < 90))
-        .crossJoin(F.broadcast(ab))
         .agg(
             F.count("*").alias("n_cal"),
             F.percentile(resid, F.lit(0.9)).alias("q90"),
         )
+        .collect()[0]
     )
-    test = (
+    q90_l = F.lit(cal_row["q90"]).cast("double")
+    test_row = (
         feat.filter(F.col("bucket") >= 90)
-        .crossJoin(F.broadcast(ab))
-        .crossJoin(F.broadcast(cal.select("q90")))
         .agg(
             F.count("*").alias("n_test"),
             (
-                F.sum(F.when(resid <= F.col("q90"), 1).otherwise(0)).cast(
-                    "double"
-                )
+                F.sum(F.when(resid <= q90_l, 1).otherwise(0)).cast("double")
                 / F.count("*")
             ).alias("coverage"),
         )
+        .collect()[0]
     )
-    return (
-        ab.crossJoin(F.broadcast(cal))
-        .crossJoin(F.broadcast(test))
-        .select(
-            F.col("n").cast("bigint").alias("n_train"),
-            F.col("n_cal").cast("bigint").alias("n_cal"),
-            F.col("n_test").cast("bigint").alias("n_test"),
-            F.round("a", 6).alias("intercept"),
-            F.round("b", 6).alias("slope"),
-            F.round("q90", 6).alias("q90_residual"),
-            F.round("coverage", 6).alias("test_coverage"),
-        )
+    # 1-row assembly; rounds stay JVM-side (HALF_UP), same as before
+    return spark.range(1).select(
+        F.lit(fit_row["n"]).cast("bigint").alias("n_train"),
+        F.lit(cal_row["n_cal"]).cast("bigint").alias("n_cal"),
+        F.lit(test_row["n_test"]).cast("bigint").alias("n_test"),
+        F.round(a_l, 6).alias("intercept"),
+        F.round(b_l, 6).alias("slope"),
+        F.round(q90_l, 6).alias("q90_residual"),
+        F.round(F.lit(test_row["coverage"]).cast("double"), 6).alias(
+            "test_coverage"
+        ),
     )
 
 

@@ -273,7 +273,8 @@ _NONEQUI_ALLOWLIST = {
                                   # attach (smoothing prior)
     "customer_acctbal_woe_iv",    # 1-row class-totals broadcast attach
     "order_value_conformal",      # 1-row fitted-scalars (a, b, q90)
-                                  # broadcast attaches
+                                  # bounded-collect literal attaches
+                                  # (r14; was broadcast crossJoins)
     "shard_balance_chisq",        # 1-row grand-total broadcast attach
     "source_distinctive_terms",   # 1-row corpus-total broadcast attach
     "embedding_isotropy_stats",   # 1-row count broadcast attach
