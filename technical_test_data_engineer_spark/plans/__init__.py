@@ -121,14 +121,13 @@ _FRONT_50 = [
     #    alphabetical) --
     "copurchase_negative_samples",  # first-green r07
     "ab_test_bh_fdr",
-    "ab_test_cmh_odds",
-    "ab_test_did",
     # -- re-earn: r14 in-round plan/oracle rewrites (the r13 spearman
     #    swap precedent: late in-round rewrites take the LAST fill
     #    slots; the displaced r08 fillers — ab_test_permutation,
     #    copurchase_adamic_adar, copurchase_assortativity,
     #    copurchase_sppmi, customer_mahalanobis_outliers,
-    #    customer_partition_ari — return to the r15 head) --
+    #    customer_partition_ari, and (late perf slots) ab_test_cmh_odds
+    #    + ab_test_did — return to the r15 head) --
     "part_abc_xyz_matrix",          # rev fused into the stats agg
                                     # (persist+join+shuffle removed)
                                     # + demand-side BIGINT fold
@@ -142,6 +141,12 @@ _FRONT_50 = [
                                     # (oracle unchanged)
     "doc_char_bigram_entropy",      # totals via window on the agg's
                                     # clustering (oracle unchanged)
+    "segment_churn_set_ops",        # one flag-pair agg replaces the
+                                    # set-op re-derivations (oracle
+                                    # unchanged)
+    "corpus_stats_card",            # one agg over per_lang: corpus
+                                    # tokenized once, not 4x (oracle
+                                    # unchanged)
 ]
 
 

@@ -217,30 +217,51 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def segment_churn_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface (INTERSECT / EXCEPT / UNION ALL): customer
-    cohort churn between two order years."""
+    cohort churn between two order years.
+
+    r14 (guide §2.4 remove shuffles outright): the literal
+    intersect/exceptAll form re-derived each year's distinct frame per
+    set-op consumer — 6 orders scans + 4 custkey distinct aggregations
+    + 3 set-op joins in one plan. The three cohorts are a pure
+    function of ONE (in96, in97) membership-flag pair per customer, so
+    the plan is now one year-pruned scan → one custkey agg → a 1-row
+    conditional-count rollup unpivoted to the 3 cohort rows (stack).
+    Counts are identical by construction: the year frames were
+    DISTINCT custkey sets, so INTERSECT == both flags set and
+    EXCEPT(ALL) == exactly one flag set. Oracle unchanged (it keeps
+    the set-op spelling of the same counts); same-JVM interleaved A/B
+    0.538 → 0.265 s min-of-3, new faster on every rep."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def year_customers(y: int) -> DataFrame:
-        return (
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
-                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
-            )
-            .select("o_custkey")
-            .distinct()
+    flags = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
         )
-
-    y96, y97 = year_customers(1996), year_customers(1997)
-    retained = y96.intersect(y97).agg(F.count("*").alias("n")).select(
-        F.lit("retained").alias("cohort"), "n"
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                (F.col("o_orderdate") < F.lit("1997-01-01")).cast("int")
+            ).alias("in96"),
+            F.max(
+                (F.col("o_orderdate") >= F.lit("1997-01-01")).cast("int")
+            ).alias("in97"),
+        )
     )
-    churned = y96.exceptAll(y97).agg(F.count("*").alias("n")).select(
-        F.lit("churned").alias("cohort"), "n"
+    counts = flags.agg(
+        F.count(
+            F.when((F.col("in96") == 1) & (F.col("in97") == 1), 1)
+        ).alias("n_ret"),
+        F.count(
+            F.when((F.col("in96") == 1) & (F.col("in97") == 0), 1)
+        ).alias("n_chu"),
+        F.count(
+            F.when((F.col("in96") == 0) & (F.col("in97") == 1), 1)
+        ).alias("n_new"),
     )
-    new = y97.exceptAll(y96).agg(F.count("*").alias("n")).select(
-        F.lit("new").alias("cohort"), "n"
-    )
-    return retained.unionByName(churned).unionByName(new).orderBy("cohort")
+    return counts.selectExpr(
+        "stack(3, 'churned', n_chu, 'new', n_new, 'retained', n_ret)"
+        " AS (cohort, n)"
+    ).orderBy("cohort")
 
 
 @query(

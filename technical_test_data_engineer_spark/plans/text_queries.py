@@ -1232,42 +1232,43 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     imbalance ratio — the numbers a dataset README publishes and a
     mixing step (corpus_mix_rebalance) consumes. Two tiny aggregates
     (per-lang, then global), no corpus-sized shuffle; entropy summed
-    over the per-lang frame with the same n/N ordering both engines."""
+    over the per-lang frame with the same n/N ordering both engines.
+
+    r14 (guide §2.4): the tot/ent/imb branches each re-derived the
+    per-lang frame — FOUR corpus tokenization passes (the duplicated-
+    scalar-subtree probe's flag) for one lang-bounded readout. ONE
+    aggregation over per_lang now carries the totals, the imbalance
+    extremes and the collected (lang-bounded) count list; entropy
+    folds over that sorted array with the same n/N terms, so the
+    corpus is tokenized exactly once. Oracle unchanged; same-JVM
+    interleaved A/B 0.661 → 0.416 s min-of-3, faster on every rep,
+    result rows byte-identical (exact-tuple parity check)."""
     docs = _docs(spark, sf_dir)
     per_lang = docs.groupBy("lang").agg(
         F.count("*").alias("n"),
         F.sum(F.size(TX.tokens("text"))).alias("toks"),
     )
-    tot = per_lang.agg(
+    card = per_lang.agg(
         F.sum("n").alias("n_docs"),
         F.sum("toks").alias("n_tokens"),
         F.count("*").alias("n_langs"),
-    )
-    ent = (
-        per_lang.crossJoin(F.broadcast(tot.select("n_docs")))
-        .select(
-            (
-                -(F.col("n") / F.col("n_docs").cast("double"))
-                * F.log(F.col("n") / F.col("n_docs").cast("double"))
-            ).alias("term")
-        )
-        .agg(F.sum("term").alias("lang_entropy"))
-    )
-    imb = per_lang.agg(
         (F.max("n").cast("double") / F.min("n").cast("double")).alias(
             "lang_imbalance"
-        )
+        ),
+        F.array_sort(F.collect_list("n")).alias("ns"),
     )
-    return (
-        tot.crossJoin(F.broadcast(ent))
-        .crossJoin(F.broadcast(imb))
-        .select(
-            F.col("n_docs").cast("bigint").alias("n_docs"),
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.col("n_langs").cast("bigint").alias("n_langs"),
-            "lang_entropy",
-            "lang_imbalance",
-        )
+    nd = F.col("n_docs").cast("double")
+    ent = F.aggregate(
+        F.col("ns"),
+        F.lit(0.0),
+        lambda acc, x: acc - (x / nd) * F.log(x / nd),
+    )
+    return card.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        ent.alias("lang_entropy"),
+        "lang_imbalance",
     )
 
 
