@@ -120,14 +120,13 @@ _FRONT_50 = [
     # -- re-earn: oldest r08 greens (first-green r07 first, then
     #    alphabetical) --
     "copurchase_negative_samples",  # first-green r07
-    "ab_test_bh_fdr",
     # -- re-earn: r14 in-round plan/oracle rewrites (the r13 spearman
     #    swap precedent: late in-round rewrites take the LAST fill
     #    slots; the displaced r08 fillers — ab_test_permutation,
     #    copurchase_adamic_adar, copurchase_assortativity,
     #    copurchase_sppmi, customer_mahalanobis_outliers,
-    #    customer_partition_ari, and (late perf slots) ab_test_cmh_odds
-    #    + ab_test_did — return to the r15 head) --
+    #    customer_partition_ari, and (late perf slots) ab_test_bh_fdr
+    #    + ab_test_cmh_odds + ab_test_did — return to the r15 head) --
     "part_abc_xyz_matrix",          # rev fused into the stats agg
                                     # (persist+join+shuffle removed)
                                     # + demand-side BIGINT fold
@@ -147,6 +146,9 @@ _FRONT_50 = [
     "corpus_stats_card",            # one agg over per_lang: corpus
                                     # tokenized once, not 4x (oracle
                                     # unchanged)
+    "corpus_drift_psi",             # slice counts from one term agg;
+                                    # vocab rank + totals ride it
+                                    # (oracle unchanged)
 ]
 
 

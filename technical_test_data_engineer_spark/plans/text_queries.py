@@ -1314,7 +1314,19 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring convention). Shape: one token pass builds counts for both
     slices simultaneously (conditional aggregation — never two corpus
     scans), the vocabulary ranking is vocabulary-sized, and PSI
-    reduces in a single 200-row aggregate."""
+    reduces in a single 200-row aggregate.
+
+    r14 (guide §2.4): the vocab-then-recount form ran the token
+    explode TWICE (vocab ranking + the vocab-join recount) and the
+    counts agg twice more (totals + probs consumers) — documents ×4
+    in the scan audit. The slice counts now come straight from ONE
+    (term) conditional agg; the top-200 rank rides that vocabulary-
+    sized frame (cnt == c_old + c_new, same DESC/term tiebreak), and
+    the totals attach as a 200-row global window instead of a second
+    consumer. One corpus pass total; values identical (same counts,
+    same 200 terms, same smoothed p/q). Oracle unchanged; same-JVM
+    interleaved A/B (4 rounds) 1.396 → 0.747 s min, faster on every
+    rep, exact-tuple parity at sf0.1."""
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         (F.col("doc_id") < 250).alias("is_old"),
@@ -1322,30 +1334,30 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    vocab = (
-        tok.groupBy("term")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
+    counts_all = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("c_new"),
+    )
+    vocab_counts = (
+        counts_all.withColumn(
             "rn",
-            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(F.col("c_old") + F.col("c_new")), F.asc("term")
+                )
+            ),
         )
         .filter(F.col("rn") <= 200)
-        .select("term")
+        .select("c_old", "c_new")
     )
-    counts = (
-        tok.join(F.broadcast(vocab), "term")
-        .groupBy("term")
-        .agg(
-            F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("c_old"),
-            F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("c_new"),
-        )
-    )
-    tot = counts.agg(
-        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
-    )
-    probs = counts.crossJoin(F.broadcast(tot)).select(
-        ((F.col("c_old") + 0.5) / (F.col("t_old") + 0.5 * 200)).alias("p"),
-        ((F.col("c_new") + 0.5) / (F.col("t_new") + 0.5 * 200)).alias("q"),
+    wg = Window.partitionBy()
+    probs = vocab_counts.select(
+        (
+            (F.col("c_old") + 0.5) / (F.sum("c_old").over(wg) + 0.5 * 200)
+        ).alias("p"),
+        (
+            (F.col("c_new") + 0.5) / (F.sum("c_new").over(wg) + 0.5 * 200)
+        ).alias("q"),
     )
     return probs.agg(
         F.lit(200).cast("bigint").alias("n_terms"),
