@@ -36,9 +36,8 @@ Expected multi-scans (all reviewed):
 - event stream split into clicks/views: asof_click_attribution
 - LSH sig recompute in lieu of persist (measured faster):
   embedding_near_dups_lsh, split_contamination_audit
-- set-operation cohort demo (clarity over scans; the single-pass
-  conditional-aggregation rewrite is the scale path):
-  segment_churn_set_ops
+- segment_churn_set_ops: single-pass flag-pair aggregation since r14
+  (one scan, one custkey agg) — dropped OFF the report
 - q22 scalar-subquery average + main scan: q22_idle_rich_customers
 - two dimension roles (r02): q8_market_share (customer vs supplier
   nation)
@@ -103,9 +102,11 @@ Expected multi-scans (all reviewed):
   convention). Remaining reviewed multi-scans: daily_active_users ×3
   (day grid + DAU + WAU broadcast fan-out over one distinct grid —
   grid is derived once, the echo is the persisted/reused definition),
-  corpus_drift_psi / corpus_stats_card ×4 (multi-statistic report
-  cards: each section is a tiny pruned agg over a different column
-  subset; persisting a corpus-wide intermediate would cost more),
+  corpus_drift_psi / corpus_stats_card — the ×4 "report card" claim
+  was DISPROVED in r14: each branch re-ran the corpus tokenization;
+  both are single-pass since r14 (0.53×/0.63× A/Bs) and both drop
+  off the report (r14 batch-4 sweep: diff-clean vs the pre-batch run
+  except corpus_drift_psi's ×4 disappearing),
   part_cf_similarity / part_name_entities ×4 (blocked self-join pair
   sides + attribute re-attach, the LSH-family convention),
   two-sided stream splits ×2 (time_to_first_purchase,
