@@ -45,12 +45,14 @@ Expected multi-scans (all reviewed):
   correlations each scan the base relation; at 100 TB you would
   localCheckpoint the joined base, but persisting a full fact join
   locally costs more than the re-scans it saves (reviewed)
-- NOTE: q2/q11/q15/q20 persist their aggregated intermediate, so the
+- NOTE: q11/q15/q20 persist their aggregated intermediate, so the
   remaining double-scan in their EXPLAIN output is the unresolved
   InMemoryRelation definition printed per reference — the materialized
   run scans lineitem once (verified via InMemoryTableScan in the
   post-materialization plan); weekly_retention_cohorts persists its
-  distinct (user, week) relation for the same reason
+  distinct (user, week) relation for the same reason; q2 dropped its
+  persist in r15 (window MIN over the cost agg replaced the
+  grouped-min join-back, single consumer) and scans lineitem once
 - knn_pq_ann: embeddings ×3 by design — bounded training-sample
   collect, the code-encoding scan, and the re-rank raw-vector
   re-attach for the tiny shortlist (reviewed)

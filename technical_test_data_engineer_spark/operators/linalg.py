@@ -147,7 +147,7 @@ def covariance_matrix(
     )
 
 
-def _round_half_up_1e10(p: np.ndarray) -> np.ndarray:
+def round_half_up_1e10(p: np.ndarray) -> np.ndarray:
     """int64 of ROUND(p, 0) under Spark's double-ROUND semantics
     (BigDecimal(Double.toString(p)) HALF_UP — away from zero on the
     decimal-repr tie). Vectorized sign·floor(|p|+0.5) everywhere
@@ -203,7 +203,7 @@ def pca_components(
     # through Generate + hash-agg, and that row traffic, not the
     # arithmetic, was the query's dominant cost (solo 2.4 s → ~0.7 s).
     # Every per-term value matches Spark ROUND HALF_UP bit-for-bit via
-    # _round_half_up_1e10 (r14: vectorized floor with a guard-band
+    # round_half_up_1e10 (r14: vectorized floor with a guard-band
     # Decimal(repr) path in the ulp-wide .5 windows where bare
     # sign·floor(|p|+0.5) can differ — the r13 ADVICE boundary class)
     # into int64 partial sums, whose addition is associative, so
@@ -248,8 +248,8 @@ def pca_components(
                 chunk = max(1, min(256, (64 << 20) // (8 * dlen * dlen)))
                 for lo in range(0, m.shape[0], chunk):
                     ch = m[lo : lo + chunk]
-                    p1 = _round_half_up_1e10(ch * 1e10)
-                    p2 = _round_half_up_1e10(
+                    p1 = round_half_up_1e10(ch * 1e10)
+                    p2 = round_half_up_1e10(
                         ch[:, :, None] * ch[:, None, :] * 1e10
                     )
                     st[0] += p1.sum(axis=0)

@@ -3746,9 +3746,11 @@ def customer_rfm_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the machinery semantic-dedup's trainer runs behind a collect.
     Scale shape: each round is one scan of the customer-sized feature
     frame with the k centroids folded into a SCAN-SIDE argmin
-    expression (array_min over (d2, k) structs — r14: replaces the
-    crossJoin+window argmin, which shuffled and sorted the z frame by
-    customer once per round) + one k-row agg; moments standardize via
+    expression (least() over per-centroid d² columns + a first-match
+    when() chain — r14: replaces the crossJoin+window argmin, which
+    shuffled and sorted the z frame by customer once per round; the
+    array_min-over-structs HOF form measured slower — HOFs evaluate
+    outside whole-stage codegen) + one k-row agg; moments standardize via
     one pass. The feature and z frames persist; rounds never rescan
     orders."""
     orders = load_table(spark, sf_dir, "orders")

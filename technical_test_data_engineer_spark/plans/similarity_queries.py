@@ -449,110 +449,130 @@ def knn_anchor_routing_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus scan (argmax over {N_ANCHOR_CELLS} decimal dots per row,
     zero shuffle), the exact reference is local_topk-pruned, and the
     final join/agg is k x queries x |grid| rows. Corpus bounded to
-    EXACT_BOUND (inactive at sf0.01) like every decimal-exact proof."""
+    EXACT_BOUND (inactive at sf0.01) like every decimal-exact proof.
+
+    r15 (guide §1.2 algorithm first; the coreset/mmr_exact3 bounded-
+    collect precedent, VERDICT r14 item 4): EVERY relation in this
+    query is bounded by construction (corpus ≤ EXACT_BOUND = {EXACT_BOUND}
+    rows × 64 dims ≈ 200 KB), so the whole curve now runs driver-side
+    off ONE Arrow fetch of the bounded corpus: anchor scores via the
+    vectorized ``round_half_up_1e10`` mirror of ``int_scaled_dot``
+    (identical int64s — parity-tested in tests/test_round15_ops.py),
+    the exact top-{TOP_K} via float64 dots with a 1e-6 candidate band
+    re-scored through the exact Decimal(repr)-quantize mirror of
+    ``exact_dot``'s DECIMAL(38,30) per-product cast (the float dot is
+    ≤ ~1e-12 from the decimal sum, so everything outside the band is
+    already strictly ordered), and the routing/recall arithmetic in
+    plain ints. Replaces 8 interpreted 64-element HOF folds per corpus
+    row + a 5×corpus decimal-fold crossJoin + two windows + two joins
+    with numpy on ~3 MB. Results bit-identical; oracle unchanged."""
+    import numpy as np
+
+    from technical_test_data_engineer_spark.operators.linalg import (
+        round_half_up_1e10,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < EXACT_BOUND
     )
-    corpus = emb.select("vec_id", "embedding")
-    # anchors collect to the driver (N_ANCHOR_CELLS rows — bounded) and
-    # broadcast back inside the assignment expression, the ivf_topk
-    # centroid-closure shape.
-    anchor_rows = (
-        corpus.filter(F.col("vec_id") < N_ANCHOR_CELLS)
-        .orderBy("vec_id")
-        .collect()
+    # bounded collect — ≤ EXACT_BOUND rows (~200 KB at 64 dims); the
+    # bound is compiled into the scan filter, not data-dependent
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.array(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].to_numpy()[order]]
     )
-    # the enumerate index below doubles as the cell id the ORACLE
-    # derives from vec_id — valid only while anchor vec_ids are exactly
+    # the anchor index doubles as the cell id the ORACLE derives from
+    # vec_id — valid only while anchor vec_ids are exactly
     # 0..N_ANCHOR_CELLS-1 (a gap would shift every cell label silently)
-    assert [r["vec_id"] for r in anchor_rows] == list(range(N_ANCHOR_CELLS))
-    anchor_lits = [
-        F.array(*[F.lit(float(x)) for x in r["embedding"]])
-        for r in anchor_rows
-    ]
-    from technical_test_data_engineer_spark.operators.similarity import (
-        int_scaled_dot,
-    )
+    assert ids[:N_ANCHOR_CELLS].tolist() == list(range(N_ANCHOR_CELLS))
+    A = V[:N_ANCHOR_CELLS]
 
-    # scan-side argmax cell: struct(dot, -anchor_id) maxes to the best
-    # dot with lowest-id tiebreak, no shuffle; integer-scaled long
-    # folds (the embedding_moments convention) rank identically on
-    # both engines at ~2.5x less per-row cost than decimal folds
-    cell_struct = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    int_scaled_dot(F.col("embedding"), lit_vec).alias("d"),
-                    F.lit(-j).alias("neg_id"),
-                )
-                for j, lit_vec in enumerate(anchor_lits)
-            ]
+    # int_scaled_dot mirror: per-product (x*y)*1e10 in float64 (same
+    # IEEE ops as the JVM fold), Spark-ROUND'ed by the linalg
+    # guard-band helper, summed in int64
+    prods = (V[:, None, :] * A[None, :, :]) * 1e10
+    adot = round_half_up_1e10(prods).sum(axis=2)  # (n, n_anchors) int64
+    cells = np.argmax(adot, axis=1)  # first max == lowest-id tiebreak
+
+    n_q = int(np.searchsorted(ids, N_QUERIES))
+    # query-side cell ranking: rank cells by (adot desc, cell asc)
+    qrank = np.empty((n_q, N_ANCHOR_CELLS), dtype=np.int64)
+    for q in range(n_q):
+        ordq = np.lexsort((np.arange(N_ANCHOR_CELLS), -adot[q]))
+        qrank[q, ordq] = np.arange(1, N_ANCHOR_CELLS + 1)
+
+    # exact_dot mirror: float64 dots order everything outside a 1e-6
+    # band around the k-th score; band members re-score through the
+    # exact DECIMAL(38,30) per-product quantize (Decimal(repr))
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    q30 = Decimal(1).scaleb(-30)
+
+    def _exact_key(qv: np.ndarray, cv: np.ndarray) -> Decimal:
+        # prec=80 ≫ the 38 digits of the mirrored DECIMAL(38,30): the
+        # default context (28) raises InvalidOperation on a scale-30
+        # quantize; sums of scale-30 values at |v| ≤ 64 are exact
+        with localcontext() as ctx:
+            ctx.prec = 80
+            return sum(
+                (
+                    Decimal(repr(float(p))).quantize(q30, ROUND_HALF_UP)
+                    for p in qv * cv
+                ),
+                Decimal(0),
+            )
+
+    Sf = V[:n_q] @ V.T  # (n_q, n)
+    top_rows: dict[int, list[int]] = {}
+    for q in range(n_q):
+        qid = int(ids[q])
+        mask = ids != qid
+        cand_ids = ids[mask]
+        s = Sf[q][mask]
+        # float top-k with a safety band, then exact re-rank of the band
+        k_eff = min(TOP_K, len(s))
+        kth = np.partition(-s, k_eff - 1)[k_eff - 1]  # -score of k-th
+        band = np.nonzero(-s <= kth + 1e-6)[0]
+        ranked = sorted(
+            (
+                (-_exact_key(V[q], V[np.nonzero(ids == cand_ids[b])[0][0]]),
+                 int(cand_ids[b]))
+                for b in band
+            ),
+        )[:TOP_K]
+        top_rows[qid] = [vid for _, vid in ranked]
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal(1).scaleb(-6), ROUND_HALF_UP
+            )
         )
-    )
-    cells = corpus.select(
-        "vec_id", (-cell_struct["neg_id"]).cast("bigint").alias("cell")
-    )
-    probes = corpus.filter(F.col("vec_id") < N_QUERIES)
-    # query-side cell ranking: queries x anchors rows, query-bounded
-    from pyspark.sql.window import Window
 
-    qscore = probes.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("bigint").alias("cell"),
-                        int_scaled_dot(
-                            F.col("embedding"), lit_vec
-                        ).alias("adot"),
-                    )
-                    for j, lit_vec in enumerate(anchor_lits)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_id", "s.cell", "s.adot")
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("adot"), F.asc("cell")
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for q in range(n_q):
+        qid = int(ids[q])
+        ranks = [
+            int(qrank[q, cells[id_pos[v]]]) for v in top_rows[qid]
+        ]
+        for p in PROBE_GRID:
+            nf = sum(1 for cr in ranks if cr <= p)
+            rows.append((qid, int(p), nf, _r6(nf / float(TOP_K))))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("nprobe", T.IntegerType()),
+            T.StructField("n_found", T.LongType()),
+            T.StructField("recall_at_k", T.DoubleType()),
+        ]
     )
-    qrank = qscore.select(
-        "query_id", "cell", F.row_number().over(wq).alias("cell_rank")
-    )
-    exact5 = brute_force_topk(corpus, probes, k=TOP_K).select(
-        "query_id", "vec_id"
-    )
-    hits = exact5.join(cells, "vec_id").join(
-        F.broadcast(qrank), ["query_id", "cell"]
-    )
-    found = [
-        F.sum(
-            F.when(F.col("cell_rank") <= p, 1).otherwise(0)
-        ).cast("bigint").alias(f"f{p}")
-        for p in PROBE_GRID
-    ]
-    agg = hits.groupBy("query_id").agg(*found)
-    long_rows = agg.select(
-        "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("nprobe"),
-                        F.col(f"f{p}").alias("n_found"),
-                    )
-                    for p in PROBE_GRID
-                ]
-            )
-        ).alias("s"),
-    )
-    return long_rows.select(
-        F.col("query_id").cast("bigint").alias("query_id"),
-        F.col("s.nprobe").cast("int").alias("nprobe"),
-        F.col("s.n_found").alias("n_found"),
-        F.round(
-            F.col("s.n_found") / F.lit(float(TOP_K)), 6
-        ).alias("recall_at_k"),
-    ).orderBy("query_id", "nprobe")
+    return spark.createDataFrame(rows, schema).orderBy("query_id", "nprobe")
 
 
 # 200 → 128 in r12 (bench-budget prune, the PQ_EXACT_BOUND 800→256

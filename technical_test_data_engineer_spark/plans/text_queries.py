@@ -4,10 +4,11 @@ each with a DuckDB oracle built from the same integer-exact primitives.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from technical_test_data_engineer_spark.functions.hof import bind
 from technical_test_data_engineer_spark.operators import text as TX
 from technical_test_data_engineer_spark.operators.text import md5_bucket
 from technical_test_data_engineer_spark.plans.star_queries import query
@@ -346,22 +347,39 @@ def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring — mean −ln p(token) under the
     corpus unigram distribution, the cheap perplexity proxy used for
-    LM-based quality filtering. One explode → count aggregate (small,
-    broadcast back) → per-doc mean. Per-token ln is rounded to 9dp and
+    LM-based quality filtering. Per-token ln is rounded to 9dp and
     summed in DECIMAL so the aggregate is order-independent and matches
-    the oracle despite libm-vs-JVM last-ulp differences."""
+    the oracle despite libm-vs-JVM last-ulp differences.
+
+    r15 (guide §1.2/§2.4): n_total attaches as a window total on the
+    vocabulary-sized count frame instead of a separate corpus count
+    job, removing one of the three scan+tokenize+explode passes. (The
+    measured-negative alternative — pre-aggregating to a persisted
+    (doc, term, k) frame with k-weighted decimal products — ran 1.6×
+    SLOWER: at this vocabulary shape the pre-agg barely shrinks the
+    stream, so it only added an exchange, a cache write and an
+    interpreted decimal multiply. Reverted; recorded in
+    OPTIMIZATION_r15.md.) Same per-occurrence decimal sum, same
+    doubles; oracle unchanged."""
     docs = _docs(spark, sf_dir)
     tok = TX.tokens_long(docs)
-    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
-    n_total = tok.count()
+    counts = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_n_total", F.sum("cnt").over(Window.partitionBy()))
+    )
     neg_ln = F.round(
-        -F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
+        -F.log(
+            F.col("cnt").cast("double") / F.col("_n_total").cast("double")
+        ),
+        9,
     ).cast("decimal(20,9)")
+    model = counts.select("term", neg_ln.alias("_nl"))
     return (
-        tok.join(F.broadcast(counts), "term")
+        tok.join(F.broadcast(model), "term")
         .groupBy("doc_id")
         .agg(
-            (F.sum(neg_ln).cast("double") / F.count("*")).alias(
+            (F.sum("_nl").cast("double") / F.count("*")).alias(
                 "avg_neg_logprob"
             ),
             F.count("*").alias("n_tokens"),
@@ -1168,12 +1186,22 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     column because the gate's canonicalizer cannot factorize list
     cells (doc_winnow_fingerprints precedent). The global vocab
     ranking window is a deliberate single-partition sort over
-    vocabulary-sized (not corpus-sized) data."""
+    vocabulary-sized (not corpus-sized) data.
+
+    r15 (guide §1.2 algorithm first; the anchor/centroid bounded-
+    collect precedent): the vocabulary is EXACTLY 100 (term, id) rows
+    — it collects to the driver once and re-enters the plan as a
+    literal map, so id-mapping is a per-row array transform over the
+    token array. That deletes the left join, the corpus-token-sized
+    collect_list exchange and its per-doc struct sort: the id
+    sequence IS the token order, scan-side. Same vocabulary (same
+    agg, same window, same tiebreak), same ids/n_tokens/n_oov;
+    oracle unchanged."""
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "term")
+        "doc_id", F.explode(TX.tokens("text")).alias("term")
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
     vocab = (
@@ -1183,22 +1211,38 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") <= 100)
         .select("term", "id")
     )
-    mapped = tok.join(F.broadcast(vocab), "term", "left").select(
-        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("id")
+    vocab_rows = vocab.collect()  # bounded: exactly <=100 rows
+    vmap = F.create_map(
+        *[
+            lit
+            for r in vocab_rows
+            for lit in (F.lit(r["term"]), F.lit(int(r["id"])))
+        ]
     )
-    return (
-        mapped.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
-                    lambda s: s["id"].cast("string"),
-                ),
-            ).alias("ids"),
-            F.count("*").alias("n_tokens"),
-            F.sum((F.col("id") == 0).cast("int")).cast("bigint").alias("n_oov"),
+
+    def _ids(t: Column) -> Column:
+        return F.transform(
+            t, lambda term: F.coalesce(F.try_element_at(vmap, term), F.lit(0))
         )
+
+    ids = bind(TX.tokens("text"), _ids)
+    return (
+        docs.select(
+            "doc_id",
+            bind(
+                ids,
+                lambda a: F.struct(
+                    F.concat_ws(
+                        ",", F.transform(a, lambda i: i.cast("string"))
+                    ).alias("ids"),
+                    F.size(a).cast("bigint").alias("n_tokens"),
+                    F.size(F.filter(a, lambda i: i == 0))
+                    .cast("bigint")
+                    .alias("n_oov"),
+                ),
+            ).alias("_r"),
+        )
+        .select("doc_id", "_r.ids", "_r.n_tokens", "_r.n_oov")
         .orderBy("doc_id")
     )
 
@@ -1471,21 +1515,31 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    # persist the bigram relation: the two count models and the scoring
-    # join-back all consume it (3 corpus scans + re-tokenize otherwise;
-    # the tfidf tf-persist convention — caller owns cleanup)
+    # persist the bigram relation: the count model and the scoring
+    # join-back both consume it (2 corpus scans + re-tokenize
+    # otherwise; caller-owned cleanup per the engine-wide contract).
+    # r15 (guide §2.4): c1 is the w1-marginal of c2 — derived as a
+    # w1-partitioned window total on the vocabulary²-sized count frame
+    # instead of a SECOND full pass over the persisted bigram stream,
+    # and ONE broadcast model (w1, w2, neg_ln) replaces the two
+    # (c2, c1) broadcasts. Same c2/c1 integers, same per-occurrence
+    # decimal sum; oracle unchanged. (The k-weighted (doc,w1,w2,k)
+    # pre-agg alternative measured SLOWER — see doc_unigram_logprob.)
     bg = bg.persist()
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("c1", F.sum("c2").over(Window.partitionBy("w1")))
+    )
     neg_ln = F.round(
         -F.log(F.col("c2").cast("double") / F.col("c1")), 9
     ).cast("decimal(20,9)")
+    model = c2.select("w1", "w2", neg_ln.alias("_nl"))
     return (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bg.join(F.broadcast(model), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            (F.sum(neg_ln).cast("double") / F.count("*")).alias(
+            (F.sum("_nl").cast("double") / F.count("*")).alias(
                 "avg_neg_logprob"
             ),
             F.count("*").alias("n_bigrams"),
@@ -1689,27 +1743,50 @@ def eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(TX.token_ngrams("text", _NGRAM_N))
         ).alias("gram"),
     ).select("doc_id", "is_train", F.md5("gram").alias("gh"))
-    # g feeds the df-cap aggregate AND the join probe; k feeds both
-    # sides of the contamination join — persist each or the full
-    # scan+gram pipeline replays per consumer (the band-frame lesson;
-    # caller-owned cleanup per the engine-wide lifetime contract).
-    g = g.persist()
-    keep = (
-        g.groupBy("gh")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= _NGRAM_DF_CAP)
-        .select("gh")
+    # r15 (guide §2.4): the two-persist shape (df-cap agg → broadcast
+    # filter join → cached k → t⋈v self-join → pair agg) collapses to
+    # ONE gh-keyed exchange: a gh-partitioned window counts each
+    # gram's df in place, the cap filter drops hot grams BEFORE any
+    # list forms (so per-gram state after the filter is ≤ DF_CAP —
+    # hot boilerplate keys never materialize a list), the surviving
+    # rows fold to per-gram train/val id lists on the SAME
+    # partitioning (no second exchange), and train×val pairs explode
+    # scan-side. Same pair multiset (one pair per shared kept gram),
+    # same counts; zero persists, zero broadcasts, one corpus pass.
+    # Oracle unchanged.
+    wg = Window.partitionBy("gh")
+    kept = g.withColumn("_df", F.count("*").over(wg)).filter(
+        F.col("_df") <= _NGRAM_DF_CAP
     )
-    k = g.join(keep, "gh").persist()
-    t = k.filter(F.col("is_train")).select(
-        F.col("gh"), F.col("doc_id").alias("train_id")
-    )
-    v = k.filter(~F.col("is_train")).select(
-        F.col("gh"), F.col("doc_id").alias("val_id")
+    pairs = (
+        kept.groupBy("gh")
+        .agg(
+            F.collect_list(
+                F.when(F.col("is_train"), F.col("doc_id"))
+            ).alias("ts"),
+            F.collect_list(
+                F.when(~F.col("is_train"), F.col("doc_id"))
+            ).alias("vs"),
+        )
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ts",
+                        lambda t: F.transform(
+                            F.col("vs"),
+                            lambda v: F.struct(
+                                t.alias("train_id"), v.alias("val_id")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.train_id", "p.val_id")
     )
     return (
-        t.join(v, "gh")
-        .groupBy("train_id", "val_id")
+        pairs.groupBy("train_id", "val_id")
         .agg(F.count("*").alias("n_shared_grams"))
         .orderBy("train_id", "val_id")
     )
@@ -2335,20 +2412,34 @@ def source_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal->double casts single-rounded at this scale); EXP outputs
     round to 9dp into decimal before normalizing so the weight sum is
     order-free; excess_loss crosses zero by construction, so it carries
-    the `+ 0.0` signed-zero normalization (r07 cusum lesson)."""
+    the `+ 0.0` signed-zero normalization (r07 cusum lesson).
+
+    r15 (guide §1.2/§2.4, the doc_unigram_logprob twin): n_total
+    attaches as a window total on the vocabulary-sized count frame
+    instead of a separate corpus count job, removing one of the three
+    scan+tokenize+explode passes. (The k-weighted (source, term, k)
+    pre-agg alternative measured SLOWER — see doc_unigram_logprob.)
+    Same per-occurrence decimal sum; oracle unchanged."""
     docs = _docs(spark, sf_dir)
     tok = docs.select("source", F.explode(TX.tokens("text")).alias("term"))
-    counts = tok.groupBy("term").agg(F.count("*").alias("cnt"))
-    n_total = tok.count()
+    counts = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("_n_total", F.sum("cnt").over(Window.partitionBy()))
+    )
     neg_ln = F.round(
-        -F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
+        -F.log(
+            F.col("cnt").cast("double") / F.col("_n_total").cast("double")
+        ),
+        9,
     ).cast("decimal(30,9)")
+    model = counts.select("term", neg_ln.alias("_nl"))
     src = (
-        tok.join(F.broadcast(counts), "term")
+        tok.join(F.broadcast(model), "term")
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum(neg_ln).alias("s_dec"),
+            F.sum("_nl").alias("s_dec"),
         )
     )
     wall = Window.partitionBy()
@@ -3520,31 +3611,43 @@ def doc_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction is rounded BEFORE the source rollup (portable threshold +
     exact DECIMAL mean), and the rollup is one keyed agg on the
     source-bounded frame. Empty/one-token docs contribute 0 by
-    definition on both engines."""
+    definition on both engines.
+
+    r15 (guide §1.2 per-task work): the unbound form re-evaluated
+    split() six times and the bigram transform three times per row
+    (HOF bodies evaluate outside whole-stage codegen and Catalyst does
+    not CSE across output references). The token array and the bigram
+    array are now let-bound via ``bind`` (each built once per row),
+    bigrams pair as STRUCTS instead of concat_ws strings (tokens are
+    space-free, so struct distinctness == concatenated-string
+    distinctness, with no per-gram string allocation), and the bigram
+    total is the arithmetic n−1 rather than size(bg) (equal for
+    n ≥ 2; the n < 2 branch stays 0.0). dup_frac values are
+    bit-identical; oracle unchanged."""
     docs = _docs(spark, sf_dir)
-    toks = TX.tokens("text")
-    n = F.size(toks)
-    bg = F.when(
-        n >= 2,
-        F.transform(
+
+    def _dup_frac(t: Column) -> Column:
+        n = F.size(t)
+        bg = F.transform(
             F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"),
+                F.element_at(t, i + 2).alias("w2"),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    per_doc = docs.select(
-        "source",
-        F.when(
-            F.size(bg) > 0,
-            F.round(
+        )
+        dup = bind(
+            bg,
+            lambda b: F.round(
                 1.0
-                - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+                - F.size(F.array_distinct(b)).cast("double")
+                / (n - 1).cast("double"),
                 6,
             ),
         )
-        .otherwise(F.lit(0.0))
-        .alias("dup_frac"),
+        return F.when(n >= 2, dup).otherwise(F.lit(0.0))
+
+    per_doc = docs.select(
+        "source", bind(TX.tokens("text"), _dup_frac).alias("dup_frac")
     )
     flagged = F.count(F.when(F.col("dup_frac") > 0.2, 1))
     return (

@@ -49,20 +49,27 @@ _DEC = "decimal(30,10)"
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar-min subquery — for each small
     part, the supplier(s) achieving the minimum observed unit price.
-    Decorrelated into a grouped-min side joined back on (part, cost);
-    the per-(part,supplier) cost table is the partsupp surrogate."""
+    The per-(part,supplier) cost table is the partsupp surrogate.
+
+    r15 (guide §2.4 remove shuffles outright): the decorrelated
+    grouped-min side + equality join-back (persisted cost → part-keyed
+    min agg → part-keyed join: two extra exchanges of the cost table
+    plus a cache) is the same relation as a part-partitioned window
+    MIN over the cost aggregate with an in-row equality filter — one
+    exchange, no persist, and lineitem is scanned exactly once. Ties
+    (several suppliers at the min) survive both forms identically.
+    Oracle unchanged."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
     supplier = load_table(spark, sf_dir, "supplier")
-    # persist: 'cost' feeds both the grouped-min side and the equality
-    # join-back; without it the lineitem scan+agg lineage runs twice —
-    # at 100 TB, persisting the small aggregate beats a second fact scan
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    min_cost = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("_mc"))
+    )
+    wmin = Window.partitionBy("l_partkey")
     return (
-        cost.join(min_cost, "l_partkey")
+        cost.withColumn("_mc", F.min("unit_cost").over(wmin))
         .filter(F.col("unit_cost") == F.col("_mc"))
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)

@@ -149,7 +149,7 @@ def test_round_half_up_1e10_matches_spark_round(spark):
     from pyspark.sql import functions as F
 
     from technical_test_data_engineer_spark.operators.linalg import (
-        _round_half_up_1e10,
+        round_half_up_1e10,
     )
 
     vals = []
@@ -164,7 +164,7 @@ def test_round_half_up_1e10_matches_spark_round(spark):
     rng = np.random.default_rng(5)
     vals += [float(v) for v in rng.uniform(-1e11, 1e11, 300)]
     arr = np.asarray(vals, dtype=np.float64)
-    got = _round_half_up_1e10(arr).tolist()
+    got = round_half_up_1e10(arr).tolist()
     sdf = spark.createDataFrame(
         [(i, float(v)) for i, v in enumerate(vals)], "idx long, p double"
     )
