@@ -66,24 +66,41 @@ def language_scores(toks: Column) -> dict[str, Column]:
 def predicted_language(toks: Column) -> Column:
     """Argmax over per-language marker-hit scores; ties break to the
     alphabetically-first language (deterministic, matching the oracle's
-    CASE cascade)."""
-    scores = language_scores(toks)
-    langs = sorted(scores)
-    expr: Column | None = None
-    # build CASE WHEN score[l] >= all others THEN l, first-alpha wins ties
-    cases = []
-    for lang in langs:
-        cond = None
-        for other in langs:
-            if other == lang:
-                continue
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        cases.append((cond, F.lit(lang)))
-    expr = F.when(cases[0][0], cases[0][1])
-    for cond, val in cases[1:]:
-        expr = expr.when(cond, val)
-    return expr
+    CASE cascade).
+
+    r15: the token array and the per-language score struct are
+    let-bound — the unbound CASE cascade referenced each score
+    expression ~|langs| times and each score re-ran the tokenizer, so
+    split() evaluated ~|langs|² times per row (HOF bodies are outside
+    codegen and not CSE'd). Same CASE, same scores, same argmax."""
+
+    def _with_toks(t: Column) -> Column:
+        langs = sorted(LANG_MARKERS)
+        score_struct = F.struct(
+            *[
+                marker_hits(t, LANG_MARKERS[lang]).alias(f"s{i}")
+                for i, lang in enumerate(langs)
+            ]
+        )
+
+        def _case(sc: Column) -> Column:
+            cases = []
+            for i, lang in enumerate(langs):
+                cond = None
+                for j, other in enumerate(langs):
+                    if other == lang:
+                        continue
+                    c = sc[f"s{i}"] >= sc[f"s{j}"]
+                    cond = c if cond is None else (cond & c)
+                cases.append((cond, F.lit(lang)))
+            expr = F.when(cases[0][0], cases[0][1])
+            for cond, val in cases[1:]:
+                expr = expr.when(cond, val)
+            return expr
+
+        return bind(score_struct, _case)
+
+    return bind(toks, _with_toks)
 
 
 def quality_columns(text_col: str = "text") -> list[Column]:
@@ -234,24 +251,58 @@ def pattern_count(text_col: str | Column, pattern: str) -> Column:
     )
 
 
+def charclass_struct(text_col: str = "text") -> Column:
+    """C4-style character-class ratios as ONE let-bound struct (r15):
+    tokenizer and both regex filters evaluate once per row instead of
+    once per referencing column (the list form ran split() 7× and each
+    filter 2× per row). Fields: n_tokens, n_digit_tokens,
+    n_symbol_tokens, digit_token_ratio, symbol_token_ratio."""
+
+    def _with_toks(t: Column) -> Column:
+        n_tok = F.size(t).cast("bigint")
+        counts = F.struct(
+            n_tok.alias("nt"),
+            F.size(F.filter(t, lambda x: x.rlike(r"^[0-9]+$")))
+            .cast("bigint")
+            .alias("nd"),
+            F.size(F.filter(t, lambda x: x.rlike(r"[^A-Za-z0-9]")))
+            .cast("bigint")
+            .alias("ns"),
+        )
+
+        def _ratios(c: Column) -> Column:
+            return F.struct(
+                c["nt"].alias("n_tokens"),
+                c["nd"].alias("n_digit_tokens"),
+                c["ns"].alias("n_symbol_tokens"),
+                (c["nd"].cast("double") / c["nt"]).alias(
+                    "digit_token_ratio"
+                ),
+                (c["ns"].cast("double") / c["nt"]).alias(
+                    "symbol_token_ratio"
+                ),
+            )
+
+        return bind(counts, _ratios)
+
+    return bind(tokens(text_col), _with_toks)
+
+
 def charclass_columns(text_col: str = "text") -> list[Column]:
     """C4-style character-class token ratios: digit-only tokens and
     tokens containing any non-alphanumeric symbol, as counts + ratios.
-    Exact-int ÷ exact-int doubles, bit-stable across engines."""
-    toks = tokens(text_col)
-    n_tok = F.size(toks).cast("bigint")
-    n_digit = F.size(
-        F.filter(toks, lambda t: t.rlike(r"^[0-9]+$"))
-    ).cast("bigint")
-    n_symbol = F.size(
-        F.filter(toks, lambda t: t.rlike(r"[^A-Za-z0-9]"))
-    ).cast("bigint")
+    Exact-int ÷ exact-int doubles, bit-stable across engines.
+    (List-of-columns view of ``charclass_struct``.)"""
+    c = charclass_struct(text_col)
     return [
-        n_tok.alias("n_tokens"),
-        n_digit.alias("n_digit_tokens"),
-        n_symbol.alias("n_symbol_tokens"),
-        (n_digit.cast("double") / n_tok).alias("digit_token_ratio"),
-        (n_symbol.cast("double") / n_tok).alias("symbol_token_ratio"),
+        c[f].alias(f)
+        for f in (
+            "n_tokens",
+            "n_digit_tokens",
+            "n_symbol_tokens",
+            "digit_token_ratio",
+            "symbol_token_ratio",
+        )
     ]
 
 

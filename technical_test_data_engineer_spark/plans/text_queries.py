@@ -482,22 +482,58 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     an earlier occurrence — the boilerplate/templating signal used to
     drop low-quality docs before training.
 
-    Plan: ALL bigrams (repeats kept, operators/text.token_ngrams) →
-    explode → one hash agg per (doc, gram) → one per doc. Both aggs
-    shuffle on doc-id-prefixed keys; no per-row quadratic work."""
+    r15 (guide §2.4 remove shuffles outright): every statistic here is
+    a function of ONE document's bigram multiset, so the explode → two
+    corpus-gram-stream hash aggs (both shuffling every bigram string)
+    fold into scan-side array expressions — n_bigrams is the array
+    size, the duplicate fraction reads array_distinct, and the top
+    multiplicity is the longest equal-run of the SORTED bigram array
+    (one let-bound aggregate fold per row). Zero shuffle at any scale
+    beats two corpus-sized exchanges; values are the same integer
+    ratios. Oracle unchanged."""
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        "doc_id", F.explode(TX.token_ngrams("text", 2)).alias("gram")
-    )
-    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    return (
-        counts.groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_bigrams"),
-            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
-            (F.lit(1.0) - F.count("*").cast("double") / F.sum("c")).alias(
-                "dup_bigram_frac"
+
+    def _stats(g: Column) -> Column:
+        n = F.size(g)
+        zero = F.lit(0).cast("bigint")
+        one = F.lit(1).cast("bigint")
+        st0 = F.struct(
+            F.lit(None).cast("string").alias("p"),
+            zero.alias("r"),
+            zero.alias("b"),
+        )
+
+        def _step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["p"], acc["r"] + 1).otherwise(one)
+            return F.struct(
+                x.alias("p"),
+                run.alias("r"),
+                F.greatest(acc["b"], run).alias("b"),
+            )
+
+        top = F.aggregate(
+            F.array_sort(g), st0, _step, lambda acc: acc["b"]
+        )
+        return F.struct(
+            n.cast("bigint").alias("n_bigrams"),
+            (top.cast("double") / n.cast("bigint")).alias(
+                "top_bigram_frac"
             ),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double")
+                / n.cast("bigint")
+            ).alias("dup_bigram_frac"),
+        )
+
+    return (
+        docs.select(
+            "doc_id",
+            bind(TX.token_ngrams("text", 2), _stats).alias("_s"),
+        )
+        .select(
+            "doc_id", "_s.n_bigrams", "_s.top_bigram_frac",
+            "_s.dup_bigram_frac",
         )
         .orderBy("doc_id")
     )
@@ -525,7 +561,13 @@ def doc_charclass_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbols) — the cheap lexical signals for corpus filtering, all
     vectorized JVM regex over the token array."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", *TX.charclass_columns("text")).orderBy("doc_id")
+    # r15: ONE let-bound charclass struct per row (split ran 7×/row,
+    # each regex filter 2×, in the per-column form)
+    return (
+        docs.select("doc_id", TX.charclass_struct("text").alias("_c"))
+        .select("doc_id", "_c.*")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -2246,6 +2288,10 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle at any scale; the formula's divisions run on exact
     integer counts so round-6 is formality."""
     docs = _docs(spark, sf_dir)
+    # r15: let-bind the three count expressions (the per-column form
+    # re-ran the token split 3×, the sentence split+filter 2× and the
+    # syllable regex 2× per row), then derive every output from ONE
+    # counts struct expanded via select
     words = F.size(TX.tokens("text"))
     sentences = F.greatest(
         F.size(
@@ -2259,20 +2305,35 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     syllables = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
     )
-    return docs.select(
-        "doc_id",
-        words.cast("bigint").alias("n_words"),
-        sentences.cast("bigint").alias("n_sentences"),
-        syllables.cast("bigint").alias("n_syllables"),
-        F.round(
-            F.lit(206.835)
-            - F.lit(1.015) * words.cast("double") / sentences
-            - F.lit(84.6)
-            * syllables.cast("double")
-            / F.nullif(words.cast("double"), F.lit(0.0)),
-            6,
-        ).alias("flesch_score"),
-    ).orderBy("doc_id")
+
+    def _flesch(c: Column) -> Column:
+        w, s, y = c["w"], c["s"], c["y"]
+        return F.struct(
+            w.cast("bigint").alias("n_words"),
+            s.cast("bigint").alias("n_sentences"),
+            y.cast("bigint").alias("n_syllables"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * w.cast("double") / s
+                - F.lit(84.6)
+                * y.cast("double")
+                / F.nullif(w.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("flesch_score"),
+        )
+
+    counts = bind(
+        F.struct(words.alias("w"), sentences.alias("s"), syllables.alias("y")),
+        _flesch,
+    )
+    return (
+        docs.select("doc_id", counts.alias("_r"))
+        .select(
+            "doc_id", "_r.n_words", "_r.n_sentences", "_r.n_syllables",
+            "_r.flesch_score",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -2526,8 +2587,11 @@ def source_best_of_n_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL before the mean so the aggregate is order-free."""
     docs = _docs(spark, sf_dir)
     toks = TX.tokens("text")
-    reward = (
-        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    # r15: let-bind the token array (the ratio referenced it twice,
+    # running split() twice per row)
+    reward = bind(
+        toks,
+        lambda t: F.size(F.array_distinct(t)).cast("double") / F.size(t),
     ).alias("reward")
     q = docs.select(
         "source",
