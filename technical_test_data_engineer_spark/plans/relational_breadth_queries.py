@@ -6174,7 +6174,15 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, values unchanged). The reduced pair-count
     matrix is supplier²/2-bounded (499,500 rows ≈ 20 MB at sf0.1 —
     the bound is C(|supplier|, 2), stated per the house
-    bounded-collect discipline), so it is fetched ONCE via Arrow and
+    bounded-collect discipline). SCALE CEILING
+    (r14 verdict item 2): the bound is dimension-QUADRATIC, not
+    dimension-linear like the channel-vocabulary collects — ~1.6 GB at
+    sf1 supplier cardinality and untenable beyond; past ~10⁵ suppliers
+    the documented fallback is the r08 distributed shape (keep the
+    pair frame distributed, run each MM round as a broadcast join of
+    the supplier-strength vector + pair-keyed reduction, supplier
+    vector stays driver-sized). The collect is fetched ONCE via Arrow
+    and
     BOTH MM rounds run driver-side in numpy (the channel_conversion_k8
     attribution discipline), replacing r08's second pair-frame pass +
     two broadcast joins + distributed top-20 sort. Driver arithmetic
@@ -6260,6 +6268,11 @@ def supplier_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w2"),
         )
     )
+    # r15 (VERDICT item 6): the int32-count fetch trim (24 → 16
+    # bytes/row) was A/B'd and measured 0.92× — the ~7 MB Arrow saving
+    # is below this query's noise floor while the narrower casts add
+    # per-group work in the agg. NOT landed; recorded in
+    # OPTIMIZATION_r15.md.
     pair_u = duel.groupBy("ij").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("w2").alias("wins2"),
