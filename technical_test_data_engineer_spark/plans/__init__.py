@@ -56,99 +56,73 @@ from technical_test_data_engineer_spark.plans import (  # noqa: F401
 # dedup_clusters stays), knn_lsh_exact (SRP bucketing + exact scoring —
 # embedding_near_dups_lsh_exact's generated bucketing oracle stays).
 _FRONT_50 = [
-    # ==== Round-14 rotation (r13 verdict item 1, recomputed from the
-    # mechanical CORRECTNESS_r01..r13 union — latest-green counts at
-    # the r13 close: r07×36, r08×46, ...; the pre-listed "41 r07"
-    # estimate resolved to 36 once the r13 window's own greens were
-    # unioned in). Composition, in order: (1) the full 36-query r07
-    # cohort (includes ab_test_uplift_deciles, displaced from the r13
-    # window by the late spearman swap); (2) this round's changed
-    # pairs — the three r13-verdict perf rewrites — plus the round's
-    # one addition (never driver-green by definition); (3) the oldest
-    # r08 greens to fill 50 (first-green r07 first, then
-    # alphabetical). The remaining 37 r08 greens are the r15 rotation
-    # head (incl. customer_partition_ari, displaced by the late
-    # part_abc swap below — the r13 spearman precedent: late in-round
-    # plan rewrites take the LAST fill slots).
-    # -- the r07 cohort (36, alphabetical) --
-    "ab_test_uplift_deciles",
-    "channel_conversion_k8",
-    "customer_bg_nbd_stats",
-    "customer_cohort_ltv",
-    "customer_rfm_kmeans2",
-    "customer_segment_target_encoding",
-    "daily_arrivals_dispersion",
-    "daily_revenue_acf",
-    "daily_revenue_decomposition",
-    "daily_revenue_forecast_backtest",
-    "daily_revenue_runs_test",
-    "dataset_version_manifest",
-    "elasticity_kfold_cv",
-    "embedding_isotropy_stats",
-    "event_path_trigrams",
-    "hourly_traffic_profile",
-    "join_key_health",
-    "media_ahash_sigs",
-    "monthly_latency_control_chart",
-    "order_pit_features",
-    "order_value_conformal",
-    "orders_concurrency_sweepline",
-    "orders_double_submission",
-    "orders_littles_law",
-    "part_copurchase_kcore_r3",
-    "retrieval_ndcg_mrr",
-    "source_distinctive_terms",
-    "source_temperature_mixing",
-    "supplier_pareto_abc",
-    "user_bot_scores",
-    "user_capture_recapture",
-    "user_event_entropy",
-    "user_kmv_distinct",
-    "user_score_reliability",
-    "user_value_holtwinters",
-    "yearly_price_index_laspeyres",
-    # -- re-earn: r14 changed pairs (the r13 verdict's three perf
-    #    directives — none driver-green in their current form) --
-    "supplier_bradley_terry",       # MM rounds driver-side off one
-                                    # bounded collect (also r08 debt)
-    "embedding_silhouette",         # int-scaled BIGINT folds
-                                    # (oracle regen)
-    "ingest_loop_exactly_once",     # driver-side stamp-dir probes +
-                                    # stale-sibling sweep
-    # -- the round's one addition (r13 verdict item 7) --
-    "user_hll_md5_estimate",        # open HLL registers + merge twin
-    # -- re-earn: oldest r08 greens (first-green r07 first, then
-    #    alphabetical) --
-    "copurchase_negative_samples",  # first-green r07
-    # -- re-earn: r14 in-round plan/oracle rewrites (the r13 spearman
-    #    swap precedent: late in-round rewrites take the LAST fill
-    #    slots; the displaced r08 fillers — ab_test_permutation,
-    #    copurchase_adamic_adar, copurchase_assortativity,
-    #    copurchase_sppmi, customer_mahalanobis_outliers,
-    #    customer_partition_ari, and (late perf slots) ab_test_bh_fdr
-    #    + ab_test_cmh_odds + ab_test_did — return to the r15 head) --
-    "part_abc_xyz_matrix",          # rev fused into the stats agg
-                                    # (persist+join+shuffle removed)
-                                    # + demand-side BIGINT fold
-    "yearly_price_index_fisher",    # (part,year) grid BIGINT fold
-                                    # (oracle mirrored, bit-identical)
-    "q20_volume_suppliers",         # (part,supp) qty BIGINT fold
-                                    # (oracle mirrored, bit-identical)
-    "embedding_coreset_facility3",  # bounded-collect driver greedy
-                                    # (oracle unchanged)
-    "knn_mmr_exact3",               # bounded-collect driver MMR picks
-                                    # (oracle unchanged)
-    "doc_char_bigram_entropy",      # totals via window on the agg's
-                                    # clustering (oracle unchanged)
-    "segment_churn_set_ops",        # one flag-pair agg replaces the
-                                    # set-op re-derivations (oracle
-                                    # unchanged)
-    "corpus_stats_card",            # one agg over per_lang: corpus
-                                    # tokenized once, not 4x (oracle
-                                    # unchanged)
-    "corpus_drift_psi",             # slice counts from one term agg;
-                                    # vocab rank + totals ride it
-                                    # (oracle unchanged)
+    # ==== Round-15 rotation (second optimization round). Composition,
+    # recomputed mechanically from the CORRECTNESS_r01..r14 union
+    # (latest-green counts at the r14 close: r08x44, r09x45, r10x46,
+    # r11x49, r12x47, r13x48, r14x50):
+    # (1) the 14 query paths whose PLANS CHANGED in the r15
+    # optimization batches (window discipline: every changed plan is
+    # driver-checked the round it lands);
+    # (2) the 36 oldest-latest-green fillers - all from the 44-query
+    # r08 cohort, alphabetical (lang_id_confusion is r08-latest AND
+    # changed, so it sits in group 1). The 7 r08 greens that did not
+    # fit (retention_decay_fit, segment_priority_mutual_info,
+    # source_lang_cramers_v, supplier_acctbal_kruskal,
+    # term_burstiness, urgent_share_trend_test, vocab_coverage_curve)
+    # are the r16 rotation head, should one exist; all stay locally
+    # verified every round via verify_local.
+    # -- r15 changed plans (14) --
+    "doc_gopher_repetition",
+    "doc_unigram_logprob",
+    "source_doremi_mixture",
+    "doc_bigram_logprob",
+    "doc_token_ids",
+    "eval_ngram_contamination",
+    "q2_min_cost_supplier",
+    "knn_anchor_routing_recall",
+    "doc_repetition_stats",
+    "lang_id_confusion",
+    "doc_language_id",
+    "doc_charclass_stats",
+    "doc_readability",
+    "source_best_of_n_yield",
+    # -- oldest r08 greens (36, alphabetical) --
+    "ab_test_bh_fdr",
+    "ab_test_cmh_odds",
+    "ab_test_did",
+    "ab_test_permutation",
+    "copurchase_adamic_adar",
+    "copurchase_assortativity",
+    "copurchase_sppmi",
+    "customer_mahalanobis_outliers",
+    "customer_partition_ari",
+    "customer_value_quartile_migration",
+    "daily_revenue_cusum",
+    "daily_revenue_hurst",
+    "daily_revenue_leadlag_xcorr",
+    "daily_revenue_wavelet_energy",
+    "doc_dedup_yield_curve",
+    "doc_length_lognormal_fit",
+    "doc_tokenizer_fertility",
+    "embedding_int8_quant_error",
+    "embedding_jl_distortion",
+    "event_next_prediction_eval",
+    "event_type_overlap_kmv",
+    "event_value_cvm_drift",
+    "events_dau_wau_stickiness",
+    "events_entropy_rate",
+    "events_raking_weights",
+    "media_header_jvm_parse",
+    "media_nibble_entropy",
+    "monthly_late_p_chart",
+    "nation_supplier_hhi",
+    "nation_theil_decomposition",
+    "order_value_decision_stump",
+    "order_value_hill_tail",
+    "orders_zonemap_report",
+    "part_pps_systematic",
+    "priority_value_gamma",
+    "quality_filter_kappa",
 ]
 
 
@@ -159,14 +133,9 @@ _FRONT_50 = [
 # since round 7 — the r6 rotation proved the driver scores rows-only
 # window entries err=no_oracle (zero credit). Every _FRONT_50 entry
 # must be oracle-paired; this set stays for the mechanism.
-# Round-15 rotation head (after the r14 window lands): the 42
-# remaining r08 greens (46 minus the four r08 fillers still in this
-# window, minus supplier_bradley_terry which re-earns as a changed
-# pair, plus the displaced fillers customer_partition_ari,
-# ab_test_permutation, copurchase_adamic_adar,
-# copurchase_assortativity, copurchase_sppmi,
-# customer_mahalanobis_outliers), plus any r14 additions that miss the
-# r14 window and any plan rewritten after its r14 green. Recompute
+# Round-16 rotation head (if one exists): the 7 r08 greens that did
+# not fit this window (listed in the _FRONT_50 header) first, then the
+# r09 cohort, plus any plan rewritten after its latest green. Recompute
 # mechanically from the CORRECTNESS union as always.
 
 _FRONT_ROWS_ONLY: set[str] = set()
