@@ -123,28 +123,47 @@ def covariance_matrix(
 ) -> DataFrame:
     """Sample covariance of the vector column as an upper-triangle
     long-form relation (``i`` ≤ ``j``, ``cov``): cov(i,j) =
-    (Σx_ix_j − Σx_i·Σx_j / n) / (n − 1), all sums exact-decimal, the
-    final arithmetic in double on both engines (the exact_avg
-    discipline). D(D+1)/2 output rows — driver/broadcast-sized for any
-    sane embedding width."""
-    sums, cross, n = embedding_moments(df, vec_col, id_col)
-    si = sums.select(F.col("i").alias("_i"), F.col("s").alias("_si"))
-    sj = sums.select(F.col("i").alias("_j"), F.col("s").alias("_sj"))
-    return (
-        cross.join(F.broadcast(si), F.col("i") == F.col("_i"))
-        .join(F.broadcast(sj), F.col("j") == F.col("_j"))
-        .select(
-            "i",
-            "j",
-            (
-                (
-                    F.col("sxy")
-                    - F.col("_si") * F.col("_sj") / F.lit(float(n))
-                )
-                / F.lit(float(n - 1))
-            ).alias("cov"),
+    (Σx_ix_j − Σx_i·Σx_j / n) / (n − 1), moment sums integer-scaled
+    exact, the final arithmetic in double on both engines (the
+    exact_avg discipline). D(D+1)/2 output rows — driver/broadcast-
+    sized for any sane embedding width.
+
+    r15 (guide §1.2/§4; the pca_components r13 fold, shared now): the
+    moments come from the SAME one-action Arrow partial fold PCA uses
+    — each task reduces its batches to D(D+1)/2 + D int64 partial sums
+    in numpy — instead of the nested-transform HOF that materialized
+    ~D²/2 struct rows per vector through Generate + hash agg (~4.2M
+    interpreted lambda evaluations at sf0.1). The D²-bounded aggregate
+    collects (2,080 + 64 rows at D = 64 — the house bounded-collect
+    discipline) and the mean correction runs in Python doubles with
+    the exact operation order of the old Spark expression
+    (float(Σp)/1e10, then (sxy − si·sj/n)/(n−1)), so every cov double
+    is bit-identical; per-term parity with Spark ROUND is the
+    round_half_up_1e10 guarantee (tests/test_linalg.py). Raggedness /
+    int64-overflow fail loud exactly like pca_components."""
+    rows = _moment_agg(df, vec_col, id_col).collect()
+    spark = df.sparkSession
+    schema = "i int, j int, cov double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n, d = _validate_moments(rows, "covariance_matrix")
+    s = np.zeros(d)
+    for r in rows:
+        if r["j"] == -1:
+            s[r["i"]] = float(r["_s"]) / 1e10
+    out = [
+        (
+            int(r["i"]),
+            int(r["j"]),
+            float(
+                (float(r["_s"]) / 1e10 - s[r["i"]] * s[r["j"]] / float(n))
+                / float(n - 1)
+            ),
         )
-    )
+        for r in rows
+        if r["j"] != -1
+    ]
+    return spark.createDataFrame(out, schema)
 
 
 def round_half_up_1e10(p: np.ndarray) -> np.ndarray:
@@ -177,46 +196,19 @@ def round_half_up_1e10(p: np.ndarray) -> np.ndarray:
     return out
 
 
-def pca_components(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-):
-    """Top-k principal components from the distributed covariance.
-
-    The D×D matrix (a few KB) collects to the driver; ``numpy.linalg
-    .eigh`` factorizes it there — the textbook split: O(corpus) work
-    distributed, O(D³) work local. Sign convention: each eigenvector is
-    flipped so its largest-|entry| coordinate is positive, making the
-    output deterministic across LAPACK builds. Returns
-    ``(mean, components, eigenvalues)`` as numpy arrays with
-    components[r] = r-th PC (descending eigenvalue)."""
+def _moment_agg(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """The shared one-action Arrow moment fold (r13, factored out of
+    pca_components in r15 so covariance_matrix rides it too): each task
+    reduces its Arrow batches to D(D+1)/2 + D integer partial sums in
+    numpy, the final aggregate is D²-bounded. Returns (i, j, _s, _m,
+    _c) with j = -1 sentinel rows carrying the first moments. See
+    pca_components for the exactness/raggedness/overflow discussion."""
     from technical_test_data_engineer_spark.operators.partitioning import (
         fan_out,
     )
 
-    # ONE action, Arrow-batched partial fold (r13; supersedes the r11
-    # scan-side struct explode): each task reduces its Arrow batches to
-    # D(D+1)/2 + D integer partial sums in numpy — the explode form
-    # materialized ~D²/2 struct rows PER VECTOR (128M rows at sf0.1)
-    # through Generate + hash-agg, and that row traffic, not the
-    # arithmetic, was the query's dominant cost (solo 2.4 s → ~0.7 s).
-    # Every per-term value matches Spark ROUND HALF_UP bit-for-bit via
-    # round_half_up_1e10 (r14: vectorized floor with a guard-band
-    # Decimal(repr) path in the ulp-wide .5 windows where bare
-    # sign·floor(|p|+0.5) can differ — the r13 ADVICE boundary class)
-    # into int64 partial sums, whose addition is associative, so
-    # mean/cov/eigh cannot depend on partition order (numpy-parity
-    # tests, incl. boundary-value cases, pin it). First moments keep the j = -1 sentinel encoding; the
-    # final (i, j) aggregate is D²-bounded. Raggedness surfaces the
-    # same way as before: vectors of different lengths contribute
-    # partials to different (i, j) sets, so the per-pair counts
-    # disagree and the driver-side uniformity check raises; null
-    # vectors contribute nothing (the explode form skipped them too).
-    # embedding_moments stays the shared primitive for
-    # covariance_matrix, whose oracle-paired query's plan must not
-    # drift (green r10).
     dfp = fan_out(df.select(id_col, vec_col))
     vec_field = vec_col
 
@@ -284,7 +276,7 @@ def pca_components(
                 }
             )
 
-    rows = (
+    return (
         dfp.mapInPandas(
             _partial_fold, "i int, j int, p long, pm long, pc long"
         )
@@ -294,32 +286,65 @@ def pca_components(
             F.max("pm").alias("_m"),
             F.sum("pc").alias("_c"),
         )
-        .collect()
     )
-    if not rows:
-        raise ValueError(
-            "pca_components: empty corpus (no embedding rows to factor)"
-        )
-    # every (i, j) group receives exactly one row per input row, so all
-    # group counts must agree; ragged or null vectors would break that
-    # invariant and make n depend on collect order — fail loud instead
-    # (the old df.count() path failed loud too, just later)
+
+
+def _validate_moments(rows, label: str) -> tuple[int, int]:
+    """Uniformity + int64-overflow checks on the collected D²-bounded
+    moment rows (shared by pca_components / covariance_matrix).
+    Returns (n, d)."""
     n_lo = min(r["_c"] for r in rows)
     n = max(r["_c"] for r in rows)
     if n_lo != n:
         raise ValueError(
-            f"pca_components: ragged or null {vec_col!r} vectors — "
-            f"per-term counts range {n_lo}..{n}, expected one count "
-            "for every (i, j) pair"
+            f"{label}: ragged or null vectors — per-term counts range "
+            f"{n_lo}..{n}, expected one count for every (i, j) pair"
         )
-    # same overflow guard as embedding_moments, applied driver-side on
-    # the D²-bounded collected frame
     if any(r["_m"] * float(n) >= float(2**62) for r in rows):
         raise ValueError(
-            f"pca_components: integer-scaled fold may exceed int64 at "
-            f"n={n} — rescale or shard the corpus"
+            f"{label}: integer-scaled fold may exceed int64 at n={n} — "
+            "rescale or shard the corpus"
         )
     d = max(r["i"] for r in rows) + 1
+    return int(n), int(d)
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+):
+    """Top-k principal components from the distributed covariance.
+
+    The D×D matrix (a few KB) collects to the driver; ``numpy.linalg
+    .eigh`` factorizes it there — the textbook split: O(corpus) work
+    distributed, O(D³) work local. Sign convention: each eigenvector is
+    flipped so its largest-|entry| coordinate is positive, making the
+    output deterministic across LAPACK builds. Returns
+    ``(mean, components, eigenvalues)`` as numpy arrays with
+    components[r] = r-th PC (descending eigenvalue)."""
+    # ONE action, Arrow-batched partial fold (r13; the shared
+    # _moment_agg since r15 — covariance_matrix rides the same fold):
+    # each task reduces its Arrow batches to D(D+1)/2 + D integer
+    # partial sums in numpy — the r11 explode form materialized ~D²/2
+    # struct rows PER VECTOR (128M rows at sf0.1) through
+    # Generate + hash-agg, and that row traffic, not the arithmetic,
+    # was the query's dominant cost (solo 2.4 s → ~0.7 s). Every
+    # per-term value matches Spark ROUND HALF_UP bit-for-bit via
+    # round_half_up_1e10 (r14: vectorized floor with a guard-band
+    # Decimal(repr) path in the ulp-wide .5 windows) into int64
+    # partial sums, whose addition is associative, so mean/cov/eigh
+    # cannot depend on partition order (numpy-parity tests pin it).
+    # First moments keep the j = -1 sentinel; the final (i, j)
+    # aggregate is D²-bounded. Ragged/null vectors and int64 overflow
+    # fail loud in _validate_moments.
+    rows = _moment_agg(df, vec_col, id_col).collect()
+    if not rows:
+        raise ValueError(
+            "pca_components: empty corpus (no embedding rows to factor)"
+        )
+    n, d = _validate_moments(rows, "pca_components")
     s = np.zeros(d)
     # float(_s) FIRST, then /1e10 — the old path was Spark
     # cast(long AS double) / 1e10, and Python's exact-int division

@@ -60,18 +60,20 @@ _FRONT_50 = [
     # recomputed mechanically from the CORRECTNESS_r01..r14 union
     # (latest-green counts at the r14 close: r08x44, r09x45, r10x46,
     # r11x49, r12x47, r13x48, r14x50):
-    # (1) the 14 query paths whose PLANS CHANGED in the r15
+    # (1) the 15 query paths whose PLANS CHANGED in the r15
     # optimization batches (window discipline: every changed plan is
     # driver-checked the round it lands);
-    # (2) the 36 oldest-latest-green fillers - all from the 44-query
+    # (2) the 35 oldest-latest-green fillers - all from the 44-query
     # r08 cohort, alphabetical (lang_id_confusion is r08-latest AND
     # changed, so it sits in group 1). The 7 r08 greens that did not
-    # fit (retention_decay_fit, segment_priority_mutual_info,
+    # fit (quality_filter_kappa — displaced by the late
+    # embedding_covariance rewrite, the r13 spearman-swap precedent —
+    # retention_decay_fit, segment_priority_mutual_info,
     # source_lang_cramers_v, supplier_acctbal_kruskal,
     # term_burstiness, urgent_share_trend_test, vocab_coverage_curve)
-    # are the r16 rotation head, should one exist; all stay locally
+    # are the r16 rotation head, should one exist (8 now); all stay locally
     # verified every round via verify_local.
-    # -- r15 changed plans (14) --
+    # -- r15 changed plans (15) --
     "doc_gopher_repetition",
     "doc_unigram_logprob",
     "source_doremi_mixture",
@@ -86,7 +88,8 @@ _FRONT_50 = [
     "doc_charclass_stats",
     "doc_readability",
     "source_best_of_n_yield",
-    # -- oldest r08 greens (36, alphabetical) --
+    "embedding_covariance",
+    # -- oldest r08 greens (35, alphabetical) --
     "ab_test_bh_fdr",
     "ab_test_cmh_odds",
     "ab_test_did",
@@ -122,7 +125,6 @@ _FRONT_50 = [
     "orders_zonemap_report",
     "part_pps_systematic",
     "priority_value_gamma",
-    "quality_filter_kappa",
 ]
 
 

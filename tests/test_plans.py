@@ -100,11 +100,13 @@ def test_campaign_range_join_broadcasts_dim(spark, sf_dir):
 
 
 def test_repetition_stats_single_explode(spark, sf_dir):
-    # one corpus scan, one generate (explode), two aggregates — a second
-    # explode would double the heaviest stage
+    # r15: fully scan-side — one corpus scan, ZERO explodes and ZERO
+    # grouping aggregates (the stats fold per row over the bound bigram
+    # array; the r14 form exploded once and shuffled two gram aggs)
     plan = _plan(spark, sf_dir, "doc_repetition_stats")
     assert len(re.findall(r"documents\.parquet", plan)) == 1, plan
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0, plan
+    assert "HashAggregate" not in plan, plan
 
 
 def test_gapfill_by_type_is_fully_partitioned(spark, sf_dir):
