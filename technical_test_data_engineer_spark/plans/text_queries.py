@@ -1317,8 +1317,12 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     language count, language-distribution entropy (nats) and max/min
     imbalance ratio — the numbers a dataset README publishes and a
     mixing step (corpus_mix_rebalance) consumes. Two tiny aggregates
-    (per-lang, then global), no corpus-sized shuffle; entropy summed
-    over the per-lang frame with the same n/N ordering both engines.
+    (per-lang, then global), no corpus-sized shuffle; entropy folds
+    over an array_sort-ASCENDING collect_list of the per-lang counts
+    (r15 ADVICE fix: the double-precision summation ORDER therefore
+    differs from the oracle's subquery sum — parity rests on the
+    gate's double tolerance and the small-lang-count regime, not on
+    identical summation order).
 
     r14 (guide §2.4): the tot/ent/imb branches each re-derived the
     per-lang frame — FOUR corpus tokenization passes (the duplicated-
