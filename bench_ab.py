@@ -27,6 +27,7 @@ MODULES = [
     "technical_test_data_engineer_spark/plans/similarity_queries.py",
     "technical_test_data_engineer_spark/plans/relational_breadth_queries.py",
     "technical_test_data_engineer_spark/plans/dedup_queries.py",
+    "technical_test_data_engineer_spark/plans/window_queries.py",
 ]
 
 

@@ -60,20 +60,21 @@ _FRONT_50 = [
     # recomputed mechanically from the CORRECTNESS_r01..r14 union
     # (latest-green counts at the r14 close: r08x44, r09x45, r10x46,
     # r11x49, r12x47, r13x48, r14x50):
-    # (1) the 15 query paths whose PLANS CHANGED in the r15
+    # (1) the 16 query paths whose PLANS CHANGED in the r15
     # optimization batches (window discipline: every changed plan is
     # driver-checked the round it lands);
-    # (2) the 35 oldest-latest-green fillers - all from the 44-query
+    # (2) the 34 oldest-latest-green fillers - all from the 44-query
     # r08 cohort, alphabetical (lang_id_confusion is r08-latest AND
     # changed, so it sits in group 1). The 7 r08 greens that did not
-    # fit (quality_filter_kappa — displaced by the late
+    # fit (priority_value_gamma and quality_filter_kappa — displaced by the late
+    # daily_revenue_repeated_median and
     # embedding_covariance rewrite, the r13 spearman-swap precedent —
     # retention_decay_fit, segment_priority_mutual_info,
     # source_lang_cramers_v, supplier_acctbal_kruskal,
     # term_burstiness, urgent_share_trend_test, vocab_coverage_curve)
-    # are the r16 rotation head, should one exist (8 now); all stay locally
+    # are the r16 rotation head, should one exist (9 now); all stay locally
     # verified every round via verify_local.
-    # -- r15 changed plans (15) --
+    # -- r15 changed plans (16) --
     "doc_gopher_repetition",
     "doc_unigram_logprob",
     "source_doremi_mixture",
@@ -89,7 +90,8 @@ _FRONT_50 = [
     "doc_readability",
     "source_best_of_n_yield",
     "embedding_covariance",
-    # -- oldest r08 greens (35, alphabetical) --
+    "daily_revenue_repeated_median",
+    # -- oldest r08 greens (34, alphabetical) --
     "ab_test_bh_fdr",
     "ab_test_cmh_odds",
     "ab_test_did",
@@ -124,7 +126,6 @@ _FRONT_50 = [
     "order_value_hill_tail",
     "orders_zonemap_report",
     "part_pps_systematic",
-    "priority_value_gamma",
 ]
 
 

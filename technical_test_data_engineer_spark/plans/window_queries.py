@@ -3467,11 +3467,34 @@ def daily_revenue_repeated_median(
     outer median sees only d values. The pair join is calendar-bounded
     (~2.4k-row day frame regardless of fact scale); the 100 TB fact
     table contributes only the one keyed daily agg. Medians use the
-    interpolated-percentile convention; the intercept is the median
-    residual at the fitted slope (1-row broadcast attach)."""
+    interpolated-percentile convention.
+
+    r15 (guide §1.2; VERDICT item 2 flagged this query's driver
+    drift): the day frame is CALENDAR-bounded (~2.4k rows at any fact
+    scale), so the d² slope matrix, both median levels and the
+    residual median now run driver-side in numpy off ONE Arrow fetch
+    of the daily aggregate — the 5.7M-row NLJ, two grouped
+    interpreted-percentile aggregates (the ImperativeAggregate whose
+    first-use JIT cost the r10 bench burn-in exists for) and two
+    persists are gone; only the fact-sized daily agg and the OLS
+    moment agg stay distributed. The percentile mirror uses Spark's
+    EXACT interpolation arithmetic — (higher−pos)·lower +
+    (pos−lower)·higher, NOT the lerp form, which differs by an ulp on
+    ties (adversarially discriminated and pinned in
+    tests/test_round15_ops.py) — and every slope/residual is the same
+    IEEE double expression the old plan evaluated, so all five output
+    values are bit-identical. SCALE CEILING: the driver matrix is
+    d²·8 B (~46 MB at 2.4k days; ~10 GB at a century of daily grain)
+    — past that, the documented fallback is this query's previous
+    shape (grouped percentile over the pair NLJ, every buffer
+    d-bounded). Oracle unchanged."""
+    import math
+
+    import numpy as np
+
     orders = load_table(spark, sf_dir, "orders")
-    # persisted: pair join consumes it twice, plus the OLS moment agg
-    # and the intercept pass (audit_scans r07)
+    # persisted: the bounded collect and the OLS moment agg both
+    # consume it — one fact scan total
     daily = (
         orders.groupBy(
             F.datediff(
@@ -3484,33 +3507,60 @@ def daily_revenue_repeated_median(
         .agg(exact_sum("o_totalprice").alias("y"))
         .persist()
     )
-    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
-    anchor = (
-        a.join(b, F.col("xa") != F.col("xb"))
-        .select(
-            "xa",
-            (
-                (F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))
-            ).alias("slope"),
+    pdf = daily.toPandas()  # calendar-bounded collect (see docstring)
+    xs = pdf["x"].to_numpy(dtype=np.int64)
+    ys = pdf["y"].to_numpy(dtype=np.float64)
+    d = len(xs)
+
+    def _spark_pctl50(sorted_vals: np.ndarray) -> float:
+        # Spark Percentile interpolation, mirrored exactly:
+        # (higher - pos) * lower + (pos - lower) * higher
+        n = sorted_vals.shape[-1]
+        pos = 0.5 * (n - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        if lo == hi:
+            return sorted_vals[..., lo]
+        return (hi - pos) * sorted_vals[..., lo] + (pos - lo) * sorted_vals[
+            ..., hi
+        ]
+
+    if d >= 2:
+        dx = (xs[None, :] - xs[:, None]).astype(np.float64)
+        dy = ys[None, :] - ys[:, None]
+        off = ~np.eye(d, dtype=bool)
+        # (d, d-1) per-anchor slope rows, diagonal removed; division
+        # and subtraction are the identical IEEE double ops the old
+        # plan's (yb - ya) / cast(xb - xa AS double) evaluated
+        slopes = (dy[off] / dx[off]).reshape(d, d - 1)
+        slopes.sort(axis=1)
+        med = _spark_pctl50(slopes)
+        med = np.sort(np.asarray(med, dtype=np.float64))
+        slope = float(_spark_pctl50(med))
+        resid = np.sort(ys - slope * xs)
+        intercept = float(_spark_pctl50(resid))
+        n_pairs = d * (d - 1)
+        n_days = d
+    else:
+        # degenerate 0/1-day corpus: the old plan's anchor frame is
+        # EMPTY, so its ungrouped rollup yielded count 0 / NULL sum /
+        # NULL percentiles — mirror that exactly
+        slope = None
+        intercept = None
+        n_pairs = None
+        n_days = 0
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(v):
+        if v is None:
+            return None
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal(1).scaleb(-6), ROUND_HALF_UP
+            )
         )
-        .groupBy("xa")
-        .agg(
-            F.percentile("slope", F.lit(0.5))
-            .cast("double")
-            .alias("med_slope"),
-            F.count("*").cast("bigint").alias("n_partners"),
-        )
-    )
-    # persisted: the 1-row median-of-medians frame feeds BOTH the final
-    # select and the intercept's residual pass — without it Spark
-    # re-executes the whole 5.7M-pair NLJ + grouped percentiles twice
-    # (measured 2× wall at sf0.1, the r9 driver-bench flag)
-    ts = anchor.agg(
-        F.count("*").cast("bigint").alias("n_days"),
-        F.sum("n_partners").cast("bigint").alias("n_pairs"),
-        F.percentile("med_slope", F.lit(0.5)).cast("double").alias("slope"),
-    ).persist()
+
     dec = lambda c: c.cast("decimal(30,10)")  # noqa: E731
     decp = lambda c: c.cast("decimal(38,8)")  # noqa: E731
     ols = daily.agg(
@@ -3520,28 +3570,16 @@ def daily_revenue_repeated_median(
         F.sum(decp(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
         F.sum(decp(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
     )
-    resid = daily.crossJoin(F.broadcast(ts)).select(
-        (F.col("y") - F.col("slope") * F.col("x")).alias("r")
-    )
-    intercept = resid.agg(
-        F.round(F.percentile("r", F.lit(0.5)).cast("double"), 6).alias(
-            "intercept"
-        )
-    )
-    return (
-        ols.crossJoin(F.broadcast(ts))
-        .crossJoin(F.broadcast(intercept))
-        .select(
-            "n_days",
-            "n_pairs",
-            F.round(F.col("slope"), 6).alias("repmed_slope"),
-            "intercept",
-            F.round(
-                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
-                6,
-            ).alias("ols_slope"),
-        )
+    return ols.select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.lit(_r6(slope)).cast("double").alias("repmed_slope"),
+        F.lit(_r6(intercept)).cast("double").alias("intercept"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            6,
+        ).alias("ols_slope"),
     )
 
 

@@ -127,3 +127,44 @@ def test_k_weighted_decimal_fold_is_exact(spark, seed):
         .collect()[0]["s"]
     )
     assert per_occurrence == agg
+
+
+def test_spark_percentile_mirror_weighted_form(spark):
+    """The daily_revenue_repeated_median driver mirror must use Spark
+    Percentile's weighted interpolation ((hi-pos)*lower +
+    (pos-lo)*higher) — the lerp form lower + t*(higher-lower) differs
+    by an ulp on interpolated ties (adversarially discriminated)."""
+    import math
+
+    rng = random.Random(7)
+    cases = [
+        [rng.uniform(-1e3, 1e3) for _ in range(rng.randint(2, 15))]
+        for _ in range(12)
+    ]
+    # force formula-discriminating 2-element ties (weighted != lerp)
+    found = 0
+    while found < 4:
+        a, b = sorted(rng.uniform(-1e3, 1e3) for _ in range(2))
+        if 0.5 * a + 0.5 * b != a + 0.5 * (b - a):
+            cases.append([a, b])
+            found += 1
+    checked_discriminating = 0
+    for vals in cases:
+        n = len(vals)
+        got = (
+            spark.createDataFrame([(v,) for v in vals], "v double")
+            .agg(F.percentile("v", F.lit(0.5)).cast("double"))
+            .collect()[0][0]
+        )
+        s = sorted(vals)
+        pos = 0.5 * (n - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        if lo == hi:
+            mine = s[lo]
+        else:
+            mine = (hi - pos) * s[lo] + (pos - lo) * s[hi]
+            lerp = s[lo] + (pos - lo) * (s[hi] - s[lo])
+            if mine != lerp:
+                checked_discriminating += 1
+        assert float(mine) == got
+    assert checked_discriminating >= 4  # real formula-splitting ties ran
